@@ -1,0 +1,31 @@
+"""Test harness: hermetic, CPU-only, 8 virtual JAX devices.
+
+The reference test suite is live-integration only (SURVEY.md §4); this
+suite is the deterministic layer it lacks. Multi-chip sharding tests run
+against an 8-device host mesh (xla_force_host_platform_device_count)."""
+
+import os
+
+# Must run before any jax import anywhere in the test session.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def make_unit_vectors(rng, n, d):
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.fixture
+def unit_vectors():
+    return make_unit_vectors

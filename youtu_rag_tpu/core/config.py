@@ -1,0 +1,164 @@
+"""RAG configuration tree.
+
+Semantic parity with the reference config (``utu/rag/config.py:10-99``):
+chunking / embedding / builder / retriever / vector-store / monitor
+sections composed into one ``RAGConfig``. TPU-specific knobs live in
+``IndexConfig`` (block sizes, dtype, sharding, IVF) — a *new* section with
+no reference counterpart, since the reference delegates indexing to
+Chroma/FAISS.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Literal
+
+from pydantic import BaseModel, ConfigDict, Field
+
+
+class ConfigBase(BaseModel):
+    """Base for all config models: secret-masking repr + exclude-none dumps.
+
+    Mirrors the contract of ``utu/config/base_config.py:8-38``.
+    """
+
+    model_config = ConfigDict(extra="allow")
+
+    _MASKED = ("api_key", "base_url", "token", "password", "secret")
+
+    def __repr__(self) -> str:
+        parts = []
+        for k, v in self.__dict__.items():
+            if v is None:
+                continue
+            if any(m in k for m in self._MASKED) and isinstance(v, str) and v:
+                v = v[:4] + "***"
+            parts.append(f"{k}={v!r}")
+        return f"{type(self).__name__}({', '.join(parts)})"
+
+    def model_dump(self, **kwargs) -> dict:
+        kwargs.setdefault("exclude_none", True)
+        return super().model_dump(**kwargs)
+
+
+class ChunkingConfig(ConfigBase):
+    """Ref: utu/rag/config.py:10-17."""
+
+    strategy: Literal["recursive", "hierarchical"] = "recursive"
+    chunk_size: int = Field(default=1000, ge=100, le=10000)
+    chunk_overlap: int = Field(default=200, ge=0, le=1000)
+    separators: list[str] | None = None
+    keep_separator: bool = True
+
+
+class EmbeddingConfig(ConfigBase):
+    """Ref: utu/rag/config.py:20-28. Provider ``tpu`` runs the in-repo
+    jit-compiled encoder; ``hash`` is the deterministic test embedder;
+    ``openai``/``service`` call remote HTTP endpoints like the reference."""
+
+    model: str = "tpu-encoder-base"
+    provider: Literal["tpu", "hash", "openai", "service"] = "hash"
+    api_key: str | None = None
+    base_url: str | None = None
+    batch_size: int = Field(default=128, ge=1, le=4096)
+    dimensions: int | None = None
+    batch_delay: float = Field(default=0.0, ge=0.0, le=60.0)
+
+
+class RerankerConfig(ConfigBase):
+    """Reranker backend selection (ref factory: utu/rag/rerankers/factory.py:15-216)."""
+
+    provider: Literal["none", "tpu", "lexical", "openai", "service"] = "none"
+    model: str | None = None
+    api_key: str | None = None
+    base_url: str | None = None
+    batch_size: int = Field(default=64, ge=1, le=1024)
+
+
+class KnowledgeBuilderConfig(ConfigBase):
+    """Ref: utu/rag/config.py:31-40."""
+
+    chunking: ChunkingConfig = Field(default_factory=ChunkingConfig)
+    embedding: EmbeddingConfig = Field(default_factory=EmbeddingConfig)
+    max_workers: int = Field(default=4, ge=1, le=64)
+    enable_metadata: bool = True
+    metadata_fields: list[str] = Field(default_factory=lambda: ["source", "page", "title"])
+    batch_delay: float = Field(default=0.0, ge=0.0, le=60.0)
+
+
+class RetrieverConfig(ConfigBase):
+    """Ref: utu/rag/config.py:43-50. threshold<=0 disables filtering
+    (utu/rag/knowledge_retrieval/base_retriever.py:60-66)."""
+
+    top_k: int = Field(default=5, ge=1)
+    similarity_threshold: float = Field(default=0.0, ge=0.0, le=1.0)
+    enable_reranking: bool = False
+    reranker_model: str | None = None
+    reranker_top_k: int = Field(default=3, ge=1, le=50)
+    recall_multiplier: int = Field(default=3, ge=1, le=10)
+
+
+class IndexConfig(ConfigBase):
+    """TPU device-index knobs (new; no reference counterpart — replaces
+    Chroma HNSW / FAISS flat params from utu/rag/config.py:63-66)."""
+
+    kind: Literal["flat", "ivf"] = "flat"
+    metric: Literal["cosine", "l2", "ip"] = "cosine"
+    storage_dtype: Literal["bfloat16", "float32", "int8"] = "bfloat16"
+    block_rows: int = Field(default=1024, description="DB rows per kernel block")
+    min_capacity: int = Field(default=4096)
+    max_metadata_columns: int = Field(default=16)
+    # IVF
+    n_lists: int = Field(default=1024, ge=1)
+    n_probe: int = Field(default=64, ge=1)
+    kmeans_iters: int = Field(default=10, ge=1)
+    # sharding
+    shard_axis: str = "db"
+    num_shards: int | None = None  # None → all local devices
+
+
+class VectorStoreConfig(ConfigBase):
+    """Ref: utu/rag/config.py:53-66 (backend literal swapped to TPU-native)."""
+
+    backend: Literal["tpu", "numpy"] = "tpu"
+    collection_name: str = "knowledge_base"
+    persist_directory: str = "./data/vector_store"
+    distance_metric: Literal["cosine", "euclidean", "dot"] = "cosine"
+    index: IndexConfig = Field(default_factory=IndexConfig)
+
+
+class MonitorConfig(ConfigBase):
+    """Ref: utu/rag/config.py:69-82."""
+
+    enable_monitoring: bool = True
+    health_check_interval: int = Field(default=60, ge=10, le=3600)
+    metrics_retention_days: int = Field(default=30, ge=1, le=365)
+    enable_query_logging: bool = True
+    enable_alerts: bool = True
+    alert_thresholds: dict[str, float] = Field(
+        default_factory=lambda: {
+            "query_latency_ms": 1000.0,
+            "error_rate": 0.05,
+            "index_size_gb": 100.0,
+        }
+    )
+
+
+class RAGConfig(ConfigBase):
+    """Ref: utu/rag/config.py:85-99."""
+
+    name: str = "default_rag"
+    description: str | None = None
+
+    knowledge_builder: KnowledgeBuilderConfig = Field(default_factory=KnowledgeBuilderConfig)
+    retriever: RetrieverConfig = Field(default_factory=RetrieverConfig)
+    reranker: RerankerConfig = Field(default_factory=RerankerConfig)
+    vector_store: VectorStoreConfig = Field(default_factory=VectorStoreConfig)
+    monitor: MonitorConfig = Field(default_factory=MonitorConfig)
+
+    enable_cache: bool = True
+    cache_ttl: int = Field(default=3600, ge=60, le=86400)
+    log_level: Literal["DEBUG", "INFO", "WARNING", "ERROR"] = "INFO"
+
+
+def rag_config_from_dict(data: dict[str, Any]) -> RAGConfig:
+    return RAGConfig.model_validate(data)

