@@ -6,11 +6,20 @@ against an 8-device host mesh (xla_force_host_platform_device_count)."""
 
 import os
 
-# Must run before any jax import anywhere in the test session.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Must run before any jax import anywhere in the test session. The
+# environment may pre-set JAX_PLATFORMS to a real accelerator (e.g. the
+# axon TPU tunnel) — hermetic tests always run on virtual CPU devices.
+# Set YRT_TEST_TPU=1 to run the suite against real hardware instead.
+if not os.environ.get("YRT_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # jax may already be imported at interpreter startup (site hook); its
+    # backends initialize lazily, so redirecting the platform still works.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

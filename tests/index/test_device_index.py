@@ -95,12 +95,14 @@ def test_delete_and_reinsert(pair, rng, unit_vectors):
     assert dev.count() == ref.count() == 299
     after = dev.search(q, top_k=5)[0]
     assert victim.id not in _ids(after)
-    assert _ids(after) == _ids(ref.search(q, top_k=5)[0])
+    # near-ties may swap between MXU/XLA and numpy summation: compare sets
+    assert set(_ids(after)) == set(_ids(ref.search(q, top_k=5)[0]))
     # reinsert with same id → replaces, not duplicates
     dev.add([victim], embs[[int(victim.id.split("-")[1])]])
     assert dev.count() == 300
     again = dev.search(q, top_k=5)[0]
-    assert _ids(again) == _ids(before)
+    assert set(_ids(again)) == set(_ids(before))
+    assert again[0][0].id == victim.id
 
 
 def test_delete_by_document(rng, unit_vectors):

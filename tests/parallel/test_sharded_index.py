@@ -1,0 +1,109 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh (conftest sets
+xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import pytest
+
+from youtu_rag_tpu.core.config import IndexConfig
+from youtu_rag_tpu.core.types import Chunk
+from youtu_rag_tpu.index.numpy_ref import NumpyVectorIndex
+from youtu_rag_tpu.parallel.mesh import get_mesh
+from youtu_rag_tpu.parallel.sharded_index import ShardedVectorIndex
+
+
+def make_chunks(n, doc="doc"):
+    return [
+        Chunk(f"{doc}-{i}", doc, f"content {i}", i, {"source": doc, "idx": i})
+        for i in range(n)
+    ]
+
+
+def test_mesh_shapes():
+    m = get_mesh()
+    assert m.shape["db"] == 8
+    m2 = get_mesh({"dp": 2, "tp": 4})
+    assert m2.shape == {"dp": 2, "tp": 4}
+    m3 = get_mesh({"dp": -1, "tp": 2})
+    assert m3.shape["dp"] == 4
+
+
+@pytest.fixture(scope="module")
+def sharded_pair():
+    rng = np.random.default_rng(1)
+    d = 64
+    cfg = IndexConfig(min_capacity=1024, block_rows=128)
+    mesh = get_mesh({"db": 8})
+    dev = ShardedVectorIndex(d, cfg, mesh=mesh)
+    ref = NumpyVectorIndex(d, cfg, quantize_bf16=True)
+    chunks = make_chunks(900, "docS")
+    embs = rng.normal(size=(900, d)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    dev.add(chunks, embs)
+    ref.add(chunks, embs)
+    return dev, ref, rng
+
+
+def _ids(hits):
+    return [c.id for c, _ in hits]
+
+
+def test_sharded_capacity_divisible(sharded_pair):
+    dev, _, _ = sharded_pair
+    assert dev.capacity % (8 * dev.config.block_rows) == 0
+
+
+def test_sharded_search_parity(sharded_pair):
+    dev, ref, rng = sharded_pair
+    q = rng.normal(size=(6, dev.dim)).astype(np.float32)
+    got = dev.search(q, top_k=10)
+    want = ref.search(q, top_k=10)
+    for g, w in zip(got, want):
+        overlap = len(set(_ids(g)) & set(_ids(w))) / 10
+        assert overlap >= 0.9
+        np.testing.assert_allclose(
+            [s for _, s in g][:5], [s for _, s in w][:5], atol=3e-2
+        )
+
+
+def test_sharded_filtered_search(sharded_pair):
+    dev, ref, rng = sharded_pair
+    q = rng.normal(size=(2, dev.dim)).astype(np.float32)
+    filters = {"idx": {"$gte": 100, "$lt": 200}}
+    got = dev.search(q, top_k=5, filters=filters)
+    want = ref.search(q, top_k=5, filters=filters)
+    for g, w in zip(got, want):
+        assert _ids(g) == _ids(w)
+        for c, _ in g:
+            assert 100 <= c.metadata["idx"] < 200
+
+
+def test_sharded_delete(sharded_pair):
+    dev, ref, rng = sharded_pair
+    q = rng.normal(size=(1, dev.dim)).astype(np.float32)
+    top = dev.search(q, top_k=3)[0]
+    victim = top[0][0].id
+    dev.delete([victim])
+    ref.delete([victim])
+    after = dev.search(q, top_k=3)[0]
+    assert victim not in _ids(after)
+    assert _ids(after) == _ids(ref.search(q, top_k=3)[0])
+
+
+def test_sharded_matches_single_device():
+    """Same data through ShardedVectorIndex (8 dev) vs DeviceVectorIndex (1)."""
+    from youtu_rag_tpu.index.device_index import DeviceVectorIndex
+
+    rng = np.random.default_rng(2)
+    d = 32
+    cfg = IndexConfig(min_capacity=512, block_rows=64)
+    chunks = make_chunks(500, "docP")
+    embs = rng.normal(size=(500, d)).astype(np.float32)
+    single = DeviceVectorIndex(d, cfg)
+    multi = ShardedVectorIndex(d, cfg, mesh=get_mesh({"db": 8}))
+    single.add(chunks, embs)
+    multi.add(chunks, embs)
+    q = rng.normal(size=(4, d)).astype(np.float32)
+    s_hits = single.search(q, top_k=7)
+    m_hits = multi.search(q, top_k=7)
+    for s, m in zip(s_hits, m_hits):
+        assert set(_ids(s)) == set(_ids(m))

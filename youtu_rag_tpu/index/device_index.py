@@ -256,6 +256,9 @@ class DeviceVectorIndex:
         qpad[:, : self.dim] = q
         if self.metric == "cosine":
             qpad /= np.maximum(np.linalg.norm(qpad, axis=1, keepdims=True), 1e-12)
+        elif self.metric == "l2":
+            # score = 2 q·x - ||x||^2 (norm term lives in the bias)
+            qpad *= 2.0
         queries = jnp.asarray(qpad)
 
         vectors, cols, bias = self._vectors, self._cols, self._bias
@@ -279,23 +282,8 @@ class DeviceVectorIndex:
                 bias = bias + jnp.asarray(hb)
 
         if filt is not None:
-            scores, rows = _search_filtered(
-                queries,
-                vectors,
-                cols,
-                bias,
-                jnp.asarray(filt_consts),
-                filt.signature(),
-                filt,
-                k_eff,
-                self.metric,
-                self._backend(backend),
-                self.config.block_rows,
-            )
-        else:
-            scores, rows = _search_plain(
-                queries, vectors, bias, k_eff, self.metric, self._backend(backend), self.config.block_rows
-            )
+            bias = _filter_bias(cols, bias, jnp.asarray(filt_consts), filt.signature(), filt)
+        scores, rows = self._run_search(queries, vectors, bias, k_eff, self._backend(backend))
 
         scores = np.asarray(scores)
         rows = np.asarray(rows)
@@ -322,6 +310,11 @@ class DeviceVectorIndex:
         if on_tpu and self.capacity >= 8 * self.config.block_rows:
             return "pallas"
         return "xla"
+
+    def _run_search(self, queries, vectors, bias, k: int, backend: str):
+        """Overridable search dispatch (ShardedVectorIndex swaps in the
+        shard_map per-shard + all-gather merge path)."""
+        return _search_plain(queries, vectors, bias, k, backend, self.config.block_rows)
 
     # -- introspection -----------------------------------------------------
 
@@ -361,10 +354,8 @@ def _append_kernel(vectors, cols, bias, new_vec, new_cols, new_bias, start):
     return vectors, cols, bias
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "backend", "block_rows"))
-def _search_plain(queries, vectors, bias, k: int, metric: str, backend: str, block_rows: int):
-    if metric == "l2":
-        queries = 2.0 * queries
+@functools.partial(jax.jit, static_argnames=("k", "backend", "block_rows"))
+def _search_plain(queries, vectors, bias, k: int, backend: str, block_rows: int):
     if backend == "pallas":
         return pallas_topk(queries, vectors, bias, k, block_rows=block_rows)
     if backend == "pallas_interpret":
@@ -372,14 +363,13 @@ def _search_plain(queries, vectors, bias, k: int, metric: str, backend: str, blo
     return xla_topk(queries, vectors, bias, k)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("sig", "filt", "k", "metric", "backend", "block_rows")
-)
-def _search_filtered(
-    queries, vectors, cols, bias, consts, sig: str, filt, k: int, metric: str, backend: str, block_rows: int
-):
-    # `sig` keys the jit cache; `filt` is hashed by identity via the mask
-    # cache in DeviceVectorIndex so equal-signature filters share a trace.
+@functools.partial(jax.jit, static_argnames=("sig", "filt"))
+def _filter_bias(cols, bias, consts, sig: str, filt):
+    """Join a compiled metadata mask into the additive bias.
+
+    `sig` keys the jit cache; `filt` is a canonical per-signature instance
+    (DeviceVectorIndex._filter_cache) so identity-hashing matches `sig`.
+    Elementwise over rows — under a sharded index the mask computes
+    shard-locally with no communication."""
     mask = filt.mask(cols, consts)
-    bias = bias + jnp.where(mask, 0.0, NEG_INF)
-    return _search_plain.__wrapped__(queries, vectors, bias, k, metric, backend, block_rows)
+    return bias + jnp.where(mask, 0.0, NEG_INF)

@@ -1,0 +1,245 @@
+"""Embedder implementations + factory.
+
+Replaces the reference's embedding stack (``utu/rag/embeddings/``):
+- ``TpuEmbedder``   — in-process jit-compiled encoder forward, batched with
+  bucketed padding (replaces the HTTP ``ServiceEmbedder``,
+  ``service_embedder.py:16-177``);
+- ``HashEmbedder``  — deterministic host-side feature-hash embedding
+  (hermetic tests + CPU fallback; the "fake embedder" SURVEY.md §4 calls
+  for, but with meaningful bag-of-words cosine geometry);
+- ``RemoteEmbedder``— OpenAI-compatible ``/embeddings`` or self-hosted
+  ``/embed`` HTTP adapter with retry/health-check behavior mirroring
+  ``openai_embedder.py:15-173`` (kept as a config option like the
+  reference's factory, ``embeddings/factory.py:14-161``).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import math
+import os
+from typing import Any
+
+import numpy as np
+
+from ..core.config import EmbeddingConfig
+from ..core.types import BaseEmbedder
+from ..utils.hashing import stable_hash64
+from ..utils.log import get_logger
+from .tokenizer import HashTokenizer
+
+logger = get_logger("models.embedder")
+
+
+class HashEmbedder(BaseEmbedder):
+    """Feature-hashing bag-of-words embedder (deterministic, host-only).
+
+    Each word hashes to a dimension and a sign; vectors are tf-weighted
+    (1 + log tf), L2-normalized. Same geometry family as hashing
+    vectorizers — overlapping texts ⇒ high cosine — so retrieval-quality
+    tests are meaningful without model weights."""
+
+    def __init__(self, dim: int = 256):
+        self._dim = dim
+        self._tok = HashTokenizer(vocab_size=2**30, max_length=8192)
+
+    @property
+    def dimension(self) -> int:
+        return self._dim
+
+    def embed_one(self, text: str) -> np.ndarray:
+        vec = np.zeros(self._dim, np.float32)
+        counts: dict[int, int] = {}
+        for t in self._tok.tokenize(text):
+            counts[t] = counts.get(t, 0) + 1
+        for t, c in counts.items():
+            h = stable_hash64(f"feat:{t}")
+            idx = h % self._dim
+            sign = 1.0 if (h >> 32) & 1 else -1.0
+            vec[idx] += sign * (1.0 + math.log(c))
+        n = np.linalg.norm(vec)
+        return vec / n if n > 0 else vec
+
+    async def embed_texts(self, texts: list[str]) -> list[list[float]]:
+        return [self.embed_one(t).tolist() for t in texts]
+
+    async def embed_query(self, query: str) -> list[float]:
+        return self.embed_one(query).tolist()
+
+
+class TpuEmbedder(BaseEmbedder):
+    """Batched encoder forward under jit on TPU.
+
+    Sequences pad to pow2 length buckets and pow2 batch buckets so the jit
+    cache stays small; the forward is data-parallel over all local devices
+    when a mesh is supplied (see youtu_rag_tpu.parallel.mesh)."""
+
+    def __init__(
+        self,
+        config: EncoderConfigLike | None = None,
+        params: dict | None = None,
+        batch_size: int = 128,
+        mesh=None,
+        seed: int = 0,
+    ):
+        import jax
+
+        from .encoder import EncoderConfig, encode_tokens, init_encoder_params
+
+        self.cfg = config or EncoderConfig()
+        self.params = params if params is not None else init_encoder_params(self.cfg, seed)
+        self.tokenizer = HashTokenizer(self.cfg.vocab_size, self.cfg.max_len)
+        self.batch_size = batch_size
+        self._mesh = mesh
+
+        def fwd(params, ids, mask):
+            emb, _ = encode_tokens(params, ids, mask, self.cfg)
+            return emb
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._fwd = jax.jit(
+                fwd,
+                in_shardings=(
+                    jax.tree.map(lambda _: NamedSharding(mesh, P()), self.params),
+                    NamedSharding(mesh, P("dp", None)),
+                    NamedSharding(mesh, P("dp", None)),
+                ),
+                out_shardings=NamedSharding(mesh, P("dp", None)),
+            )
+        else:
+            self._fwd = jax.jit(fwd)
+
+    @property
+    def dimension(self) -> int:
+        return self.cfg.out_dim
+
+    @staticmethod
+    def _bucket(n: int, floor: int) -> int:
+        b = floor
+        while b < n:
+            b *= 2
+        return b
+
+    def embed_batch(self, texts: list[str]) -> np.ndarray:
+        """Synchronous batched embed → [n, out_dim] f32 (L2-normalized)."""
+        out = np.zeros((len(texts), self.cfg.out_dim), np.float32)
+        bs = self.batch_size
+        for i in range(0, len(texts), bs):
+            batch = texts[i : i + bs]
+            ids, mask = self.tokenizer.batch(batch)
+            t_b = min(self._bucket(ids.shape[1], 16), self.cfg.max_len)
+            n_b = self._bucket(len(batch), 8)
+            ids_p = np.zeros((n_b, t_b), np.int32)
+            mask_p = np.zeros((n_b, t_b), np.float32)
+            ids_p[: len(batch), : ids.shape[1]] = ids[:, :t_b]
+            mask_p[: len(batch), : mask.shape[1]] = mask[:, :t_b]
+            emb = self._fwd(self.params, ids_p, mask_p)
+            out[i : i + len(batch)] = np.asarray(emb)[: len(batch)]
+        return out
+
+    async def embed_texts(self, texts: list[str]) -> list[list[float]]:
+        return self.embed_batch(texts).tolist()
+
+    async def embed_query(self, query: str) -> list[float]:
+        return self.embed_batch([query])[0].tolist()
+
+
+EncoderConfigLike = Any  # forward ref without importing jax at module import
+
+
+class RemoteEmbedder(BaseEmbedder):
+    """HTTP embedding adapter (OpenAI `/embeddings` or service `/embed`).
+
+    Retry-on-5xx/timeouts and batch pacing mirror
+    ``openai_embedder.py:49-173`` / ``http_retry.py:16-103``."""
+
+    def __init__(self, config: EmbeddingConfig):
+        self.config = config
+        self._dim = config.dimensions
+
+    @property
+    def dimension(self) -> int | None:
+        return self._dim
+
+    async def _post(self, path: str, payload: dict) -> dict:
+        import httpx
+
+        headers = {}
+        if self.config.api_key:
+            headers["Authorization"] = f"Bearer {self.config.api_key}"
+        last: Exception | None = None
+        async with httpx.AsyncClient(timeout=60.0) as client:
+            for attempt in range(3):
+                try:
+                    r = await client.post(
+                        self.config.base_url.rstrip("/") + path, json=payload, headers=headers
+                    )
+                    if r.status_code in (502, 503):
+                        raise httpx.HTTPStatusError("retryable", request=r.request, response=r)
+                    r.raise_for_status()
+                    return r.json()
+                except Exception as e:  # noqa: BLE001 - collect and retry
+                    last = e
+                    await asyncio.sleep(1.5**attempt)
+        raise RuntimeError(f"embedding request failed after retries: {last}")
+
+    async def embed_texts(self, texts: list[str]) -> list[list[float]]:
+        out: list[list[float]] = []
+        bs = self.config.batch_size
+        for i in range(0, len(texts), bs):
+            batch = texts[i : i + bs]
+            if self.config.provider == "openai":
+                data = await self._post(
+                    "/embeddings", {"model": self.config.model, "input": batch}
+                )
+                out.extend(item["embedding"] for item in data["data"])
+            else:  # service
+                data = await self._post("/embed", {"texts": batch})
+                out.extend(data["embeddings"])
+            if self.config.batch_delay and i + bs < len(texts):
+                await asyncio.sleep(self.config.batch_delay)
+        if out and self._dim is None:
+            self._dim = len(out[0])
+        return out
+
+    async def embed_query(self, query: str) -> list[float]:
+        return (await self.embed_texts([query]))[0]
+
+
+class EmbedderFactory:
+    """Provider dispatch (ref: ``embeddings/factory.py:14-161``).
+
+    ``auto`` resolves from env: remote endpoints if ``YRT_EMBEDDING_URL`` /
+    ``UTU_EMBEDDING_URL`` is set, else the on-device TPU encoder, else the
+    hash embedder on hosts without an accelerator."""
+
+    @staticmethod
+    def create(config: EmbeddingConfig | None = None, **kwargs) -> BaseEmbedder:
+        config = config or EmbeddingConfig()
+        provider = config.provider
+        if provider == "auto":  # pragma: no cover - env-dependent
+            url = os.environ.get("YRT_EMBEDDING_URL") or os.environ.get("UTU_EMBEDDING_URL")
+            if url:
+                config = config.model_copy(update={"base_url": url, "provider": "service"})
+                provider = "service"
+            else:
+                provider = "tpu"
+        if provider == "hash":
+            return HashEmbedder(dim=config.dimensions or 256)
+        if provider == "tpu":
+            return TpuEmbedder(batch_size=config.batch_size, **kwargs)
+        if provider in ("openai", "service"):
+            if not config.base_url:
+                config = config.model_copy(
+                    update={
+                        "base_url": os.environ.get("YRT_EMBEDDING_URL")
+                        or os.environ.get("UTU_EMBEDDING_URL"),
+                        "api_key": config.api_key
+                        or os.environ.get("YRT_EMBEDDING_API_KEY")
+                        or os.environ.get("UTU_EMBEDDING_API_KEY"),
+                    }
+                )
+            return RemoteEmbedder(config)
+        raise ValueError(f"unknown embedding provider {provider!r}")
