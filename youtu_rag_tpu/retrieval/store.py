@@ -1,0 +1,168 @@
+"""BaseVectorStore facade over the TPU device index.
+
+This is the seam where the reference swaps Chroma/FAISS
+(``utu/rag/storage/implementations/*``; factory ``storage/__init__.py``)
+and the TPU build swaps the device engine: everything above — retrievers,
+toolkits, builders, memory — only sees ``BaseVectorStore``.
+
+Batching note: ``search`` takes one embedding (reference signature); the
+engine-native ``search_batch`` amortizes a whole query batch through one
+fused kernel launch (replaces the reference's sequential
+``batch_retrieve`` loop, ``base_retriever.py:82-99``)."""
+
+from __future__ import annotations
+
+import asyncio
+import time
+from typing import Any
+
+import numpy as np
+
+from ..core.config import IndexConfig, VectorStoreConfig
+from ..core.types import BaseVectorStore, Chunk, HealthStatus
+from ..index.device_index import DeviceVectorIndex
+from ..index.numpy_ref import NumpyVectorIndex
+from ..utils.log import get_logger
+
+logger = get_logger("retrieval.store")
+
+
+class TpuVectorStore(BaseVectorStore):
+    """Vector store backed by a device (or numpy) index.
+
+    The index dimension is fixed lazily on the first ``add_chunks`` call
+    (from the embedding length), like Chroma collections materializing on
+    first insert."""
+
+    def __init__(
+        self,
+        config: VectorStoreConfig | None = None,
+        dim: int | None = None,
+        mesh=None,
+    ):
+        self.config = config or VectorStoreConfig()
+        self._dim = dim
+        self._mesh = mesh
+        self._index: DeviceVectorIndex | NumpyVectorIndex | None = None
+        self._lock = asyncio.Lock()
+        if dim is not None:
+            self._index = self._make_index(dim)
+
+    # -- engine plumbing ---------------------------------------------------
+
+    def _make_index(self, dim: int):
+        icfg = self.config.index
+        metric = {"cosine": "cosine", "euclidean": "l2", "dot": "ip"}[self.config.distance_metric]
+        icfg = icfg.model_copy(update={"metric": metric})
+        if self.config.backend == "numpy":
+            return NumpyVectorIndex(dim, icfg)
+        if self._mesh is not None:
+            from ..parallel.sharded_index import ShardedVectorIndex
+
+            return ShardedVectorIndex(dim, icfg, mesh=self._mesh)
+        return DeviceVectorIndex(dim, icfg)
+
+    @property
+    def index(self):
+        if self._index is None:
+            raise RuntimeError("store is empty; dimension unknown until first add_chunks")
+        return self._index
+
+    def _ensure_index(self, dim: int):
+        if self._index is None:
+            self._dim = dim
+            self._index = self._make_index(dim)
+        elif dim != self._dim:
+            raise ValueError(f"embedding dim {dim} != store dim {self._dim}")
+        return self._index
+
+    # -- BaseVectorStore ---------------------------------------------------
+
+    async def add_chunks(self, chunks: list[Chunk]) -> None:
+        if not chunks:
+            return
+        missing = [c.id for c in chunks if c.embedding is None]
+        if missing:
+            raise ValueError(f"chunks missing embeddings: {missing[:3]}...")
+        embs = np.asarray([c.embedding for c in chunks], np.float32)
+        async with self._lock:
+            self._ensure_index(embs.shape[1]).add(chunks, embs)
+
+    async def search(
+        self,
+        query_embedding: list[float],
+        top_k: int = 5,
+        filters: dict[str, Any] | None = None,
+    ) -> list[tuple[Chunk, float]]:
+        return (await self.search_batch([query_embedding], top_k, filters))[0]
+
+    async def search_batch(
+        self,
+        query_embeddings: list[list[float]] | np.ndarray,
+        top_k: int = 5,
+        filters: dict[str, Any] | None = None,
+    ) -> list[list[tuple[Chunk, float]]]:
+        """Engine-native batched search: one fused kernel launch for the
+        whole query batch."""
+        q = np.asarray(query_embeddings, np.float32)
+        if self._index is None or self._index.count() == 0:
+            return [[] for _ in range(q.shape[0])]
+        return self._index.search(q, top_k=top_k, filters=filters)
+
+    async def delete(self, chunk_ids: list[str]) -> None:
+        if self._index is not None:
+            self._index.delete(chunk_ids)
+
+    async def delete_by_document_id(self, document_id: str) -> int:
+        if self._index is None:
+            return 0
+        return self._index.delete_by_document_id(document_id)
+
+    async def get_by_id(self, chunk_id: str) -> Chunk | None:
+        if self._index is None:
+            return None
+        return self._index.get_by_id(chunk_id)
+
+    async def count(self) -> int:
+        return 0 if self._index is None else self._index.count()
+
+    async def clear(self) -> None:
+        if self._index is not None:
+            self._index.clear()
+
+    # -- extras used by toolkits/monitoring --------------------------------
+
+    async def get_by_filter(self, filters: dict[str, Any], limit: int = 1000) -> list[Chunk]:
+        """Host-side metadata scan (ref analog: chroma collection.get with
+        where-clauses). Used for summary-index listing and memory fetches."""
+        from ..index.filters import host_eval
+
+        if self._index is None:
+            return []
+        out = []
+        for c in self._index.iter_live():
+            if host_eval(filters, c.metadata):
+                out.append(c)
+                if len(out) >= limit:
+                    break
+        return out
+
+    async def health(self) -> HealthStatus:
+        n = await self.count()
+        nbytes = self._index.nbytes() if isinstance(self._index, DeviceVectorIndex) else 0
+        return HealthStatus(
+            is_healthy=True,
+            backend=self.config.backend,
+            collection_name=self.config.collection_name,
+            total_chunks=n,
+            index_size_bytes=nbytes,
+            last_check_time=time.strftime("%Y-%m-%dT%H:%M:%S"),
+        )
+
+
+class VectorStoreFactory:
+    """Backend dispatch (ref: utu/rag/storage/__init__.py)."""
+
+    @staticmethod
+    def create(config: VectorStoreConfig | None = None, dim: int | None = None, mesh=None) -> TpuVectorStore:
+        return TpuVectorStore(config, dim=dim, mesh=mesh)
