@@ -1,0 +1,216 @@
+"""SimpleAgent: the config-driven single-agent tool loop.
+
+Parity surface with ``utu/agents/simple_agent.py:39-568``:
+- build(): instantiate toolkits from config, load env, optional memory;
+- run(task) → TaskRecorder with final_output/trajectory;
+- run_streamed(task) → TaskRecorder immediately, events flow through it;
+- chat(): multi-turn — conversation history carries across calls;
+- tool loop capped at config.max_turns (default 50);
+- memory read before the run, write after (simple_agent.py:345-467),
+  through the vector-memory toolkit when enabled;
+- every finished run is recorded to the trajectory DB (db.trajectory).
+
+Differences by design: no openai-agents runner underneath — the loop is
+explicit here (the reference patches the SDK's runner to inject context
+management, utu/patch/runner.py; this build calls its context manager
+directly at each turn).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+from typing import Any
+
+from ..tools.base import AsyncBaseToolkit, ToolRouter
+from ..utils.log import get_logger
+from .config import AgentConfig
+from .events import AgentEvent, TaskRecorder, ToolCallRecord
+from .llm import BaseChatClient, ChatMessage, get_chat_client
+
+logger = get_logger("agents.simple")
+
+
+class SimpleAgent:
+    def __init__(
+        self,
+        config: AgentConfig | dict | None = None,
+        *,
+        client: BaseChatClient | None = None,
+        toolkits: list[AsyncBaseToolkit] | None = None,
+        memory_toolkit=None,
+        trajectory_sink=None,
+    ):
+        if isinstance(config, dict):
+            config = AgentConfig.from_dict(config)
+        self.config = config or AgentConfig()
+        self.client = client or get_chat_client(self.config.model.resolved())
+        self._extra_toolkits = toolkits or []
+        self.memory_toolkit = memory_toolkit
+        self.trajectory_sink = trajectory_sink
+        self.router: ToolRouter | None = None
+        self._history: list[ChatMessage] = []
+        self._built = False
+
+    # -- lifecycle ---------------------------------------------------------
+
+    async def build(self) -> "SimpleAgent":
+        if self._built:
+            return self
+        toolkits = list(self._extra_toolkits)
+        if self.config.toolkits:
+            from ..tools import get_toolkit
+
+            for name, tk_cfg in self.config.toolkits.items():
+                tk_cfg.name = tk_cfg.name or name
+                toolkits.append(get_toolkit(tk_cfg.name, tk_cfg))
+        if self.config.memory.enabled and self.memory_toolkit is None:
+            from ..memory.toolkit import VectorMemoryToolkit
+
+            self.memory_toolkit = VectorMemoryToolkit(
+                {"user_id": self.config.memory.user_id}
+            )
+        self.router = ToolRouter(toolkits)
+        await self.router.build()
+        if self.memory_toolkit is not None:
+            await self.memory_toolkit.build()
+        self._built = True
+        return self
+
+    async def cleanup(self) -> None:
+        if self.router:
+            await self.router.cleanup()
+        self._built = False
+
+    async def __aenter__(self):
+        return await self.build()
+
+    async def __aexit__(self, *exc):
+        await self.cleanup()
+
+    # -- public API --------------------------------------------------------
+
+    async def run(self, task: str, **kwargs) -> TaskRecorder:
+        recorder = self.run_streamed(task, **kwargs)
+        async for _ in recorder.stream_events():
+            pass
+        return await recorder.wait()
+
+    def run_streamed(self, task: str, **kwargs) -> TaskRecorder:
+        recorder = TaskRecorder(task=task)
+        asyncio.ensure_future(self._run_loop(task, recorder, **kwargs))
+        return recorder
+
+    async def chat(self, message: str) -> str:
+        """Multi-turn chat keeping conversation history."""
+        rec = await self.run(message, keep_history=True)
+        return rec.final_output or ""
+
+    def clear_history(self) -> None:
+        self._history = []
+
+    # -- the loop ----------------------------------------------------------
+
+    async def _run_loop(self, task: str, recorder: TaskRecorder, keep_history: bool = False) -> None:
+        try:
+            await self.build()
+            messages = await self._prepare_messages(task, keep_history, recorder)
+            schemas = self.router.schemas() if self.router else []
+
+            final_text: str | None = None
+            for turn in range(self.config.max_turns):
+                resp = await self.client.chat(messages, tools=schemas or None)
+                recorder.usage_input_tokens += resp.usage.input_tokens
+                recorder.usage_output_tokens += resp.usage.output_tokens
+                msg = resp.message
+                if msg.reasoning:
+                    recorder.emit(AgentEvent("reasoning_delta", text=msg.reasoning))
+                if msg.content:
+                    recorder.emit(AgentEvent("text_delta", text=msg.content))
+                    recorder.add_message("assistant", msg.content)
+                messages.append(msg)
+
+                if not msg.tool_calls:
+                    final_text = msg.content or ""
+                    break
+
+                # run the turn's tool calls concurrently (asyncio fan-out)
+                async def run_one(tc):
+                    t0 = time.perf_counter()
+                    recorder.emit(
+                        AgentEvent("tool_call", name=tc.name, arguments=tc.arguments, call_id=tc.id)
+                    )
+                    out = await self.router.call(tc.name, tc.parsed_arguments())
+                    dur = (time.perf_counter() - t0) * 1e3
+                    recorder.add_tool_call(ToolCallRecord(tc.name, tc.arguments, out, dur))
+                    recorder.emit(
+                        AgentEvent("tool_output", name=tc.name, text=out[:4000], call_id=tc.id)
+                    )
+                    return tc, out
+
+                results = await asyncio.gather(*(run_one(tc) for tc in msg.tool_calls))
+                for tc, out in results:
+                    messages.append(ChatMessage(role="tool", content=out, tool_call_id=tc.id))
+            else:
+                final_text = "(max turns reached without final answer)"
+
+            recorder.set_final_output(final_text or "")
+            recorder.emit(AgentEvent("final", text=final_text or ""))
+
+            if keep_history:
+                self._history = [m for m in messages if m.role != "system"]
+
+            await self._store_memory(task, final_text or "")
+            await self._persist_trajectory(recorder)
+            recorder.finish()
+        except Exception as e:  # noqa: BLE001
+            logger.exception("agent run failed")
+            recorder.emit(AgentEvent("error", text=str(e)))
+            recorder.finish(error=str(e))
+
+    async def _prepare_messages(
+        self, task: str, keep_history: bool, recorder: TaskRecorder
+    ) -> list[ChatMessage]:
+        instructions = self.config.agent.instructions or ""
+        memory_context = await self._retrieve_memory(task)
+        if memory_context:
+            instructions = f"{instructions}\n\n## Relevant memory\n{memory_context}"
+            recorder.emit(AgentEvent("memory", text=memory_context[:500]))
+        messages: list[ChatMessage] = []
+        if instructions:
+            messages.append(ChatMessage(role="system", content=instructions))
+        if keep_history:
+            messages.extend(self._history)
+        messages.append(ChatMessage(role="user", content=task))
+        recorder.add_message("user", task)
+        return messages
+
+    # -- memory hooks (ref: simple_agent.py:345-467) -----------------------
+
+    async def _retrieve_memory(self, task: str) -> str:
+        if self.memory_toolkit is None:
+            return ""
+        try:
+            return await self.memory_toolkit.retrieve_all_context(
+                query=task, max_items=self.config.memory.max_context_items
+            )
+        except Exception:  # noqa: BLE001
+            logger.exception("memory retrieval failed")
+            return ""
+
+    async def _store_memory(self, task: str, answer: str) -> None:
+        if self.memory_toolkit is None or not answer:
+            return
+        try:
+            await self.memory_toolkit.store_conversation(task, answer)
+        except Exception:  # noqa: BLE001
+            logger.exception("memory store failed")
+
+    async def _persist_trajectory(self, recorder: TaskRecorder) -> None:
+        if self.trajectory_sink is None:
+            return
+        try:
+            await self.trajectory_sink(recorder.as_record())
+        except Exception:  # noqa: BLE001
+            logger.exception("trajectory persist failed")

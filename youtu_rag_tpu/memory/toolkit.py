@@ -1,0 +1,242 @@
+"""VectorMemoryToolkit — dual-layer agent memory as tools.
+
+Capability parity with ``utu/tools/memory_toolkit.py:170-2024``:
+working/episodic/semantic/procedural memories, skill store with
+success-rate tracking, ``retrieve_all_context`` merging all layers, and
+conversation auto-capture hooks used by SimpleAgent (simple_agent.py:
+345-467). Skill extraction from trajectories uses an LLM when one is
+configured and a deterministic tool-sequence summarizer otherwise (the
+hermetic path the reference lacks)."""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from typing import Any
+
+from ..models.embedder import HashEmbedder
+from ..tools import register_toolkit
+from ..tools.base import AsyncBaseToolkit, register_tool
+from ..utils.log import get_logger
+from .store import MemoryNode, MemoryVectorStore
+
+logger = get_logger("memory.toolkit")
+
+
+@register_toolkit("memory")
+class VectorMemoryToolkit(AsyncBaseToolkit):
+    """config keys: user_id, session_id, embedder, store, llm_agent."""
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        cfg = self.config.config
+        self.user_id: str = cfg.get("user_id", "default")
+        self.session_id: str = cfg.get("session_id") or f"sess-{uuid.uuid4().hex[:8]}"
+        embedder = cfg.get("embedder") or HashEmbedder(dim=256)
+        self.store: MemoryVectorStore = cfg.get("store") or MemoryVectorStore(embedder)
+        self.llm_agent = cfg.get("llm_agent")  # optional LLMAgent for skill extraction
+
+    # ------------------------------------------------------------------
+    # memory tools
+    # ------------------------------------------------------------------
+
+    @register_tool
+    async def add_memory(
+        self,
+        content: str,
+        memory_type: str = "semantic",
+        importance: float = 0.5,
+    ) -> str:
+        """Store a memory for later retrieval.
+
+        Args:
+            content: The memory text to store.
+            memory_type: One of working, episodic, semantic, procedural.
+            importance: Importance in [0, 1]; weighs into retrieval ranking.
+        """
+        node = MemoryNode.new(
+            self.user_id,
+            memory_type,
+            content,
+            importance=max(0.0, min(1.0, importance)),
+            session_id=self.session_id,
+        )
+        await self.store.add(node)
+        return f"Stored {memory_type} memory {node.id}"
+
+    @register_tool
+    async def search_memory(
+        self, query: str, memory_types: list[str] | None = None, top_k: int = 5
+    ) -> str:
+        """Search stored memories by semantic similarity.
+
+        Args:
+            query: What to look for.
+            memory_types: Restrict to types (working/episodic/semantic/procedural).
+            top_k: Number of memories to return.
+        """
+        hits = await self.store.search_memories(
+            self.user_id, query, memory_types=memory_types, top_k=top_k
+        )
+        if not hits:
+            return "No relevant memories."
+        return "\n".join(
+            f"[{m.memory_type} | score {s:.3f} | imp {m.importance:.2f}] {m.content}"
+            for m, s in hits
+        )
+
+    @register_tool
+    async def retrieve_all_context(self, query: str, max_items: int = 8) -> str:
+        """Retrieve merged memory context: recent working memory plus the
+        most relevant episodic/semantic memories and skills.
+
+        Args:
+            query: The current task or question.
+            max_items: Maximum total memory items to include.
+        """
+        parts: list[str] = []
+        working = await self.store.get_working_memory(
+            self.user_id, self.session_id, last_n=max(2, max_items // 3)
+        )
+        if working:
+            parts.append(
+                "### Recent context\n" + "\n".join(f"- {m.content}" for m in working)
+            )
+        remaining = max_items - len(working)
+        if remaining > 0:
+            hits = await self.store.search_memories(
+                self.user_id,
+                query,
+                memory_types=["episodic", "semantic"],
+                top_k=remaining,
+            )
+            if hits:
+                parts.append(
+                    "### Relevant memories\n"
+                    + "\n".join(f"- ({m.memory_type}) {m.content}" for m, _ in hits)
+                )
+            skills = await self.store.search_memories(
+                self.user_id,
+                query,
+                memory_types=["procedural"],
+                top_k=max(1, remaining // 2),
+                min_success_rate=0.3,
+            )
+            if skills:
+                parts.append(
+                    "### Applicable skills\n" + "\n".join(f"- {m.content}" for m, _ in skills)
+                )
+        return "\n\n".join(parts)
+
+    # ------------------------------------------------------------------
+    # skills (procedural memory, ref memory_toolkit.py:180-693,933-1120)
+    # ------------------------------------------------------------------
+
+    @register_tool
+    async def store_skill(self, name: str, description: str, steps: list[str]) -> str:
+        """Store a reusable skill (procedural memory).
+
+        Args:
+            name: Short skill name.
+            description: When and why to apply the skill.
+            steps: Ordered tool/action steps that implement it.
+        """
+        content = f"Skill: {name}\n{description}\nSteps: " + " -> ".join(steps)
+        node = MemoryNode.new(
+            self.user_id,
+            "procedural",
+            content,
+            importance=0.7,
+            session_id=self.session_id,
+            metadata={"name": name, "steps": steps},
+        )
+        await self.store.add(node)
+        return f"Stored skill {name} ({node.id})"
+
+    @register_tool
+    async def search_skills(self, query: str, top_k: int = 3) -> str:
+        """Find stored skills relevant to a task.
+
+        Args:
+            query: The task to find skills for.
+            top_k: Number of skills to return.
+        """
+        hits = await self.store.search_memories(
+            self.user_id, query, memory_types=["procedural"], top_k=top_k
+        )
+        if not hits:
+            return "No skills found."
+        return "\n".join(
+            f"[{m.metadata.get('name', m.id)} | success {m.success_rate:.0%} of {m.use_count}] {m.content}"
+            for m, _ in hits
+        )
+
+    async def update_skill_stats(self, memory_id: str, success: bool) -> bool:
+        node = self.store.get(memory_id)
+        if node is None or node.memory_type != "procedural":
+            return False
+        node.use_count += 1
+        if success:
+            node.success_count += 1
+        return True
+
+    async def extract_skill_from_trajectory(self, record: dict[str, Any]) -> str | None:
+        """Distill a run record (TaskRecorder.as_record()) into a skill.
+
+        LLM path when configured (ref SkillExtractor, memory_toolkit.py:
+        546-693); otherwise a deterministic tool-sequence summary."""
+        tool_names = [t["name"] for t in record.get("tool_calls", [])]
+        if not tool_names:
+            return None
+        task = record.get("input", "")
+        if self.llm_agent is not None:
+            prompt = (
+                "Abstract this successful agent run into one reusable skill.\n"
+                f"Task: {task}\nTool sequence: {tool_names}\n"
+                'Reply JSON: {"name": ..., "description": ..., "steps": [...]}'
+            )
+            try:
+                raw = await self.llm_agent.run(prompt)
+                data = json.loads(raw[raw.index("{") : raw.rindex("}") + 1])
+                return await self.store_skill(
+                    data["name"], data["description"], list(data.get("steps", tool_names))
+                )
+            except Exception:  # noqa: BLE001
+                logger.exception("LLM skill extraction failed; using heuristic")
+        name = f"workflow-{'-'.join(dict.fromkeys(tool_names))[:40]}"
+        desc = f"For tasks like: {task[:120]}"
+        return await self.store_skill(name, desc, tool_names)
+
+    # ------------------------------------------------------------------
+    # conversation capture (SimpleAgent hooks)
+    # ------------------------------------------------------------------
+
+    async def store_conversation(self, user_message: str, answer: str) -> None:
+        """Write the turn to working memory + the exchange to episodic
+        (ref: store_working_memory + save_conversation_to_episodic,
+        memory_toolkit.py:1386-1460)."""
+        ts = time.strftime("%Y-%m-%d %H:%M")
+        await self.store.add(
+            MemoryNode.new(
+                self.user_id,
+                "working",
+                f"user: {user_message}\nassistant: {answer[:400]}",
+                session_id=self.session_id,
+                importance=0.3,
+            )
+        )
+        await self.store.add(
+            MemoryNode.new(
+                self.user_id,
+                "episodic",
+                f"[{ts}] Q: {user_message} A: {answer[:600]}",
+                session_id=self.session_id,
+                importance=0.5,
+            )
+        )
+
+    @register_tool
+    async def memory_stats(self) -> str:
+        """Get counts of stored memories by type."""
+        return json.dumps(self.store.stats(self.user_id))

@@ -34,12 +34,14 @@ logger = get_logger("models.embedder")
 class HashEmbedder(BaseEmbedder):
     """Feature-hashing bag-of-words embedder (deterministic, host-only).
 
-    Each word hashes to a dimension and a sign; vectors are tf-weighted
-    (1 + log tf), L2-normalized. Same geometry family as hashing
-    vectorizers — overlapping texts ⇒ high cosine — so retrieval-quality
-    tests are meaningful without model weights."""
+    Each word hashes to a dimension; vectors are tf-weighted (1 + log tf)
+    and L2-normalized. Weights are positive-only: with signed hashing a
+    collision can exactly cancel the overlap signal on short texts, whereas
+    positive-only collisions merely inflate similarity slightly —
+    overlapping texts always score higher, which is the property the
+    hermetic retrieval tests rely on."""
 
-    def __init__(self, dim: int = 256):
+    def __init__(self, dim: int = 512):
         self._dim = dim
         self._tok = HashTokenizer(vocab_size=2**30, max_length=8192)
 
@@ -53,10 +55,8 @@ class HashEmbedder(BaseEmbedder):
         for t in self._tok.tokenize(text):
             counts[t] = counts.get(t, 0) + 1
         for t, c in counts.items():
-            h = stable_hash64(f"feat:{t}")
-            idx = h % self._dim
-            sign = 1.0 if (h >> 32) & 1 else -1.0
-            vec[idx] += sign * (1.0 + math.log(c))
+            idx = stable_hash64(f"feat:{t}") % self._dim
+            vec[idx] += 1.0 + math.log(c)
         n = np.linalg.norm(vec)
         return vec / n if n > 0 else vec
 

@@ -1,0 +1,103 @@
+"""KnowledgeBase: one named collection bundling store + embedder +
+retriever + builder, plus a process-wide registry.
+
+The reference resolves KBs through SQLite rows + per-KB YAML configs
+(``utu/rag/rag_tools/base_toolkit.py:93-137``, ``knowledge_builder/
+agent.py:319-330``); here a KnowledgeBase is a first-class object the API
+layer registers and toolkits resolve by name."""
+
+from __future__ import annotations
+
+import asyncio
+from typing import Any
+
+from ..core.config import RAGConfig
+from ..core.types import Document, RetrievalResult
+from ..ingest.builder import KnowledgeBuilder
+from ..models.embedder import EmbedderFactory
+from ..models.reranker import RerankerFactory
+from ..utils.log import get_logger
+from .context import ContextAssembler
+from .retriever import HybridRetriever, VectorRetriever
+from .store import TpuVectorStore, VectorStoreFactory
+
+logger = get_logger("retrieval.kb")
+
+
+class KnowledgeBase:
+    def __init__(self, name: str, config: RAGConfig | None = None, mesh=None):
+        self.name = name
+        self.config = config or RAGConfig(name=name)
+        self.store: TpuVectorStore = VectorStoreFactory.create(self.config.vector_store, mesh=mesh)
+        self.embedder = EmbedderFactory.create(self.config.knowledge_builder.embedding)
+        self.reranker = RerankerFactory.create(self.config.reranker)
+        self.retriever = VectorRetriever(
+            self.store, self.embedder, self.config.retriever, reranker=self.reranker
+        )
+        self.hybrid_retriever = HybridRetriever(
+            self.store, self.embedder, self.config.retriever, reranker=self.reranker
+        )
+        self.builder = KnowledgeBuilder(
+            self.store, self.embedder, self.config.knowledge_builder
+        )
+        self.assembler = ContextAssembler()
+
+    async def build_documents(self, documents: list[Document], rebuild: bool = False):
+        return await self.builder.build_from_documents(documents, rebuild=rebuild)
+
+    async def build_files(self, paths: list[str], rebuild: bool = False):
+        from ..ingest.loaders import load_document
+
+        docs: list[Document] = []
+        for p in paths:
+            docs.extend(load_document(p))
+        return await self.build_documents(docs, rebuild=rebuild)
+
+    async def search(
+        self,
+        query: str,
+        top_k: int | None = None,
+        filters: dict[str, Any] | None = None,
+        **kwargs,
+    ) -> list[RetrievalResult]:
+        return await self.retriever.retrieve(query, top_k=top_k, filters=filters, **kwargs)
+
+    async def stats(self) -> dict[str, Any]:
+        return {
+            "name": self.name,
+            "chunks": await self.store.count(),
+            "backend": self.config.vector_store.backend,
+            "embedder": type(self.embedder).__name__,
+        }
+
+
+class KBRegistry:
+    """Process-wide name → KnowledgeBase map (the API layer's source of
+    truth; ref analog: the knowledge_bases SQLite table +
+    _create_retriever cache)."""
+
+    def __init__(self):
+        self._kbs: dict[str, KnowledgeBase] = {}
+        self._lock = asyncio.Lock()
+
+    def get(self, name: str) -> KnowledgeBase | None:
+        return self._kbs.get(name)
+
+    def get_or_create(self, name: str, config: RAGConfig | None = None, mesh=None) -> KnowledgeBase:
+        kb = self._kbs.get(name)
+        if kb is None:
+            kb = KnowledgeBase(name, config, mesh=mesh)
+            self._kbs[name] = kb
+        return kb
+
+    def register(self, kb: KnowledgeBase) -> None:
+        self._kbs[kb.name] = kb
+
+    def remove(self, name: str) -> bool:
+        return self._kbs.pop(name, None) is not None
+
+    def names(self) -> list[str]:
+        return sorted(self._kbs)
+
+
+GLOBAL_KB_REGISTRY = KBRegistry()
