@@ -1,0 +1,66 @@
+import numpy as np
+
+from youtu_rag_tpu.core.config import IndexConfig
+from youtu_rag_tpu.core.types import Chunk
+from youtu_rag_tpu.index.device_index import DeviceVectorIndex
+from youtu_rag_tpu.index.persistence import BuildManifest, load_index, save_index
+
+
+def _chunks(n):
+    return [Chunk(f"c{i}", f"doc{i % 3}", f"text {i}", i, {"k": i}) for i in range(n)]
+
+
+def test_snapshot_roundtrip(tmp_path, rng, unit_vectors):
+    cfg = IndexConfig(min_capacity=128, block_rows=64)
+    idx = DeviceVectorIndex(32, cfg)
+    embs = unit_vectors(rng, 50, 32)
+    idx.add(_chunks(50), embs)
+    idx.delete(["c5", "c6"])  # tombstones must not survive the snapshot
+
+    save_index(idx, tmp_path / "snap")
+    restored = load_index(tmp_path / "snap")
+
+    assert restored.count() == 48
+    assert restored.get_by_id("c5") is None
+    q = unit_vectors(rng, 3, 32)
+    a = idx.search(q, top_k=5)
+    b = restored.search(q, top_k=5)
+    for ha, hb in zip(a, b):
+        assert [c.id for c, _ in ha] == [c.id for c, _ in hb]
+    # filters still compile against the restored schema
+    hits = restored.search(q, top_k=5, filters={"k": {"$lt": 10}})
+    assert all(c.metadata["k"] < 10 for c, _ in hits[0])
+
+
+def test_snapshot_empty(tmp_path):
+    idx = DeviceVectorIndex(16, IndexConfig(min_capacity=128, block_rows=64))
+    save_index(idx, tmp_path / "empty")
+    restored = load_index(tmp_path / "empty")
+    assert restored.count() == 0
+
+
+def test_build_manifest_incremental(tmp_path):
+    m = BuildManifest()
+    etag = BuildManifest.hash_content(b"v1 content")
+    mh = BuildManifest.hash_metadata({"a": 1})
+    assert m.needs_rebuild("s1", etag, mh)
+    m.record("s1", etag, mh, chunk_count=7)
+    assert not m.needs_rebuild("s1", etag, mh)
+    # content change → rebuild
+    assert m.needs_rebuild("s1", BuildManifest.hash_content(b"v2"), mh)
+    # metadata change → rebuild
+    assert m.needs_rebuild("s1", etag, BuildManifest.hash_metadata({"a": 2}))
+    # derived-files change → rebuild
+    assert m.needs_rebuild("s1", etag, mh, derived_files_hash="x")
+
+    m.save(tmp_path / "manifest.json")
+    m2 = BuildManifest.load(tmp_path / "manifest.json")
+    assert not m2.needs_rebuild("s1", etag, mh)
+    assert m2.sources["s1"].chunk_count == 7
+    m2.forget("s1")
+    assert m2.needs_rebuild("s1", etag, mh)
+
+
+def test_manifest_load_missing(tmp_path):
+    m = BuildManifest.load(tmp_path / "nope.json")
+    assert m.sources == {}

@@ -24,6 +24,7 @@ import time
 from typing import Any
 
 from ..tools.base import AsyncBaseToolkit, ToolRouter
+from ..tracing.tracer import get_tracer
 from ..utils.log import get_logger
 from .config import AgentConfig
 from .events import AgentEvent, TaskRecorder, ToolCallRecord
@@ -118,9 +119,16 @@ class SimpleAgent:
             messages = await self._prepare_messages(task, keep_history, recorder)
             schemas = self.router.schemas() if self.router else []
 
+            tracer = get_tracer()
             final_text: str | None = None
             for turn in range(self.config.max_turns):
-                resp = await self.client.chat(messages, tools=schemas or None)
+                with tracer.span(
+                    "generation", self.config.agent.name or "agent", model=self.config.model.model or ""
+                ) as gen_span:
+                    resp = await self.client.chat(messages, tools=schemas or None)
+                    gen_span.attributes["output"] = resp.message.content
+                    gen_span.attributes["input_tokens"] = resp.usage.input_tokens
+                    gen_span.attributes["output_tokens"] = resp.usage.output_tokens
                 recorder.usage_input_tokens += resp.usage.input_tokens
                 recorder.usage_output_tokens += resp.usage.output_tokens
                 msg = resp.message
@@ -141,7 +149,9 @@ class SimpleAgent:
                     recorder.emit(
                         AgentEvent("tool_call", name=tc.name, arguments=tc.arguments, call_id=tc.id)
                     )
-                    out = await self.router.call(tc.name, tc.parsed_arguments())
+                    with tracer.span("tool", tc.name, arguments=tc.arguments) as tool_span:
+                        out = await self.router.call(tc.name, tc.parsed_arguments())
+                        tool_span.attributes["output"] = out[:500]
                     dur = (time.perf_counter() - t0) * 1e3
                     recorder.add_tool_call(ToolCallRecord(tc.name, tc.arguments, out, dur))
                     recorder.emit(

@@ -1,0 +1,117 @@
+"""Benchmark harness: preprocess → rollout → judge → stat.
+
+Parity with ``utu/eval/benchmarks/base_benchmark.py:16-185``: staged main()
+with semaphore-bounded rollout concurrency, per-sample exception isolation,
+DB persistence of sample lifecycle, judge concurrency, aggregate stats."""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+from pathlib import Path
+from typing import Any
+
+from ..agents.factory import get_agent
+from ..agents.llm_agent import LLMAgent
+from ..db.models import EvaluationSample
+from ..db.service import DBService
+from ..utils.log import get_logger
+from .config import EvalConfig
+from .processor import ProcessorFactory
+
+logger = get_logger("eval.benchmark")
+
+
+class BaseBenchmark:
+    def __init__(self, config: EvalConfig, agent=None, judge_agent=None, db: DBService | None = None):
+        self.config = config
+        self._agent = agent
+        self.db = db or DBService(config.db_url)
+        judge = judge_agent
+        if judge is None and config.processor == "llm_judge":
+            judge = LLMAgent(model=config.judge_model)
+        self.processor = ProcessorFactory.create(config.processor, judge)
+
+    # -- stages ------------------------------------------------------------
+
+    def load_samples(self) -> list[EvaluationSample]:
+        src = self.config.data.source
+        samples: list[EvaluationSample] = []
+        if src and Path(src).exists():
+            for i, line in enumerate(Path(src).read_text().strip().split("\n")):
+                if not line.strip():
+                    continue
+                d = json.loads(line)
+                samples.append(
+                    EvaluationSample(
+                        dataset=self.config.data.dataset,
+                        index=i,
+                        source=src,
+                        raw_question=d.get("question") or d.get("query") or "",
+                        correct_answer=str(d.get("answer") or d.get("correct_answer") or ""),
+                        exp_id=self.config.exp_id,
+                    )
+                )
+        return samples
+
+    def preprocess(self, samples: list[EvaluationSample]) -> list[EvaluationSample]:
+        return [self.processor.preprocess(s) for s in samples]
+
+    async def rollout(self, samples: list[EvaluationSample]) -> list[EvaluationSample]:
+        agent = self._agent
+        if agent is None:
+            agent = get_agent(self.config.agent)
+        sem = asyncio.Semaphore(self.config.concurrency)
+
+        async def one(s: EvaluationSample) -> None:
+            async with sem:
+                t0 = time.perf_counter()
+                try:
+                    if hasattr(agent, "run"):
+                        result = await agent.run(s.augmented_question)
+                        s.response = getattr(result, "final_output", None) or (
+                            result if isinstance(result, str) else str(result)
+                        )
+                    s.stage = "rollout"
+                except Exception as e:  # noqa: BLE001 - per-sample isolation
+                    logger.exception("rollout failed for sample %d", s.index)
+                    s.response = None
+                    s.stage = "rollout"
+                    s.judged_response = f"rollout error: {e}"
+                s.time_cost = time.perf_counter() - t0
+                self.db.add(s)
+
+        await asyncio.gather(*(one(s) for s in samples))
+        return samples
+
+    async def judge(self, samples: list[EvaluationSample]) -> list[EvaluationSample]:
+        sem = asyncio.Semaphore(self.config.judge_concurrency)
+
+        async def one(s: EvaluationSample) -> None:
+            async with sem:
+                try:
+                    await self.processor.judge(s)
+                except Exception:  # noqa: BLE001
+                    logger.exception("judge failed for sample %d", s.index)
+                    s.correct = False
+                    s.stage = "judged"
+                self.db.add(s)
+
+        await asyncio.gather(*(one(s) for s in samples))
+        return samples
+
+    def stat(self, samples: list[EvaluationSample]) -> dict[str, Any]:
+        stats = self.processor.stat(samples)
+        stats["exp_id"] = self.config.exp_id
+        stats["dataset"] = self.config.data.dataset
+        return stats
+
+    async def main(self, samples: list[EvaluationSample] | None = None) -> dict[str, Any]:
+        samples = samples if samples is not None else self.load_samples()
+        samples = self.preprocess(samples)
+        await self.rollout(samples)
+        await self.judge(samples)
+        stats = self.stat(samples)
+        logger.info("eval %s: %s", self.config.exp_id, stats)
+        return stats
