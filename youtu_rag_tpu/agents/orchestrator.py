@@ -1,0 +1,228 @@
+"""Chain orchestrator + parallel orchestrator.
+
+Parity surfaces:
+- ``OrchestratorAgent`` (ref: utu/agents/orchestrator_agent.py:25-118 +
+  orchestrator/chain.py): an LLM router plans an ordered chain of worker
+  tasks as JSON; each task renders the prior results into its context;
+  optional replanning after each step; a built-in chitchat worker answers
+  directly when no planning is needed (ref add_chitchat_subagent).
+- ``ParallelOrchestratorAgent`` (ref: parallel_orchestrator_agent.py:32-100
+  + orchestrator/parallel.py): the planner groups independent tasks, groups
+  run concurrently under ``max_parallel`` with per-task timeout, and an LLM
+  merger synthesizes the results.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import re
+from dataclasses import dataclass, field
+
+from ..utils.log import get_logger
+from .config import AgentConfig
+from .events import AgentEvent, TaskRecorder
+from .llm import BaseChatClient, ChatMessage, get_chat_client
+from .simple_agent import SimpleAgent
+
+logger = get_logger("agents.orchestrator")
+
+_JSON_RE = re.compile(r"\[.*\]", re.DOTALL)
+
+
+@dataclass
+class ChainTask:
+    agent_name: str
+    task: str
+    result: str | None = None
+    status: str = "pending"  # pending | running | done | failed | timeout
+
+
+CHAIN_PLANNER_PROMPT = """You are an orchestrator routing a user request to \
+specialist workers.
+
+Workers:
+{workers_info}
+
+If the request is simple chitchat that needs no worker, reply with:
+[{{"agent_name": "chitchat", "task": "<the request>"}}]
+
+Otherwise produce an ordered JSON list of worker tasks (executed in order,
+each sees previous results):
+[{{"agent_name": "<worker>", "task": "<task description>"}}, ...]
+
+Reply with the JSON list only."""
+
+
+PARALLEL_PLANNER_PROMPT = """You are an orchestrator decomposing a request \
+into INDEPENDENT subtasks that can run in parallel.
+
+Workers:
+{workers_info}
+
+Produce a JSON list of independent tasks (no ordering dependencies):
+[{{"agent_name": "<worker>", "task": "<task description>"}}, ...]
+
+Reply with the JSON list only."""
+
+
+MERGER_PROMPT = """Merge the results of parallel subtasks into one coherent \
+answer to the original request.
+
+Request: {question}
+
+Subtask results:
+{results}
+
+Write the merged answer."""
+
+
+def parse_task_list(text: str) -> list[ChainTask]:
+    m = _JSON_RE.search(text or "")
+    if not m:
+        return []
+    try:
+        items = json.loads(m.group(0))
+    except json.JSONDecodeError:
+        return []
+    out = []
+    for it in items:
+        if isinstance(it, dict) and it.get("task"):
+            out.append(ChainTask(str(it.get("agent_name", "")), str(it["task"])))
+    return out
+
+
+class _BaseOrchestrator:
+    def __init__(self, config: AgentConfig, *, client: BaseChatClient | None = None, workers: dict[str, SimpleAgent] | None = None):
+        self.config = config
+        self.client = client or get_chat_client(config.orchestrator_model.resolved())
+        self._workers = workers
+
+    async def build(self):
+        if self._workers is None:
+            self._workers = {
+                name: SimpleAgent(cfg) for name, cfg in self.config.orchestrator_workers.items()
+            }
+        for w in self._workers.values():
+            await w.build()
+        return self
+
+    def _workers_info(self) -> str:
+        infos = self.config.orchestrator_workers_info or [
+            {"name": n, "description": (w.config.agent.instructions or "")[:200]}
+            for n, w in (self._workers or {}).items()
+        ]
+        return "\n".join(f"- {i.get('name')}: {i.get('description', '')}" for i in infos)
+
+    async def run(self, task: str) -> TaskRecorder:
+        recorder = self.run_streamed(task)
+        async for _ in recorder.stream_events():
+            pass
+        return await recorder.wait()
+
+    def run_streamed(self, task: str) -> TaskRecorder:
+        recorder = TaskRecorder(task=task)
+
+        async def go():
+            try:
+                await self.build()
+                answer = await self._execute(task, recorder)
+                recorder.set_final_output(answer)
+                recorder.emit(AgentEvent("final", text=answer))
+                recorder.finish()
+            except Exception as e:  # noqa: BLE001
+                logger.exception("orchestrator run failed")
+                recorder.emit(AgentEvent("error", text=str(e)))
+                recorder.finish(error=str(e))
+
+        asyncio.ensure_future(go())
+        return recorder
+
+    async def _execute(self, task: str, recorder: TaskRecorder) -> str:
+        raise NotImplementedError
+
+
+class OrchestratorAgent(_BaseOrchestrator):
+    async def _execute(self, task: str, recorder: TaskRecorder) -> str:
+        resp = await self.client.chat(
+            [
+                ChatMessage("system", CHAIN_PLANNER_PROMPT.format(workers_info=self._workers_info())),
+                ChatMessage("user", task),
+            ]
+        )
+        chain = parse_task_list(resp.message.content or "")
+        recorder.emit(AgentEvent("plan", data={"chain": [vars(t) for t in chain]}))
+        if not chain or (len(chain) == 1 and chain[0].agent_name == "chitchat"):
+            # chitchat path: answer directly (ref auto-added ChitchatAgent)
+            direct = await self.client.chat([ChatMessage("user", task)])
+            return direct.message.content or ""
+
+        results: list[str] = []
+        for i, step in enumerate(chain):
+            worker = self._workers.get(step.agent_name)
+            if worker is None:
+                step.status = "failed"
+                step.result = f"(unknown worker {step.agent_name})"
+                results.append(step.result)
+                continue
+            recorder.emit(AgentEvent("agent_switch", name=step.agent_name, text=step.task))
+            context = "\n".join(
+                f"Result of step {j+1} ({chain[j].agent_name}): {chain[j].result}"
+                for j in range(i)
+                if chain[j].result
+            )
+            prompt = f"{context}\n\nYour task: {step.task}" if context else step.task
+            step.status = "running"
+            rec = await worker.run(prompt)
+            step.result = rec.final_output or ""
+            step.status = "done"
+            results.append(step.result)
+            recorder.add_message(step.agent_name, step.result)
+        return results[-1] if results else ""
+
+
+class ParallelOrchestratorAgent(_BaseOrchestrator):
+    async def _execute(self, task: str, recorder: TaskRecorder) -> str:
+        resp = await self.client.chat(
+            [
+                ChatMessage(
+                    "system", PARALLEL_PLANNER_PROMPT.format(workers_info=self._workers_info())
+                ),
+                ChatMessage("user", task),
+            ]
+        )
+        tasks = parse_task_list(resp.message.content or "")
+        if not tasks:
+            direct = await self.client.chat([ChatMessage("user", task)])
+            return direct.message.content or ""
+        recorder.emit(AgentEvent("plan", data={"parallel": [vars(t) for t in tasks]}))
+
+        sem = asyncio.Semaphore(self.config.max_parallel)
+
+        async def run_one(t: ChainTask) -> None:
+            async with sem:
+                worker = self._workers.get(t.agent_name)
+                if worker is None:
+                    t.status, t.result = "failed", f"(unknown worker {t.agent_name})"
+                    return
+                recorder.emit(AgentEvent("agent_switch", name=t.agent_name, text=t.task))
+                t.status = "running"
+                try:
+                    rec = await asyncio.wait_for(worker.run(t.task), timeout=self.config.task_timeout)
+                    t.result = rec.final_output or ""
+                    t.status = "done"
+                except asyncio.TimeoutError:
+                    t.status, t.result = "timeout", f"(timed out after {self.config.task_timeout}s)"
+                except Exception as e:  # noqa: BLE001
+                    t.status, t.result = "failed", f"(failed: {e})"
+                recorder.add_message(t.agent_name, t.result or "")
+
+        await asyncio.gather(*(run_one(t) for t in tasks))
+
+        results_text = "\n\n".join(
+            f"[{t.agent_name} | {t.status}] {t.task}\n{t.result}" for t in tasks
+        )
+        merged = await self.client.chat(
+            [ChatMessage("user", MERGER_PROMPT.format(question=task, results=results_text))]
+        )
+        return merged.message.content or ""
