@@ -1,0 +1,41 @@
+#!/usr/bin/env python
+"""Serve the RAG API (ref: start.sh → uvicorn utu.rag.api.main:app).
+
+    python scripts/serve_api.py --port 8080 --data-dir ./data/api
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+async def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--data-dir", default="./data/api")
+    p.add_argument("--agent-config", default=None, help="configs/agents/<name> to load")
+    args = p.parse_args()
+
+    from youtu_rag_tpu.api.app import create_app
+    from youtu_rag_tpu.api.state import ApiState
+
+    agent_config = None
+    if args.agent_config:
+        from youtu_rag_tpu.core.loader import ConfigLoader
+
+        agent_config = ConfigLoader().load_agent_config(args.agent_config)
+
+    state = ApiState(data_dir=args.data_dir, agent_config=agent_config)
+    app = create_app(state)
+    app.listen(args.port)
+    print(f"youtu_rag_tpu API listening on :{args.port}")
+    await asyncio.Event().wait()
+
+
+if __name__ == "__main__":
+    asyncio.run(main())

@@ -1,0 +1,214 @@
+"""API service tests over real HTTP (tornado AsyncHTTPTestCase)."""
+
+import json
+
+from tornado.testing import AsyncHTTPTestCase
+
+from youtu_rag_tpu.agents.config import AgentConfig
+from youtu_rag_tpu.agents.llm import FakeChatClient
+from youtu_rag_tpu.agents.simple_agent import SimpleAgent
+from youtu_rag_tpu.api.app import create_app
+from youtu_rag_tpu.api.state import ApiState
+from youtu_rag_tpu.core.config import IndexConfig, RAGConfig, VectorStoreConfig
+
+
+def _state(tmp_suffix="t"):
+    import tempfile
+
+    rag = RAGConfig(vector_store=VectorStoreConfig(index=IndexConfig(min_capacity=256, block_rows=128)))
+    state = ApiState(data_dir=tempfile.mkdtemp(prefix=f"yrt-api-{tmp_suffix}-"), rag_config=rag)
+    # hermetic agent: scripted LLM
+    state.agent = SimpleAgent(
+        AgentConfig(),
+        client=FakeChatClient(rule_fn=lambda m, t: FakeChatClient.text_response("agent answer")),
+    )
+    return state
+
+
+class ApiTest(AsyncHTTPTestCase):
+    def get_app(self):
+        self.state = _state()
+        return create_app(self.state)
+
+    def _json(self, resp):
+        return json.loads(resp.body)
+
+    # -- health / agents ---------------------------------------------------
+
+    def test_health(self):
+        r = self.fetch("/health")
+        assert r.code == 200
+        data = self._json(r)
+        assert data["status"] == "healthy"
+
+    def test_agents_info_and_switch(self):
+        data = self._json(self.fetch("/api/agents"))
+        assert data["current"]["type"] == "simple"
+        r = self.fetch(
+            "/api/agents/switch", method="POST", body=json.dumps({"type": "orchestra"})
+        )
+        assert r.code == 200
+        data = self._json(self.fetch("/api/agents"))
+        assert data["current"]["type"] == "orchestra"
+        r = self.fetch("/api/agents/switch", method="POST", body=json.dumps({"type": "bogus"}))
+        assert r.code == 400
+
+    # -- kb lifecycle ------------------------------------------------------
+
+    def test_kb_crud_build_query(self):
+        r = self.fetch("/api/knowledge-bases", method="POST", body=json.dumps({"name": "kb1"}))
+        assert r.code == 201
+        # duplicate
+        r = self.fetch("/api/knowledge-bases", method="POST", body=json.dumps({"name": "kb1"}))
+        assert r.code == 409
+
+        docs = [
+            {"id": "a.md", "content": "the moon orbits the earth. " * 5, "metadata": {"topic": "space"}},
+            {"id": "b.md", "content": "pasta needs boiling water. " * 5, "metadata": {"topic": "food"}},
+        ]
+        r = self.fetch(
+            "/api/knowledge-bases/kb1/build", method="POST", body=json.dumps({"documents": docs})
+        )
+        assert r.code == 200
+        build = self._json(r)
+        assert build["status"]["status"] == "completed"
+        assert build["status"]["total_chunks"] >= 2
+
+        r = self.fetch(
+            "/api/knowledge-bases/kb1/query",
+            method="POST",
+            body=json.dumps({"query": "what orbits the earth", "top_k": 1}),
+        )
+        data = self._json(r)
+        assert data["results"][0]["document_id"] == "a.md"
+        assert data["retrieval_time_ms"] > 0
+
+        # filtered query
+        r = self.fetch(
+            "/api/knowledge-bases/kb1/query",
+            method="POST",
+            body=json.dumps({"query": "moon", "filters": {"topic": "food"}}),
+        )
+        data = self._json(r)
+        assert all(res["metadata"]["topic"] == "food" for res in data["results"])
+
+        logs = self._json(self.fetch("/api/knowledge-bases/kb1/build-logs"))
+        assert logs["logs"] and logs["logs"][0]["status"] == "completed"
+
+        r = self.fetch("/api/knowledge-bases/kb1", method="DELETE")
+        assert r.code == 200
+        assert self.fetch("/api/knowledge-bases/kb1").code == 404
+
+    def test_kb_build_missing_file(self):
+        r = self.fetch(
+            "/api/knowledge-bases/kbx/build",
+            method="POST",
+            body=json.dumps({"files": ["ghost.md"]}),
+        )
+        assert r.code == 200
+        data = self._json(r)
+        assert any("ghost.md" in e for e in data["status"]["errors"])
+
+    # -- files -------------------------------------------------------------
+
+    def _multipart(self, filename, content: bytes):
+        boundary = "xyzboundary"
+        body = (
+            f"--{boundary}\r\n"
+            f'Content-Disposition: form-data; name="file"; filename="{filename}"\r\n'
+            f"Content-Type: text/plain\r\n\r\n"
+        ).encode() + content + f"\r\n--{boundary}--\r\n".encode()
+        headers = {"Content-Type": f"multipart/form-data; boundary={boundary}"}
+        return body, headers
+
+    def test_file_upload_list_download_delete(self):
+        body, headers = self._multipart("notes.md", b"# hello\nfile content")
+        r = self.fetch("/api/files/upload", method="POST", body=body, headers=headers)
+        assert r.code == 201
+        meta = self._json(r)
+        assert meta["name"] == "notes.md" and meta["size"] > 0
+
+        files = self._json(self.fetch("/api/files"))["files"]
+        assert any(f["name"] == "notes.md" for f in files)
+
+        r = self.fetch("/api/files/notes.md")
+        assert r.code == 200 and b"file content" in r.body
+
+        # build a KB from the uploaded file
+        r = self.fetch(
+            "/api/knowledge-bases/kbf/build", method="POST", body=json.dumps({"files": ["notes.md"]})
+        )
+        assert self._json(r)["status"]["total_chunks"] >= 1
+
+        assert self.fetch("/api/files/notes.md", method="DELETE").code == 200
+        assert self.fetch("/api/files/notes.md").code == 404
+
+    def test_upload_with_progress(self):
+        body, headers = self._multipart("p.md", b"progress tracked")
+        r = self.fetch("/api/files/upload-with-progress", method="POST", body=body, headers=headers)
+        assert r.code == 202
+        task_id = self._json(r)["task_id"]
+        # background task runs on the same loop; by the time we fetch it is done
+        r = self.fetch(f"/api/files/upload-progress/{task_id}")
+        data = self._json(r)
+        assert data["status"] in ("COMPLETED", "UPLOADING", "METADATA_EXTRACTING", "CHUNK_PROCESSING", "PENDING")
+
+    # -- embed / rerank ----------------------------------------------------
+
+    def test_embed_and_rerank(self):
+        r = self.fetch(
+            "/api/embedding/embed", method="POST", body=json.dumps({"texts": ["hello world"]})
+        )
+        data = self._json(r)
+        assert data["dimension"] > 0 and len(data["embeddings"]) == 1
+
+        r = self.fetch(
+            "/api/reranker/rerank",
+            method="POST",
+            body=json.dumps(
+                {"query": "capital of france", "documents": ["paris is the capital of france", "bananas"]}
+            ),
+        )
+        data = self._json(r)
+        assert data["results"][0]["index"] == 0
+
+    # -- chat --------------------------------------------------------------
+
+    def test_chat_non_stream(self):
+        r = self.fetch(
+            "/api/chat", method="POST", body=json.dumps({"query": "hi", "stream": False})
+        )
+        data = self._json(r)
+        assert data["answer"] == "agent answer"
+        assert data["trace_id"]
+
+    def test_chat_sse_stream(self):
+        r = self.fetch("/api/chat", method="POST", body=json.dumps({"query": "hi"}))
+        assert r.code == 200
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        events = [json.loads(line[5:]) for line in r.body.decode().split("\n") if line.startswith("data:")]
+        types = [e["type"] for e in events]
+        assert "text_delta" in types and types[-1] == "done"
+
+    def test_chat_missing_query(self):
+        r = self.fetch("/api/chat", method="POST", body=json.dumps({}))
+        assert r.code == 400
+        assert "query" in self._json(r)["error"]
+
+    # -- memory / monitor --------------------------------------------------
+
+    def test_memory_toggle(self):
+        assert self._json(self.fetch("/api/memory/config"))["memoryEnabled"] is False
+        r = self.fetch(
+            "/api/memory/config", method="POST", body=json.dumps({"memoryEnabled": True})
+        )
+        assert self._json(r)["memoryEnabled"] is True
+        assert self.state.memory_toolkit is not None
+
+    def test_monitor_endpoints(self):
+        self.fetch("/api/knowledge-bases", method="POST", body=json.dumps({"name": "kbm"}))
+        data = self._json(self.fetch("/api/monitor/health"))
+        assert data["overall_healthy"] is True
+        assert "kbm" in data["backends"]
+        metrics = self._json(self.fetch("/api/monitor/metrics"))
+        assert "kbm" in metrics["metrics"]

@@ -1,0 +1,459 @@
+"""Tornado HTTP/SSE service — the reference's FastAPI surface rebuilt
+(``utu/rag/api/main.py:108-147`` routers; FastAPI is not in this image,
+tornado is — the reference itself ships tornado UIs, ``utu/ui/``).
+
+Route surface parity:
+  GET  /health                          agent + memory status (main.py:189-206)
+  POST /api/chat                        SSE card stream (chat_service.py:92-485)
+  GET/POST/DELETE /api/knowledge-bases[/{name}]   KB CRUD
+  POST /api/knowledge-bases/{name}/build          staged build + logs
+  GET  /api/knowledge-bases/{name}/build-logs
+  POST /api/knowledge-bases/{name}/query          direct retrieval
+  POST /api/files/upload[-with-progress]          multipart upload (+tracker)
+  GET  /api/files / DELETE /api/files/{name}
+  GET  /api/files/upload-progress/{task_id}
+  POST /api/embedding/embed, POST /api/reranker/rerank
+  GET  /api/monitor/health, /api/monitor/metrics
+  GET/POST /api/memory/config            runtime toggle (routes/memory.py:16-58)
+  GET  /api/agents, POST /api/agents/switch
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import traceback
+from typing import Any
+
+import tornado.web
+
+from ..agents.config import AgentConfig
+from ..core.types import Document
+from ..ingest.loaders import DocumentLoaderRegistry
+from ..utils.log import get_logger
+from .state import ApiState
+
+logger = get_logger("api.app")
+
+
+class BaseHandler(tornado.web.RequestHandler):
+    @property
+    def state(self) -> ApiState:
+        return self.application.settings["api_state"]
+
+    def set_default_headers(self):
+        # CORS parity with the reference's permissive dev setup
+        self.set_header("Access-Control-Allow-Origin", "*")
+        self.set_header("Access-Control-Allow-Headers", "*")
+        self.set_header("Access-Control-Allow-Methods", "GET, POST, PUT, DELETE, OPTIONS")
+
+    def options(self, *args, **kwargs):
+        self.set_status(204)
+        self.finish()
+
+    def write_json(self, data: Any, status: int = 200) -> None:
+        self.set_status(status)
+        self.set_header("Content-Type", "application/json")
+        self.finish(json.dumps(data, ensure_ascii=False, default=str))
+
+    def json_body(self) -> dict:
+        try:
+            return json.loads(self.request.body or b"{}")
+        except json.JSONDecodeError:
+            raise tornado.web.HTTPError(400, reason="invalid JSON body")
+
+    def write_error(self, status_code: int, **kwargs):
+        detail = self._reason
+        if "exc_info" in kwargs:
+            exc = kwargs["exc_info"][1]
+            if not isinstance(exc, tornado.web.HTTPError):
+                detail = str(exc)
+                logger.error("handler error: %s", "".join(traceback.format_exception(*kwargs["exc_info"]))[-2000:])
+        self.write_json({"error": detail, "status": status_code}, status=status_code)
+
+
+class HealthHandler(BaseHandler):
+    async def get(self):
+        self.write_json(
+            {
+                "status": "healthy",
+                "agent_initialized": self.state.agent is not None,
+                "agent_type": self.state.agent_config.type,
+                "memory_enabled": self.state.memory_enabled,
+                "knowledge_bases": self.state.kbs.names(),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# chat (SSE card protocol, ref: chat_service.py:124-485)
+# ---------------------------------------------------------------------------
+
+
+class ChatHandler(BaseHandler):
+    async def post(self):
+        body = self.json_body()
+        query = body.get("query") or body.get("message")
+        if not query:
+            raise tornado.web.HTTPError(400, reason="missing 'query'")
+        kb_id = body.get("kb_id")
+        stream = body.get("stream", True)
+
+        # inject the KB reference for retrieval toolkits (ref modify_query)
+        if kb_id:
+            self.state.get_or_create_kb(kb_id)
+            query_aug = f"[knowledge base: {kb_id}]\n{query}"
+        else:
+            query_aug = query
+
+        agent = await self.state.get_agent()
+        if not stream:
+            rec = await agent.run(query_aug)
+            self.write_json({"answer": rec.final_output, "trace_id": rec.trace_id})
+            return
+
+        self.set_header("Content-Type", "text/event-stream")
+        self.set_header("Cache-Control", "no-cache")
+        recorder = agent.run_streamed(query_aug)
+        async for ev in recorder.stream_events():
+            card = {"type": ev.type}
+            if ev.text:
+                card["content"] = ev.text
+            if ev.name:
+                card["name"] = ev.name
+            if ev.arguments:
+                card["arguments"] = ev.arguments
+            if ev.data:
+                card["data"] = ev.data
+            self.write(f"data: {json.dumps(card, ensure_ascii=False)}\n\n")
+            try:
+                await self.flush()
+            except tornado.iostream.StreamClosedError:
+                return
+        try:
+            await recorder.wait()
+            done = {"type": "done", "trace_id": recorder.trace_id}
+        except RuntimeError as e:
+            done = {"type": "error", "content": str(e)}
+        self.write(f"data: {json.dumps(done, ensure_ascii=False)}\n\n")
+        await self.flush()
+
+
+# ---------------------------------------------------------------------------
+# knowledge bases
+# ---------------------------------------------------------------------------
+
+
+class KBCollectionHandler(BaseHandler):
+    async def get(self):
+        out = []
+        for name in self.state.kbs.names():
+            kb = self.state.kbs.get(name)
+            out.append(await kb.stats())
+        self.write_json({"knowledge_bases": out})
+
+    async def post(self):
+        body = self.json_body()
+        name = body.get("name")
+        if not name:
+            raise tornado.web.HTTPError(400, reason="missing 'name'")
+        if self.state.kbs.get(name) is not None:
+            raise tornado.web.HTTPError(409, reason=f"knowledge base {name!r} exists")
+        kb = self.state.get_or_create_kb(name)
+        self.write_json(await kb.stats(), status=201)
+
+
+class KBItemHandler(BaseHandler):
+    async def get(self, name: str):
+        kb = self.state.kbs.get(name)
+        if kb is None:
+            raise tornado.web.HTTPError(404, reason=f"knowledge base {name!r} not found")
+        self.write_json(await kb.stats())
+
+    async def delete(self, name: str):
+        kb = self.state.kbs.get(name)
+        if kb is None:
+            raise tornado.web.HTTPError(404, reason=f"knowledge base {name!r} not found")
+        await kb.store.clear()
+        self.state.kbs.remove(name)
+        self.write_json({"deleted": name})
+
+
+class KBBuildHandler(BaseHandler):
+    async def post(self, name: str):
+        """Build from uploaded files and/or inline documents.
+
+        body: {"files": ["name", ...], "documents": [{"id","content","metadata"}], "rebuild": bool}
+        """
+        body = self.json_body()
+        kb = self.state.get_or_create_kb(name)
+        docs: list[Document] = []
+        errors: list[str] = []
+        for fname in body.get("files", []):
+            if not self.state.files.exists("uploads", fname):
+                errors.append(f"file not found: {fname}")
+                continue
+            path = self.state.files.local_path("uploads", fname)
+            try:
+                docs.extend(DocumentLoaderRegistry.load(str(path)))
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"{fname}: {e}")
+        for d in body.get("documents", []):
+            docs.append(Document(d["id"], d["content"], d.get("metadata")))
+
+        if not docs and not errors:
+            raise tornado.web.HTTPError(400, reason="nothing to build")
+
+        log = self.state.add_build_log(name, "running")
+        status = await kb.build_documents(docs, rebuild=bool(body.get("rebuild")))
+        status.errors.extend(errors)
+        log["status"] = status.status
+        log["detail"] = {
+            "processed_documents": status.processed_documents,
+            "total_chunks": status.total_chunks,
+            "errors": status.errors,
+        }
+        self.write_json({"build": log, "status": status.model_dump()})
+
+
+class KBBuildLogsHandler(BaseHandler):
+    async def get(self, name: str):
+        self.write_json({"logs": [l for l in self.state.build_logs if l["kb"] == name]})
+
+
+class KBQueryHandler(BaseHandler):
+    async def post(self, name: str):
+        kb = self.state.kbs.get(name)
+        if kb is None:
+            raise tornado.web.HTTPError(404, reason=f"knowledge base {name!r} not found")
+        body = self.json_body()
+        query = body.get("query")
+        if not query:
+            raise tornado.web.HTTPError(400, reason="missing 'query'")
+        import time as _time
+
+        t0 = _time.perf_counter()
+        results = await kb.search(
+            query,
+            top_k=body.get("top_k", 5),
+            filters=body.get("filters"),
+            similarity_threshold=body.get("similarity_threshold", 0.0),
+        )
+        latency = (_time.perf_counter() - t0) * 1e3
+        mon = self.state.monitor.monitors.get(name)
+        if mon:
+            await mon.log_query(query, latency, len(results))
+        self.write_json(
+            {
+                "query": query,
+                "results": [r.to_dict() for r in results],
+                "total_results": len(results),
+                "retrieval_time_ms": latency,
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# files (ref: routes/minio_files.py — local store here)
+# ---------------------------------------------------------------------------
+
+
+class FileUploadHandler(BaseHandler):
+    async def post(self):
+        files = self.request.files.get("file")
+        if not files:
+            raise tornado.web.HTTPError(400, reason="multipart field 'file' required")
+        f = files[0]
+        meta_raw = self.get_body_argument("metadata", default="{}")
+        try:
+            user_meta = json.loads(meta_raw)
+        except json.JSONDecodeError:
+            raise tornado.web.HTTPError(400, reason="metadata must be JSON")
+        meta = self.state.files.upload("uploads", f.filename, f.body, user_meta)
+        self.write_json(meta, status=201)
+
+
+class FileUploadProgressStartHandler(BaseHandler):
+    async def post(self):
+        files = self.request.files.get("file")
+        if not files:
+            raise tornado.web.HTTPError(400, reason="multipart field 'file' required")
+        f = files[0]
+        task = self.state.new_upload(f.filename)
+
+        async def process():
+            try:
+                task.update("UPLOADING", 20)
+                meta = self.state.files.upload("uploads", f.filename, f.body, {})
+                task.update("METADATA_EXTRACTING", 60)
+                await asyncio.sleep(0)  # metadata/OCR hooks slot in here
+                task.update("CHUNK_PROCESSING", 80)
+                task.update("COMPLETED", 100)
+            except Exception as e:  # noqa: BLE001
+                task.status, task.error = "FAILED", str(e)
+
+        asyncio.ensure_future(process())
+        self.write_json({"task_id": task.task_id}, status=202)
+
+
+class FileUploadProgressHandler(BaseHandler):
+    async def get(self, task_id: str):
+        task = self.state.uploads.get(task_id)
+        if task is None:
+            raise tornado.web.HTTPError(404, reason="unknown upload task")
+        self.write_json(
+            {
+                "task_id": task.task_id,
+                "filename": task.filename,
+                "status": task.status,
+                "progress": task.progress,
+                "error": task.error,
+            }
+        )
+
+
+class FileCollectionHandler(BaseHandler):
+    async def get(self):
+        self.write_json({"files": self.state.files.list("uploads")})
+
+
+class FileItemHandler(BaseHandler):
+    async def get(self, name: str):
+        if not self.state.files.exists("uploads", name):
+            raise tornado.web.HTTPError(404, reason="file not found")
+        self.set_header("Content-Type", "application/octet-stream")
+        self.finish(self.state.files.download("uploads", name))
+
+    async def delete(self, name: str):
+        if not self.state.files.delete("uploads", name):
+            raise tornado.web.HTTPError(404, reason="file not found")
+        self.write_json({"deleted": name})
+
+
+# ---------------------------------------------------------------------------
+# embedding / reranker services (ref: routes/embedding.py, routes/reranker.py)
+# ---------------------------------------------------------------------------
+
+
+class EmbedHandler(BaseHandler):
+    async def post(self):
+        body = self.json_body()
+        texts = body.get("texts") or ([body["text"]] if body.get("text") else None)
+        if not texts:
+            raise tornado.web.HTTPError(400, reason="missing 'texts'")
+        kb = self.state.get_or_create_kb(body.get("kb_id", "default"))
+        embs = await kb.embedder.embed_texts(texts)
+        self.write_json({"embeddings": embs, "dimension": len(embs[0]) if embs else 0})
+
+
+class RerankHandler(BaseHandler):
+    async def post(self):
+        body = self.json_body()
+        query, documents = body.get("query"), body.get("documents")
+        if not query or not documents:
+            raise tornado.web.HTTPError(400, reason="missing 'query' or 'documents'")
+        from ..core.types import Chunk, RetrievalResult
+        from ..models.reranker import LexicalReranker
+
+        kb = self.state.kbs.get(body.get("kb_id", "default"))
+        reranker = (kb.reranker if kb else None) or LexicalReranker()
+        results = [
+            RetrievalResult(Chunk(f"c{i}", "req", d, i), 0.0, i + 1) for i, d in enumerate(documents)
+        ]
+        ranked = await reranker.rerank(query, results, top_k=body.get("top_n"))
+        self.write_json(
+            {
+                "results": [
+                    {"index": int(r.chunk.id[1:]), "relevance_score": r.score, "document": r.chunk.content}
+                    for r in ranked
+                ]
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# monitor / memory / agents
+# ---------------------------------------------------------------------------
+
+
+class MonitorHealthHandler(BaseHandler):
+    async def get(self):
+        self.write_json(await self.state.monitor.summary())
+
+
+class MonitorMetricsHandler(BaseHandler):
+    async def get(self):
+        self.write_json(await self.state.monitor.detailed_report())
+
+
+class MemoryConfigHandler(BaseHandler):
+    async def get(self):
+        self.write_json({"memoryEnabled": self.state.memory_enabled})
+
+    async def post(self):
+        body = self.json_body()
+        enabled = bool(body.get("memoryEnabled"))
+        self.state.memory_enabled = enabled
+        if enabled and self.state.memory_toolkit is None:
+            from ..memory.toolkit import VectorMemoryToolkit
+
+            self.state.memory_toolkit = VectorMemoryToolkit({})
+        self.write_json({"memoryEnabled": enabled})
+
+
+class AgentsHandler(BaseHandler):
+    async def get(self):
+        self.write_json(
+            {
+                "current": {
+                    "type": self.state.agent_config.type,
+                    "name": self.state.agent_config.agent.name,
+                },
+                "available_types": [
+                    "simple",
+                    "orchestra",
+                    "orchestrator",
+                    "parallel_orchestrator",
+                    "workforce",
+                ],
+            }
+        )
+
+
+class AgentSwitchHandler(BaseHandler):
+    async def post(self):
+        body = self.json_body()
+        try:
+            config = AgentConfig.from_dict(body)
+        except Exception as e:  # noqa: BLE001
+            raise tornado.web.HTTPError(400, reason=f"invalid agent config: {e}")
+        await self.state.switch_agent(config)
+        self.write_json({"switched": config.type})
+
+
+def create_app(state: ApiState | None = None) -> tornado.web.Application:
+    state = state or ApiState()
+    return tornado.web.Application(
+        [
+            (r"/health", HealthHandler),
+            (r"/api/chat", ChatHandler),
+            (r"/api/knowledge-bases", KBCollectionHandler),
+            (r"/api/knowledge-bases/([^/]+)", KBItemHandler),
+            (r"/api/knowledge-bases/([^/]+)/build", KBBuildHandler),
+            (r"/api/knowledge-bases/([^/]+)/build-logs", KBBuildLogsHandler),
+            (r"/api/knowledge-bases/([^/]+)/query", KBQueryHandler),
+            (r"/api/files/upload", FileUploadHandler),
+            (r"/api/files/upload-with-progress", FileUploadProgressStartHandler),
+            (r"/api/files/upload-progress/([^/]+)", FileUploadProgressHandler),
+            (r"/api/files", FileCollectionHandler),
+            (r"/api/files/([^/]+)", FileItemHandler),
+            (r"/api/embedding/embed", EmbedHandler),
+            (r"/api/reranker/rerank", RerankHandler),
+            (r"/api/monitor/health", MonitorHealthHandler),
+            (r"/api/monitor/metrics", MonitorMetricsHandler),
+            (r"/api/memory/config", MemoryConfigHandler),
+            (r"/api/agents", AgentsHandler),
+            (r"/api/agents/switch", AgentSwitchHandler),
+        ],
+        api_state=state,
+    )

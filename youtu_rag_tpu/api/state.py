@@ -1,0 +1,196 @@
+"""API application state: KB registry, agent, files, memory, monitors.
+
+Replaces the reference's globals + dependency injection
+(``utu/rag/api/dependencies.py:22-202``, MinIO client
+``minio_client.py:16-630``): one explicit ``ApiState`` object handed to the
+tornado app. File storage is a local-disk store with the MinIO client
+surface (upload/download/stat/list/delete + user metadata); an S3/MinIO
+client can implement the same interface when object storage exists."""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+from ..agents.config import AgentConfig
+from ..core.config import RAGConfig
+from ..db.service import DBService
+from ..memory.toolkit import VectorMemoryToolkit
+from ..retrieval.kb import KBRegistry, KnowledgeBase
+from ..retrieval.monitoring import UnifiedStorageMonitor
+from ..utils.hashing import content_etag
+from ..utils.log import get_logger
+
+logger = get_logger("api.state")
+
+
+class LocalFileStore:
+    """MinIO-surface file store on local disk.
+
+    Layout: ``<root>/<bucket>/<name>`` + ``<root>/<bucket>/.meta/<name>.json``
+    (user metadata headers, ref: minio_client.py upload with user-meta)."""
+
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def _path(self, bucket: str, name: str) -> Path:
+        p = (self.root / bucket / name).resolve()
+        assert str(p).startswith(str((self.root / bucket).resolve())), "path escape"
+        return p
+
+    def _meta_path(self, bucket: str, name: str) -> Path:
+        return self.root / bucket / ".meta" / f"{name}.json"
+
+    def upload(self, bucket: str, name: str, data: bytes, metadata: dict | None = None) -> dict:
+        p = self._path(bucket, name)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(data)
+        meta = {
+            "name": name,
+            "bucket": bucket,
+            "size": len(data),
+            "etag": content_etag(data),
+            "uploaded_at": time.time(),
+            "user_metadata": metadata or {},
+        }
+        mp = self._meta_path(bucket, name)
+        mp.parent.mkdir(parents=True, exist_ok=True)
+        mp.write_text(json.dumps(meta, ensure_ascii=False))
+        return meta
+
+    def download(self, bucket: str, name: str) -> bytes:
+        return self._path(bucket, name).read_bytes()
+
+    def stat(self, bucket: str, name: str) -> dict | None:
+        mp = self._meta_path(bucket, name)
+        if not mp.exists():
+            return None
+        return json.loads(mp.read_text())
+
+    def set_user_metadata(self, bucket: str, name: str, metadata: dict) -> dict | None:
+        meta = self.stat(bucket, name)
+        if meta is None:
+            return None
+        meta["user_metadata"].update(metadata)
+        self._meta_path(bucket, name).write_text(json.dumps(meta, ensure_ascii=False))
+        return meta
+
+    def list(self, bucket: str) -> list[dict]:
+        bdir = self.root / bucket
+        if not bdir.exists():
+            return []
+        out = []
+        for f in sorted(bdir.rglob("*")):
+            if f.is_file() and ".meta" not in f.parts:
+                name = str(f.relative_to(bdir))
+                out.append(self.stat(bucket, name) or {"name": name, "size": f.stat().st_size})
+        return out
+
+    def delete(self, bucket: str, name: str) -> bool:
+        p = self._path(bucket, name)
+        existed = p.exists()
+        if existed:
+            p.unlink()
+        mp = self._meta_path(bucket, name)
+        if mp.exists():
+            mp.unlink()
+        return existed
+
+    def exists(self, bucket: str, name: str) -> bool:
+        return self._path(bucket, name).exists()
+
+    def local_path(self, bucket: str, name: str) -> Path:
+        return self._path(bucket, name)
+
+    def clear_bucket(self, bucket: str) -> None:
+        shutil.rmtree(self.root / bucket, ignore_errors=True)
+
+
+@dataclass
+class UploadTask:
+    """Upload progress tracking (ref: upload_progress.py:8-96 states)."""
+
+    task_id: str
+    filename: str
+    status: str = "PENDING"  # PENDING→UPLOADING→METADATA_EXTRACTING→CHUNK_PROCESSING→COMPLETED|FAILED
+    progress: int = 0
+    error: str | None = None
+    created_at: float = field(default_factory=time.time)
+
+    def update(self, status: str, progress: int) -> None:
+        self.status = status
+        self.progress = progress
+
+
+class ApiState:
+    def __init__(
+        self,
+        data_dir: str | Path = "./data/api",
+        agent_config: AgentConfig | None = None,
+        rag_config: RAGConfig | None = None,
+        db: DBService | None = None,
+    ):
+        self.data_dir = Path(data_dir)
+        self.files = LocalFileStore(self.data_dir / "files")
+        self.kbs = KBRegistry()
+        self.rag_config = rag_config or RAGConfig()
+        self.agent_config = agent_config or AgentConfig()
+        self.agent = None  # built lazily (ref: initialize_agent in lifespan)
+        self.memory_enabled = False
+        self.memory_toolkit: VectorMemoryToolkit | None = None
+        self.db = db or DBService()
+        self.monitor = UnifiedStorageMonitor()
+        self.uploads: dict[str, UploadTask] = {}
+        self.build_logs: list[dict[str, Any]] = []
+        self._lock = asyncio.Lock()
+
+    # -- agent lifecycle (ref: dependencies.py:37-202) ---------------------
+
+    async def get_agent(self):
+        async with self._lock:
+            if self.agent is None:
+                from ..agents.factory import get_agent
+
+                self.agent = get_agent(self.agent_config)
+                if hasattr(self.agent, "build"):
+                    await self.agent.build()
+            return self.agent
+
+    async def switch_agent(self, config: AgentConfig) -> None:
+        async with self._lock:
+            if self.agent is not None and hasattr(self.agent, "cleanup"):
+                await self.agent.cleanup()
+            self.agent_config = config
+            self.agent = None
+
+    # -- KB helpers --------------------------------------------------------
+
+    def get_or_create_kb(self, name: str, config: RAGConfig | None = None) -> KnowledgeBase:
+        kb = self.kbs.get(name)
+        if kb is None:
+            kb = self.kbs.get_or_create(name, config or self.rag_config.model_copy(update={"name": name}))
+            self.monitor.register(name, kb.store)
+        return kb
+
+    def new_upload(self, filename: str) -> UploadTask:
+        task = UploadTask(task_id=f"up-{uuid.uuid4().hex[:12]}", filename=filename)
+        self.uploads[task.task_id] = task
+        return task
+
+    def add_build_log(self, kb_name: str, status: str, detail: dict | None = None) -> dict:
+        log = {
+            "id": len(self.build_logs) + 1,
+            "kb": kb_name,
+            "status": status,
+            "detail": detail or {},
+            "time": time.time(),
+        }
+        self.build_logs.append(log)
+        return log

@@ -67,6 +67,9 @@ class DeviceVectorIndex:
     mutations; searches snapshot array references)."""
 
     def __init__(self, dim: int, config: IndexConfig | None = None, device: jax.Device | None = None):
+        from ..utils.jax_cache import enable_compile_cache
+
+        enable_compile_cache()
         self.config = config or IndexConfig()
         self.dim = dim
         self.d_pad = _round_up(dim, _LANE)

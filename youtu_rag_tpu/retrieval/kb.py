@@ -43,7 +43,18 @@ class KnowledgeBase:
         self.assembler = ContextAssembler()
 
     async def build_documents(self, documents: list[Document], rebuild: bool = False):
-        return await self.builder.build_from_documents(documents, rebuild=rebuild)
+        status = await self.builder.build_from_documents(documents, rebuild=rebuild)
+        await self.warmup()
+        return status
+
+    async def warmup(self) -> None:
+        """Pre-compile the search path so the first user query is not
+        compile-bound (cold-compile can take tens of seconds on TPU)."""
+        try:
+            if await self.store.count() > 0:
+                await self.retriever.retrieve("warmup", top_k=1, similarity_threshold=0.0)
+        except Exception:  # noqa: BLE001 - warmup must never fail a build
+            logger.exception("search warmup failed")
 
     async def build_files(self, paths: list[str], rebuild: bool = False):
         from ..ingest.loaders import load_document
