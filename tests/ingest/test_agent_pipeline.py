@@ -1,0 +1,207 @@
+"""Staged builder-agent pipeline tests: processors, incremental builds,
+cleanup, metadata extraction."""
+
+import asyncio
+
+import pandas as pd
+import pytest
+
+from youtu_rag_tpu.core.config import (
+    ChunkingConfig,
+    IndexConfig,
+    KnowledgeBuilderConfig,
+    VectorStoreConfig,
+)
+from youtu_rag_tpu.core.types import Document
+from youtu_rag_tpu.ingest.agent import BuildRequest, KnowledgeBuilderAgent
+from youtu_rag_tpu.ingest.cleanup import KnowledgeCleanupManager
+from youtu_rag_tpu.ingest.metadata_extractor import MetadataExtractor, metadata_to_device_fields, validate_date
+from youtu_rag_tpu.ingest.processors import INDEX_CONTENT, INDEX_ELEMENT, INDEX_SUMMARY, SourceTask
+from youtu_rag_tpu.ingest.tables import TableStore, sanitize_table_name
+from youtu_rag_tpu.models.embedder import HashEmbedder
+from youtu_rag_tpu.retrieval.store import TpuVectorStore
+
+
+def _agent(kb="kb"):
+    store = TpuVectorStore(VectorStoreConfig(index=IndexConfig(min_capacity=256, block_rows=128)))
+    cfg = KnowledgeBuilderConfig(chunking=ChunkingConfig(chunk_size=300, chunk_overlap=0))
+    return KnowledgeBuilderAgent(kb, store, HashEmbedder(dim=64), config=cfg)
+
+
+@pytest.fixture
+def excel_file(tmp_path):
+    df = pd.DataFrame(
+        {
+            "city": ["paris", "london", "berlin", "rome", "madrid", "vienna"],
+            "country": ["france", "uk", "germany", "italy", "spain", "austria"],
+            "population_m": [2.1, 8.8, 3.6, 2.8, 3.2, 1.9],
+        }
+    )
+    p = tmp_path / "cities.csv"
+    df.to_csv(p, index=False)
+    return str(p)
+
+
+def test_text_and_summary_indexes():
+    agent = _agent()
+    doc = Document("guide.md", "# Guide\n" + "alpha beta gamma. " * 40, {"topic": "g"})
+    report = asyncio.run(
+        agent.build(BuildRequest(tasks=[SourceTask("guide.md", "text", document=doc)]))
+    )
+    assert report.processed == 1 and report.failed == 0
+
+    store = agent.ctx.store
+    summaries = asyncio.run(store.get_by_filter({"index_type": INDEX_SUMMARY}))
+    assert len(summaries) == 1 and summaries[0].chunk_index == -1
+    contents = asyncio.run(store.get_by_filter({"index_type": INDEX_CONTENT}))
+    assert len(contents) >= 2
+
+
+def test_excel_structured_pipeline(excel_file):
+    agent = _agent()
+    report = asyncio.run(
+        agent.build(BuildRequest(tasks=[SourceTask("cities.csv", "table", path=excel_file)]))
+    )
+    assert report.processed == 1
+    assert report.tables and report.tables[0].startswith("cities")
+
+    store = agent.ctx.store
+    elements = asyncio.run(store.get_by_filter({"index_type": INDEX_ELEMENT}))
+    kinds = {c.metadata["element_type"] for c in elements}
+    assert kinds == {"table", "column"}
+    col_chunks = [c for c in elements if c.metadata["element_type"] == "column"]
+    assert {c.metadata["column_name"] for c in col_chunks} == {"city", "country"}
+    assert "paris" in next(c for c in col_chunks if c.metadata["column_name"] == "city").content
+
+    # structured rows landed in sqlite and are queryable
+    table = report.tables[0]
+    res = agent.tables.execute_sql(f'SELECT country FROM "{table}" WHERE city = \'paris\'')
+    assert res["rows"] == [["france"]]
+    assert agent.tables.execute_sql(f'DROP TABLE "{table}"')["error"]
+
+
+def test_qa_pipeline_and_ordering():
+    agent = _agent()
+    doc = Document("facts.md", "the sky is blue. " * 30)
+    qa = SourceTask(
+        "faq", "qa", qa_pairs=[{"question": "what color is the sky?", "answer": "blue", "related_file": "facts.md"}]
+    )
+    report = asyncio.run(
+        agent.build(BuildRequest(tasks=[qa, SourceTask("facts.md", "text", document=doc)]))
+    )
+    assert report.processed == 2
+    # qa runs in stage 3 (after text sources), so it is the later result
+    assert report.results[-1].source_id == "faq"
+
+
+def test_qa_search_returns_answer_payload():
+    agent = _agent()
+    qa = SourceTask("faq", "qa", qa_pairs=[{"question": "who wrote hamlet?", "answer": "Shakespeare"}])
+    asyncio.run(agent.build(BuildRequest(tasks=[qa])))
+    emb = asyncio.run(agent.ctx.embedder.embed_query("who wrote hamlet?"))
+    hits = asyncio.run(agent.ctx.store.search(emb, top_k=1))
+    assert hits and hits[0][0].metadata["answer"] == "Shakespeare"
+
+
+def test_incremental_skip_and_change(excel_file, tmp_path):
+    agent = _agent()
+    doc_path = tmp_path / "note.md"
+    doc_path.write_text("version one content " * 20)
+    tasks = [SourceTask("note.md", "text", path=str(doc_path))]
+
+    r1 = asyncio.run(agent.build(BuildRequest(tasks=tasks)))
+    assert r1.processed == 1 and r1.skipped == 0
+    r2 = asyncio.run(agent.build(BuildRequest(tasks=tasks)))
+    assert r2.processed == 0 and r2.skipped == 1  # unchanged → skipped
+
+    doc_path.write_text("version TWO content " * 20)
+    r3 = asyncio.run(agent.build(BuildRequest(tasks=tasks)))
+    assert r3.processed == 1  # etag changed → rebuilt
+
+    # metadata change alone also triggers rebuild
+    tasks_meta = [SourceTask("note.md", "text", path=str(doc_path), metadata={"v": 2})]
+    r4 = asyncio.run(agent.build(BuildRequest(tasks=tasks_meta)))
+    assert r4.processed == 1
+
+    # rebuild=True overrides skip
+    r5 = asyncio.run(agent.build(BuildRequest(tasks=tasks_meta, rebuild=True)))
+    assert r5.processed == 1
+
+
+def test_error_isolation_in_stage2(tmp_path):
+    agent = _agent()
+    good = SourceTask("ok.md", "text", document=Document("ok.md", "fine content " * 10))
+    bad = SourceTask("bad.xlsx", "table", path=str(tmp_path / "missing.xlsx"))
+    report = asyncio.run(agent.build(BuildRequest(tasks=[good, bad])))
+    assert report.processed == 1 and report.failed == 1
+    assert any("bad.xlsx" in e for e in report.errors)
+
+
+def test_progress_callbacks(excel_file):
+    events = []
+    agent = _agent()
+    agent.on_progress = lambda src, status, done, total: events.append((src, status, done, total))
+    asyncio.run(
+        agent.build(
+            BuildRequest(
+                tasks=[
+                    SourceTask("a.md", "text", document=Document("a.md", "text " * 20)),
+                    SourceTask("cities.csv", "table", path=excel_file),
+                ]
+            )
+        )
+    )
+    statuses = [e[1] for e in events]
+    assert statuses.count("running") == 2 and statuses.count("completed") == 2
+    assert events[-1][2] == 2  # done counter reached total
+
+
+def test_cleanup_source_and_kb(excel_file):
+    agent = _agent()
+    asyncio.run(
+        agent.build(
+            BuildRequest(
+                tasks=[
+                    SourceTask("cities.csv", "table", path=excel_file),
+                    SourceTask("x.md", "text", document=Document("x.md", "words " * 30)),
+                ]
+            )
+        )
+    )
+    mgr = KnowledgeCleanupManager("kb", agent.ctx.store, agent.tables, agent.manifest)
+    res = asyncio.run(mgr.cleanup_source("cities.csv"))
+    assert res["deleted_chunks"] > 0 and res["dropped_tables"]
+    assert agent.tables.tables_for_kb("kb") == []
+    assert "cities.csv" not in agent.manifest.sources
+    # removed-source diffing
+    res2 = asyncio.run(mgr.cleanup_removed_sources([]))
+    assert any(r["source"] == "x.md" for r in res2)
+    assert asyncio.run(agent.ctx.store.count()) == 0
+
+
+def test_table_name_sanitization():
+    assert sanitize_table_name("My Report 2024.xlsx") == "My_Report_2024"
+    assert sanitize_table_name("123bad") .startswith("t_")
+    assert sanitize_table_name("销售数据.csv") == "销售数据"
+
+
+def test_metadata_extractor_heuristic():
+    ex = MetadataExtractor()
+    meta = asyncio.run(
+        ex.extract_metadata(
+            "report_2023-05-10.md",
+            "Quarterly Report\nAuthor: Jane Smith\nPublished 2023-05-10 covering 2023-01-01 onwards.",
+        )
+    )
+    assert meta["publish_date"] == "2023-05-10"
+    assert "2023-01-01" in meta["key_timepoints"]
+    assert any("Jane" in a for a in meta["authors"])
+    fields = metadata_to_device_fields(meta)
+    assert isinstance(fields["publish_ts"], int)
+
+
+def test_validate_date():
+    assert validate_date("2023-05-10") == "2023-05-10"
+    assert validate_date("2023") == "2023-01-01"
+    assert validate_date("not a date") is None
+    assert validate_date("2523-01-01") is None
