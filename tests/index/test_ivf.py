@@ -1,0 +1,107 @@
+"""IVF probed search: recall vs brute force, filters, fresh-tail appends."""
+
+import numpy as np
+import pytest
+
+from youtu_rag_tpu.core.config import IndexConfig
+from youtu_rag_tpu.core.types import Chunk
+from youtu_rag_tpu.index.device_index import DeviceVectorIndex
+
+
+def _clustered_data(rng, n_clusters, per_cluster, d):
+    centers = rng.normal(size=(n_clusters, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for c in centers:
+        pts = c[None] + 0.15 * rng.normal(size=(per_cluster, d)).astype(np.float32)
+        vecs.append(pts / np.linalg.norm(pts, axis=1, keepdims=True))
+    return np.concatenate(vecs), centers
+
+
+@pytest.fixture(scope="module")
+def ivf_index():
+    rng = np.random.default_rng(7)
+    d = 64
+    vecs, centers = _clustered_data(rng, 16, 128, d)  # 2048 rows
+    cfg = IndexConfig(min_capacity=2048, block_rows=64, n_lists=16, n_probe=4, kmeans_iters=8)
+    idx = DeviceVectorIndex(d, cfg)
+    chunks = [Chunk(f"c{i}", f"doc{i % 8}", f"t{i}", i, {"i": i}) for i in range(len(vecs))]
+    idx.add(chunks, vecs)
+    brute = {}
+    queries = centers[:8] + 0.05 * rng.normal(size=(8, d)).astype(np.float32)
+    for qi, q in enumerate(queries):
+        hits = idx.search(q[None], top_k=10)[0]
+        brute[qi] = [c.id for c, _ in hits]
+    idx.build_ivf()
+    return idx, queries, brute
+
+
+def test_ivf_recall_at_10(ivf_index):
+    idx, queries, brute = ivf_index
+    recalls = []
+    for qi, q in enumerate(queries):
+        hits = idx.search(q[None], top_k=10)[0]
+        got = [c.id for c, _ in hits]
+        recalls.append(len(set(got) & set(brute[qi])) / 10)
+    assert np.mean(recalls) >= 0.95, recalls
+
+
+def test_ivf_pallas_interpret_matches_xla(ivf_index):
+    idx, queries, _ = ivf_index
+    a = idx.search(queries[:2], top_k=5, backend="xla")
+    b = idx.search(queries[:2], top_k=5, backend="pallas_interpret")
+    for ha, hb in zip(a, b):
+        assert [c.id for c, _ in ha] == [c.id for c, _ in hb]
+
+
+def test_ivf_with_filters(ivf_index):
+    idx, queries, _ = ivf_index
+    hits = idx.search(queries[:1], top_k=5, filters={"i": {"$lt": 500}})[0]
+    assert hits and all(c.metadata["i"] < 500 for c, _ in hits)
+
+
+def test_ivf_fresh_tail_append():
+    rng = np.random.default_rng(11)
+    d = 64
+    vecs, centers = _clustered_data(rng, 8, 64, d)
+    cfg = IndexConfig(min_capacity=512, block_rows=64, n_lists=8, n_probe=2, kmeans_iters=6)
+    idx = DeviceVectorIndex(d, cfg)
+    idx.add([Chunk(f"c{i}", "doc", f"t{i}", i) for i in range(len(vecs))], vecs)
+    idx.build_ivf()
+
+    # append a brand-new off-cluster vector AFTER the freeze
+    novel = rng.normal(size=(1, d)).astype(np.float32)
+    novel /= np.linalg.norm(novel)
+    idx.add([Chunk("novel", "newdoc", "novel", 0)], novel)
+    hits = idx.search(novel, top_k=1)[0]
+    assert hits[0][0].id == "novel"  # tail block probed despite no cluster
+
+
+def test_ivf_delete_tombstone():
+    rng = np.random.default_rng(13)
+    d = 64
+    vecs, centers = _clustered_data(rng, 4, 64, d)
+    cfg = IndexConfig(min_capacity=256, block_rows=64, n_lists=4, n_probe=2, kmeans_iters=6)
+    idx = DeviceVectorIndex(d, cfg)
+    idx.add([Chunk(f"c{i}", "doc", f"t{i}", i) for i in range(len(vecs))], vecs)
+    idx.build_ivf()
+    q = vecs[:1]
+    top = idx.search(q, top_k=1)[0][0][0]
+    idx.delete([top.id])
+    after = idx.search(q, top_k=1)[0]
+    assert after[0][0].id != top.id
+
+
+def test_reorder_preserves_lookup(rng, unit_vectors):
+    d = 32
+    idx = DeviceVectorIndex(d, IndexConfig(min_capacity=128, block_rows=64))
+    vecs = unit_vectors(rng, 60, d)
+    idx.add([Chunk(f"c{i}", f"d{i%3}", f"t{i}", i, {"i": i}) for i in range(60)], vecs)
+    before = idx.search(vecs[:3], top_k=3)
+    perm = np.random.default_rng(0).permutation(idx.size)
+    idx.reorder(perm)
+    after = idx.search(vecs[:3], top_k=3)
+    for b, a in zip(before, after):
+        assert [c.id for c, _ in b] == [c.id for c, _ in a]
+    assert idx.get_by_id("c5").content == "t5"
+    assert idx.delete_by_document_id("d0") == 20

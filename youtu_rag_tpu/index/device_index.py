@@ -100,6 +100,7 @@ class DeviceVectorIndex:
         # args by identity, so equal-signature filters must share one object
         # to share one compiled executable (constants stay traced).
         self._filter_cache: dict[str, CompiledFilter] = {}
+        self._ivf = None  # IVFState after build_ivf()
 
     # -- device helpers ----------------------------------------------------
 
@@ -223,6 +224,29 @@ class DeviceVectorIndex:
         with self._lock:
             self.__init__(self.dim, self.config, self._device)
 
+    def reorder(self, permutation: np.ndarray) -> None:
+        """Permute rows in place (device arrays + host maps).
+
+        Used by the IVF builder to sort rows by cluster so probed clusters
+        are contiguous block ranges. ``permutation[new_row] = old_row`` and
+        must cover exactly ``self.size`` rows."""
+        with self._lock:
+            perm = np.asarray(permutation, np.int64)
+            assert perm.shape == (self.size,), (perm.shape, self.size)
+            full = np.concatenate([perm, np.arange(self.size, self.capacity)])
+            idx = jnp.asarray(full, jnp.int32)
+            self._vectors = self._put(jnp.take(self._vectors, idx, axis=0))
+            self._cols = self._put(jnp.take(self._cols, idx, axis=0))
+            self._bias = self._put(jnp.take(self._bias, idx, axis=0))
+            old_chunks = self._chunks
+            self._chunks = [old_chunks[o] for o in perm]
+            self._id_to_row = {}
+            self._doc_rows = {}
+            for new_row, c in enumerate(self._chunks):
+                if c is not None:
+                    self._id_to_row[c.id] = new_row
+                    self._doc_rows.setdefault(c.document_id, []).append(new_row)
+
     def compact(self) -> None:
         """Rebuild arrays dropping tombstones (periodic maintenance)."""
         with self._lock:
@@ -317,7 +341,54 @@ class DeviceVectorIndex:
     def _run_search(self, queries, vectors, bias, k: int, backend: str):
         """Overridable search dispatch (ShardedVectorIndex swaps in the
         shard_map per-shard + all-gather merge path)."""
+        if self._ivf is not None:
+            return self._run_ivf_search(queries, vectors, bias, k, backend)
         return _search_plain(queries, vectors, bias, k, backend, self.config.block_rows)
+
+    # -- IVF ---------------------------------------------------------------
+
+    def build_ivf(self, n_lists: int | None = None, seed: int = 0) -> None:
+        """Cluster-sort the index and enable probed search (ANN). Appends
+        after this call land in always-probed tail blocks; call again to
+        re-freeze after heavy growth."""
+        from .ivf import build_ivf_state
+
+        with self._lock:
+            self._ivf = build_ivf_state(self, n_lists=n_lists, seed=seed)
+
+    def drop_ivf(self) -> None:
+        self._ivf = None
+
+    def _run_ivf_search(self, queries, vectors, bias, k: int, backend: str):
+        from ..ops.ivf import pallas_ivf_topk, xla_ivf_topk
+        from .ivf import plan_max_blocks, probe_blocks
+
+        st = self._ivf
+        total_blocks = self.capacity // self.config.block_rows
+        max_blocks = plan_max_blocks(st, queries.shape[0], total_blocks)
+        if max_blocks >= total_blocks:  # probing everything → brute force
+            return _search_plain(queries, vectors, bias, k, backend, self.config.block_rows)
+        ids, n_valid = probe_blocks(
+            queries,
+            st.centroids,
+            st.cluster_block_start,
+            st.cluster_block_count,
+            n_probe=st.n_probe,
+            max_cluster_blocks=st.max_cluster_blocks,
+            total_blocks=total_blocks,
+            frozen_blocks=st.frozen_blocks,
+            max_blocks=max_blocks,
+        )
+        if backend == "pallas":
+            return pallas_ivf_topk(
+                queries, vectors, bias, ids, n_valid, k, block_rows=self.config.block_rows
+            )
+        if backend == "pallas_interpret":
+            return pallas_ivf_topk(
+                queries, vectors, bias, ids, n_valid, k,
+                block_rows=self.config.block_rows, interpret=True,
+            )
+        return xla_ivf_topk(queries, vectors, bias, ids, n_valid, k, block_rows=self.config.block_rows)
 
     # -- introspection -----------------------------------------------------
 

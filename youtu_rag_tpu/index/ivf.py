@@ -1,0 +1,142 @@
+"""IVF state for DeviceVectorIndex: build (cluster-sort) + probe planning.
+
+Flow (all device-side, jit-compiled; see ops/ivf.py for the kernel):
+- ``build_ivf``: spherical k-means on (a sample of) the live vectors,
+  full assignment, stable argsort → ``index.reorder`` so clusters are
+  contiguous; cluster→block ranges recorded; rows appended *after* the
+  freeze live in tail blocks that every search probes (classic
+  fresh-tail ANN mutation model — deletes are tombstone bias as usual);
+- ``probe``: queries × centroids (tiny MXU matmul) → top-``n_probe``
+  clusters per query → union block mask → padded block-id list for the
+  scalar-prefetch kernel. The block list is a pow2-bucketed static size so
+  jit specializations stay bounded."""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.kmeans import kmeans_fit
+from ..utils.log import get_logger
+
+logger = get_logger("index.ivf")
+
+
+@dataclass
+class IVFState:
+    centroids: jax.Array  # [C, d] f32, unit norm
+    cluster_block_start: jax.Array  # [C] int32 — first block of cluster
+    cluster_block_count: jax.Array  # [C] int32 — blocks spanned
+    max_cluster_blocks: int  # static bound on blocks per cluster
+    frozen_blocks: int  # blocks covered by the freeze (tail = beyond)
+    n_lists: int
+    n_probe: int
+
+
+def build_ivf_state(index, n_lists: int | None = None, seed: int = 0, fit_sample: int = 131072) -> IVFState:
+    """Cluster, reorder the index in place, and return probe metadata."""
+    cfg = index.config
+    n_lists = n_lists or min(cfg.n_lists, max(index.size // 64, 1))
+    block_rows = cfg.block_rows
+
+    vecs = index._vectors[: index.size].astype(jnp.float32)
+    n = index.size
+    assert n > 0, "cannot build IVF over an empty index"
+
+    fit_on = vecs
+    if n > fit_sample:
+        sel = np.random.default_rng(seed).choice(n, fit_sample, replace=False)
+        fit_on = jnp.take(vecs, jnp.asarray(np.sort(sel)), axis=0)
+    centroids = kmeans_fit(fit_on, n_lists, iters=cfg.kmeans_iters, seed=seed)
+
+    # full assignment in chunks (bounds peak memory at ~chunk x C)
+    chunk = 1 << 20
+    assigns = []
+    for i in range(0, n, chunk):
+        part = vecs[i : i + chunk]
+        assigns.append(np.asarray(jnp.argmax(part @ centroids.T, axis=1)))
+    assign = np.concatenate(assigns)
+
+    perm = np.argsort(assign, kind="stable")
+    index.reorder(perm)
+
+    counts = np.bincount(assign, minlength=n_lists)
+    row_start = np.concatenate([[0], np.cumsum(counts)])
+    block_start = (row_start[:-1] // block_rows).astype(np.int32)
+    block_end = np.ceil(row_start[1:] / block_rows).astype(np.int32)
+    block_count = np.maximum(block_end - block_start, 0).astype(np.int32)
+    block_count = np.where(counts > 0, block_count, 0).astype(np.int32)
+    max_cb = int(block_count.max()) if len(block_count) else 1
+
+    state = IVFState(
+        centroids=centroids,
+        cluster_block_start=jnp.asarray(block_start),
+        cluster_block_count=jnp.asarray(block_count),
+        max_cluster_blocks=max(max_cb, 1),
+        frozen_blocks=-(-n // block_rows),
+        n_lists=n_lists,
+        n_probe=min(cfg.n_probe, n_lists),
+        )
+    logger.info(
+        "IVF built: %d lists over %d rows (max %d blocks/cluster)", n_lists, n, max_cb
+    )
+    return state
+
+
+def _pow2_at_least(x: int, floor: int = 8) -> int:
+    c = floor
+    while c < x:
+        c *= 2
+    return c
+
+
+def plan_max_blocks(state: IVFState, qn: int, total_blocks: int) -> int:
+    """Static bound for the probed-block list (pow2-bucketed)."""
+    tail = total_blocks - state.frozen_blocks
+    est = qn * state.n_probe * state.max_cluster_blocks + tail + 4
+    return min(_pow2_at_least(est), max(total_blocks, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("n_probe", "max_cluster_blocks", "total_blocks", "frozen_blocks", "max_blocks"))
+def probe_blocks(
+    queries,
+    centroids,
+    cluster_block_start,
+    cluster_block_count,
+    *,
+    n_probe: int,
+    max_cluster_blocks: int,
+    total_blocks: int,
+    frozen_blocks: int,
+    max_blocks: int,
+):
+    """Union of probed clusters' blocks (+ always the tail) → padded ids.
+
+    Returns (block_ids [max_blocks] i32, n_valid [] i32)."""
+    sims = queries.astype(jnp.float32) @ centroids.T  # [q, C]
+    _, top_c = jax.lax.top_k(sims, n_probe)  # [q, p]
+    sel = top_c.reshape(-1)  # [q*p]
+
+    starts = jnp.take(cluster_block_start, sel)  # [qp]
+    counts = jnp.take(cluster_block_count, sel)  # [qp]
+    offs = jnp.arange(max_cluster_blocks)[None, :]  # [1, mcb]
+    blocks = starts[:, None] + offs  # [qp, mcb]
+    valid = offs < counts[:, None]
+    blocks = jnp.where(valid, blocks, total_blocks)  # out-of-range → dropped
+
+    mask = jnp.zeros(total_blocks + 1, jnp.int32).at[blocks.reshape(-1)].max(1)
+    mask = mask[:total_blocks]
+    if frozen_blocks < total_blocks:  # fresh tail always probed
+        tail = jnp.arange(total_blocks) >= frozen_blocks
+        mask = jnp.maximum(mask, tail.astype(jnp.int32))
+
+    # order blocks: selected first (ascending id), rest after
+    order_key = jnp.where(mask > 0, jnp.arange(total_blocks), total_blocks + jnp.arange(total_blocks))
+    order = jnp.argsort(order_key)
+    ids = order[:max_blocks].astype(jnp.int32)
+    n_valid = jnp.minimum(jnp.sum(mask), max_blocks).astype(jnp.int32)
+    return ids, n_valid

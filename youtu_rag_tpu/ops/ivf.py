@@ -1,0 +1,141 @@
+"""IVF probed-block top-k kernels.
+
+TPU-native IVF (design §7 of SURVEY.md; no reference counterpart — the
+reference forwards index_params to Chroma/FAISS):
+
+1. rows are sorted by k-means cluster (``DeviceVectorIndex.reorder``), so
+   each cluster is a contiguous row range and each query's probe set is a
+   list of *blocks*;
+2. the query batch's probed blocks form one deduplicated block-id list
+   (batched IVF: union of per-query probes — recall ≥ per-query probing);
+3. the Pallas kernel walks a **static-size** block-id list via scalar
+   prefetch: the grid is ``max_blocks`` long, each step DMAs only its
+   probed ``[BLOCK, d]`` tile (HBM traffic ∝ probed fraction, not N);
+   invalid tail entries write NEG_INF candidates;
+4. the usual tiny XLA merge reduces per-block candidates.
+
+An XLA gather fallback serves CPU tests and tiny indexes."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .topk import NEG_INF, _round_up, _select_topk, _LANE, _SUBLANE
+
+
+def _ivf_kernel(ids_ref, nvalid_ref, q_ref, x_ref, bias_ref, out_s_ref, out_i_ref, *, k, block_rows):
+    i = pl.program_id(0)
+    block_id = ids_ref[i]
+    valid = i < nvalid_ref[0]
+    qv = q_ref[...]
+    xv = x_ref[...]
+    scores = jax.lax.dot_general(
+        qv, xv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    scores = scores + bias_ref[...]
+    scores = jnp.where(valid, scores, NEG_INF)
+    vals, idx = _select_topk(scores, k, block_id * block_rows)
+    kpad = out_s_ref.shape[2]
+    if kpad > k:
+        pad = kpad - k
+        vals = jnp.concatenate([vals, jnp.full((vals.shape[0], pad), NEG_INF, jnp.float32)], axis=1)
+        idx = jnp.concatenate([idx, jnp.zeros((idx.shape[0], pad), jnp.int32)], axis=1)
+    out_s_ref[0] = vals
+    out_i_ref[0] = idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_rows", "interpret"))
+def pallas_ivf_topk(
+    queries: jax.Array,
+    database: jax.Array,
+    bias: jax.Array,
+    block_ids: jax.Array,
+    n_valid: jax.Array,
+    k: int,
+    *,
+    block_rows: int = 1024,
+    interpret: bool = False,
+):
+    """Masked top-k over the probed blocks only.
+
+    Args:
+      queries:   [q, d]
+      database:  [N, d] cluster-sorted
+      bias:      [N] float32
+      block_ids: [max_blocks] int32 — probed block indices (dedup, padded)
+      n_valid:   [] or [1] int32 — number of valid entries in block_ids
+      k:         static top-k
+    """
+    qn, d = queries.shape
+    n = database.shape[0]
+    assert n % block_rows == 0 and d % _LANE == 0
+    max_blocks = block_ids.shape[0]
+
+    q_pad = _round_up(max(qn, _SUBLANE), _SUBLANE)
+    k_pad = _round_up(k, _LANE)
+    q = jnp.zeros((q_pad, d), jnp.bfloat16).at[:qn].set(queries.astype(jnp.bfloat16))
+    x = database.astype(jnp.bfloat16)
+    b = bias.astype(jnp.float32).reshape(1, n)
+
+    kernel = functools.partial(_ivf_kernel, k=k, block_rows=block_rows)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # block_ids, n_valid
+        grid=(max_blocks,),
+        in_specs=[
+            pl.BlockSpec((q_pad, d), lambda i, ids, nv: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d), lambda i, ids, nv: (ids[i], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows), lambda i, ids, nv: (0, ids[i]), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, q_pad, k_pad), lambda i, ids, nv: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_pad, k_pad), lambda i, ids, nv: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((max_blocks, q_pad, k_pad), jnp.float32),
+        jax.ShapeDtypeStruct((max_blocks, q_pad, k_pad), jnp.int32),
+    )
+    block_s, block_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(block_ids.astype(jnp.int32), jnp.reshape(n_valid, (1,)).astype(jnp.int32), q, x, b)
+
+    cand_s = jnp.transpose(block_s, (1, 0, 2)).reshape(q_pad, max_blocks * k_pad)
+    cand_i = jnp.transpose(block_i, (1, 0, 2)).reshape(q_pad, max_blocks * k_pad)
+    top_s, pos = jax.lax.top_k(cand_s, k)
+    top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    return top_s[:qn], top_i[:qn]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_rows"))
+def xla_ivf_topk(queries, database, bias, block_ids, n_valid, k, *, block_rows: int = 1024):
+    """Gather fallback: materialize probed blocks, brute-force them."""
+    qn, d = queries.shape
+    n = database.shape[0]
+    nblocks = n // block_rows
+    xb = database.reshape(nblocks, block_rows, d)
+    bb = bias.reshape(nblocks, block_rows)
+    max_blocks = block_ids.shape[0]
+    sel_x = jnp.take(xb, block_ids, axis=0)  # [mb, B, d]
+    sel_b = jnp.take(bb, block_ids, axis=0)  # [mb, B]
+    pos = jnp.arange(max_blocks)
+    valid = (pos < jnp.reshape(n_valid, ()))[:, None]
+    sel_b = jnp.where(valid, sel_b, NEG_INF)
+    q = queries.astype(jnp.bfloat16)
+    scores = jnp.einsum(
+        "qd,mbd->qmb", q, sel_x.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+    ) + sel_b[None]
+    flat = scores.reshape(qn, max_blocks * block_rows)
+    top_s, flat_i = jax.lax.top_k(flat, k)
+    # flat index → global row: block_ids[i // B] * B + i % B
+    bsel = flat_i // block_rows
+    offs = flat_i % block_rows
+    top_i = jnp.take(block_ids, bsel) * block_rows + offs
+    return top_s, top_i.astype(jnp.int32)

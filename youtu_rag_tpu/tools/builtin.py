@@ -18,6 +18,7 @@ from .base import AsyncBaseToolkit, register_tool
 # import-for-registration
 from .kb_search import KBSearchToolkit  # noqa: F401
 from .meta_retrieval import MetaRetrievalToolkit  # noqa: F401
+from .text2sql import Text2SQLToolkit  # noqa: F401
 from ..memory.toolkit import VectorMemoryToolkit  # noqa: F401
 
 

@@ -1,0 +1,181 @@
+"""Text2SQL toolkit + agent.
+
+Parity surface with the reference's text2sql stack:
+- schema/value linking over vectorized table/column metadata — the
+  ``index_element`` vectors built by the Excel/Database processors stand in
+  for Chroma's ``index_element`` collection
+  (``utu/rag/knowledge_retrieval/chroma_retrical_text2sql.py:45-199``,
+  ``utu/tools/text2sql/unified_schemalink_valuelink.py:1-546``);
+- DDL formatting + per-column example values (:64-103 / sqlite_tools.py);
+- read-only SQL execution with error-driven retry
+  (``utu/rag/rag_agents/orchestra_react_text2sql.py:37-540``
+  ``Text2sqlAgent.text2sql/sql_gen_exec``).
+
+The linking search runs on the same fused device kernel as every other
+retrieval — table/column relevance is one masked top-k over
+``index_type == index_element``."""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any
+
+from ..utils.log import get_logger
+from . import register_toolkit
+from .base import register_tool
+from .kb_search import BaseRAGToolkit
+
+logger = get_logger("tools.text2sql")
+
+
+@register_toolkit("text2sql")
+class Text2SQLToolkit(BaseRAGToolkit):
+    """config keys: kb (KnowledgeBase|name), tables (TableStore), llm_agent."""
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.llm_agent = self.config.config.get("llm_agent")
+
+    @property
+    def tables(self):
+        t = self.config.config.get("tables")
+        if t is None:
+            raise ValueError("text2sql toolkit needs a 'tables' TableStore in config")
+        return t
+
+    @register_tool
+    async def schema_link(self, query: str, top_k: int = 3) -> str:
+        """Find the database tables and columns most relevant to a question,
+        with schema DDL and example values.
+
+        Args:
+            query: The natural-language question.
+            top_k: Number of candidate tables to return.
+        """
+        kb = self.kb
+        # one fused element-index search ranks tables and columns together
+        results = await kb.retriever.retrieve(
+            query,
+            top_k=top_k * 6,
+            filters={"index_type": "index_element"},
+            enable_reranking=False,
+            similarity_threshold=0.0,
+        )
+        tables: dict[str, dict[str, Any]] = {}
+        for r in results:
+            meta = r.chunk.metadata or {}
+            tname = meta.get("table_name")
+            if not tname:
+                continue
+            entry = tables.setdefault(tname, {"score": r.score, "columns": []})
+            entry["score"] = max(entry["score"], r.score)
+            if meta.get("element_type") == "column":
+                entry["columns"].append(meta.get("column_name"))
+        if not tables:
+            return "No relevant tables found in the knowledge base."
+
+        ranked = sorted(tables.items(), key=lambda kv: -kv[1]["score"])[:top_k]
+        parts = []
+        for tname, info in ranked:
+            ddl = self.tables.get_schema(tname)
+            sample = self.tables.sample_rows(tname, 3)
+            value_lines = []
+            for col in info["columns"][:6]:
+                try:
+                    top_vals = self.tables.column_top_values(tname, col, 5)
+                    value_lines.append(
+                        f"  {col}: " + ", ".join(repr(v) for v, _ in top_vals)
+                    )
+                except Exception:  # noqa: BLE001 - column may be renamed
+                    continue
+            parts.append(
+                f"-- table {tname} (relevance {info['score']:.3f})\n{ddl}\n"
+                + ("example values:\n" + "\n".join(value_lines) + "\n" if value_lines else "")
+                + f"sample rows: {json.dumps(sample, ensure_ascii=False, default=str)[:500]}"
+            )
+        return "\n\n".join(parts)
+
+    @register_tool
+    async def execute_sql(self, sql: str) -> str:
+        """Execute a read-only SELECT statement against the knowledge base's
+        structured tables and return the result rows.
+
+        Args:
+            sql: The SELECT statement to run.
+        """
+        result = self.tables.execute_sql(sql)
+        return json.dumps(result, ensure_ascii=False, default=str)
+
+    @register_tool
+    async def list_tables(self) -> str:
+        """List the structured tables available in this knowledge base."""
+        rows = self.tables.tables_for_kb(self.kb.name)
+        if not rows:
+            return "No structured tables in this knowledge base."
+        return "\n".join(
+            f"- {r['table_name']} ({r['n_rows']} rows; columns: {r['columns']})" for r in rows
+        )
+
+
+SQL_GEN_PROMPT = """You translate questions into SQLite SELECT statements.
+
+Relevant schema:
+{schema}
+
+Question: {question}
+{error_context}
+Reply with the SQL statement only (no markdown fences)."""
+
+ANSWER_PROMPT = """Answer the question from the SQL result.
+
+Question: {question}
+SQL: {sql}
+Result: {result}
+
+Write a concise answer."""
+
+_SQL_FENCE = re.compile(r"```(?:sql)?\s*(.*?)```", re.DOTALL)
+
+
+class Text2SQLAgent:
+    """link → generate → execute (with error retry) → answer
+    (ref: Text2sqlAgent.sql_gen_exec flow)."""
+
+    def __init__(self, toolkit: Text2SQLToolkit, llm_agent, max_retries: int = 2):
+        self.toolkit = toolkit
+        self.llm = llm_agent
+        self.max_retries = max_retries
+
+    @staticmethod
+    def _extract_sql(text: str) -> str:
+        m = _SQL_FENCE.search(text)
+        sql = (m.group(1) if m else text).strip()
+        return sql.rstrip(";") + ";"
+
+    async def text2sql(self, question: str) -> dict[str, Any]:
+        schema = await self.toolkit.schema_link(question)
+        error_context = ""
+        sql, result = "", {"error": "not attempted"}
+        for attempt in range(self.max_retries + 1):
+            raw = await self.llm.run(
+                SQL_GEN_PROMPT.format(
+                    schema=schema, question=question, error_context=error_context
+                )
+            )
+            sql = self._extract_sql(raw)
+            result = json.loads(await self.toolkit.execute_sql(sql))
+            if "error" not in result:
+                break
+            error_context = (
+                f"The previous attempt failed.\nSQL: {sql}\nError: {result['error']}\n"
+                "Fix the statement."
+            )
+        answer = None
+        if "error" not in result:
+            answer = await self.llm.run(
+                ANSWER_PROMPT.format(
+                    question=question, sql=sql, result=json.dumps(result, default=str)[:2000]
+                )
+            )
+        return {"sql": sql, "result": result, "answer": answer}
