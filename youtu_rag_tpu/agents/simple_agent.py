@@ -50,6 +50,9 @@ class SimpleAgent:
         self._extra_toolkits = toolkits or []
         self.memory_toolkit = memory_toolkit
         self.trajectory_sink = trajectory_sink
+        from .context import get_context_manager
+
+        self.context_manager = get_context_manager(self.config.context_manager)
         self.router: ToolRouter | None = None
         self._history: list[ChatMessage] = []
         self._built = False
@@ -60,6 +63,13 @@ class SimpleAgent:
         if self._built:
             return self
         toolkits = list(self._extra_toolkits)
+        self.env = None
+        if self.config.env.name:
+            from .env import get_env
+
+            self.env = get_env(self.config.env)
+            await self.env.build()
+            toolkits.extend(self.env.get_tools())
         if self.config.toolkits:
             from ..tools import get_toolkit
 
@@ -82,6 +92,8 @@ class SimpleAgent:
     async def cleanup(self) -> None:
         if self.router:
             await self.router.cleanup()
+        if getattr(self, "env", None) is not None:
+            await self.env.cleanup()
         self._built = False
 
     async def __aenter__(self):
@@ -122,6 +134,9 @@ class SimpleAgent:
             tracer = get_tracer()
             final_text: str | None = None
             for turn in range(self.config.max_turns):
+                # per-turn context hook (ref: patched runner injecting
+                # context_manager.preprocess each turn, patch/runner.py)
+                messages = await self.context_manager.preprocess(messages)
                 with tracer.span(
                     "generation", self.config.agent.name or "agent", model=self.config.model.model or ""
                 ) as gen_span:

@@ -39,7 +39,7 @@ import numpy as np
 
 from ..core.config import IndexConfig
 from ..core.types import Chunk
-from ..ops.topk import NEG_INF, pallas_topk, xla_topk
+from ..ops.topk import NEG_INF, pallas_topk, pallas_topk_int8, xla_topk, xla_topk_int8
 from ..utils.log import get_logger
 from .filters import CompiledFilter, FilterError, compile_filter, host_eval
 from .metadata import MetadataSchema
@@ -75,10 +75,11 @@ class DeviceVectorIndex:
         self.d_pad = _round_up(dim, _LANE)
         self.metric = self.config.metric
         self._device = device
+        self._int8 = self.config.storage_dtype == "int8"
         self._store_dtype = {
             "bfloat16": jnp.bfloat16,
             "float32": jnp.float32,
-            "int8": jnp.bfloat16,  # int8 storage lands in a later round
+            "int8": jnp.int8,  # symmetric per-row quantization + f32 scales
         }[self.config.storage_dtype]
 
         self.capacity = _pow2_at_least(self.config.min_capacity, self.config.block_rows)
@@ -88,6 +89,7 @@ class DeviceVectorIndex:
         self.schema = MetadataSchema(max_columns=self.config.max_metadata_columns)
 
         self._vectors = self._zeros((self.capacity, self.d_pad), self._store_dtype)
+        self._scales = self._zeros((self.capacity,), jnp.float32) if self._int8 else None
         self._cols = self._full((self.capacity, self.schema.max_columns), -(2**31), jnp.int32)
         self._bias = self._full((self.capacity,), NEG_INF, jnp.float32)  # live+norm bias
 
@@ -126,6 +128,8 @@ class DeviceVectorIndex:
         self._vectors = jnp.concatenate(
             [self._vectors, self._zeros((pad, self.d_pad), self._store_dtype)]
         )
+        if self._int8:
+            self._scales = jnp.concatenate([self._scales, self._zeros((pad,), jnp.float32)])
         self._cols = jnp.concatenate([self._cols, self._full((pad, self.schema.max_columns), -(2**31), jnp.int32)])
         self._bias = jnp.concatenate([self._bias, self._full((pad,), NEG_INF, jnp.float32)])
         self.capacity = new_cap
@@ -167,15 +171,32 @@ class DeviceVectorIndex:
             cpad[:n] = cols
             bpad = np.full(bucket, NEG_INF, np.float32)
             bpad[:n] = rows_bias
-            self._vectors, self._cols, self._bias = _append_kernel(
-                self._vectors,
-                self._cols,
-                self._bias,
-                self._put(jnp.asarray(vpad, self._store_dtype)),
-                self._put(jnp.asarray(cpad)),
-                self._put(jnp.asarray(bpad)),
-                jnp.int32(start),
-            )
+            if self._int8:
+                amax = np.maximum(np.abs(vpad).max(axis=1), 1e-12)
+                spad = (amax / 127.0).astype(np.float32)
+                qpad = np.clip(np.round(vpad / spad[:, None]), -127, 127).astype(np.int8)
+                self._vectors, self._cols, self._bias = _append_kernel(
+                    self._vectors,
+                    self._cols,
+                    self._bias,
+                    self._put(jnp.asarray(qpad)),
+                    self._put(jnp.asarray(cpad)),
+                    self._put(jnp.asarray(bpad)),
+                    jnp.int32(start),
+                )
+                self._scales = jax.lax.dynamic_update_slice(
+                    self._scales, jnp.asarray(spad), (jnp.int32(start),)
+                )
+            else:
+                self._vectors, self._cols, self._bias = _append_kernel(
+                    self._vectors,
+                    self._cols,
+                    self._bias,
+                    self._put(jnp.asarray(vpad, self._store_dtype)),
+                    self._put(jnp.asarray(cpad)),
+                    self._put(jnp.asarray(bpad)),
+                    jnp.int32(start),
+                )
 
             rows = list(range(start, start + n))
             for i, c in enumerate(chunks):
@@ -238,6 +259,8 @@ class DeviceVectorIndex:
             self._vectors = self._put(jnp.take(self._vectors, idx, axis=0))
             self._cols = self._put(jnp.take(self._cols, idx, axis=0))
             self._bias = self._put(jnp.take(self._bias, idx, axis=0))
+            if self._int8:
+                self._scales = self._put(jnp.take(self._scales, idx, axis=0))
             old_chunks = self._chunks
             self._chunks = [old_chunks[o] for o in perm]
             self._id_to_row = {}
@@ -255,7 +278,7 @@ class DeviceVectorIndex:
                 self.clear()
                 return
             rows = np.asarray([r for r, _ in live])
-            vecs = np.asarray(self._vectors.astype(jnp.float32))[rows][:, : self.dim]
+            vecs = np.asarray(self.dequantized_vectors())[rows][:, : self.dim]
             chunks = [c for _, c in live]
             cfg, dev, schema = self.config, self._device, self.schema
             self.__init__(self.dim, cfg, dev)
@@ -338,11 +361,23 @@ class DeviceVectorIndex:
             return "pallas"
         return "xla"
 
+    def dequantized_vectors(self) -> jnp.ndarray:
+        """Full-precision view of stored vectors (f32)."""
+        if self._int8:
+            return self._vectors.astype(jnp.float32) * self._scales[:, None]
+        return self._vectors.astype(jnp.float32)
+
     def _run_search(self, queries, vectors, bias, k: int, backend: str):
         """Overridable search dispatch (ShardedVectorIndex swaps in the
         shard_map per-shard + all-gather merge path)."""
         if self._ivf is not None:
             return self._run_ivf_search(queries, vectors, bias, k, backend)
+        if self._int8:
+            if backend == "pallas":
+                return pallas_topk_int8(queries, vectors, self._scales, bias, k, block_rows=self.config.block_rows)
+            if backend == "pallas_interpret":
+                return pallas_topk_int8(queries, vectors, self._scales, bias, k, block_rows=self.config.block_rows, interpret=True)
+            return xla_topk_int8(queries, vectors, self._scales, bias, k)
         return _search_plain(queries, vectors, bias, k, backend, self.config.block_rows)
 
     # -- IVF ---------------------------------------------------------------
@@ -353,6 +388,7 @@ class DeviceVectorIndex:
         re-freeze after heavy growth."""
         from .ivf import build_ivf_state
 
+        assert not self._int8, "IVF over int8 storage lands in a later round"
         with self._lock:
             self._ivf = build_ivf_state(self, n_lists=n_lists, seed=seed)
 

@@ -45,7 +45,7 @@ def save_index(index: DeviceVectorIndex, path: str | Path) -> None:
 
     live = [(r, c) for r, c in enumerate(index._chunks) if c is not None]
     rows = np.asarray([r for r, _ in live], np.int64)
-    vecs32 = np.asarray(index._vectors.astype(jnp.float32))
+    vecs32 = np.asarray(index.dequantized_vectors())
     vectors = vecs32[rows][:, : index.dim] if len(rows) else np.zeros((0, index.dim), np.float32)
     cols = np.asarray(index._cols)[rows] if len(rows) else np.zeros((0, index.schema.max_columns), np.int32)
 

@@ -190,6 +190,116 @@ def pallas_topk(
 
 
 # ---------------------------------------------------------------------------
+# int8 quantized path (half the HBM traffic of bf16; int8 MXU throughput)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def quantize_rows_int8(x: jax.Array):
+    """Symmetric per-row int8 quantization: x ≈ scale[:, None] * q."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale[:, 0]
+
+
+def _topk_kernel_int8(
+    q_ref, qs_ref, x_ref, xs_ref, bias_ref, out_s_ref, out_i_ref, *, k: int, block_rows: int
+):
+    i = pl.program_id(0)
+    qv = q_ref[...]  # [q_pad, d] int8
+    xv = x_ref[...]  # [BLOCK, d] int8
+    acc = jax.lax.dot_general(
+        qv, xv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )  # [q_pad, BLOCK] i32
+    scores = acc.astype(jnp.float32) * (qs_ref[...].reshape(-1, 1) * xs_ref[...])
+    scores = scores + bias_ref[...]
+    vals, idx = _select_topk(scores, k, i * block_rows)
+    kpad = out_s_ref.shape[2]
+    if kpad > k:
+        pad = kpad - k
+        vals = jnp.concatenate([vals, jnp.full((vals.shape[0], pad), NEG_INF, jnp.float32)], axis=1)
+        idx = jnp.concatenate([idx, jnp.zeros((idx.shape[0], pad), jnp.int32)], axis=1)
+    out_s_ref[0] = vals
+    out_i_ref[0] = idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_rows", "interpret"))
+def pallas_topk_int8(
+    queries: jax.Array,
+    database_q: jax.Array,
+    db_scales: jax.Array,
+    bias: jax.Array,
+    k: int,
+    *,
+    block_rows: int = 2048,
+    interpret: bool = False,
+):
+    """Fused masked top-k over int8-quantized rows.
+
+    Args:
+      queries:    [q, d] float — quantized per-query on device
+      database_q: [N, d] int8
+      db_scales:  [N] float32 per-row scales
+      bias:       [N] float32
+    """
+    qn, d = queries.shape
+    n = database_q.shape[0]
+    assert n % block_rows == 0 and d % _LANE == 0
+
+    q_pad = _round_up(max(qn, _SUBLANE), _SUBLANE)
+    k_pad = _round_up(k, _LANE)
+    num_blocks = n // block_rows
+
+    qf = jnp.zeros((q_pad, d), jnp.float32).at[:qn].set(queries.astype(jnp.float32))
+    qq, qs = quantize_rows_int8(qf)
+    xs = db_scales.astype(jnp.float32).reshape(1, n)
+    b = bias.astype(jnp.float32).reshape(1, n)
+
+    kernel = functools.partial(_topk_kernel_int8, k=k, block_rows=block_rows)
+    grid_spec = pl.GridSpec(
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((q_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, q_pad, k_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_pad, k_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((num_blocks, q_pad, k_pad), jnp.float32),
+        jax.ShapeDtypeStruct((num_blocks, q_pad, k_pad), jnp.int32),
+    )
+    block_s, block_i = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret
+    )(qq, qs, database_q, xs, b)
+
+    cand_s = jnp.transpose(block_s, (1, 0, 2)).reshape(q_pad, num_blocks * k_pad)
+    cand_i = jnp.transpose(block_i, (1, 0, 2)).reshape(q_pad, num_blocks * k_pad)
+    top_s, pos = jax.lax.top_k(cand_s, k)
+    top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    return top_s[:qn], top_i[:qn]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def xla_topk_int8(queries, database_q, db_scales, bias, k: int):
+    """XLA fallback for the int8 path (dequantize-free scoring)."""
+    qf = queries.astype(jnp.float32)
+    qq, qs = quantize_rows_int8(qf)
+    acc = jax.lax.dot_general(
+        qq, database_q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    scores = acc.astype(jnp.float32) * (qs[:, None] * db_scales[None, :]) + bias[None, :]
+    top_s, top_i = jax.lax.top_k(scores, k)
+    return top_s, top_i.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
 # Dispatch
 # ---------------------------------------------------------------------------
 

@@ -19,6 +19,13 @@ from .base import AsyncBaseToolkit, register_tool
 from .kb_search import KBSearchToolkit  # noqa: F401
 from .meta_retrieval import MetaRetrievalToolkit  # noqa: F401
 from .text2sql import Text2SQLToolkit  # noqa: F401
+from .web import (  # noqa: F401
+    ArxivToolkit,
+    DocumentToolkit,
+    GitHubToolkit,
+    SearchToolkit,
+    WikipediaToolkit,
+)
 from ..memory.toolkit import VectorMemoryToolkit  # noqa: F401
 
 
