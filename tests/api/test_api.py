@@ -212,3 +212,14 @@ class ApiTest(AsyncHTTPTestCase):
         assert "kbm" in data["backends"]
         metrics = self._json(self.fetch("/api/monitor/metrics"))
         assert "kbm" in metrics["metrics"]
+
+
+class UiTest(AsyncHTTPTestCase):
+    def get_app(self):
+        return create_app(_state("ui"))
+
+    def test_index_page_served(self):
+        r = self.fetch("/")
+        assert r.code == 200
+        assert b"youtu-rag-tpu" in r.body
+        assert b"/api/chat" in r.body

@@ -431,10 +431,21 @@ class AgentSwitchHandler(BaseHandler):
         self.write_json({"switched": config.type})
 
 
+class IndexPageHandler(BaseHandler):
+    async def get(self):
+        import os
+
+        page = os.path.join(os.path.dirname(__file__), "static", "index.html")
+        self.set_header("Content-Type", "text/html; charset=utf-8")
+        with open(page, "rb") as f:
+            self.finish(f.read())
+
+
 def create_app(state: ApiState | None = None) -> tornado.web.Application:
     state = state or ApiState()
     return tornado.web.Application(
         [
+            (r"/", IndexPageHandler),
             (r"/health", HealthHandler),
             (r"/api/chat", ChatHandler),
             (r"/api/knowledge-bases", KBCollectionHandler),

@@ -1,0 +1,247 @@
+"""DTR ExcelAgent — deep table reasoning over spreadsheets.
+
+Capability counterpart of ``integrations/DTR`` in the reference
+(``excel_agent.py:69`` + SMG module, MCTS planner, reward evaluator,
+answer generator, multi-sheet loader — 12k LoC of LLM orchestration).
+This build keeps the architecture's *stages* and telemetry while
+implementing them as one coherent loop:
+
+  load sheets → schema brief → PLAN (step list, re-plannable) →
+  per step: CODE (pandas) → EXECUTE (sandboxed subprocess) →
+  EVALUATE (reward check; failed steps retried with the error) →
+  ANSWER (synthesis from step results)
+
+Streaming events flow through the same TaskRecorder protocol as every
+other agent, so the API chat route renders DTR runs unchanged."""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import re
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from ...agents.config import AgentConfig
+from ...agents.events import AgentEvent, TaskRecorder
+from ...agents.llm import BaseChatClient, ChatMessage, get_chat_client
+from ...utils.log import get_logger
+
+logger = get_logger("dtr.excel")
+
+PLAN_PROMPT = """You are a data analyst planning how to answer a question \
+about spreadsheet data.
+
+Sheets available (loaded as pandas DataFrames in `dfs` by sheet name):
+{schema}
+
+Question: {question}
+
+Produce a short ordered plan of concrete analysis steps (max {max_steps}).
+Reply JSON only: ["step 1", "step 2", ...]"""
+
+CODE_PROMPT = """Write pandas code for this analysis step.
+
+Sheets are preloaded: `dfs` is a dict of DataFrames by sheet name.
+{schema}
+
+Previous step results:
+{context}
+
+Step: {step}
+{error_context}
+Rules: print() the result; no file or network access.
+Reply with Python code only (no fences)."""
+
+EVAL_PROMPT = """Did this step execution succeed and produce a useful result?
+
+Step: {step}
+Output:
+{output}
+
+Reply JSON only: {{"success": true|false, "reason": "..."}}"""
+
+ANSWER_PROMPT = """Answer the question from the analysis results.
+
+Question: {question}
+
+Analysis steps and results:
+{results}
+
+Write the final answer with concrete numbers where available."""
+
+_JSON_LIST = re.compile(r"\[.*\]", re.DOTALL)
+_JSON_OBJ = re.compile(r"\{.*\}", re.DOTALL)
+_FENCE = re.compile(r"```(?:python)?\s*(.*?)```", re.DOTALL)
+
+
+@dataclass
+class AnalysisStep:
+    description: str
+    code: str = ""
+    output: str = ""
+    success: bool = False
+    attempts: int = 0
+
+
+class ExcelAgent:
+    def __init__(
+        self,
+        config: AgentConfig | None = None,
+        *,
+        client: BaseChatClient | None = None,
+        file_path: str | None = None,
+        max_steps: int = 6,
+        max_code_retries: int = 2,
+        exec_timeout: float = 30.0,
+    ):
+        self.config = config or AgentConfig()
+        self.client = client or get_chat_client(self.config.model.resolved())
+        self.file_path = file_path
+        self.max_steps = max_steps
+        self.max_code_retries = max_code_retries
+        self.exec_timeout = exec_timeout
+
+    # -- sheet loading (ref: multi-sheet loader) ---------------------------
+
+    @staticmethod
+    def load_schema(path: str) -> str:
+        import pandas as pd
+
+        if path.endswith(".csv"):
+            sheets = {"Sheet1": pd.read_csv(path)}
+        else:
+            sheets = pd.read_excel(path, sheet_name=None)
+        parts = []
+        for name, df in sheets.items():
+            dtypes = ", ".join(f"{c}:{t}" for c, t in zip(df.columns, df.dtypes.astype(str)))
+            parts.append(
+                f"- {name}: {df.shape[0]} rows x {df.shape[1]} cols ({dtypes})\n"
+                f"  head: {df.head(2).to_dict(orient='records')}"
+            )
+        return "\n".join(parts)
+
+    # -- LLM helpers -------------------------------------------------------
+
+    async def _chat(self, prompt: str) -> str:
+        resp = await self.client.chat([ChatMessage("user", prompt)])
+        return resp.message.content or ""
+
+    @staticmethod
+    def _code(text: str) -> str:
+        m = _FENCE.search(text)
+        return (m.group(1) if m else text).strip()
+
+    # -- sandboxed execution ----------------------------------------------
+
+    async def _execute(self, path: str, code: str) -> str:
+        loader = (
+            "import pandas as pd\n"
+            f"_p = {path!r}\n"
+            "dfs = {'Sheet1': pd.read_csv(_p)} if _p.endswith('.csv') "
+            "else pd.read_excel(_p, sheet_name=None)\n"
+        )
+        import tempfile
+
+        with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+            f.write(loader + code)
+            script = f.name
+        proc = await asyncio.create_subprocess_exec(
+            "python",
+            script,
+            stdout=asyncio.subprocess.PIPE,
+            stderr=asyncio.subprocess.PIPE,
+        )
+        try:
+            out, err = await asyncio.wait_for(proc.communicate(), timeout=self.exec_timeout)
+        except asyncio.TimeoutError:
+            proc.kill()
+            return "Error: execution timed out"
+        text = out.decode(errors="replace").strip()
+        if proc.returncode != 0:
+            text += f"\nError: {err.decode(errors='replace').strip()[-800:]}"
+        return text or "(no output)"
+
+    # -- the loop ----------------------------------------------------------
+
+    async def run(self, question: str, file_path: str | None = None) -> TaskRecorder:
+        recorder = self.run_streamed(question, file_path)
+        async for _ in recorder.stream_events():
+            pass
+        return await recorder.wait()
+
+    def run_streamed(self, question: str, file_path: str | None = None) -> TaskRecorder:
+        recorder = TaskRecorder(task=question)
+
+        async def go():
+            try:
+                answer = await self._analyze(question, file_path or self.file_path, recorder)
+                recorder.set_final_output(answer)
+                recorder.emit(AgentEvent("final", text=answer))
+                recorder.finish()
+            except Exception as e:  # noqa: BLE001
+                logger.exception("excel agent failed")
+                recorder.emit(AgentEvent("error", text=str(e)))
+                recorder.finish(error=str(e))
+
+        asyncio.ensure_future(go())
+        return recorder
+
+    async def _analyze(self, question: str, path: str | None, recorder: TaskRecorder) -> str:
+        if not path or not Path(path).exists():
+            raise FileNotFoundError(f"spreadsheet not found: {path}")
+        schema = self.load_schema(path)
+        recorder.emit(AgentEvent("reasoning_delta", text=f"loaded sheets:\n{schema[:500]}"))
+
+        raw = await self._chat(
+            PLAN_PROMPT.format(schema=schema, question=question, max_steps=self.max_steps)
+        )
+        m = _JSON_LIST.search(raw)
+        step_texts = json.loads(m.group(0)) if m else [question]
+        steps = [AnalysisStep(str(s)) for s in step_texts[: self.max_steps]]
+        recorder.emit(AgentEvent("plan", data={"steps": [s.description for s in steps]}))
+
+        completed: list[AnalysisStep] = []
+        for step in steps:
+            error_context = ""
+            for attempt in range(self.max_code_retries + 1):
+                step.attempts = attempt + 1
+                code_raw = await self._chat(
+                    CODE_PROMPT.format(
+                        schema=schema,
+                        context="\n".join(
+                            f"- {s.description}: {s.output[:300]}" for s in completed
+                        )
+                        or "(none)",
+                        step=step.description,
+                        error_context=error_context,
+                    )
+                )
+                step.code = self._code(code_raw)
+                recorder.emit(AgentEvent("tool_call", name="pandas_exec", arguments=step.code[:500]))
+                step.output = await self._execute(path, step.code)
+                recorder.emit(AgentEvent("tool_output", name="pandas_exec", text=step.output[:800]))
+
+                # reward evaluation (ref: reward evaluator)
+                ev_raw = await self._chat(
+                    EVAL_PROMPT.format(step=step.description, output=step.output[:1000])
+                )
+                mo = _JSON_OBJ.search(ev_raw)
+                verdict = json.loads(mo.group(0)) if mo else {"success": "Error" not in step.output}
+                step.success = bool(verdict.get("success"))
+                if step.success:
+                    break
+                error_context = (
+                    f"The previous code failed.\nCode:\n{step.code}\n"
+                    f"Output:\n{step.output[-600:]}\nReason: {verdict.get('reason', '')}\nFix it."
+                )
+            completed.append(step)
+            recorder.add_message(
+                "analyst", f"{step.description} -> {'ok' if step.success else 'failed'}"
+            )
+
+        results = "\n".join(
+            f"[{i+1}] {s.description} ({'ok' if s.success else 'FAILED'}):\n{s.output[:600]}"
+            for i, s in enumerate(completed)
+        )
+        return await self._chat(ANSWER_PROMPT.format(question=question, results=results))
