@@ -70,7 +70,13 @@ class MemoryConfig(ConfigBase):
 
 class AgentConfig(ConfigBase):
     type: Literal[
-        "simple", "llm", "orchestra", "orchestrator", "parallel_orchestrator", "workforce"
+        "simple",
+        "llm",
+        "orchestra",
+        "orchestra_react_sql",
+        "orchestrator",
+        "parallel_orchestrator",
+        "workforce",
     ] = "simple"
 
     model: ModelConfig = Field(default_factory=ModelConfig)

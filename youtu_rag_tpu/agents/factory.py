@@ -19,6 +19,40 @@ def get_agent(config: AgentConfig | dict, **kwargs):
         from .orchestra import OrchestraAgent
 
         return OrchestraAgent(config, **kwargs)
+    if t == "orchestra_react_sql":
+        # plan → text2sql worker → report (ref: OrchestraReactSqlAgent,
+        # utu/rag/rag_agents/orchestra_react_text2sql.py:37-540)
+        from .orchestra import OrchestraAgent
+
+        workers = kwargs.pop("workers", None)
+        if workers is None:
+            from ..tools.base import ToolkitConfig
+            from ..tools.text2sql import Text2SQLToolkit
+            from .simple_agent import SimpleAgent
+
+            tk_cfg = config.toolkits.get("text2sql") or ToolkitConfig(name="text2sql")
+            sql_worker_cfg = AgentConfig(model=config.model)
+            sql_worker_cfg.agent.name = "text2sql"
+            sql_worker_cfg.agent.instructions = (
+                "You answer questions about structured data. Use schema_link to "
+                "find relevant tables, then execute_sql to run SELECT queries, "
+                "then answer from the results."
+            )
+            worker = SimpleAgent(
+                sql_worker_cfg,
+                toolkits=[Text2SQLToolkit(tk_cfg)],
+                client=kwargs.get("client"),
+            )
+            workers = {"text2sql": worker}
+        config.workers_info = config.workers_info or [
+            {
+                "name": "text2sql",
+                "desc": "queries structured tables with SQL",
+                "strengths": "aggregation, filtering, joins over spreadsheet/DB data",
+                "weaknesses": "free-text questions without structured data",
+            }
+        ]
+        return OrchestraAgent(config, workers=workers, **kwargs)
     if t == "orchestrator":
         from .orchestrator import OrchestratorAgent
 

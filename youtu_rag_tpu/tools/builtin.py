@@ -26,6 +26,16 @@ from .web import (  # noqa: F401
     SearchToolkit,
     WikipediaToolkit,
 )
+from .misc import (  # noqa: F401
+    AudioToolkit,
+    CodesnipToolkit,
+    ImageToolkit,
+    SimpleMemoryToolkit,
+    TabularToolkit,
+    UserInteractionToolkit,
+    VideoToolkit,
+)
+from .rag_toolkit import RAGToolkit  # noqa: F401
 from ..memory.toolkit import VectorMemoryToolkit  # noqa: F401
 
 
