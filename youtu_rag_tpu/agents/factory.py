@@ -28,7 +28,6 @@ def get_agent(config: AgentConfig | dict, **kwargs):
         if workers is None:
             from ..tools.base import ToolkitConfig
             from ..tools.text2sql import Text2SQLToolkit
-            from .simple_agent import SimpleAgent
 
             tk_cfg = config.toolkits.get("text2sql") or ToolkitConfig(name="text2sql")
             sql_worker_cfg = AgentConfig(model=config.model)
