@@ -42,33 +42,48 @@ def main() -> None:
     Q0 = jax.random.normal(jax.random.PRNGKey(1), (q, d), jnp.float32)
     _ = np.asarray(jnp.sum(Xd.astype(jnp.float32)))  # materialize
 
-    if on_tpu:
-        kernel = lambda Q, X, b: pallas_topk(Q, X, b, k, block_rows=block_rows)
-    else:  # CPU fallback so the script still runs anywhere
-        kernel = lambda Q, X, b: xla_topk(Q, X, b, k)
-
-    def run(iters: int) -> float:
+    def run(fn, arrays, iters: int) -> float:
+        # NOTE: every device array must be a jit *argument* — a closed-over
+        # array becomes a compile-time constant and compilation explodes.
         @functools.partial(jax.jit, static_argnames=("n",))
-        def loop(Q, X, b, n):
+        def loop(Q, arrays, n):
             def body(c, _):
-                s, i = kernel(Q + c, X, b)
+                s, i = fn(Q + c, *arrays)
                 return c + 1.0, (s[0, 0], i[0, 0])
 
             return jax.lax.scan(body, 0.0, None, length=n)
 
-        r = loop(Q0, Xd, bd, iters)
+        r = loop(Q0, arrays, iters)
         _ = np.asarray(r[0])  # compile + warm
         best = 1e9
         for rep in range(3):
             t0 = time.perf_counter()
-            r = loop(Q0 + rep, Xd, bd, iters)
+            r = loop(Q0 + rep, arrays, iters)
             _ = np.asarray(r[0])
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_short, t_long = run(4), run(20)
+    if on_tpu:
+        main_fn = lambda Q, X, b: pallas_topk(Q, X, b, k, block_rows=block_rows)
+    else:  # CPU fallback so the script still runs anywhere
+        main_fn = lambda Q, X, b: xla_topk(Q, X, b, k)
+
+    t_short, t_long = run(main_fn, (Xd, bd), 4), run(main_fn, (Xd, bd), 20)
     dt = max((t_long - t_short) / 16, 1e-9)
     qps = q / dt
+
+    # secondary path (int8 storage) — best effort
+    extras = {}
+    if on_tpu:
+        try:
+            from youtu_rag_tpu.ops.topk import pallas_topk_int8, quantize_rows_int8
+
+            Xq, Xs = quantize_rows_int8(Xd.astype(jnp.float32))
+            fn8 = lambda Q, Xq, Xs, b: pallas_topk_int8(Q, Xq, Xs, b, k, block_rows=block_rows)
+            t4, t20 = run(fn8, (Xq, Xs, bd), 4), run(fn8, (Xq, Xs, bd), 20)
+            extras["int8_ms_per_batch"] = round(max((t20 - t4) / 16, 1e-9) * 1e3, 3)
+        except Exception as e:  # noqa: BLE001
+            extras["int8_error"] = str(e)[:200]
 
     # CPU FAISS-flat-style baseline: f32 GEMM + argpartition, subsampled
     n_sub = 131072
@@ -95,6 +110,7 @@ def main() -> None:
                     "hbm_gbps": round(N * d * 2 / dt / 1e9, 1),
                     "cpu_baseline_qps": round(cpu_qps, 2),
                     "platform": jax.devices()[0].platform,
+                    **extras,
                 },
             }
         )
