@@ -36,6 +36,8 @@ from .misc import (  # noqa: F401
     VideoToolkit,
 )
 from .rag_toolkit import RAGToolkit  # noqa: F401
+from .html_toolkit import HTMLToolkit  # noqa: F401
+from .mcp_client import MCPToolkit  # noqa: F401
 from ..memory.toolkit import VectorMemoryToolkit  # noqa: F401
 
 

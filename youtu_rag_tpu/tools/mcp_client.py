@@ -1,0 +1,173 @@
+"""Minimal MCP (Model Context Protocol) stdio client + toolkit bridge.
+
+Parity with the reference's MCP integration (``utu/tools/utils.py``
+get_mcp_server / get_mcp_tools over the ``mcp`` SDK; toolkit mode "mcp" in
+``ToolkitConfig``). The SDK is not in this image, so this is a
+self-contained JSON-RPC 2.0 stdio client implementing the slice the
+toolkits need: ``initialize`` handshake, ``tools/list``, ``tools/call``.
+
+``MCPToolkit`` exposes a server's tools through the standard
+AsyncBaseToolkit surface: schemas come from the server's inputSchema, and
+``call_tool`` proxies over the wire — so agents use MCP tools exactly like
+builtin ones (activated_tools filtering included)."""
+
+from __future__ import annotations
+
+import asyncio
+import json
+from typing import Any
+
+from ..utils.log import get_logger
+from . import register_toolkit
+from .base import AsyncBaseToolkit, ToolkitConfig
+
+logger = get_logger("tools.mcp")
+
+_PROTOCOL_VERSION = "2024-11-05"
+
+
+class MCPStdioClient:
+    """JSON-RPC 2.0 over a child process's stdio."""
+
+    def __init__(self, command: str, args: list[str] | None = None, env: dict | None = None, timeout: float = 20.0):
+        self.command = command
+        self.args = args or []
+        self.env = env
+        self.timeout = timeout
+        self._proc: asyncio.subprocess.Process | None = None
+        self._id = 0
+        self._lock = asyncio.Lock()
+
+    async def connect(self) -> None:
+        import os
+
+        env = dict(os.environ)
+        if self.env:
+            env.update(self.env)
+        self._proc = await asyncio.create_subprocess_exec(
+            self.command,
+            *self.args,
+            stdin=asyncio.subprocess.PIPE,
+            stdout=asyncio.subprocess.PIPE,
+            stderr=asyncio.subprocess.DEVNULL,
+            env=env,
+        )
+        result = await self._request(
+            "initialize",
+            {
+                "protocolVersion": _PROTOCOL_VERSION,
+                "capabilities": {},
+                "clientInfo": {"name": "youtu-rag-tpu", "version": "0.1.0"},
+            },
+        )
+        await self._notify("notifications/initialized", {})
+        logger.info("MCP connected: %s", result.get("serverInfo", {}))
+
+    async def close(self) -> None:
+        if self._proc is not None:
+            self._proc.kill()
+            await self._proc.wait()
+            self._proc = None
+
+    async def _send(self, payload: dict) -> None:
+        assert self._proc and self._proc.stdin
+        self._proc.stdin.write((json.dumps(payload) + "\n").encode())
+        await self._proc.stdin.drain()
+
+    async def _notify(self, method: str, params: dict) -> None:
+        await self._send({"jsonrpc": "2.0", "method": method, "params": params})
+
+    async def _request(self, method: str, params: dict) -> dict:
+        async with self._lock:
+            self._id += 1
+            rid = self._id
+            await self._send({"jsonrpc": "2.0", "id": rid, "method": method, "params": params})
+            assert self._proc and self._proc.stdout
+            while True:
+                line = await asyncio.wait_for(self._proc.stdout.readline(), timeout=self.timeout)
+                if not line:
+                    raise RuntimeError("MCP server closed the pipe")
+                try:
+                    msg = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if msg.get("id") != rid:
+                    continue  # notification or unrelated response
+                if "error" in msg:
+                    raise RuntimeError(f"MCP error: {msg['error']}")
+                return msg.get("result", {})
+
+    async def list_tools(self) -> list[dict]:
+        result = await self._request("tools/list", {})
+        return result.get("tools", [])
+
+    async def call_tool(self, name: str, arguments: dict) -> str:
+        result = await self._request("tools/call", {"name": name, "arguments": arguments})
+        parts = []
+        for item in result.get("content", []):
+            if item.get("type") == "text":
+                parts.append(item.get("text", ""))
+            else:
+                parts.append(json.dumps(item, ensure_ascii=False))
+        if result.get("isError"):
+            return "Error: " + ("\n".join(parts) or "tool failed")
+        return "\n".join(parts)
+
+
+@register_toolkit("mcp")
+class MCPToolkit(AsyncBaseToolkit):
+    """Bridge an MCP server's tools into the toolkit surface.
+
+    config: command, args, env, timeout (ToolkitConfig.config); mode=mcp
+    with stdio transport (sse/streamable_http land with a network MCP)."""
+
+    def __init__(self, config: ToolkitConfig | dict | None = None):
+        super().__init__(config)
+        cfg = self.config.config
+        self.client = MCPStdioClient(
+            command=cfg.get("command", ""),
+            args=cfg.get("args", []),
+            env=cfg.get("env"),
+            timeout=float(cfg.get("timeout", 20.0)),
+        )
+        self._remote_tools: list[dict] = []
+
+    async def build(self) -> None:
+        if self._built:
+            return
+        if not self.client.command:
+            raise ValueError("MCP toolkit needs config.command")
+        await self.client.connect()
+        self._remote_tools = await self.client.list_tools()
+        if self.config.activated_tools:
+            names = set(self.config.activated_tools)
+            self._remote_tools = [t for t in self._remote_tools if t["name"] in names]
+        await super().build()
+
+    async def cleanup(self) -> None:
+        await self.client.close()
+        await super().cleanup()
+
+    def get_tools_map_func(self):
+        # remote tools have no local callables; call_tool routes directly
+        return {t["name"]: None for t in self._remote_tools}
+
+    def get_tools_in_openai(self) -> list[dict]:
+        return [
+            {
+                "type": "function",
+                "function": {
+                    "name": t["name"],
+                    "description": t.get("description", ""),
+                    "parameters": t.get("inputSchema", {"type": "object", "properties": {}}),
+                },
+            }
+            for t in self._remote_tools
+        ]
+
+    async def call_tool(self, name: str, arguments: dict) -> str:
+        if not self._built:
+            await self.build()
+        if name not in {t["name"] for t in self._remote_tools}:
+            raise ValueError(f"Tool {name} not found on MCP server")
+        return await self.client.call_tool(name, arguments)
