@@ -1,0 +1,49 @@
+"""Pruned-kernel parity (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from youtu_rag_tpu.ops.topk import (
+    NEG_INF,
+    pallas_topk,
+    pallas_topk_int8,
+    pallas_topk_int8_pruned,
+    pallas_topk_pruned,
+    quantize_rows_int8,
+)
+
+
+@pytest.fixture
+def data(rng, unit_vectors):
+    N, d = 2048, 128
+    X = unit_vectors(rng, N, d)
+    Q = unit_vectors(rng, 5, d)
+    bias = np.zeros(N, np.float32)
+    bias[::5] = NEG_INF
+    return Q, X, bias
+
+
+def test_pruned_matches_baseline(data):
+    Q, X, bias = data
+    s1, i1 = pallas_topk(Q, X, bias, 10, block_rows=512, interpret=True)
+    s2, i2 = pallas_topk_pruned(Q, X, bias, 10, block_rows=512, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+
+
+def test_int8_pruned_matches_int8(data):
+    import jax.numpy as jnp
+
+    Q, X, bias = data
+    Xq, Xs = quantize_rows_int8(jnp.asarray(X))
+    s1, i1 = pallas_topk_int8(Q, Xq, Xs, bias, 10, block_rows=512, interpret=True)
+    s2, i2 = pallas_topk_int8_pruned(Q, Xq, Xs, bias, 10, block_rows=512, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+
+
+def test_pruned_all_masked(data):
+    Q, X, _ = data
+    bias = np.full(X.shape[0], NEG_INF, np.float32)
+    s, i = pallas_topk_pruned(Q, X, bias, 5, block_rows=512, interpret=True)
+    assert (np.asarray(s) <= NEG_INF / 2).all()

@@ -190,6 +190,135 @@ def pallas_topk(
 
 
 # ---------------------------------------------------------------------------
+# threshold-pruned path: running top-k in VMEM scratch across the
+# sequential TPU grid; a block whose max score cannot enter the current
+# top-k skips the k-iteration selection entirely (one max pass instead).
+# After warm-up almost every block prunes, so the kernel runs at DMA speed.
+# ---------------------------------------------------------------------------
+
+
+def _select_topk_with_payload(scores: jax.Array, payload: jax.Array, k: int):
+    """Iterative top-k carrying an int32 payload per element — gather-free
+    (Mosaic cannot lower take_along_axis inside kernels): the selected
+    column's payload is extracted by a masked sum, since exactly one
+    column matches per iteration."""
+    qn, bn = scores.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (qn, bn), 1)
+    vals, pays = [], []
+    s = scores
+    for _ in range(k):
+        m = jnp.max(s, axis=1, keepdims=True)
+        hit = s >= m
+        arg = jnp.min(jnp.where(hit, col, bn), axis=1)
+        sel = col == arg[:, None]
+        pay = jnp.sum(jnp.where(sel, payload, 0), axis=1)
+        vals.append(m[:, 0])
+        pays.append(pay)
+        s = jnp.where(sel, NEG_INF, s)
+    return jnp.stack(vals, axis=1), jnp.stack(pays, axis=1).astype(jnp.int32)
+
+
+def _topk_kernel_pruned(q_ref, x_ref, bias_ref, out_s_ref, out_i_ref, run_s, run_i, *, k, block_rows):
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        run_s[...] = jnp.full(run_s.shape, NEG_INF, jnp.float32)
+        run_i[...] = jnp.zeros(run_i.shape, jnp.int32)
+
+    qv = q_ref[...]
+    xv = x_ref[...]
+    scores = jax.lax.dot_general(
+        qv, xv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    scores = scores + bias_ref[...]
+
+    # prune check: can any row of this block enter any query's top-k?
+    block_max = jnp.max(scores, axis=1)  # [q]
+    thresholds = run_s[:, k - 1]  # kth-best per query (rows kept sorted)
+    need = jnp.any(block_max > thresholds)
+
+    @pl.when(need)
+    def _():
+        vals, idx = _select_topk(scores, k, i * block_rows)
+        kpad = run_s.shape[1]
+        both_s = jnp.concatenate(
+            [run_s[...][:, :k], vals], axis=1
+        )  # [q, 2k]
+        both_i = jnp.concatenate([run_i[...][:, :k], idx], axis=1)
+        merged_s, merged_i = _select_topk_with_payload(both_s, both_i, k)
+        if kpad > k:
+            pad = kpad - k
+            merged_s = jnp.concatenate(
+                [merged_s, jnp.full((merged_s.shape[0], pad), NEG_INF, jnp.float32)], axis=1
+            )
+            merged_i = jnp.concatenate(
+                [merged_i, jnp.zeros((merged_i.shape[0], pad), jnp.int32)], axis=1
+            )
+        run_s[...] = merged_s
+        run_i[...] = merged_i
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        out_s_ref[...] = run_s[...]
+        out_i_ref[...] = run_i[...]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_rows", "interpret"))
+def pallas_topk_pruned(
+    queries: jax.Array,
+    database: jax.Array,
+    bias: jax.Array,
+    k: int,
+    *,
+    block_rows: int = 2048,
+    interpret: bool = False,
+):
+    """Fused masked top-k with running-threshold block pruning.
+
+    Same contract as ``pallas_topk``; no XLA merge step — the running
+    top-k is already global when the last block finishes."""
+    qn, d = queries.shape
+    n, d2 = database.shape
+    assert d == d2 and n % block_rows == 0 and d % _LANE == 0 and k <= block_rows
+
+    q_pad = _round_up(max(qn, _SUBLANE), _SUBLANE)
+    k_pad = _round_up(k, _LANE)
+    num_blocks = n // block_rows
+
+    q = jnp.zeros((q_pad, d), jnp.bfloat16).at[:qn].set(queries.astype(jnp.bfloat16))
+    x = database.astype(jnp.bfloat16)
+    b = bias.astype(jnp.float32).reshape(1, n)
+
+    kernel = functools.partial(_topk_kernel_pruned, k=k, block_rows=block_rows)
+    out_shape = (
+        jax.ShapeDtypeStruct((q_pad, k_pad), jnp.float32),
+        jax.ShapeDtypeStruct((q_pad, k_pad), jnp.int32),
+    )
+    top_s, top_i = pl.pallas_call(
+        kernel,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((q_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((q_pad, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((q_pad, k_pad), jnp.float32),
+            pltpu.VMEM((q_pad, k_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q, x, b)
+    return top_s[:qn, :k], top_i[:qn, :k]
+
+
+# ---------------------------------------------------------------------------
 # int8 quantized path (half the HBM traffic of bf16; int8 MXU throughput)
 # ---------------------------------------------------------------------------
 
@@ -284,6 +413,106 @@ def pallas_topk_int8(
     top_s, pos = jax.lax.top_k(cand_s, k)
     top_i = jnp.take_along_axis(cand_i, pos, axis=1)
     return top_s[:qn], top_i[:qn]
+
+
+def _topk_kernel_int8_pruned(
+    q_ref, qs_ref, x_ref, xs_ref, bias_ref, out_s_ref, out_i_ref, run_s, run_i, *, k, block_rows
+):
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        run_s[...] = jnp.full(run_s.shape, NEG_INF, jnp.float32)
+        run_i[...] = jnp.zeros(run_i.shape, jnp.int32)
+
+    acc = jax.lax.dot_general(
+        q_ref[...], x_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    scores = acc.astype(jnp.float32) * (qs_ref[...].reshape(-1, 1) * xs_ref[...])
+    scores = scores + bias_ref[...]
+
+    block_max = jnp.max(scores, axis=1)
+    thresholds = run_s[:, k - 1]
+    need = jnp.any(block_max > thresholds)
+
+    @pl.when(need)
+    def _():
+        vals, idx = _select_topk(scores, k, i * block_rows)
+        kpad = run_s.shape[1]
+        both_s = jnp.concatenate([run_s[...][:, :k], vals], axis=1)
+        both_i = jnp.concatenate([run_i[...][:, :k], idx], axis=1)
+        merged_s, merged_i = _select_topk_with_payload(both_s, both_i, k)
+        if kpad > k:
+            pad = kpad - k
+            merged_s = jnp.concatenate(
+                [merged_s, jnp.full((merged_s.shape[0], pad), NEG_INF, jnp.float32)], axis=1
+            )
+            merged_i = jnp.concatenate(
+                [merged_i, jnp.zeros((merged_i.shape[0], pad), jnp.int32)], axis=1
+            )
+        run_s[...] = merged_s
+        run_i[...] = merged_i
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        out_s_ref[...] = run_s[...]
+        out_i_ref[...] = run_i[...]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_rows", "interpret"))
+def pallas_topk_int8_pruned(
+    queries: jax.Array,
+    database_q: jax.Array,
+    db_scales: jax.Array,
+    bias: jax.Array,
+    k: int,
+    *,
+    block_rows: int = 4096,
+    interpret: bool = False,
+):
+    """int8 scoring + running-threshold pruning: the fastest brute-force
+    path (half the HBM traffic, selection cost skipped on pruned blocks)."""
+    qn, d = queries.shape
+    n = database_q.shape[0]
+    assert n % block_rows == 0 and d % _LANE == 0
+
+    q_pad = _round_up(max(qn, _SUBLANE), _SUBLANE)
+    k_pad = _round_up(k, _LANE)
+    num_blocks = n // block_rows
+
+    qf = jnp.zeros((q_pad, d), jnp.float32).at[:qn].set(queries.astype(jnp.float32))
+    qq, qs = quantize_rows_int8(qf)
+    xs = db_scales.astype(jnp.float32).reshape(1, n)
+    b = bias.astype(jnp.float32).reshape(1, n)
+
+    kernel = functools.partial(_topk_kernel_int8_pruned, k=k, block_rows=block_rows)
+    out_shape = (
+        jax.ShapeDtypeStruct((q_pad, k_pad), jnp.float32),
+        jax.ShapeDtypeStruct((q_pad, k_pad), jnp.int32),
+    )
+    top_s, top_i = pl.pallas_call(
+        kernel,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((q_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((q_pad, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((q_pad, k_pad), jnp.float32),
+            pltpu.VMEM((q_pad, k_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qq, qs, database_q, xs, b)
+    return top_s[:qn, :k], top_i[:qn, :k]
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
