@@ -311,29 +311,36 @@ class DeviceVectorIndex:
             qpad *= 2.0
         queries = jnp.asarray(qpad)
 
-        vectors, cols, bias = self._vectors, self._cols, self._bias
-        k_eff = min(top_k, max(self.live_count, 1))
+        # dispatch under the lock: appends donate the old device buffers
+        # (in-place dynamic_update_slice), so a search must enqueue against
+        # a consistent snapshot before any concurrent add invalidates it.
+        # Only the (async) dispatch is serialized — result materialization
+        # below happens outside the lock.
+        with self._lock:
+            vectors, cols, bias = self._vectors, self._cols, self._bias
+            k_eff = min(top_k, max(self.live_count, 1))
 
-        filt = None
-        if filters:
-            try:
-                compiled = compile_filter(filters, self.schema)
-                filt = self._filter_cache.setdefault(compiled.signature(), compiled)
-                filt_consts = compiled.consts  # constants from *this* query
-            except FilterError:
-                # host fallback: explicit bias from raw metadata
-                hb = np.full(self.capacity, NEG_INF, np.float32)
-                keep = [
-                    r
-                    for r, c in enumerate(self._chunks)
-                    if c is not None and host_eval(filters, c.metadata)
-                ]
-                hb[keep] = 0.0
-                bias = bias + jnp.asarray(hb)
+            filt = None
+            if filters:
+                try:
+                    compiled = compile_filter(filters, self.schema)
+                    filt = self._filter_cache.setdefault(compiled.signature(), compiled)
+                    filt_consts = compiled.consts  # constants from *this* query
+                except FilterError:
+                    # host fallback: explicit bias from raw metadata
+                    hb = np.full(self.capacity, NEG_INF, np.float32)
+                    keep = [
+                        r
+                        for r, c in enumerate(self._chunks)
+                        if c is not None and host_eval(filters, c.metadata)
+                    ]
+                    hb[keep] = 0.0
+                    bias = bias + jnp.asarray(hb)
 
-        if filt is not None:
-            bias = _filter_bias(cols, bias, jnp.asarray(filt_consts), filt.signature(), filt)
-        scores, rows = self._run_search(queries, vectors, bias, k_eff, self._backend(backend))
+            if filt is not None:
+                bias = _filter_bias(cols, bias, jnp.asarray(filt_consts), filt.signature(), filt)
+            scores, rows = self._run_search(queries, vectors, bias, k_eff, self._backend(backend))
+            chunks_snapshot = list(self._chunks)
 
         scores = np.asarray(scores)
         rows = np.asarray(rows)
@@ -343,7 +350,7 @@ class DeviceVectorIndex:
             for s, r in zip(scores[qi], rows[qi]):
                 if s <= NEG_INF / 2:
                     continue
-                chunk = self._chunks[r] if r < len(self._chunks) else None
+                chunk = chunks_snapshot[r] if r < len(chunks_snapshot) else None
                 if chunk is None:
                     continue
                 hits.append((chunk, float(s)))
