@@ -223,3 +223,54 @@ class UiTest(AsyncHTTPTestCase):
         assert r.code == 200
         assert b"youtu-rag-tpu" in r.body
         assert b"/api/chat" in r.body
+
+
+class QaRouteTest(AsyncHTTPTestCase):
+    def get_app(self):
+        return create_app(_state("qa"))
+
+    def test_qa_route(self):
+        import asyncio as _aio
+
+        # build a KB with QA pairs through the builder agent path
+        from youtu_rag_tpu.ingest.agent import BuildRequest, KnowledgeBuilderAgent
+        from youtu_rag_tpu.ingest.processors import SourceTask
+
+        state = self._app.settings["api_state"]
+        kb = state.get_or_create_kb("kbqa")
+        agent = KnowledgeBuilderAgent("kbqa", kb.store, kb.embedder)
+        self.io_loop.run_sync(
+            lambda: agent.build(
+                BuildRequest(
+                    kb_name="kbqa",
+                    tasks=[
+                        SourceTask(
+                            "faq",
+                            "qa",
+                            qa_pairs=[
+                                {"question": "what is the refund window?", "answer": "30 days"},
+                                {"question": "who is the ceo?", "answer": "Jane Doe"},
+                            ],
+                        )
+                    ],
+                )
+            )
+        )
+        r = self.fetch(
+            "/api/knowledge-bases/kbqa/qa",
+            method="POST",
+            # hash-embedder similarities are modest; production encoders
+            # clear the default 0.6 threshold
+            body=json.dumps({"question": "refund window length?", "threshold": 0.25}),
+        )
+        data = json.loads(r.body)
+        assert data["matched"] is not None
+        assert data["matched"]["answer"] == "30 days"
+        # low-similarity question → no confident match
+        r = self.fetch(
+            "/api/knowledge-bases/kbqa/qa",
+            method="POST",
+            body=json.dumps({"question": "zebra stripes pattern", "threshold": 0.9}),
+        )
+        data = json.loads(r.body)
+        assert data["matched"] is None

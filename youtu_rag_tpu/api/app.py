@@ -221,6 +221,40 @@ class KBBuildLogsHandler(BaseHandler):
         self.write_json({"logs": [l for l in self.state.build_logs if l["kb"] == name]})
 
 
+class KBQAHandler(BaseHandler):
+    """QA-association answering: match the question against the qa index
+    (element_type=qa) and return the stored answer when confident
+    (ref: QA execute routes, utu/rag/api/routes/knowledge_base.py:759-893)."""
+
+    async def post(self, name: str):
+        kb = self.state.kbs.get(name)
+        if kb is None:
+            raise tornado.web.HTTPError(404, reason=f"knowledge base {name!r} not found")
+        body = self.json_body()
+        question = body.get("question")
+        if not question:
+            raise tornado.web.HTTPError(400, reason="missing 'question'")
+        threshold = float(body.get("threshold", 0.6))
+        results = await kb.retriever.retrieve(
+            question,
+            top_k=int(body.get("top_k", 3)),
+            filters={"element_type": "qa"},
+            enable_reranking=False,
+            similarity_threshold=0.0,
+        )
+        matches = [
+            {
+                "question": r.chunk.content.split("\n")[0].removeprefix("Q: "),
+                "answer": (r.chunk.metadata or {}).get("answer", ""),
+                "related_file": (r.chunk.metadata or {}).get("related_file", ""),
+                "score": r.score,
+            }
+            for r in results
+        ]
+        best = matches[0] if matches and matches[0]["score"] >= threshold else None
+        self.write_json({"question": question, "matched": best, "candidates": matches})
+
+
 class KBQueryHandler(BaseHandler):
     async def post(self, name: str):
         kb = self.state.kbs.get(name)
@@ -453,6 +487,7 @@ def create_app(state: ApiState | None = None) -> tornado.web.Application:
             (r"/api/knowledge-bases/([^/]+)/build", KBBuildHandler),
             (r"/api/knowledge-bases/([^/]+)/build-logs", KBBuildLogsHandler),
             (r"/api/knowledge-bases/([^/]+)/query", KBQueryHandler),
+            (r"/api/knowledge-bases/([^/]+)/qa", KBQAHandler),
             (r"/api/files/upload", FileUploadHandler),
             (r"/api/files/upload-with-progress", FileUploadProgressStartHandler),
             (r"/api/files/upload-progress/([^/]+)", FileUploadProgressHandler),
