@@ -1,0 +1,212 @@
+#!/usr/bin/env python
+"""10M-vector scale benchmark on one TPU chip (BASELINE configs[2]-ish).
+
+int8 storage keeps 10,485,760 x 768 at ~7.7 GB so the full index lives in
+single-chip HBM. Measures:
+  - brute-force fused int8 top-k latency/QPS,
+  - IVF (cluster-sorted, scalar-prefetch kernel) latency and recall@10 vs
+    the brute-force ground truth,
+at several nprobe settings on clustered synthetic data.
+
+Run:  python scripts/bench_scale.py [--n-rows 10485760]
+Writes a JSON report to stdout and benchmarks/scale_report.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-rows", type=int, default=2560 * 4096)  # 10,485,760
+    p.add_argument("--dim", type=int, default=768)
+    p.add_argument("--n-clusters", type=int, default=1024)
+    p.add_argument("--queries", type=int, default=8)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--block-rows", type=int, default=4096)
+    p.add_argument(
+        "--spread",
+        type=float,
+        default=0.7,
+        help="within-cluster spread: noise std = spread/sqrt(d). ~0.7 gives "
+        "realistic embedding-like neighborhoods; >>1 degenerates to uniform "
+        "directions where IVF cannot help (worst case)",
+    )
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from youtu_rag_tpu.index.ivf import probe_blocks
+    from youtu_rag_tpu.ops.ivf import pallas_ivf_topk_int8
+    from youtu_rag_tpu.ops.kmeans import kmeans_fit
+    from youtu_rag_tpu.ops.topk import pallas_topk_int8
+
+    N, d, q, k, BR = args.n_rows, args.dim, args.queries, args.k, args.block_rows
+    assert N % BR == 0
+    nb = N // BR
+    rng = np.random.default_rng(0)
+
+    # clustered data generated host-side in chunks (int8 + per-row scales)
+    print(f"generating {N} clustered rows ...", file=sys.stderr, flush=True)
+    centers = rng.normal(size=(args.n_clusters, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X8 = np.empty((N, d), np.int8)
+    scales = np.empty(N, np.float32)
+    chunk = 1 << 19
+    noise = args.spread / np.sqrt(d)
+    for i in range(0, N, chunk):
+        m = min(chunk, N - i)
+        cid = rng.integers(0, args.n_clusters, m)
+        v = centers[cid] + noise * rng.normal(size=(m, d)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        amax = np.maximum(np.abs(v).max(axis=1), 1e-12)
+        scales[i : i + m] = amax / 127.0
+        X8[i : i + m] = np.clip(np.round(v / (amax / 127.0)[:, None]), -127, 127)
+    queries = centers[:q] + 0.5 * noise * rng.normal(size=(q, d)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    Xd = jax.device_put(jnp.asarray(X8))
+    Sd = jax.device_put(jnp.asarray(scales))
+    bd = jnp.zeros(N, jnp.float32)
+    Qd = jnp.asarray(queries)
+
+    def amortized(fn, arrays, iters=8):
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def loop(Q, arrays, n):
+            def body(c, _):
+                s, i = fn(Q + c * 1e-6, *arrays)
+                return c + 1.0, (s[0, 0], i[0, 0])
+
+            return jax.lax.scan(body, 0.0, None, length=n)
+
+        r = loop(Qd, arrays, iters)
+        _ = np.asarray(r[0])
+        best = 1e9
+        for rep in range(3):
+            t0 = time.perf_counter()
+            r = loop(Qd + rep * 1e-7, arrays, iters)
+            _ = np.asarray(r[0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    report: dict = {"n_rows": N, "dim": d, "queries": q, "k": k}
+
+    # ---- brute force ground truth + timing -------------------------------
+    print("brute force ...", file=sys.stderr, flush=True)
+    gs, gi = pallas_topk_int8(Qd, Xd, Sd, bd, k, block_rows=BR)
+    truth = np.asarray(gi)
+    t4 = amortized(lambda Q, X, S, b: pallas_topk_int8(Q, X, S, b, k, block_rows=BR), (Xd, Sd, bd), 4)
+    t12 = amortized(lambda Q, X, S, b: pallas_topk_int8(Q, X, S, b, k, block_rows=BR), (Xd, Sd, bd), 12)
+    dt = max((t12 - t4) / 8, 1e-9)
+    report["brute_int8_ms"] = round(dt * 1e3, 3)
+    report["brute_int8_qps"] = round(q / dt, 1)
+    report["brute_int8_gbps"] = round(N * d / dt / 1e9, 1)
+
+    # ---- IVF build: kmeans on a sample, assign in chunks, sort -----------
+    print("ivf build ...", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    sample_idx = np.sort(rng.choice(N, 131072, replace=False))
+    sample = (
+        X8[sample_idx].astype(np.float32) * scales[sample_idx][:, None]
+    )
+    cent = kmeans_fit(jnp.asarray(sample), args.n_clusters, iters=8)
+
+    @jax.jit
+    def assign_chunk(x8, sc, c):
+        v = x8.astype(jnp.float32) * sc[:, None]
+        return jnp.argmax(v @ c.T, axis=1).astype(jnp.int32)
+
+    assigns = np.empty(N, np.int32)
+    step = 1 << 20
+    for i in range(0, N, step):
+        assigns[i : i + step] = np.asarray(
+            assign_chunk(Xd[i : i + step], Sd[i : i + step], cent)
+        )
+    perm = np.argsort(assigns, kind="stable")
+    build_s = time.perf_counter() - t0
+    report["ivf_build_s"] = round(build_s, 1)
+    report["ivf_build_rows_per_s"] = round(N / build_s)
+
+    # free the unsorted copy before uploading the sorted one (HBM budget)
+    del Xd, Sd
+    Xs_sorted = jax.device_put(jnp.asarray(X8[perm]))
+    Ss_sorted = jax.device_put(jnp.asarray(scales[perm]))
+    inv = np.empty(N, np.int64)
+    inv[perm] = np.arange(N)  # old row -> new row for recall mapping
+    truth_sorted = inv[truth]
+
+    counts = np.bincount(assigns, minlength=args.n_clusters)
+    row_start = np.concatenate([[0], np.cumsum(counts)])
+    block_start = jnp.asarray((row_start[:-1] // BR).astype(np.int32))
+    block_cnt = jnp.asarray(
+        np.maximum(np.ceil(row_start[1:] / BR).astype(np.int32) - (row_start[:-1] // BR), 0)
+        * (counts > 0)
+    )
+    max_cb = int(np.asarray(block_cnt).max())
+
+    results = []
+    for n_probe in (4, 8, 16):
+        est = q * n_probe * max_cb + 16
+        max_blocks = 1 << (est - 1).bit_length()
+        max_blocks = min(max_blocks, nb)
+        ids, n_valid = probe_blocks(
+            Qd,
+            cent,
+            block_start,
+            block_cnt,
+            n_probe=n_probe,
+            max_cluster_blocks=max_cb,
+            total_blocks=nb,
+            frozen_blocks=nb,
+            max_blocks=max_blocks,
+        )
+
+        def ivf_fn(Q, X, S, b, ids=ids, nv=n_valid):
+            return pallas_ivf_topk_int8(Q, X, S, b, ids, nv, k, block_rows=BR)
+
+        s_i, i_i = ivf_fn(Qd, Xs_sorted, Ss_sorted, bd)
+        got = np.asarray(i_i)
+        recall = np.mean(
+            [len(set(got[r]) & set(truth_sorted[r])) / k for r in range(q)]
+        )
+        idset = set(np.asarray(ids)[: int(np.asarray(n_valid))].tolist())
+        truth_in_probed = float(
+            np.mean([(int(tr) // BR) in idset for r in range(q) for tr in truth_sorted[r]])
+        )
+        t4 = amortized(ivf_fn, (Xs_sorted, Ss_sorted, bd), 4)
+        t12 = amortized(ivf_fn, (Xs_sorted, Ss_sorted, bd), 12)
+        dt_ivf = max((t12 - t4) / 8, 1e-9)
+        results.append(
+            {
+                "n_probe": n_probe,
+                "probed_blocks": int(np.asarray(n_valid)),
+                "total_blocks": nb,
+                "recall_at_10": round(float(recall), 4),
+                "truth_in_probed": round(truth_in_probed, 4),
+                "ms_per_batch": round(dt_ivf * 1e3, 3),
+                "speedup_vs_brute": round(dt / dt_ivf, 2),
+            }
+        )
+        print(f"  nprobe={n_probe}: {results[-1]}", file=sys.stderr, flush=True)
+    report["ivf"] = results
+
+    out = json.dumps(report)
+    print(out)
+    os.makedirs("benchmarks", exist_ok=True)
+    with open("benchmarks/scale_report.json", "w") as f:
+        f.write(out + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -56,3 +56,17 @@ def test_repo_configs_compose():
     rag = loader.load_rag_config("default")
     assert rag.retriever.recall_multiplier == 3
     assert rag.vector_store.index.block_rows == 1024
+
+
+def test_example_configs_validate():
+    """All shipped example configs must load into valid models."""
+    loader = ConfigLoader(os.path.join(os.path.dirname(__file__), "..", "..", "configs"))
+    orch = loader.load_agent_config("orchestra_example")
+    assert orch.type == "orchestra"
+    assert set(orch.workers) == {"searcher", "analyst"}
+    assert orch.workers["analyst"].toolkits["python_executor"].mode == "builtin"
+    wf = loader.load_agent_config("workforce_example")
+    assert wf.type == "workforce"
+    assert set(wf.workforce_executor_agents) == {"researcher", "coder"}
+    ev = loader.load_eval_config("default")
+    assert ev.processor == "exact_match"

@@ -114,6 +114,88 @@ def pallas_ivf_topk(
     return top_s[:qn], top_i[:qn]
 
 
+def _ivf_kernel_int8(
+    ids_ref, nvalid_ref, q_ref, qs_ref, x_ref, xs_ref, bias_ref, out_s_ref, out_i_ref, *, k, block_rows
+):
+    i = pl.program_id(0)
+    block_id = ids_ref[i]
+    valid = i < nvalid_ref[0]
+    acc = jax.lax.dot_general(
+        q_ref[...], x_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    scores = acc.astype(jnp.float32) * (qs_ref[...].reshape(-1, 1) * xs_ref[...])
+    scores = scores + bias_ref[...]
+    scores = jnp.where(valid, scores, NEG_INF)
+    vals, idx = _select_topk(scores, k, block_id * block_rows)
+    kpad = out_s_ref.shape[2]
+    if kpad > k:
+        pad = kpad - k
+        vals = jnp.concatenate([vals, jnp.full((vals.shape[0], pad), NEG_INF, jnp.float32)], axis=1)
+        idx = jnp.concatenate([idx, jnp.zeros((idx.shape[0], pad), jnp.int32)], axis=1)
+    out_s_ref[0] = vals
+    out_i_ref[0] = idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_rows", "interpret"))
+def pallas_ivf_topk_int8(
+    queries: jax.Array,
+    database_q: jax.Array,
+    db_scales: jax.Array,
+    bias: jax.Array,
+    block_ids: jax.Array,
+    n_valid: jax.Array,
+    k: int,
+    *,
+    block_rows: int = 4096,
+    interpret: bool = False,
+):
+    """int8 probed-block top-k: the 10M-on-one-chip configuration
+    (int8 keeps 10M x 768 at ~7.7 GB of HBM)."""
+    from .topk import quantize_rows_int8
+
+    qn, d = queries.shape
+    n = database_q.shape[0]
+    assert n % block_rows == 0 and d % _LANE == 0
+    max_blocks = block_ids.shape[0]
+
+    q_pad = _round_up(max(qn, _SUBLANE), _SUBLANE)
+    k_pad = _round_up(k, _LANE)
+    qf = jnp.zeros((q_pad, d), jnp.float32).at[:qn].set(queries.astype(jnp.float32))
+    qq, qs = quantize_rows_int8(qf)
+    xs = db_scales.astype(jnp.float32).reshape(1, n)
+    b = bias.astype(jnp.float32).reshape(1, n)
+
+    kernel = functools.partial(_ivf_kernel_int8, k=k, block_rows=block_rows)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(max_blocks,),
+        in_specs=[
+            pl.BlockSpec((q_pad, d), lambda i, ids, nv: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad,), lambda i, ids, nv: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d), lambda i, ids, nv: (ids[i], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows), lambda i, ids, nv: (0, ids[i]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows), lambda i, ids, nv: (0, ids[i]), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, q_pad, k_pad), lambda i, ids, nv: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_pad, k_pad), lambda i, ids, nv: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((max_blocks, q_pad, k_pad), jnp.float32),
+        jax.ShapeDtypeStruct((max_blocks, q_pad, k_pad), jnp.int32),
+    )
+    block_s, block_i = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret
+    )(block_ids.astype(jnp.int32), jnp.reshape(n_valid, (1,)).astype(jnp.int32), qq, qs, database_q, xs, b)
+
+    cand_s = jnp.transpose(block_s, (1, 0, 2)).reshape(q_pad, max_blocks * k_pad)
+    cand_i = jnp.transpose(block_i, (1, 0, 2)).reshape(q_pad, max_blocks * k_pad)
+    top_s, pos = jax.lax.top_k(cand_s, k)
+    top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    return top_s[:qn], top_i[:qn]
+
+
 @functools.partial(jax.jit, static_argnames=("k", "block_rows"))
 def xla_ivf_topk(queries, database, bias, block_ids, n_valid, k, *, block_rows: int = 1024):
     """Gather fallback: materialize probed blocks, brute-force them."""
