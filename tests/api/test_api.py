@@ -274,3 +274,47 @@ class QaRouteTest(AsyncHTTPTestCase):
         )
         data = json.loads(r.body)
         assert data["matched"] is None
+
+
+class WsAndTrajectoryTest(AsyncHTTPTestCase):
+    def get_app(self):
+        import tempfile
+
+        from youtu_rag_tpu.db.service import DBService
+
+        self.state = _state("ws")
+        self.state.db = DBService(url=f"sqlite:///{tempfile.mkdtemp()}/t.db")
+        self.state.agent = None  # force lazy creation with trajectory sink
+        self.state.agent_config.model.model = "fake"
+        return create_app(self.state)
+
+    def test_ws_chat_and_trajectory_persist(self):
+        from tornado.websocket import websocket_connect
+
+        async def flow():
+            # swap in a hermetic client after lazy agent creation
+            agent = await self.state.get_agent()
+            agent.client = FakeChatClient(
+                rule_fn=lambda m, t: FakeChatClient.text_response("ws answer")
+            )
+            url = f"ws://127.0.0.1:{self.get_http_port()}/ws/chat"
+            conn = await websocket_connect(url)
+            await conn.write_message(json.dumps({"query": "hello ws"}))
+            events = []
+            while True:
+                msg = await conn.read_message()
+                assert msg is not None
+                card = json.loads(msg)
+                events.append(card["type"])
+                if card["type"] in ("done", "error"):
+                    break
+            conn.close()
+            return events
+
+        events = self.io_loop.run_sync(flow)
+        assert "text_delta" in events and events[-1] == "done"
+
+        r = self.fetch("/api/trajectories")
+        data = json.loads(r.body)
+        assert data["available"] is True
+        assert data["trajectories"][0]["output"] == "ws answer"

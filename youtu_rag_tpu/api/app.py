@@ -26,6 +26,7 @@ import traceback
 from typing import Any
 
 import tornado.web
+import tornado.websocket
 
 from ..agents.config import AgentConfig
 from ..core.types import Document
@@ -465,6 +466,79 @@ class AgentSwitchHandler(BaseHandler):
         self.write_json({"switched": config.type})
 
 
+class ChatWebSocketHandler(tornado.websocket.WebSocketHandler):
+    """WebSocket chat (parity surface: utu/ui/webui_agents.py tornado WS
+    chat servers). Protocol: client sends {"query": ..., "kb_id": ...};
+    server streams the same event cards as the SSE route, then
+    {"type": "done"}."""
+
+    def check_origin(self, origin):  # dev CORS parity
+        return True
+
+    @property
+    def state(self) -> ApiState:
+        return self.application.settings["api_state"]
+
+    async def on_message(self, message):
+        try:
+            body = json.loads(message)
+        except json.JSONDecodeError:
+            await self.write_message(json.dumps({"type": "error", "content": "invalid JSON"}))
+            return
+        query = body.get("query")
+        if not query:
+            await self.write_message(json.dumps({"type": "error", "content": "missing 'query'"}))
+            return
+        if body.get("kb_id"):
+            self.state.get_or_create_kb(body["kb_id"])
+            query = f"[knowledge base: {body['kb_id']}]\n{query}"
+        agent = await self.state.get_agent()
+        recorder = agent.run_streamed(query)
+        async for ev in recorder.stream_events():
+            card = {"type": ev.type}
+            if ev.text:
+                card["content"] = ev.text
+            if ev.name:
+                card["name"] = ev.name
+            try:
+                await self.write_message(json.dumps(card, ensure_ascii=False))
+            except tornado.websocket.WebSocketClosedError:
+                return
+        try:
+            await recorder.wait()
+            await self.write_message(json.dumps({"type": "done", "trace_id": recorder.trace_id}))
+        except RuntimeError as e:
+            await self.write_message(json.dumps({"type": "error", "content": str(e)}))
+
+
+class TrajectoriesHandler(BaseHandler):
+    """Recent agent run records (ref: trajectory DB reads, utu/db)."""
+
+    async def get(self):
+        from ..db.models import TrajectoryRecord
+
+        limit = int(self.get_query_argument("limit", "20"))
+        rows = self.state.db.select(TrajectoryRecord, limit=limit)
+        self.write_json(
+            {
+                "available": self.state.db.available,
+                "trajectories": [
+                    {
+                        "trace_id": r.trace_id,
+                        "input": r.input,
+                        "output": r.output,
+                        "tool_calls": r.tool_calls,
+                        "usage_input_tokens": r.usage_input_tokens,
+                        "usage_output_tokens": r.usage_output_tokens,
+                        "created_at": r.created_at,
+                        "error": r.error,
+                    }
+                    for r in rows
+                ],
+            }
+        )
+
+
 class IndexPageHandler(BaseHandler):
     async def get(self):
         import os
@@ -480,6 +554,8 @@ def create_app(state: ApiState | None = None) -> tornado.web.Application:
     return tornado.web.Application(
         [
             (r"/", IndexPageHandler),
+            (r"/ws/chat", ChatWebSocketHandler),
+            (r"/api/trajectories", TrajectoriesHandler),
             (r"/health", HealthHandler),
             (r"/api/chat", ChatHandler),
             (r"/api/knowledge-bases", KBCollectionHandler),

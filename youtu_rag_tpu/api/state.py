@@ -158,7 +158,15 @@ class ApiState:
             if self.agent is None:
                 from ..agents.factory import get_agent
 
-                self.agent = get_agent(self.agent_config)
+                kwargs = {}
+                if self.db.available and self.agent_config.type == "simple":
+                    from ..db.models import TrajectoryRecord
+
+                    async def sink(record, _db=self.db):
+                        _db.add(TrajectoryRecord.from_recorder_dict(record))
+
+                    kwargs["trajectory_sink"] = sink
+                self.agent = get_agent(self.agent_config, **kwargs)
                 if hasattr(self.agent, "build"):
                     await self.agent.build()
             return self.agent
