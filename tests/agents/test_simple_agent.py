@@ -151,3 +151,36 @@ def test_factory_dispatch():
 
     assert isinstance(get_agent({"type": "simple"}, client=FakeChatClient()), SimpleAgent)
     assert isinstance(get_agent({"type": "llm"}, client=FakeChatClient()), LLMAgent)
+
+
+def test_run_hooks_fire_and_are_fault_isolated():
+    from youtu_rag_tpu.agents.hooks import BaseRunHooks
+
+    events = []
+
+    class Recording(BaseRunHooks):
+        async def on_agent_start(self, agent, task):
+            events.append(("start", task))
+
+        async def on_tool_start(self, agent, name, arguments):
+            events.append(("tool_start", name))
+
+        async def on_tool_end(self, agent, name, result):
+            events.append(("tool_end", result))
+            raise RuntimeError("hook bug must not break the run")
+
+        async def on_agent_end(self, agent, output):
+            events.append(("end", output))
+
+    client = FakeChatClient(
+        scripted=[
+            FakeChatClient.tool_response("add", {"a": 1, "b": 2}),
+            FakeChatClient.text_response("3"),
+        ]
+    )
+    agent = SimpleAgent(AgentConfig(), client=client, toolkits=[CalcToolkit()], hooks=Recording())
+    rec = asyncio.run(agent.run("1+2?"))
+    assert rec.final_output == "3"
+    kinds = [e[0] for e in events]
+    assert kinds == ["start", "tool_start", "tool_end", "end"]
+    assert events[2][1] == "3"

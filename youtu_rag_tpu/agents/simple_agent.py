@@ -42,6 +42,7 @@ class SimpleAgent:
         toolkits: list[AsyncBaseToolkit] | None = None,
         memory_toolkit=None,
         trajectory_sink=None,
+        hooks=None,
     ):
         if isinstance(config, dict):
             config = AgentConfig.from_dict(config)
@@ -51,8 +52,10 @@ class SimpleAgent:
         self.memory_toolkit = memory_toolkit
         self.trajectory_sink = trajectory_sink
         from .context import get_context_manager
+        from .hooks import HookRunner, get_run_hooks
 
         self.context_manager = get_context_manager(self.config.context_manager)
+        self.hooks = HookRunner(hooks if hooks is not None else get_run_hooks(self.config))
         self.router: ToolRouter | None = None
         self._history: list[ChatMessage] = []
         self._built = False
@@ -128,6 +131,7 @@ class SimpleAgent:
     async def _run_loop(self, task: str, recorder: TaskRecorder, keep_history: bool = False) -> None:
         try:
             await self.build()
+            await self.hooks.fire("on_agent_start", self, task)
             messages = await self._prepare_messages(task, keep_history, recorder)
             schemas = self.router.schemas() if self.router else []
 
@@ -137,6 +141,7 @@ class SimpleAgent:
                 # per-turn context hook (ref: patched runner injecting
                 # context_manager.preprocess each turn, patch/runner.py)
                 messages = await self.context_manager.preprocess(messages)
+                await self.hooks.fire("on_llm_start", self, messages)
                 with tracer.span(
                     "generation", self.config.agent.name or "agent", model=self.config.model.model or ""
                 ) as gen_span:
@@ -144,6 +149,7 @@ class SimpleAgent:
                     gen_span.attributes["output"] = resp.message.content
                     gen_span.attributes["input_tokens"] = resp.usage.input_tokens
                     gen_span.attributes["output_tokens"] = resp.usage.output_tokens
+                await self.hooks.fire("on_llm_end", self, resp)
                 recorder.usage_input_tokens += resp.usage.input_tokens
                 recorder.usage_output_tokens += resp.usage.output_tokens
                 msg = resp.message
@@ -164,9 +170,11 @@ class SimpleAgent:
                     recorder.emit(
                         AgentEvent("tool_call", name=tc.name, arguments=tc.arguments, call_id=tc.id)
                     )
+                    await self.hooks.fire("on_tool_start", self, tc.name, tc.arguments)
                     with tracer.span("tool", tc.name, arguments=tc.arguments) as tool_span:
                         out = await self.router.call(tc.name, tc.parsed_arguments())
                         tool_span.attributes["output"] = out[:500]
+                    await self.hooks.fire("on_tool_end", self, tc.name, out)
                     dur = (time.perf_counter() - t0) * 1e3
                     recorder.add_tool_call(ToolCallRecord(tc.name, tc.arguments, out, dur))
                     recorder.emit(
@@ -182,6 +190,7 @@ class SimpleAgent:
 
             recorder.set_final_output(final_text or "")
             recorder.emit(AgentEvent("final", text=final_text or ""))
+            await self.hooks.fire("on_agent_end", self, final_text)
 
             if keep_history:
                 self._history = [m for m in messages if m.role != "system"]
