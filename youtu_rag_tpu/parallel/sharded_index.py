@@ -74,6 +74,10 @@ class ShardedVectorIndex(DeviceVectorIndex):
         self.axis = axis
         self.n_shards = self.mesh.shape[axis]
         cfg = config or IndexConfig()
+        assert cfg.storage_dtype != "int8", (
+            "int8 sharded storage lands in a later round (ROADMAP); "
+            "use bfloat16 for sharded indexes"
+        )
         # capacity must split evenly into shards of whole blocks
         cfg = cfg.model_copy(
             update={"min_capacity": _pow2_at_least(cfg.min_capacity, cfg.block_rows * self.n_shards)}
@@ -96,6 +100,13 @@ class ShardedVectorIndex(DeviceVectorIndex):
         if on_tpu and local_rows >= 8 * self.config.block_rows:
             return "pallas"
         return "xla"
+
+    def build_ivf(self, n_lists: int | None = None, seed: int = 0) -> None:
+        raise NotImplementedError(
+            "per-shard IVF over the db mesh axis lands in a later round "
+            "(ROADMAP); sharded indexes currently use the brute-force "
+            "fused kernel per shard"
+        )
 
     def _run_search(self, queries, vectors, bias, k, backend):
         return self._sharded_topk(queries, vectors, bias, k, backend, self.config.block_rows)
