@@ -48,7 +48,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from youtu_rag_tpu.index.ivf import probe_blocks
-    from youtu_rag_tpu.ops.ivf import pallas_ivf_topk_int8
+    from youtu_rag_tpu.ops.ivf import pallas_ivf_topk_int8_dma
     from youtu_rag_tpu.ops.kmeans import kmeans_fit
     from youtu_rag_tpu.ops.topk import pallas_topk_int8
 
@@ -173,7 +173,7 @@ def main() -> None:
         )
 
         def ivf_fn(Q, X, S, b, ids=ids, nv=n_valid):
-            return pallas_ivf_topk_int8(Q, X, S, b, ids, nv, k, block_rows=BR)
+            return pallas_ivf_topk_int8_dma(Q, X, S, b, ids, nv, k, block_rows=BR)
 
         s_i, i_i = ivf_fn(Qd, Xs_sorted, Ss_sorted, bd)
         got = np.asarray(i_i)

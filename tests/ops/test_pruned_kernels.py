@@ -47,3 +47,18 @@ def test_pruned_all_masked(data):
     bias = np.full(X.shape[0], NEG_INF, np.float32)
     s, i = pallas_topk_pruned(Q, X, bias, 5, block_rows=512, interpret=True)
     assert (np.asarray(s) <= NEG_INF / 2).all()
+
+
+def test_ivf_dma_matches_grid_kernel(data):
+    import jax.numpy as jnp
+
+    from youtu_rag_tpu.ops.ivf import pallas_ivf_topk_int8, pallas_ivf_topk_int8_dma
+
+    Q, X, bias = data
+    Xq, Xs = quantize_rows_int8(jnp.asarray(X))
+    ids = jnp.asarray(np.array([0, 2, 3, 1, 0, 0, 0, 0], np.int32))
+    nv = jnp.asarray([4], jnp.int32)
+    s1, i1 = pallas_ivf_topk_int8(Q, Xq, Xs, bias, ids, nv, 10, block_rows=512, interpret=True)
+    s2, i2 = pallas_ivf_topk_int8_dma(Q, Xq, Xs, bias, ids, nv, 10, block_rows=512, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-4)
