@@ -105,3 +105,35 @@ def test_reorder_preserves_lookup(rng, unit_vectors):
         assert [c.id for c, _ in b] == [c.id for c, _ in a]
     assert idx.get_by_id("c5").content == "t5"
     assert idx.delete_by_document_id("d0") == 20
+
+
+def test_ivf_int8_index():
+    """int8 storage + IVF (DMA kernel path; XLA dequant fallback on CPU)."""
+    rng = np.random.default_rng(21)
+    d = 64
+    centers = rng.normal(size=(8, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    parts = []
+    for c in centers:  # tight clusters: IVF-recall test, not a stress test
+        pts = c[None] + 0.05 * rng.normal(size=(64, d)).astype(np.float32)
+        parts.append(pts / np.linalg.norm(pts, axis=1, keepdims=True))
+    vecs = np.concatenate(parts)
+    cfg = IndexConfig(
+        min_capacity=512, block_rows=64, n_lists=8, n_probe=3, kmeans_iters=6,
+        storage_dtype="int8",
+    )
+    idx = DeviceVectorIndex(d, cfg)
+    idx.add([Chunk(f"c{i}", "doc", f"t{i}", i, {"i": i}) for i in range(len(vecs))], vecs)
+    q = centers[:4] + 0.05 * rng.normal(size=(4, d)).astype(np.float32)
+    brute = [[c.id for c, _ in h] for h in idx.search(q, top_k=5)]
+    idx.build_ivf()
+    ivf = [[c.id for c, _ in h] for h in idx.search(q, top_k=5)]
+    recalls = [len(set(a) & set(b)) / 5 for a, b in zip(brute, ivf)]
+    assert np.mean(recalls) >= 0.9, recalls
+    # interpret-mode pallas path agrees with the xla fallback
+    a = idx.search(q[:1], top_k=5, backend="xla")[0]
+    b = idx.search(q[:1], top_k=5, backend="pallas_interpret")[0]
+    assert [c.id for c, _ in a] == [c.id for c, _ in b]
+    # filters still fused
+    hits = idx.search(q[:1], top_k=5, filters={"i": {"$lt": 100}})[0]
+    assert hits and all(c.metadata["i"] < 100 for c, _ in hits)

@@ -379,6 +379,9 @@ class DeviceVectorIndex:
         shard_map per-shard + all-gather merge path)."""
         if self._ivf is not None:
             return self._run_ivf_search(queries, vectors, bias, k, backend)
+        return self._run_brute(queries, vectors, bias, k, backend)
+
+    def _run_brute(self, queries, vectors, bias, k: int, backend: str):
         if self._int8:
             if backend == "pallas":
                 return pallas_topk_int8(queries, vectors, self._scales, bias, k, block_rows=self.config.block_rows)
@@ -395,7 +398,6 @@ class DeviceVectorIndex:
         re-freeze after heavy growth."""
         from .ivf import build_ivf_state
 
-        assert not self._int8, "IVF over int8 storage lands in a later round"
         with self._lock:
             self._ivf = build_ivf_state(self, n_lists=n_lists, seed=seed)
 
@@ -410,7 +412,7 @@ class DeviceVectorIndex:
         total_blocks = self.capacity // self.config.block_rows
         max_blocks = plan_max_blocks(st, queries.shape[0], total_blocks)
         if max_blocks >= total_blocks:  # probing everything → brute force
-            return _search_plain(queries, vectors, bias, k, backend, self.config.block_rows)
+            return self._run_brute(queries, vectors, bias, k, backend)
         ids, n_valid = probe_blocks(
             queries,
             st.centroids,
@@ -422,16 +424,26 @@ class DeviceVectorIndex:
             frozen_blocks=st.frozen_blocks,
             max_blocks=max_blocks,
         )
-        if backend == "pallas":
-            return pallas_ivf_topk(
-                queries, vectors, bias, ids, n_valid, k, block_rows=self.config.block_rows
+        br = self.config.block_rows
+        if self._int8:
+            from ..ops.ivf import pallas_ivf_topk_int8_dma
+
+            if backend in ("pallas", "pallas_interpret"):
+                return pallas_ivf_topk_int8_dma(
+                    queries, vectors, self._scales, bias, ids, n_valid, k,
+                    block_rows=br, interpret=backend == "pallas_interpret",
+                )
+            # XLA fallback: dequantize (test-scale indexes only)
+            return xla_ivf_topk(
+                queries, self.dequantized_vectors(), bias, ids, n_valid, k, block_rows=br
             )
+        if backend == "pallas":
+            return pallas_ivf_topk(queries, vectors, bias, ids, n_valid, k, block_rows=br)
         if backend == "pallas_interpret":
             return pallas_ivf_topk(
-                queries, vectors, bias, ids, n_valid, k,
-                block_rows=self.config.block_rows, interpret=True,
+                queries, vectors, bias, ids, n_valid, k, block_rows=br, interpret=True
             )
-        return xla_ivf_topk(queries, vectors, bias, ids, n_valid, k, block_rows=self.config.block_rows)
+        return xla_ivf_topk(queries, vectors, bias, ids, n_valid, k, block_rows=br)
 
     # -- introspection -----------------------------------------------------
 

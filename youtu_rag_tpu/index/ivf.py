@@ -43,7 +43,7 @@ def build_ivf_state(index, n_lists: int | None = None, seed: int = 0, fit_sample
     n_lists = n_lists or min(cfg.n_lists, max(index.size // 64, 1))
     block_rows = cfg.block_rows
 
-    vecs = index._vectors[: index.size].astype(jnp.float32)
+    vecs = index.dequantized_vectors()[: index.size]  # handles int8 scales
     n = index.size
     assert n > 0, "cannot build IVF over an empty index"
 
