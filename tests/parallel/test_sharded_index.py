@@ -107,3 +107,29 @@ def test_sharded_matches_single_device():
     m_hits = multi.search(q, top_k=7)
     for s, m in zip(s_hits, m_hits):
         assert set(_ids(s)) == set(_ids(m))
+
+
+def test_sharded_int8_matches_numpy():
+    rng = np.random.default_rng(5)
+    d = 64
+    cfg = IndexConfig(min_capacity=1024, block_rows=64, storage_dtype="int8")
+    mesh = get_mesh({"db": 8})
+    dev = ShardedVectorIndex(d, cfg, mesh=mesh)
+    ref = NumpyVectorIndex(d, cfg)
+    chunks = make_chunks(600, "doc8")
+    embs = rng.normal(size=(600, d)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    dev.add(chunks, embs)
+    ref.add(chunks, embs)
+    q = rng.normal(size=(4, d)).astype(np.float32)
+    got = dev.search(q, top_k=10)
+    want = ref.search(q, top_k=10)
+    recalls = [
+        len({c.id for c, _ in g} & {c.id for c, _ in w}) / 10 for g, w in zip(got, want)
+    ]
+    assert np.mean(recalls) >= 0.9, recalls
+    # delete works across shards
+    victim = got[0][0][0].id
+    dev.delete([victim])
+    after = dev.search(q[:1], top_k=10)[0]
+    assert victim not in [c.id for c, _ in after]

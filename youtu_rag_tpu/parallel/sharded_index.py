@@ -24,11 +24,34 @@ shard_map = jax.shard_map
 
 from ..core.config import IndexConfig
 from ..index.device_index import DeviceVectorIndex, _pow2_at_least
-from ..ops.topk import NEG_INF, pallas_topk, xla_topk
+from ..ops.topk import (
+    NEG_INF,
+    pallas_topk,
+    pallas_topk_int8,
+    xla_topk,
+    xla_topk_int8,
+)
 
 
 def make_sharded_topk(mesh: Mesh, axis: str = "db"):
-    """Build the jitted sharded search: per-shard top-k + all-gather merge."""
+    """Build the jitted sharded search: per-shard top-k + all-gather merge.
+
+    ``scales=None`` → bf16/f32 storage; with scales the per-shard kernel is
+    the int8 path (scales shard with the rows)."""
+
+    def _merge(q, s, i, local_rows, k):
+        shard = jax.lax.axis_index(axis)
+        gi = i + shard * local_rows  # local → global row ids
+        # merge candidates over ICI: [S, q, k] each, tiny payload
+        s_all = jax.lax.all_gather(s, axis)
+        i_all = jax.lax.all_gather(gi, axis)
+        n_sh = s_all.shape[0]
+        qn = q.shape[0]
+        cand_s = jnp.transpose(s_all, (1, 0, 2)).reshape(qn, n_sh * k)
+        cand_i = jnp.transpose(i_all, (1, 0, 2)).reshape(qn, n_sh * k)
+        ts, pos = jax.lax.top_k(cand_s, k)
+        ti = jnp.take_along_axis(cand_i, pos, axis=1)
+        return ts, ti
 
     @functools.partial(jax.jit, static_argnames=("k", "backend", "block_rows"))
     def search(queries, vectors, bias, k: int, backend: str = "xla", block_rows: int = 1024):
@@ -40,18 +63,7 @@ def make_sharded_topk(mesh: Mesh, axis: str = "db"):
                 s, i = pallas_topk(q, x, b, k, block_rows=block_rows, interpret=True)
             else:
                 s, i = xla_topk(q, x, b, k)
-            shard = jax.lax.axis_index(axis)
-            gi = i + shard * x.shape[0]  # local → global row ids
-            # merge candidates over ICI: [S, q, k] each, tiny payload
-            s_all = jax.lax.all_gather(s, axis)
-            i_all = jax.lax.all_gather(gi, axis)
-            n_sh = s_all.shape[0]
-            qn = q.shape[0]
-            cand_s = jnp.transpose(s_all, (1, 0, 2)).reshape(qn, n_sh * k)
-            cand_i = jnp.transpose(i_all, (1, 0, 2)).reshape(qn, n_sh * k)
-            ts, pos = jax.lax.top_k(cand_s, k)
-            ti = jnp.take_along_axis(cand_i, pos, axis=1)
-            return ts, ti
+            return _merge(q, s, i, x.shape[0], k)
 
         return shard_map(
             per_shard,
@@ -61,6 +73,28 @@ def make_sharded_topk(mesh: Mesh, axis: str = "db"):
             check_vma=False,  # all_gather makes outputs replicated
         )(queries, vectors, bias)
 
+    @functools.partial(jax.jit, static_argnames=("k", "backend", "block_rows"))
+    def search_int8(
+        queries, vectors, scales, bias, k: int, backend: str = "xla", block_rows: int = 1024
+    ):
+        def per_shard(q, x, sc, b):
+            if backend == "pallas":
+                s, i = pallas_topk_int8(q, x, sc, b, k, block_rows=block_rows)
+            elif backend == "pallas_interpret":
+                s, i = pallas_topk_int8(q, x, sc, b, k, block_rows=block_rows, interpret=True)
+            else:
+                s, i = xla_topk_int8(q, x, sc, b, k)
+            return _merge(q, s, i, x.shape[0], k)
+
+        return shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(), P(axis, None), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(queries, vectors, scales, bias)
+
+    search.int8 = search_int8
     return search
 
 
@@ -74,10 +108,6 @@ class ShardedVectorIndex(DeviceVectorIndex):
         self.axis = axis
         self.n_shards = self.mesh.shape[axis]
         cfg = config or IndexConfig()
-        assert cfg.storage_dtype != "int8", (
-            "int8 sharded storage lands in a later round (ROADMAP); "
-            "use bfloat16 for sharded indexes"
-        )
         # capacity must split evenly into shards of whole blocks
         cfg = cfg.model_copy(
             update={"min_capacity": _pow2_at_least(cfg.min_capacity, cfg.block_rows * self.n_shards)}
@@ -109,4 +139,8 @@ class ShardedVectorIndex(DeviceVectorIndex):
         )
 
     def _run_search(self, queries, vectors, bias, k, backend):
+        if self._int8:
+            return self._sharded_topk.int8(
+                queries, vectors, self._scales, bias, k, backend, self.config.block_rows
+            )
         return self._sharded_topk(queries, vectors, bias, k, backend, self.config.block_rows)
