@@ -237,3 +237,32 @@ def test_parse_task_list_robust():
     assert parse_task_list("no json here") == []
     ts = parse_task_list('prefix [{"agent_name": "a", "task": "t"}] suffix')
     assert ts[0].agent_name == "a"
+
+
+def test_planner_examples_rendered():
+    from youtu_rag_tpu.agents.orchestra import load_planner_examples
+
+    text = load_planner_examples()
+    assert "Q3 revenue" in text and "<plan>[" in text
+
+    seen = {}
+
+    def rule(messages, tools):
+        if "task planner" in (messages[0].content or ""):
+            seen["prompt"] = messages[0].content
+            return FakeChatClient.text_response(
+                '<analysis>a</analysis><plan>[{"agent_name": "w", "task": "t", "completed": false}]</plan>'
+            )
+        return FakeChatClient.text_response("done")
+
+    agent = OrchestraAgent(
+        AgentConfig(type="orchestra"), client=FakeChatClient(rule_fn=rule), workers={"w": _worker("ok")}
+    )
+    asyncio.run(agent.run("q"))
+    assert "Examples:" in seen["prompt"]
+
+    # examples can be disabled via planner_config
+    cfg = AgentConfig(type="orchestra", planner_config={"use_examples": False})
+    agent2 = OrchestraAgent(cfg, client=FakeChatClient(rule_fn=rule), workers={"w": _worker("ok")})
+    asyncio.run(agent2.run("q"))
+    assert "Examples:" not in seen["prompt"]

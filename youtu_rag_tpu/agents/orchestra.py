@@ -68,13 +68,34 @@ Available agents:
 
 Analyze the user's question and produce a step-by-step plan assigning each
 subtask to the best-suited agent.
-
+{examples}
 Reply EXACTLY in this format:
 <analysis>your reasoning about how to decompose the task</analysis>
 <plan>[
 {{"agent_name": "<name>", "task": "<subtask description>", "completed": false}},
 ...
 ]</plan>"""
+
+
+def load_planner_examples(path: str | None = None) -> str:
+    """Few-shot examples rendered into the planner prompt
+    (ref: orchestra/data/planner_examples.json + examples_path config)."""
+    import os
+
+    path = path or os.path.join(os.path.dirname(__file__), "data", "planner_examples.json")
+    try:
+        examples = json.loads(open(path, encoding="utf-8").read())
+    except (OSError, json.JSONDecodeError):
+        logger.warning("could not load planner examples from %s", path)
+        return ""
+    parts = ["\nExamples:"]
+    for ex in examples:
+        plan_lines = ",\n".join(json.dumps(t, ensure_ascii=False) for t in ex["plan"])
+        parts.append(
+            f"Question: {ex['question']}\n"
+            f"<analysis>{ex['analysis']}</analysis>\n<plan>[\n{plan_lines}\n]</plan>"
+        )
+    return "\n\n".join(parts) + "\n"
 
 
 REPORTER_PROMPT = """You are a reporter. Given the original question and the \
@@ -117,7 +138,10 @@ class OrchestraAgent:
         )
 
     async def plan(self, task: str, recorder: TaskRecorder) -> PlanResult:
-        prompt = PLANNER_PROMPT.format(agents_info=self._agents_info())
+        examples = ""
+        if self.config.planner_config.get("use_examples", True):
+            examples = load_planner_examples(self.config.planner_config.get("examples_path"))
+        prompt = PLANNER_PROMPT.format(agents_info=self._agents_info(), examples=examples)
         resp = await self.planner_client.chat(
             [ChatMessage("system", prompt), ChatMessage("user", task)]
         )
