@@ -81,7 +81,7 @@ def main() -> None:
     bd = jnp.zeros(N, jnp.float32)
     Qd = jnp.asarray(queries)
 
-    def amortized(fn, arrays, iters=8):
+    def amortized(fn, arrays, iters=8):  # sub-ms paths need bigger iters to resolve
         @functools.partial(jax.jit, static_argnames=("n",))
         def loop(Q, arrays, n):
             def body(c, _):
@@ -184,9 +184,11 @@ def main() -> None:
         truth_in_probed = float(
             np.mean([(int(tr) // BR) in idset for r in range(q) for tr in truth_sorted[r]])
         )
-        t4 = amortized(ivf_fn, (Xs_sorted, Ss_sorted, bd), 4)
-        t12 = amortized(ivf_fn, (Xs_sorted, Ss_sorted, bd), 12)
-        dt_ivf = max((t12 - t4) / 8, 1e-9)
+        # fast IVF paths are sub-ms: use a wide iteration spread so the
+        # difference rises above tunnel jitter
+        t_lo = amortized(ivf_fn, (Xs_sorted, Ss_sorted, bd), 8)
+        t_hi = amortized(ivf_fn, (Xs_sorted, Ss_sorted, bd), 72)
+        dt_ivf = max((t_hi - t_lo) / 64, 1e-9)
         results.append(
             {
                 "n_probe": n_probe,
