@@ -57,10 +57,13 @@ def main() -> None:
     @functools.partial(jax.jit, static_argnames=("n",))
     def loop(params, ids, mask, n):
         def body(c, _):
-            emb, _ = encode_tokens(params, ids, mask, cfg)
-            return c + 1.0, emb[0, 0]
+            # ids must depend on the carry or XLA hoists the forward out
+            # of the scan as loop-invariant
+            ids_c = (ids + c.astype(jnp.int32)) % cfg.vocab_size
+            emb, _ = encode_tokens(params, ids_c, mask, cfg)
+            return (c + 1.0) + 0.0 * emb[0, 0], emb[0, 0]
 
-        return jax.lax.scan(body, 0.0, None, length=n)
+        return jax.lax.scan(body, jnp.float32(0.0), None, length=n)
 
     report = {"params": n_params, "platform": jax.devices()[0].platform, "buckets": []}
     rng = np.random.default_rng(0)
