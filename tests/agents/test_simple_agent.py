@@ -184,3 +184,30 @@ def test_run_hooks_fire_and_are_fault_isolated():
     kinds = [e[0] for e in events]
     assert kinds == ["start", "tool_start", "tool_end", "end"]
     assert events[2][1] == "3"
+
+
+def test_incremental_stream_deltas():
+    """A streaming-capable client's token deltas surface as incremental
+    recorder events (not one buffered chunk)."""
+    from youtu_rag_tpu.agents.llm import BaseChatClient, ChatMessage as CM, ChatResponse, StreamDelta
+
+    class Chunky(BaseChatClient):
+        async def chat(self, messages, tools=None, **kw):
+            return ChatResponse(CM("assistant", "hello world"))
+
+        async def stream_chat(self, messages, tools=None, **kw):
+            for word in ("hello", " world"):
+                yield StreamDelta("text_delta", text=word)
+            yield StreamDelta("done", response=ChatResponse(CM("assistant", "hello world")))
+
+    agent = SimpleAgent(AgentConfig(), client=Chunky())
+
+    async def collect():
+        rec = agent.run_streamed("hi")
+        deltas = [e.text async for e in rec.stream_events() if e.type == "text_delta"]
+        await rec.wait()
+        return deltas, rec
+
+    deltas, rec = asyncio.run(collect())
+    assert deltas == ["hello", " world"]
+    assert rec.final_output == "hello world"

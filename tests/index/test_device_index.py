@@ -167,3 +167,28 @@ def test_empty_index_search(rng, unit_vectors):
     dev = DeviceVectorIndex(32, IndexConfig(min_capacity=128, block_rows=128))
     hits = dev.search(unit_vectors(rng, 1, 32), top_k=5)
     assert hits == [[]]
+
+
+def test_auto_compact_on_tombstone_ratio(rng, unit_vectors):
+    d = 32
+    cfg = IndexConfig(min_capacity=512, block_rows=64, auto_compact_ratio=0.5)
+    dev = DeviceVectorIndex(d, cfg)
+    vecs = unit_vectors(rng, 400, d)
+    dev.add(make_chunks(400, "docC"), vecs)
+    assert dev.size == 400
+    # delete 60% → ratio crosses 0.5 → compaction rebuilds without tombstones
+    dev.delete([f"docC-{i}" for i in range(240)])
+    assert dev.live_count == 160
+    assert dev.size == 160  # compacted
+    hits = dev.search(unit_vectors(rng, 1, d), top_k=5)[0]
+    assert len(hits) == 5 and all(int(c.id.split("-")[1]) >= 240 for c, _ in hits)
+
+
+def test_auto_compact_disabled(rng, unit_vectors):
+    d = 32
+    cfg = IndexConfig(min_capacity=512, block_rows=64, auto_compact_ratio=0.0)
+    dev = DeviceVectorIndex(d, cfg)
+    dev.add(make_chunks(400, "docD"), unit_vectors(rng, 400, d))
+    dev.delete([f"docD-{i}" for i in range(300)])
+    assert dev.size == 400  # tombstones retained
+    assert dev.live_count == 100

@@ -108,6 +108,8 @@ class BaseChatClient:
     ) -> AsyncIterator[StreamDelta]:
         """Default streaming: one non-streamed call re-emitted as deltas."""
         resp = await self.chat(messages, tools, **kwargs)
+        if resp.message.reasoning:
+            yield StreamDelta("reasoning_delta", text=resp.message.reasoning)
         if resp.message.content:
             yield StreamDelta("text_delta", text=resp.message.content)
         for tc in resp.message.tool_calls:

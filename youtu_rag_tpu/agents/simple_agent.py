@@ -145,7 +145,7 @@ class SimpleAgent:
                 with tracer.span(
                     "generation", self.config.agent.name or "agent", model=self.config.model.model or ""
                 ) as gen_span:
-                    resp = await self.client.chat(messages, tools=schemas or None)
+                    resp = await self._chat_streaming(messages, schemas, recorder)
                     gen_span.attributes["output"] = resp.message.content
                     gen_span.attributes["input_tokens"] = resp.usage.input_tokens
                     gen_span.attributes["output_tokens"] = resp.usage.output_tokens
@@ -153,10 +153,7 @@ class SimpleAgent:
                 recorder.usage_input_tokens += resp.usage.input_tokens
                 recorder.usage_output_tokens += resp.usage.output_tokens
                 msg = resp.message
-                if msg.reasoning:
-                    recorder.emit(AgentEvent("reasoning_delta", text=msg.reasoning))
                 if msg.content:
-                    recorder.emit(AgentEvent("text_delta", text=msg.content))
                     recorder.add_message("assistant", msg.content)
                 messages.append(msg)
 
@@ -202,6 +199,25 @@ class SimpleAgent:
             logger.exception("agent run failed")
             recorder.emit(AgentEvent("error", text=str(e)))
             recorder.finish(error=str(e))
+
+    async def _chat_streaming(self, messages, schemas, recorder: TaskRecorder):
+        """One model turn with incremental delta events.
+
+        Token/reasoning deltas stream through the recorder as they arrive
+        (ref: the reference forwards RawResponsesStreamEvents,
+        chat_service.py:124-485); falls back to one final event pair for
+        clients whose stream_chat is the buffered default."""
+        response = None
+        async for delta in self.client.stream_chat(messages, tools=schemas or None):
+            if delta.type == "text_delta" and delta.text:
+                recorder.emit(AgentEvent("text_delta", text=delta.text))
+            elif delta.type == "reasoning_delta" and delta.text:
+                recorder.emit(AgentEvent("reasoning_delta", text=delta.text))
+            elif delta.type == "done":
+                response = delta.response
+        if response is None:  # stream ended without a done marker
+            raise RuntimeError("chat stream ended without a final response")
+        return response
 
     async def _prepare_messages(
         self, task: str, keep_history: bool, recorder: TaskRecorder

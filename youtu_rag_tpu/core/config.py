@@ -111,6 +111,14 @@ class IndexConfig(ConfigBase):
     n_lists: int = Field(default=1024, ge=1)
     n_probe: int = Field(default=64, ge=1)
     kmeans_iters: int = Field(default=10, ge=1)
+    # maintenance
+    auto_compact_ratio: float = Field(
+        default=0.5,
+        ge=0.0,
+        le=1.0,
+        description="compact when tombstones exceed this fraction of rows "
+        "(0 disables). Reclaims HBM and restores scan efficiency.",
+    )
     # sharding
     shard_axis: str = "db"
     num_shards: int | None = None  # None → all local devices

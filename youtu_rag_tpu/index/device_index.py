@@ -233,7 +233,28 @@ class DeviceVectorIndex:
                             del self._doc_rows[chunk.document_id]
                 self._chunks[row] = None
                 self.live_count -= 1
+            self._maybe_auto_compact()
             return len(rows)
+
+    def _maybe_auto_compact(self) -> None:
+        """Compact when tombstones dominate (policy knob:
+        IndexConfig.auto_compact_ratio). Runs under the index lock; IVF
+        state is rebuilt-on-demand after compaction clears it."""
+        ratio = self.config.auto_compact_ratio
+        if ratio <= 0 or self.size < 4 * self.config.block_rows:
+            return
+        dead = self.size - self.live_count
+        if dead / max(self.size, 1) >= ratio:
+            had_ivf = self._ivf is not None
+            logger.info(
+                "auto-compact: %d/%d rows are tombstones (>= %.0f%%)",
+                dead,
+                self.size,
+                ratio * 100,
+            )
+            self.compact()
+            if had_ivf and self.live_count > 0:
+                self.build_ivf()
 
     def delete_by_document_id(self, document_id: str) -> int:
         with self._lock:
