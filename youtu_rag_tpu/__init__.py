@@ -34,3 +34,26 @@ eval        benchmark harness (ref: utu/eval)
 from .version import __version__
 
 __all__ = ["__version__"]
+
+
+def _honor_platform_env() -> None:
+    """Some environments pre-import jax via a site hook and pin the
+    platform programmatically, which silently overrides the JAX_PLATFORMS
+    env var. If the user asked for a platform and backends have not been
+    initialized yet, re-assert their choice."""
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    try:
+        import jax
+        from jax._src import xla_bridge
+
+        if not xla_bridge._backends:
+            jax.config.update("jax_platforms", want)
+    except Exception:  # noqa: BLE001 - best effort only
+        pass
+
+
+_honor_platform_env()
