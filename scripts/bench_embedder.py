@@ -32,6 +32,7 @@ def main() -> None:
     p.add_argument("--heads", type=int, default=12)
     p.add_argument("--d-ff", type=int, default=3072)
     p.add_argument("--vocab", type=int, default=32768)
+    p.add_argument("--attention", default="xla", choices=["xla", "pallas"])
     args = p.parse_args()
 
     import jax
@@ -50,6 +51,7 @@ def main() -> None:
         n_layers=args.layers,
         n_heads=args.heads,
         d_ff=args.d_ff,
+        attention_impl=args.attention,
     )
     params = init_encoder_params(cfg, seed=0)
     n_params = count_params(params)
@@ -65,7 +67,7 @@ def main() -> None:
 
         return jax.lax.scan(body, jnp.float32(0.0), None, length=n)
 
-    report = {"params": n_params, "platform": jax.devices()[0].platform, "buckets": []}
+    report = {"params": n_params, "platform": jax.devices()[0].platform, "attention": args.attention, "buckets": []}
     rng = np.random.default_rng(0)
     for batch, seqlen in ((128, 128), (64, 256), (32, 512)):
         ids = jnp.asarray(rng.integers(4, args.vocab, (batch, seqlen)).astype(np.int32))

@@ -86,7 +86,12 @@ class TpuEmbedder(BaseEmbedder):
 
         from .encoder import EncoderConfig, encode_tokens, init_encoder_params
 
-        self.cfg = config or EncoderConfig()
+        if config is None:
+            # inference default: blockwise Pallas attention on TPU (kicks
+            # in at seq >= 256; short buckets use XLA either way)
+            on_tpu = jax.devices()[0].platform == "tpu"
+            config = EncoderConfig(attention_impl="pallas" if on_tpu else "xla")
+        self.cfg = config
         self.params = params if params is not None else init_encoder_params(self.cfg, seed)
         self.tokenizer = HashTokenizer(self.cfg.vocab_size, self.cfg.max_len)
         self.batch_size = batch_size

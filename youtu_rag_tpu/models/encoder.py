@@ -43,6 +43,10 @@ class EncoderConfig:
     out_dim: int = 768  # embedding dimension (projection from d_model)
     dtype: Any = jnp.bfloat16
     rope_base: float = 10000.0
+    # attention path: "xla" (training + CPU), "pallas" (inference on TPU —
+    # blockwise kernel, no HBM score materialization), "pallas_interpret"
+    attention_impl: str = "xla"
+
 
     @property
     def head_dim(self) -> int:
@@ -137,7 +141,7 @@ def _rope(x, base: float):
     return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
 
 
-def _attention(x, mask_bias, wq, wk, wv, wo, cfg: EncoderConfig):
+def _attention(x, mask, wq, wk, wv, wo, cfg: EncoderConfig):
     b, t, d = x.shape
     h, hd = cfg.n_heads, cfg.head_dim
 
@@ -148,10 +152,23 @@ def _attention(x, mask_bias, wq, wk, wv, wo, cfg: EncoderConfig):
     q = _rope(proj(wq), cfg.rope_base)
     k = _rope(proj(wk), cfg.rope_base)
     v = proj(wv)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    scores = scores / np.sqrt(hd) + mask_bias  # [B, 1, 1, T] bias broadcast
-    attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    y = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    # the blockwise kernel pays off once score rows outgrow XLA's fused
+    # attention (measured crossover ~T=256 on v5e); short sequences stay XLA
+    if cfg.attention_impl != "xla" and t >= 256 and t % 128 == 0 and hd % 64 == 0:
+        from ..ops.attention import blockwise_attention
+
+        bias2d = (1.0 - mask.astype(jnp.float32)) * -1e9  # [B, T]
+        y = blockwise_attention(
+            q, k, v, bias2d,
+            block_q=min(256, t),
+            interpret=cfg.attention_impl == "pallas_interpret",
+        )
+    else:
+        mask_bias = (1.0 - mask[:, None, None, :].astype(jnp.float32)) * -1e9
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        scores = scores / np.sqrt(hd) + mask_bias  # [B, 1, 1, T] bias broadcast
+        attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        y = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
     y = y.transpose(0, 2, 1, 3).reshape(b, t, d)
     return jnp.einsum("btd,de->bte", y, wo.astype(x.dtype))
 
@@ -169,11 +186,10 @@ def encode_tokens(
     """
     dt = cfg.dtype
     x = params["tok_emb"].astype(dt)[token_ids]  # [B, T, D]
-    mask_bias = (1.0 - mask[:, None, None, :].astype(jnp.float32)) * -1e9  # [B,1,1,T]
 
     def layer(x, lp):
         h = _layer_norm(x, lp["ln1_scale"], lp["ln1_bias"])
-        x = x + _attention(h, mask_bias, lp["wq"], lp["wk"], lp["wv"], lp["wo"], cfg)
+        x = x + _attention(h, mask, lp["wq"], lp["wk"], lp["wv"], lp["wo"], cfg)
         h = _layer_norm(x, lp["ln2_scale"], lp["ln2_bias"])
         h = jnp.einsum("btd,df->btf", h, lp["w1"].astype(dt)) + lp["b1"].astype(dt)
         h = jax.nn.gelu(h)
