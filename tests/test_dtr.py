@@ -84,3 +84,29 @@ def test_excel_agent_missing_file():
 def test_schema_brief(sales_csv):
     schema = ExcelAgent.load_schema(sales_csv)
     assert "Sheet1" in schema and "region" in schema and "6 rows" in schema
+
+
+def test_excel_agent_experience_manager(sales_csv):
+    from youtu_rag_tpu.memory.toolkit import VectorMemoryToolkit
+
+    mem = VectorMemoryToolkit({"user_id": "dtr"})
+    client, _ = _client(GOOD_CODE)
+    agent = ExcelAgent(client=client, memory_toolkit=mem)
+    asyncio.run(agent.run("which region has the most revenue?", sales_csv))
+    # successful run stored a reusable skill
+    skills = asyncio.run(mem.search_skills("revenue by region"))
+    assert "sum revenue per region" in skills
+
+    # a second run sees the experience in the planner prompt
+    seen = {}
+
+    def rule2(messages, tools):
+        content = messages[-1].content or ""
+        if content.startswith("You are a data analyst planning"):
+            seen["prompt"] = content
+            return FakeChatClient.text_response('["sum revenue per region"]')
+        return _client(GOOD_CODE)[0].rule_fn(messages, tools)
+
+    agent2 = ExcelAgent(client=FakeChatClient(rule_fn=rule2), memory_toolkit=mem)
+    asyncio.run(agent2.run("total revenue for north region?", sales_csv))
+    assert "Past successful approaches" in seen["prompt"]

@@ -36,7 +36,7 @@ Sheets available (loaded as pandas DataFrames in `dfs` by sheet name):
 {schema}
 
 Question: {question}
-
+{experience}
 Produce a short ordered plan of concrete analysis steps (max {max_steps}).
 Reply JSON only: ["step 1", "step 2", ...]"""
 
@@ -94,6 +94,7 @@ class ExcelAgent:
         max_steps: int = 6,
         max_code_retries: int = 2,
         exec_timeout: float = 30.0,
+        memory_toolkit=None,
     ):
         self.config = config or AgentConfig()
         self.client = client or get_chat_client(self.config.model.resolved())
@@ -101,6 +102,9 @@ class ExcelAgent:
         self.max_steps = max_steps
         self.max_code_retries = max_code_retries
         self.exec_timeout = exec_timeout
+        # experience manager (ref: DTR experience_manager): successful
+        # analysis plans persist as procedural skills and prime the planner
+        self.memory = memory_toolkit
 
     # -- sheet loading (ref: multi-sheet loader) ---------------------------
 
@@ -193,8 +197,18 @@ class ExcelAgent:
         schema = self.load_schema(path)
         recorder.emit(AgentEvent("reasoning_delta", text=f"loaded sheets:\n{schema[:500]}"))
 
+        experience = ""
+        if self.memory is not None:
+            try:
+                skills = await self.memory.search_skills(question, top_k=2)
+                if skills and not skills.startswith("No skills"):
+                    experience = f"\nPast successful approaches:\n{skills}\n"
+            except Exception:  # noqa: BLE001
+                logger.exception("experience retrieval failed")
         raw = await self._chat(
-            PLAN_PROMPT.format(schema=schema, question=question, max_steps=self.max_steps)
+            PLAN_PROMPT.format(
+                schema=schema, question=question, max_steps=self.max_steps, experience=experience
+            )
         )
         m = _JSON_LIST.search(raw)
         step_texts = json.loads(m.group(0)) if m else [question]
@@ -244,4 +258,14 @@ class ExcelAgent:
             f"[{i+1}] {s.description} ({'ok' if s.success else 'FAILED'}):\n{s.output[:600]}"
             for i, s in enumerate(completed)
         )
-        return await self._chat(ANSWER_PROMPT.format(question=question, results=results))
+        answer = await self._chat(ANSWER_PROMPT.format(question=question, results=results))
+        if self.memory is not None and completed and all(s.success for s in completed):
+            try:
+                await self.memory.store_skill(
+                    name=f"analysis:{question[:40]}",
+                    description=f"Successful plan for: {question[:120]}",
+                    steps=[s.description for s in completed],
+                )
+            except Exception:  # noqa: BLE001
+                logger.exception("experience store failed")
+        return answer
