@@ -17,7 +17,7 @@ from __future__ import annotations
 import asyncio
 import json
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ..utils.log import get_logger
 from .config import AgentConfig

@@ -19,9 +19,7 @@ directly at each turn).
 from __future__ import annotations
 
 import asyncio
-import json
 import time
-from typing import Any
 
 from ..tools.base import AsyncBaseToolkit, ToolRouter
 from ..tracing.tracer import get_tracer

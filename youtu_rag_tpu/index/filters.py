@@ -26,7 +26,7 @@ host-side evaluator ``host_eval`` over original metadata dicts.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable
+from typing import Any
 
 import jax.numpy as jnp
 import numpy as np

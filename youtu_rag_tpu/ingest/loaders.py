@@ -14,7 +14,6 @@ from pathlib import Path
 from typing import Any, Callable
 
 from ..core.types import Document
-from ..utils.hashing import md5_hex
 from ..utils.log import get_logger
 
 logger = get_logger("ingest.loaders")

@@ -21,9 +21,7 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any
 
-import numpy as np
-
-from ..core.config import ChunkingConfig, KnowledgeBuilderConfig
+from ..core.config import KnowledgeBuilderConfig
 from ..core.types import BaseEmbedder, Chunk, Document
 from ..retrieval.store import TpuVectorStore
 from ..utils.hashing import md5_hex

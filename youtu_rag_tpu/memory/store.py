@@ -21,8 +21,6 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
-import numpy as np
-
 from ..core.config import IndexConfig, VectorStoreConfig
 from ..core.types import BaseEmbedder, Chunk
 from ..retrieval.store import TpuVectorStore

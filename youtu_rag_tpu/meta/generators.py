@@ -9,7 +9,6 @@ debugger loop of ``tool_generator_mcp_debugger.py``."""
 
 from __future__ import annotations
 
-import json
 import re
 from pathlib import Path
 

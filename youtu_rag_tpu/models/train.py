@@ -20,7 +20,6 @@ TPU-first structure:
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax

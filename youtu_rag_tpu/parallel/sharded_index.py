@@ -25,7 +25,6 @@ shard_map = jax.shard_map
 from ..core.config import IndexConfig
 from ..index.device_index import DeviceVectorIndex, _pow2_at_least
 from ..ops.topk import (
-    NEG_INF,
     pallas_topk,
     pallas_topk_int8,
     xla_topk,

@@ -18,7 +18,7 @@ from typing import Any
 
 import numpy as np
 
-from ..core.config import IndexConfig, VectorStoreConfig
+from ..core.config import VectorStoreConfig
 from ..core.types import BaseVectorStore, Chunk, HealthStatus
 from ..index.device_index import DeviceVectorIndex
 from ..index.numpy_ref import NumpyVectorIndex

@@ -17,7 +17,7 @@ import calendar
 import json
 import re
 import time
-from datetime import datetime, timedelta
+from datetime import datetime
 from typing import Any
 
 from ..core.types import RetrievalResult
