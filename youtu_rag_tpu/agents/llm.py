@@ -181,9 +181,17 @@ class OpenAIChatClient(BaseChatClient):
             reasoning=msg.get("reasoning_content") or msg.get("reasoning"),
         )
 
+    def _require_config(self) -> None:
+        if not self.model:
+            raise RuntimeError(
+                "no LLM configured: set YRT_LLM_MODEL / YRT_LLM_BASE_URL / "
+                "YRT_LLM_API_KEY (or UTU_LLM_*), or pass a model config"
+            )
+
     async def chat(self, messages, tools=None, **kwargs) -> ChatResponse:
         import httpx
 
+        self._require_config()
         payload = self._payload(messages, tools, **kwargs)
         last: Exception | None = None
         async with httpx.AsyncClient(timeout=self.timeout) as client:
@@ -214,6 +222,7 @@ class OpenAIChatClient(BaseChatClient):
     async def stream_chat(self, messages, tools=None, **kwargs) -> AsyncIterator[StreamDelta]:
         import httpx
 
+        self._require_config()
         payload = self._payload(messages, tools, stream=True, **kwargs)
         text_parts: list[str] = []
         reasoning_parts: list[str] = []
