@@ -18,53 +18,80 @@ from __future__ import annotations
 import asyncio
 import math
 import os
+import re
 from typing import Any
 
 import numpy as np
 
 from ..core.config import EmbeddingConfig
 from ..core.types import BaseEmbedder
-from ..utils.hashing import stable_hash64
 from ..utils.log import get_logger
 from .tokenizer import HashTokenizer
 
 logger = get_logger("models.embedder")
 
 
+_FNV_OFFSET = 14695981039346656037
+_FNV_PRIME = 1099511628211
+_MASK64 = (1 << 64) - 1
+_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]")
+
+
+def _fnv_feat(token: bytes) -> int:
+    h = _FNV_OFFSET
+    for b in b"feat:" + token:
+        h = ((h ^ b) * _FNV_PRIME) & _MASK64
+    return h
+
+
 class HashEmbedder(BaseEmbedder):
     """Feature-hashing bag-of-words embedder (deterministic, host-only).
 
-    Each word hashes to a dimension; vectors are tf-weighted (1 + log tf)
-    and L2-normalized. Weights are positive-only: with signed hashing a
-    collision can exactly cancel the overlap signal on short texts, whereas
-    positive-only collisions merely inflate similarity slightly —
-    overlapping texts always score higher, which is the property the
-    hermetic retrieval tests rely on."""
+    Tokens (ASCII word runs lowercased; every other codepoint/symbol is a
+    single token) hash via FNV-1a-64 to a dimension; vectors are
+    tf-weighted (1 + log tf), L2-normalized, positive-only (signed hashing
+    can exactly cancel overlap signal on short texts).
 
-    def __init__(self, dim: int = 512):
+    The hot loop is the native C kernel (youtu_rag_tpu/native/fasthash.c)
+    when a compiler is available — the host-side throughput floor for
+    10M-chunk builds — with a byte-identical Python fallback."""
+
+    def __init__(self, dim: int = 512, use_native: bool = True):
         self._dim = dim
-        self._tok = HashTokenizer(vocab_size=2**30, max_length=8192)
+        self._use_native = use_native
 
     @property
     def dimension(self) -> int:
         return self._dim
 
     def embed_one(self, text: str) -> np.ndarray:
-        vec = np.zeros(self._dim, np.float32)
         counts: dict[int, int] = {}
-        for t in self._tok.tokenize(text):
-            counts[t] = counts.get(t, 0) + 1
-        for t, c in counts.items():
-            idx = stable_hash64(f"feat:{t}") % self._dim
-            vec[idx] += 1.0 + math.log(c)
+        for m in _TOKEN_RE.finditer(text):
+            tok = m.group(0)
+            if tok.isascii():
+                tok = tok.lower()
+            h = _fnv_feat(tok.encode("utf-8")[:64])
+            counts[h] = counts.get(h, 0) + 1
+        vec = np.zeros(self._dim, np.float32)
+        for h, c in counts.items():
+            vec[h % self._dim] += np.float32(1.0) + np.float32(math.log(c))
         n = np.linalg.norm(vec)
         return vec / n if n > 0 else vec
 
+    def embed_batch(self, texts: list[str]) -> np.ndarray:
+        if self._use_native:
+            from ..native import hash_embed_batch_native
+
+            out = hash_embed_batch_native(texts, self._dim)
+            if out is not None:
+                return out
+        return np.stack([self.embed_one(t) for t in texts]) if texts else np.zeros((0, self._dim), np.float32)
+
     async def embed_texts(self, texts: list[str]) -> list[list[float]]:
-        return [self.embed_one(t).tolist() for t in texts]
+        return self.embed_batch(texts).tolist()
 
     async def embed_query(self, query: str) -> list[float]:
-        return self.embed_one(query).tolist()
+        return self.embed_batch([query])[0].tolist()
 
 
 class TpuEmbedder(BaseEmbedder):
