@@ -62,3 +62,17 @@ def test_ivf_dma_matches_grid_kernel(data):
     s2, i2 = pallas_ivf_topk_int8_dma(Q, Xq, Xs, bias, ids, nv, 10, block_rows=512, interpret=True)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-4)
+
+
+def test_ivf_bf16_dma_matches_grid_kernel(data):
+    import jax.numpy as jnp
+
+    from youtu_rag_tpu.ops.ivf import pallas_ivf_topk, pallas_ivf_topk_dma
+
+    Q, X, bias = data
+    ids = jnp.asarray(np.array([0, 2, 3, 1, 0, 0, 0, 0], np.int32))
+    nv = jnp.asarray([4], jnp.int32)
+    s1, i1 = pallas_ivf_topk(Q, X, bias, ids, nv, 10, block_rows=512, interpret=True)
+    s2, i2 = pallas_ivf_topk_dma(Q, X, bias, ids, nv, 10, block_rows=512, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-4)

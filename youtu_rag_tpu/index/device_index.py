@@ -458,11 +458,12 @@ class DeviceVectorIndex:
             return xla_ivf_topk(
                 queries, self.dequantized_vectors(), bias, ids, n_valid, k, block_rows=br
             )
-        if backend == "pallas":
-            return pallas_ivf_topk(queries, vectors, bias, ids, n_valid, k, block_rows=br)
-        if backend == "pallas_interpret":
-            return pallas_ivf_topk(
-                queries, vectors, bias, ids, n_valid, k, block_rows=br, interpret=True
+        if backend in ("pallas", "pallas_interpret"):
+            from ..ops.ivf import pallas_ivf_topk_dma
+
+            return pallas_ivf_topk_dma(
+                queries, vectors, bias, ids, n_valid, k,
+                block_rows=br, interpret=backend == "pallas_interpret",
             )
         return xla_ivf_topk(queries, vectors, bias, ids, n_valid, k, block_rows=br)
 
