@@ -319,9 +319,26 @@ class FileUploadProgressStartHandler(BaseHandler):
         async def process():
             try:
                 task.update("UPLOADING", 20)
-                meta = self.state.files.upload("uploads", f.filename, f.body, {})
+                self.state.files.upload("uploads", f.filename, f.body, {})
+
+                # OCR derivative when configured (ref: _process_ocr stage)
+                from ..ingest.ocr import RemoteOCRClient, needs_ocr, process_ocr_to_store
+
+                if needs_ocr(f.filename) and RemoteOCRClient().available:
+                    task.update("OCR_PROCESSING", 40)
+                    await process_ocr_to_store(self.state.files, "uploads", f.filename)
+
+                # metadata extraction (ref: _extract_and_normalize_metadata)
                 task.update("METADATA_EXTRACTING", 60)
-                await asyncio.sleep(0)  # metadata/OCR hooks slot in here
+                try:
+                    text = f.body.decode("utf-8", errors="replace")[:2000]
+                    from ..ingest.metadata_extractor import MetadataExtractor
+
+                    meta = await MetadataExtractor().extract_metadata(f.filename, text)
+                    self.state.files.set_user_metadata("uploads", f.filename, meta)
+                except Exception:  # noqa: BLE001 - metadata is best-effort
+                    logger.exception("metadata extraction failed")
+
                 task.update("CHUNK_PROCESSING", 80)
                 task.update("COMPLETED", 100)
             except Exception as e:  # noqa: BLE001
