@@ -133,3 +133,40 @@ def test_sharded_int8_matches_numpy():
     dev.delete([victim])
     after = dev.search(q[:1], top_k=10)[0]
     assert victim not in [c.id for c, _ in after]
+
+
+def test_sharded_ivf_recall_and_tail():
+    rng = np.random.default_rng(9)
+    d = 64
+    centers = rng.normal(size=(8, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    parts = []
+    for c in centers:
+        pts = c[None] + 0.05 * rng.normal(size=(96, d)).astype(np.float32)
+        parts.append(pts / np.linalg.norm(pts, axis=1, keepdims=True))
+    vecs = np.concatenate(parts)  # 768 rows
+    order = rng.permutation(len(vecs))
+    vecs = vecs[order]
+
+    cfg = IndexConfig(min_capacity=1024, block_rows=64, n_lists=8, n_probe=3, kmeans_iters=8)
+    mesh = get_mesh({"db": 8})
+    idx = ShardedVectorIndex(d, cfg, mesh=mesh)
+    idx.add([Chunk(f"c{i}", "doc", f"t{i}", i, {"i": i}) for i in range(len(vecs))], vecs)
+
+    q = centers[:4] + 0.03 * rng.normal(size=(4, d)).astype(np.float32)
+    brute = [[c.id for c, _ in h] for h in idx.search(q, top_k=10)]
+    idx.build_ivf()
+    ivf = [[c.id for c, _ in h] for h in idx.search(q, top_k=10)]
+    recalls = [len(set(a) & set(b)) / 10 for a, b in zip(brute, ivf)]
+    assert np.mean(recalls) >= 0.9, recalls
+
+    # filters fuse into the sharded IVF path too
+    hits = idx.search(q[:1], top_k=5, filters={"i": {"$lt": 400}})[0]
+    assert hits and all(c.metadata["i"] < 400 for c, _ in hits)
+
+    # fresh-tail: a novel vector appended after the freeze is findable
+    novel = rng.normal(size=(1, d)).astype(np.float32)
+    novel /= np.linalg.norm(novel)
+    idx.add([Chunk("novel", "newdoc", "novel", 0)], novel)
+    top = idx.search(novel, top_k=1)[0]
+    assert top[0][0].id == "novel"

@@ -442,7 +442,7 @@ class DeviceVectorIndex:
             n_probe=st.n_probe,
             max_cluster_blocks=st.max_cluster_blocks,
             total_blocks=total_blocks,
-            frozen_blocks=st.frozen_blocks,
+            frozen_blocks=jnp.int32(st.frozen_blocks),
             max_blocks=max_blocks,
         )
         br = self.config.block_rows

@@ -101,7 +101,7 @@ def plan_max_blocks(state: IVFState, qn: int, total_blocks: int) -> int:
     return min(_pow2_at_least(est), max(total_blocks, 1))
 
 
-@functools.partial(jax.jit, static_argnames=("n_probe", "max_cluster_blocks", "total_blocks", "frozen_blocks", "max_blocks"))
+@functools.partial(jax.jit, static_argnames=("n_probe", "max_cluster_blocks", "total_blocks", "max_blocks"))
 def probe_blocks(
     queries,
     centroids,
@@ -111,7 +111,7 @@ def probe_blocks(
     n_probe: int,
     max_cluster_blocks: int,
     total_blocks: int,
-    frozen_blocks: int,
+    frozen_blocks,  # traced scalar: per-shard values differ under shard_map
     max_blocks: int,
 ):
     """Union of probed clusters' blocks (+ always the tail) → padded ids.
@@ -130,9 +130,9 @@ def probe_blocks(
 
     mask = jnp.zeros(total_blocks + 1, jnp.int32).at[blocks.reshape(-1)].max(1)
     mask = mask[:total_blocks]
-    if frozen_blocks < total_blocks:  # fresh tail always probed
-        tail = jnp.arange(total_blocks) >= frozen_blocks
-        mask = jnp.maximum(mask, tail.astype(jnp.int32))
+    # fresh tail (blocks appended after the freeze) is always probed
+    tail = jnp.arange(total_blocks) >= jnp.asarray(frozen_blocks)
+    mask = jnp.maximum(mask, tail.astype(jnp.int32))
 
     # order blocks: selected first (ascending id), rest after
     order_key = jnp.where(mask > 0, jnp.arange(total_blocks), total_blocks + jnp.arange(total_blocks))

@@ -18,6 +18,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 shard_map = jax.shard_map
@@ -130,16 +131,167 @@ class ShardedVectorIndex(DeviceVectorIndex):
             return "pallas"
         return "xla"
 
+    # -- sharded IVF -------------------------------------------------------
+    #
+    # Global spherical-k-means centroids (replicated), rows cluster-sorted
+    # *within their shard* (the db sharding is contiguous row ranges, so a
+    # block-diagonal permutation preserves shard membership), per-shard
+    # cluster→block ranges. Search: every chip probes its own shard with
+    # the shared centroids and merges candidates over ICI like the brute
+    # path. Per-query work per chip ∝ probed fraction of the local shard.
+
     def build_ivf(self, n_lists: int | None = None, seed: int = 0) -> None:
-        raise NotImplementedError(
-            "per-shard IVF over the db mesh axis lands in a later round "
-            "(ROADMAP); sharded indexes currently use the brute-force "
-            "fused kernel per shard"
-        )
+        import numpy as _np
+
+        from ..ops.kmeans import kmeans_fit
+
+        assert self.size > 0, "cannot build IVF over an empty index"
+        cfg = self.config
+        n_lists = n_lists or min(cfg.n_lists, max(self.size // 64, 1))
+
+        with self._lock:
+            vecs = np.asarray(self.dequantized_vectors()[: self.size])
+            rng = _np.random.default_rng(seed)
+            fit_on = vecs
+            if self.size > 131072:
+                sel = _np.sort(rng.choice(self.size, 131072, replace=False))
+                fit_on = vecs[sel]
+            centroids = kmeans_fit(jnp.asarray(fit_on), n_lists, iters=cfg.kmeans_iters, seed=seed)
+            assign = _np.asarray(jnp.argmax(jnp.asarray(vecs) @ centroids.T, axis=1))
+
+            rows_per_shard = self.capacity // self.n_shards
+            br = cfg.block_rows
+            local_blocks = rows_per_shard // br
+            perm_parts = []
+            block_start = _np.zeros((self.n_shards, n_lists), _np.int32)
+            block_cnt = _np.zeros((self.n_shards, n_lists), _np.int32)
+            frozen_local = _np.zeros(self.n_shards, _np.int32)
+            for s in range(self.n_shards):
+                lo, hi = s * rows_per_shard, min((s + 1) * rows_per_shard, self.size)
+                if lo >= self.size:
+                    continue
+                local = _np.arange(lo, hi)
+                order = _np.argsort(assign[lo:hi], kind="stable")
+                perm_parts.append(local[order])
+                counts = _np.bincount(assign[lo:hi], minlength=n_lists)
+                row_start = _np.concatenate([[0], _np.cumsum(counts)])
+                bs = (row_start[:-1] // br).astype(_np.int32)
+                be = _np.ceil(row_start[1:] / br).astype(_np.int32)
+                block_start[s] = bs
+                block_cnt[s] = _np.maximum(be - bs, 0) * (counts > 0)
+                frozen_local[s] = -(-(hi - lo) // br)
+            perm = _np.concatenate(perm_parts)
+            assert len(perm) == self.size
+            self.reorder(perm)
+
+            from ..index.ivf import IVFState
+
+            self._ivf = IVFState(
+                centroids=centroids,
+                cluster_block_start=self._put_ivf(block_start),
+                cluster_block_count=self._put_ivf(block_cnt),
+                max_cluster_blocks=max(int(block_cnt.max()), 1),
+                frozen_blocks=int(frozen_local.max()),  # informational only
+                n_lists=n_lists,
+                n_probe=min(cfg.n_probe, n_lists),
+            )
+            # per-shard frozen block counts [S, 1]: the fresh-tail boundary
+            # differs per shard (appends land in the shard owning row=size)
+            self._ivf_frozen = jax.device_put(
+                jnp.asarray(frozen_local[:, None]), NamedSharding(self.mesh, P(self.axis, None))
+            )
+            self._ivf_local_blocks = local_blocks
+
+    def _put_ivf(self, arr):
+        return jax.device_put(jnp.asarray(arr), NamedSharding(self.mesh, P(self.axis, None)))
 
     def _run_search(self, queries, vectors, bias, k, backend):
+        if self._ivf is not None:
+            return self._run_sharded_ivf(queries, vectors, bias, k, backend)
         if self._int8:
             return self._sharded_topk.int8(
                 queries, vectors, self._scales, bias, k, backend, self.config.block_rows
             )
         return self._sharded_topk(queries, vectors, bias, k, backend, self.config.block_rows)
+
+    def _run_sharded_ivf(self, queries, vectors, bias, k, backend):
+        from ..index.ivf import probe_blocks
+        from ..ops.ivf import (
+            pallas_ivf_topk_dma,
+            pallas_ivf_topk_int8_dma,
+            xla_ivf_topk,
+        )
+
+        st = self._ivf
+        br = self.config.block_rows
+        local_blocks = self._ivf_local_blocks
+        qn = queries.shape[0]
+        est = qn * st.n_probe * st.max_cluster_blocks + (local_blocks - st.frozen_blocks) + 4
+        max_blocks = min(_pow2_at_least(est, 8), local_blocks)
+        n_probe = st.n_probe
+        mcb = st.max_cluster_blocks
+        int8 = self._int8
+        scales = self._scales
+        axis = self.axis
+        rows_per_shard = self.capacity // self.n_shards
+
+        def per_shard(q, x, sc, b, bstart, bcnt, frozen, cent):
+            ids, n_valid = probe_blocks(
+                q,
+                cent,
+                bstart[0],
+                bcnt[0],
+                n_probe=n_probe,
+                max_cluster_blocks=mcb,
+                total_blocks=local_blocks,
+                frozen_blocks=frozen[0, 0],
+                max_blocks=max_blocks,
+            )
+            if backend == "pallas" and int8:
+                s, i = pallas_ivf_topk_int8_dma(q, x, sc[:, 0], b, ids, n_valid, k, block_rows=br)
+            elif backend == "pallas":
+                s, i = pallas_ivf_topk_dma(q, x, b, ids, n_valid, k, block_rows=br)
+            else:
+                xf = x.astype(jnp.float32) * sc if int8 else x
+                s, i = xla_ivf_topk(q, xf, b, ids, n_valid, k, block_rows=br)
+            shard = jax.lax.axis_index(axis)
+            gi = i + shard * rows_per_shard
+            s_all = jax.lax.all_gather(s, axis)
+            i_all = jax.lax.all_gather(gi, axis)
+            n_sh = s_all.shape[0]
+            cand_s = jnp.transpose(s_all, (1, 0, 2)).reshape(q.shape[0], n_sh * k)
+            cand_i = jnp.transpose(i_all, (1, 0, 2)).reshape(q.shape[0], n_sh * k)
+            ts, pos = jax.lax.top_k(cand_s, k)
+            ti = jnp.take_along_axis(cand_i, pos, axis=1)
+            return ts, ti
+
+        sc_arr = (
+            scales[:, None]
+            if int8
+            else jnp.zeros((self.capacity, 1), jnp.float32)  # placeholder, unused
+        )
+        return shard_map(
+            per_shard,
+            mesh=self.mesh,
+            in_specs=(
+                P(),
+                P(self.axis, None),
+                P(self.axis, None),
+                P(self.axis),
+                P(self.axis, None),
+                P(self.axis, None),
+                P(self.axis, None),
+                P(),
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(
+            queries,
+            vectors,
+            sc_arr,
+            bias,
+            self._ivf.cluster_block_start,
+            self._ivf.cluster_block_count,
+            self._ivf_frozen,
+            st.centroids,
+        )
