@@ -318,3 +318,26 @@ class WsAndTrajectoryTest(AsyncHTTPTestCase):
         data = json.loads(r.body)
         assert data["available"] is True
         assert data["trajectories"][0]["output"] == "ws answer"
+
+
+class ChunksRouteTest(AsyncHTTPTestCase):
+    def get_app(self):
+        return create_app(_state("chunks"))
+
+    def test_chunks_browse(self):
+        docs = [
+            {"id": "a.md", "content": "alpha content " * 20, "metadata": {"topic": "x"}},
+            {"id": "b.md", "content": "beta content " * 20, "metadata": {"topic": "y"}},
+        ]
+        self.fetch(
+            "/api/knowledge-bases/kbc/build", method="POST", body=json.dumps({"documents": docs})
+        )
+        r = self.fetch("/api/knowledge-bases/kbc/chunks?limit=10")
+        data = json.loads(r.body)
+        assert data["total"] >= 2
+        assert {c["document_id"] for c in data["chunks"]} >= {"a.md", "b.md"}
+        # filter by document
+        r = self.fetch("/api/knowledge-bases/kbc/chunks?document_id=a.md")
+        data = json.loads(r.body)
+        assert data["chunks"] and all(c["document_id"] == "a.md" for c in data["chunks"])
+        assert self.fetch("/api/knowledge-bases/ghost/chunks").code == 404

@@ -256,6 +256,50 @@ class KBQAHandler(BaseHandler):
         self.write_json({"question": question, "matched": best, "candidates": matches})
 
 
+class KBChunksHandler(BaseHandler):
+    """Browse indexed chunks (ref analog: the reference's vector-store
+    inspection utilities, tests/rag/inspect_vector_store.py, and the web
+    UI's chunk viewers)."""
+
+    async def get(self, name: str):
+        kb = self.state.kbs.get(name)
+        if kb is None:
+            raise tornado.web.HTTPError(404, reason=f"knowledge base {name!r} not found")
+        limit = int(self.get_query_argument("limit", "50"))
+        index_type = self.get_query_argument("index_type", None)
+        document_id = self.get_query_argument("document_id", None)
+        filters: dict = {}
+        if index_type:
+            filters["index_type"] = index_type
+        if document_id:
+            filters["source"] = document_id
+        chunks = await kb.store.get_by_filter(filters or {}, limit=limit) if filters else []
+        if not filters:
+            idx = kb.store._index
+            chunks = []
+            if idx is not None:
+                for c in idx.iter_live():
+                    chunks.append(c)
+                    if len(chunks) >= limit:
+                        break
+        self.write_json(
+            {
+                "kb": name,
+                "total": await kb.store.count(),
+                "chunks": [
+                    {
+                        "id": c.id,
+                        "document_id": c.document_id,
+                        "chunk_index": c.chunk_index,
+                        "content": c.content[:300],
+                        "metadata": c.metadata,
+                    }
+                    for c in chunks
+                ],
+            }
+        )
+
+
 class KBQueryHandler(BaseHandler):
     async def post(self, name: str):
         kb = self.state.kbs.get(name)
@@ -581,6 +625,7 @@ def create_app(state: ApiState | None = None) -> tornado.web.Application:
             (r"/api/knowledge-bases/([^/]+)/build-logs", KBBuildLogsHandler),
             (r"/api/knowledge-bases/([^/]+)/query", KBQueryHandler),
             (r"/api/knowledge-bases/([^/]+)/qa", KBQAHandler),
+            (r"/api/knowledge-bases/([^/]+)/chunks", KBChunksHandler),
             (r"/api/files/upload", FileUploadHandler),
             (r"/api/files/upload-with-progress", FileUploadProgressStartHandler),
             (r"/api/files/upload-progress/([^/]+)", FileUploadProgressHandler),
