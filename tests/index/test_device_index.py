@@ -192,3 +192,15 @@ def test_auto_compact_disabled(rng, unit_vectors):
     dev.delete([f"docD-{i}" for i in range(300)])
     assert dev.size == 400  # tombstones retained
     assert dev.live_count == 100
+
+
+def test_reserve_prevents_growth(rng, unit_vectors):
+    d = 32
+    dev = DeviceVectorIndex(d, IndexConfig(min_capacity=128, block_rows=128))
+    dev.reserve(1000)
+    cap = dev.capacity
+    assert cap >= 1000
+    for batch in range(4):
+        dev.add(make_chunks(200, f"r{batch}"), unit_vectors(rng, 200, d))
+    assert dev.capacity == cap  # no growth during the appends
+    assert dev.count() == 800

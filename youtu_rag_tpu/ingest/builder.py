@@ -123,6 +123,12 @@ class KnowledgeBuilder(BaseKnowledgeBuilder):
             if self.config.batch_delay and i + bs < len(texts):
                 await asyncio.sleep(self.config.batch_delay)
 
+        # pre-allocate for the whole wave: appends during serving then never
+        # trigger the capacity-growth stall (see bench_streaming)
+        if flat and flat[0].embedding is not None:
+            existing = await self.store.count()
+            await self.store.reserve(existing + len(flat), dim=len(flat[0].embedding))
+
         # per-document idempotent store: drop stale rows, insert new
         processed = 0
         for doc, chunks in chunked:

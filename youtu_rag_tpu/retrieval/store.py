@@ -109,6 +109,15 @@ class TpuVectorStore(BaseVectorStore):
             return [[] for _ in range(q.shape[0])]
         return self._index.search(q, top_k=top_k, filters=filters)
 
+    async def reserve(self, total_rows: int, dim: int | None = None) -> None:
+        """Pre-allocate index capacity for a planned build."""
+        if self._index is None:
+            if dim is None:
+                return  # dimension unknown until first add
+            self._ensure_index(dim)
+        if hasattr(self._index, "reserve"):
+            self._index.reserve(total_rows)
+
     async def delete(self, chunk_ids: list[str]) -> None:
         if self._index is not None:
             self._index.delete(chunk_ids)
