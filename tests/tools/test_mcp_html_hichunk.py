@@ -171,3 +171,63 @@ def test_mcp_activated_tools_filter(tmp_path):
         return names
 
     assert asyncio.run(go()) == {"add"}
+
+
+class McpHttpTest(AsyncHTTPTestCase := __import__("tornado.testing", fromlist=["AsyncHTTPTestCase"]).AsyncHTTPTestCase):
+    """streamable-http MCP transport against a tornado JSON-RPC endpoint."""
+
+    def get_app(self):
+        import tornado.web
+
+        class Rpc(tornado.web.RequestHandler):
+            def post(self):
+                import json as _json
+
+                msg = _json.loads(self.request.body)
+                m, rid = msg.get("method"), msg.get("id")
+                self.set_header("Mcp-Session-Id", "sess-1")
+                if m == "initialize":
+                    self.write({"jsonrpc": "2.0", "id": rid, "result": {
+                        "protocolVersion": "2024-11-05",
+                        "serverInfo": {"name": "http-demo", "version": "0"},
+                        "capabilities": {}}})
+                elif m == "tools/list":
+                    self.write({"jsonrpc": "2.0", "id": rid, "result": {"tools": [
+                        {"name": "mul", "description": "Multiply",
+                         "inputSchema": {"type": "object", "properties": {
+                             "a": {"type": "integer"}, "b": {"type": "integer"}},
+                             "required": ["a", "b"]}}]}})
+                elif m == "tools/call":
+                    args = msg["params"]["arguments"]
+                    # reply as a one-shot SSE stream to exercise that path
+                    self.set_header("Content-Type", "text/event-stream")
+                    import json as _j
+
+                    self.write("data: " + _j.dumps({
+                        "jsonrpc": "2.0", "id": rid,
+                        "result": {"content": [{"type": "text", "text": str(args["a"] * args["b"])}]},
+                    }) + "\n\n")
+                else:
+                    self.set_status(204)
+
+        return tornado.web.Application([(r"/mcp", Rpc)])
+
+    def test_http_transport_roundtrip(self):
+        import asyncio as _aio
+
+        from youtu_rag_tpu.tools.base import ToolkitConfig
+        from youtu_rag_tpu.tools.mcp_client import MCPToolkit
+
+        url = f"http://127.0.0.1:{self.get_http_port()}/mcp"
+        tk = MCPToolkit(ToolkitConfig(mode="mcp", config={"url": url}))
+
+        async def go():
+            await tk.build()
+            names = {s["function"]["name"] for s in tk.get_tools_in_openai()}
+            out = await tk.call_tool("mul", {"a": 6, "b": 7})
+            return names, out, tk.client._session_id
+
+        names, out, sid = self.io_loop.run_sync(go)
+        assert names == {"mul"}
+        assert out == "42"
+        assert sid == "sess-1"

@@ -114,29 +114,127 @@ class MCPStdioClient:
         return "\n".join(parts)
 
 
+class MCPHttpClient:
+    """Streamable-HTTP MCP transport: JSON-RPC POSTs to one endpoint;
+    responses arrive as JSON or a one-shot SSE stream (the 2024-11-05
+    streamable-http profile the reference configures via
+    mcp_transport='streamable_http')."""
+
+    def __init__(self, url: str, headers: dict | None = None, timeout: float = 30.0):
+        self.url = url
+        self.headers = headers or {}
+        self.timeout = timeout
+        self._id = 0
+        self._session_id: str | None = None
+
+    async def connect(self) -> None:
+        result = await self._request(
+            "initialize",
+            {
+                "protocolVersion": _PROTOCOL_VERSION,
+                "capabilities": {},
+                "clientInfo": {"name": "youtu-rag-tpu", "version": "0.1.0"},
+            },
+        )
+        await self._notify("notifications/initialized", {})
+        logger.info("MCP (http) connected: %s", result.get("serverInfo", {}))
+
+    async def close(self) -> None:
+        ...
+
+    def _hdrs(self) -> dict:
+        h = {
+            "Content-Type": "application/json",
+            "Accept": "application/json, text/event-stream",
+            **self.headers,
+        }
+        if self._session_id:
+            h["Mcp-Session-Id"] = self._session_id
+        return h
+
+    async def _notify(self, method: str, params: dict) -> None:
+        import httpx
+
+        async with httpx.AsyncClient(timeout=self.timeout) as client:
+            await client.post(
+                self.url, json={"jsonrpc": "2.0", "method": method, "params": params}, headers=self._hdrs()
+            )
+
+    async def _request(self, method: str, params: dict) -> dict:
+        import httpx
+
+        self._id += 1
+        payload = {"jsonrpc": "2.0", "id": self._id, "method": method, "params": params}
+        async with httpx.AsyncClient(timeout=self.timeout) as client:
+            r = await client.post(self.url, json=payload, headers=self._hdrs())
+            r.raise_for_status()
+            sid = r.headers.get("Mcp-Session-Id")
+            if sid:
+                self._session_id = sid
+            ctype = r.headers.get("Content-Type", "")
+            if ctype.startswith("text/event-stream"):
+                msg = None
+                for line in r.text.split("\n"):
+                    if line.startswith("data:"):
+                        try:
+                            obj = json.loads(line[5:].strip())
+                        except json.JSONDecodeError:
+                            continue
+                        if obj.get("id") == self._id:
+                            msg = obj
+                if msg is None:
+                    raise RuntimeError("no matching response in MCP SSE stream")
+            else:
+                msg = r.json()
+        if "error" in msg:
+            raise RuntimeError(f"MCP error: {msg['error']}")
+        return msg.get("result", {})
+
+    async def list_tools(self) -> list[dict]:
+        return (await self._request("tools/list", {})).get("tools", [])
+
+    async def call_tool(self, name: str, arguments: dict) -> str:
+        result = await self._request("tools/call", {"name": name, "arguments": arguments})
+        parts = []
+        for item in result.get("content", []):
+            if item.get("type") == "text":
+                parts.append(item.get("text", ""))
+            else:
+                parts.append(json.dumps(item, ensure_ascii=False))
+        if result.get("isError"):
+            return "Error: " + ("\n".join(parts) or "tool failed")
+        return "\n".join(parts)
+
+
 @register_toolkit("mcp")
 class MCPToolkit(AsyncBaseToolkit):
     """Bridge an MCP server's tools into the toolkit surface.
 
-    config: command, args, env, timeout (ToolkitConfig.config); mode=mcp
-    with stdio transport (sse/streamable_http land with a network MCP)."""
+    config (ToolkitConfig.config):
+      stdio transport:           command, args, env, timeout
+      streamable_http transport: url, headers, timeout"""
 
     def __init__(self, config: ToolkitConfig | dict | None = None):
         super().__init__(config)
         cfg = self.config.config
-        self.client = MCPStdioClient(
-            command=cfg.get("command", ""),
-            args=cfg.get("args", []),
-            env=cfg.get("env"),
-            timeout=float(cfg.get("timeout", 20.0)),
-        )
+        if cfg.get("url"):
+            self.client = MCPHttpClient(
+                url=cfg["url"], headers=cfg.get("headers"), timeout=float(cfg.get("timeout", 30.0))
+            )
+        else:
+            self.client = MCPStdioClient(
+                command=cfg.get("command", ""),
+                args=cfg.get("args", []),
+                env=cfg.get("env"),
+                timeout=float(cfg.get("timeout", 20.0)),
+            )
         self._remote_tools: list[dict] = []
 
     async def build(self) -> None:
         if self._built:
             return
-        if not self.client.command:
-            raise ValueError("MCP toolkit needs config.command")
+        if isinstance(self.client, MCPStdioClient) and not self.client.command:
+            raise ValueError("MCP toolkit needs config.command (stdio) or config.url (http)")
         await self.client.connect()
         self._remote_tools = await self.client.list_tools()
         if self.config.activated_tools:
