@@ -211,3 +211,39 @@ def test_incremental_stream_deltas():
     deltas, rec = asyncio.run(collect())
     assert deltas == ["hello", " world"]
     assert rec.final_output == "hello world"
+
+
+def test_sequential_tool_calls_knob():
+    order = []
+
+    class OrderedToolkit(AsyncBaseToolkit):
+        @register_tool
+        async def slow(self, tag: str) -> str:
+            """Record execution order.
+
+            Args:
+                tag: Identifier for the call.
+            """
+            order.append(f"start-{tag}")
+            await asyncio.sleep(0.02)
+            order.append(f"end-{tag}")
+            return tag
+
+    from youtu_rag_tpu.agents.llm import ChatResponse, ToolCall
+
+    resp = ChatResponse(
+        ChatMessage(
+            role="assistant",
+            tool_calls=[
+                ToolCall("c1", "slow", '{"tag": "a"}'),
+                ToolCall("c2", "slow", '{"tag": "b"}'),
+            ],
+        ),
+        finish_reason="tool_calls",
+    )
+    cfg = AgentConfig()
+    cfg.model.parallel_tool_calls = False
+    client = FakeChatClient(scripted=[resp, FakeChatClient.text_response("done")])
+    agent = SimpleAgent(cfg, client=client, toolkits=[OrderedToolkit()])
+    asyncio.run(agent.run("go"))
+    assert order == ["start-a", "end-a", "start-b", "end-b"]  # no interleaving

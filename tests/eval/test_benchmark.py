@@ -1,6 +1,8 @@
 import asyncio
 import json
 
+import pytest
+
 from youtu_rag_tpu.agents.config import AgentConfig
 from youtu_rag_tpu.agents.llm import FakeChatClient
 from youtu_rag_tpu.agents.llm_agent import LLMAgent
@@ -79,3 +81,35 @@ def test_load_samples_jsonl(tmp_path):
     samples = bench.load_samples()
     assert len(samples) == 2
     assert samples[1].correct_answer == "a2"
+
+
+def test_gaia_processor_scoring():
+    from youtu_rag_tpu.eval.processor import GaiaProcessor
+
+    p = GaiaProcessor()
+
+    def judge(resp, gold):
+        s = EvaluationSample(dataset="g", index=0, raw_question="q", correct_answer=gold, response=resp)
+        return asyncio.run(p.judge(s)).correct
+
+    assert judge("The answer is 1,234", "1234")
+    assert judge("$42.50", "42.5")
+    assert not judge("43", "42")
+    assert judge("Paris", "paris")
+    assert judge("apple, banana, cherry", "apple,banana,cherry")
+    assert not judge("apple, banana", "apple,banana,cherry")
+
+    s = EvaluationSample(dataset="g", index=0, raw_question="how many?", correct_answer="3")
+    s = p.preprocess(s)
+    assert "as few words as possible" in s.augmented_question
+
+
+def test_processor_factory_names():
+    from youtu_rag_tpu.eval.processor import GaiaProcessor, ProcessorFactory, WebWalkerProcessor
+
+    judge = LLMAgent(client=FakeChatClient())
+    assert isinstance(ProcessorFactory.create("gaia"), GaiaProcessor)
+    assert isinstance(ProcessorFactory.create("webwalker", judge), WebWalkerProcessor)
+    assert ProcessorFactory.create("xbench", judge) is not None
+    with pytest.raises(ValueError):
+        ProcessorFactory.create("nope")

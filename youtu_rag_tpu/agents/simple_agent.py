@@ -177,7 +177,12 @@ class SimpleAgent:
                     )
                     return tc, out
 
-                results = await asyncio.gather(*(run_one(tc) for tc in msg.tool_calls))
+                if self.config.model.parallel_tool_calls is False:
+                    # sequential execution (ref: parallel_tool_calls model
+                    # setting) — tools with ordering side effects
+                    results = [await run_one(tc) for tc in msg.tool_calls]
+                else:
+                    results = await asyncio.gather(*(run_one(tc) for tc in msg.tool_calls))
                 for tc, out in results:
                     messages.append(ChatMessage(role="tool", content=out, tool_call_id=tc.id))
             else:
