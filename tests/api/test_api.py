@@ -341,3 +341,44 @@ class ChunksRouteTest(AsyncHTTPTestCase):
         data = json.loads(r.body)
         assert data["chunks"] and all(c["document_id"] == "a.md" for c in data["chunks"])
         assert self.fetch("/api/knowledge-bases/ghost/chunks").code == 404
+
+
+class SnapshotRouteTest(AsyncHTTPTestCase):
+    def get_app(self):
+        return create_app(_state("snap"))
+
+    def test_snapshot_save_restore(self):
+        docs = [{"id": "s.md", "content": "snapshot me " * 30}]
+        self.fetch(
+            "/api/knowledge-bases/kbs/build", method="POST", body=json.dumps({"documents": docs})
+        )
+        r = self.fetch(
+            "/api/knowledge-bases/kbs/snapshot", method="POST", body=json.dumps({"action": "save"})
+        )
+        assert r.code == 200
+        data = json.loads(r.body)
+        assert data["chunks"] >= 1
+
+        # clear then restore
+        state = self._app.settings["api_state"]
+        kb = state.kbs.get("kbs")
+        self.io_loop.run_sync(kb.store.clear)
+        r = self.fetch(
+            "/api/knowledge-bases/kbs/snapshot",
+            method="POST",
+            body=json.dumps({"action": "restore"}),
+        )
+        assert json.loads(r.body)["chunks"] >= 1
+        r = self.fetch(
+            "/api/knowledge-bases/kbs/query",
+            method="POST",
+            body=json.dumps({"query": "snapshot"}),
+        )
+        assert json.loads(r.body)["results"]
+
+    def test_snapshot_empty_kb_clean_error(self):
+        self.fetch("/api/knowledge-bases", method="POST", body=json.dumps({"name": "kbe"}))
+        r = self.fetch(
+            "/api/knowledge-bases/kbe/snapshot", method="POST", body=json.dumps({"action": "save"})
+        )
+        assert r.code == 400

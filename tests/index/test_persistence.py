@@ -64,3 +64,24 @@ def test_build_manifest_incremental(tmp_path):
 def test_manifest_load_missing(tmp_path):
     m = BuildManifest.load(tmp_path / "nope.json")
     assert m.sources == {}
+
+
+def test_int8_native_snapshot(tmp_path, rng, unit_vectors):
+    """int8 snapshots store raw int8 + scales (no dequantized f32 blob)."""
+    cfg = IndexConfig(min_capacity=128, block_rows=64, storage_dtype="int8")
+    idx = DeviceVectorIndex(32, cfg)
+    idx.add(_chunks(50), unit_vectors(rng, 50, 32))
+    save_index(idx, tmp_path / "s8")
+    data = np.load(tmp_path / "s8.npz")
+    assert "vectors_q" in data and data["vectors_q"].dtype == np.int8
+    assert "scales" in data
+    restored = load_index(tmp_path / "s8")
+    assert restored.config.storage_dtype == "int8"
+    q = unit_vectors(rng, 3, 32)
+    a = idx.search(q, top_k=5)
+    b = restored.search(q, top_k=5)
+    for ha, hb in zip(a, b):
+        # re-add renormalizes dequantized rows → requantization can swap
+        # near-ties; require top-1 identity and high overlap
+        assert ha[0][0].id == hb[0][0].id
+        assert len({c.id for c, _ in ha} & {c.id for c, _ in hb}) >= 4

@@ -217,6 +217,29 @@ class KBBuildHandler(BaseHandler):
         self.write_json({"build": log, "status": status.model_dump()})
 
 
+class KBSnapshotHandler(BaseHandler):
+    """Persist/restore a KB (ref analog: Chroma persist dir / FAISS .index
+    sidecar saves, here explicit snapshots)."""
+
+    async def post(self, name: str):
+        kb = self.state.kbs.get(name)
+        if kb is None:
+            raise tornado.web.HTTPError(404, reason=f"knowledge base {name!r} not found")
+        body = self.json_body()
+        directory = body.get("directory") or str(self.state.data_dir / "snapshots" / name)
+        action = body.get("action", "save")
+        try:
+            if action == "save":
+                result = kb.save(directory)
+            elif action == "restore":
+                result = kb.load(directory)
+            else:
+                raise tornado.web.HTTPError(400, reason="action must be save|restore")
+        except (RuntimeError, FileNotFoundError) as e:
+            raise tornado.web.HTTPError(400, reason=str(e))
+        self.write_json({"action": action, **result})
+
+
 class KBBuildLogsHandler(BaseHandler):
     async def get(self, name: str):
         self.write_json({"logs": [l for l in self.state.build_logs if l["kb"] == name]})
@@ -623,6 +646,7 @@ def create_app(state: ApiState | None = None) -> tornado.web.Application:
             (r"/api/knowledge-bases/([^/]+)", KBItemHandler),
             (r"/api/knowledge-bases/([^/]+)/build", KBBuildHandler),
             (r"/api/knowledge-bases/([^/]+)/build-logs", KBBuildLogsHandler),
+            (r"/api/knowledge-bases/([^/]+)/snapshot", KBSnapshotHandler),
             (r"/api/knowledge-bases/([^/]+)/query", KBQueryHandler),
             (r"/api/knowledge-bases/([^/]+)/qa", KBQAHandler),
             (r"/api/knowledge-bases/([^/]+)/chunks", KBChunksHandler),

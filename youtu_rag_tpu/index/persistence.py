@@ -41,12 +41,20 @@ def save_index(index: DeviceVectorIndex, path: str | Path) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
 
-    import jax.numpy as jnp
-
     live = [(r, c) for r, c in enumerate(index._chunks) if c is not None]
     rows = np.asarray([r for r, _ in live], np.int64)
-    vecs32 = np.asarray(index.dequantized_vectors())
-    vectors = vecs32[rows][:, : index.dim] if len(rows) else np.zeros((0, index.dim), np.float32)
+    arrays: dict[str, np.ndarray] = {}
+    if getattr(index, "_int8", False):
+        # raw int8 + scales: exact storage round-trip, quarter the bytes
+        q = np.asarray(index._vectors)
+        arrays["vectors_q"] = q[rows][:, : index.dim] if len(rows) else np.zeros((0, index.dim), np.int8)
+        sc = np.asarray(index._scales)
+        arrays["scales"] = sc[rows] if len(rows) else np.zeros(0, np.float32)
+    else:
+        vecs32 = np.asarray(index.dequantized_vectors())
+        arrays["vectors"] = (
+            vecs32[rows][:, : index.dim] if len(rows) else np.zeros((0, index.dim), np.float32)
+        )
     cols = np.asarray(index._cols)[rows] if len(rows) else np.zeros((0, index.schema.max_columns), np.int32)
 
     meta = {
@@ -71,9 +79,7 @@ def save_index(index: DeviceVectorIndex, path: str | Path) -> None:
         dir=path.parent, suffix=".npz.tmp", delete=False
     )
     try:
-        # float32 on disk: exact round-trip of the dequantized store values
-        # (f16 would overflow for un-normalized l2/ip vectors)
-        np.savez_compressed(tmp_npz, vectors=vectors, cols=cols)
+        np.savez_compressed(tmp_npz, cols=cols, **arrays)
         tmp_npz.close()
         os.replace(tmp_npz.name, f"{path}.npz")
     except BaseException:
@@ -91,7 +97,10 @@ def load_index(path: str | Path, config: IndexConfig | None = None, mesh=None) -
     meta = json.loads(Path(f"{path}.json").read_text())
     assert meta["format_version"] == _FORMAT_VERSION, meta["format_version"]
     with np.load(f"{path}.npz") as data:
-        vectors = data["vectors"].astype(np.float32)
+        if "vectors_q" in data:  # int8 snapshot: dequantize for re-insert
+            vectors = data["vectors_q"].astype(np.float32) * data["scales"][:, None]
+        else:
+            vectors = data["vectors"].astype(np.float32)
 
     cfg = config or IndexConfig.model_validate(meta["config"])
     if mesh is not None:

@@ -73,6 +73,35 @@ class KnowledgeBase:
     ) -> list[RetrievalResult]:
         return await self.retriever.retrieve(query, top_k=top_k, filters=filters, **kwargs)
 
+    def save(self, directory: str) -> dict[str, Any]:
+        """Snapshot the KB: index arrays + chunks + schema (+ manifest when
+        the builder agent is used separately). Atomic per artifact."""
+        from pathlib import Path
+
+        from ..index.persistence import save_index
+
+        d = Path(directory)
+        d.mkdir(parents=True, exist_ok=True)
+        if self.store._index is None:
+            raise RuntimeError("empty knowledge base; nothing to snapshot")
+        save_index(self.store._index, d / "index")
+        (d / "kb.json").write_text(
+            __import__("json").dumps({"name": self.name, "config": self.config.model_dump()})
+        )
+        return {"directory": str(d), "chunks": self.store._index.count()}
+
+    def load(self, directory: str) -> dict[str, Any]:
+        """Restore a snapshot into this KB (replaces current contents)."""
+        from pathlib import Path
+
+        from ..index.persistence import load_index
+
+        d = Path(directory)
+        idx = load_index(d / "index")
+        self.store._index = idx
+        self.store._dim = idx.dim
+        return {"directory": str(d), "chunks": idx.count()}
+
     async def stats(self) -> dict[str, Any]:
         return {
             "name": self.name,
