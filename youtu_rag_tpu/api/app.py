@@ -160,7 +160,23 @@ class KBCollectionHandler(BaseHandler):
             raise tornado.web.HTTPError(400, reason="missing 'name'")
         if self.state.kbs.get(name) is not None:
             raise tornado.web.HTTPError(409, reason=f"knowledge base {name!r} exists")
-        kb = self.state.get_or_create_kb(name)
+        cfg = None
+        if body.get("config"):
+            # per-KB config overrides (ref analog: per-KB YAML configs,
+            # kb_config_routes.py) — e.g. {"knowledge_builder": {"embedding":
+            # {"coalesce_window_ms": 3}}} enables request coalescing
+            from ..core.config import RAGConfig
+
+            base = self.state.rag_config.model_dump()
+            base.update(body["config"])
+            base["name"] = name
+            try:
+                cfg = RAGConfig.model_validate(base)
+            except Exception as e:  # noqa: BLE001 - surface validation detail
+                # tornado reasons must be single-line; pydantic errors aren't
+                detail = " | ".join(str(e).splitlines())[:300]
+                raise tornado.web.HTTPError(400, reason=f"invalid config: {detail}") from None
+        kb = self.state.get_or_create_kb(name, cfg)
         self.write_json(await kb.stats(), status=201)
 
 

@@ -240,6 +240,91 @@ class RemoteEmbedder(BaseEmbedder):
         return (await self.embed_texts([query]))[0]
 
 
+class CoalescingEmbedder(BaseEmbedder):
+    """Request-coalescing wrapper: concurrent embed calls inside a short
+    window merge into ONE underlying batch dispatch.
+
+    Why: on TPU each dispatch pays fixed overhead (host RPC + launch,
+    ~tens of ms through a tunnel), so N concurrent single-query embeds —
+    the API-server hot path, one per /query request — cost N dispatches
+    while one [N, T] forward costs ~one. The reference pays this per HTTP
+    call to its embedding service (``service_embedder.py:16-177``); here
+    the batching happens in-process in front of the jit forward.
+
+    Mechanics: calls enqueue (texts, future) and a lazily-started worker
+    drains the queue — it waits ``window_ms`` after the first arrival
+    (bounded by ``max_batch`` texts), embeds the concatenation once, and
+    slices results back per caller. Errors propagate to every waiter in
+    the merged batch. The worker restarts transparently if the event loop
+    changed (tests spin up a loop per case)."""
+
+    def __init__(self, inner: BaseEmbedder, window_ms: float = 3.0, max_batch: int = 256):
+        self.inner = inner
+        self.window_s = window_ms / 1e3
+        self.max_batch = max_batch
+        self._queue: asyncio.Queue | None = None
+        self._worker: asyncio.Task | None = None
+        self._loop: asyncio.AbstractEventLoop | None = None
+        self.stats = {"dispatches": 0, "items": 0, "max_merged": 0}
+
+    @property
+    def dimension(self) -> int | None:
+        return self.inner.dimension
+
+    def _ensure_worker(self) -> asyncio.Queue:
+        loop = asyncio.get_running_loop()
+        if self._queue is None or self._loop is not loop or (self._worker and self._worker.done()):
+            self._queue = asyncio.Queue()
+            self._loop = loop
+            self._worker = loop.create_task(self._run())
+        return self._queue
+
+    async def _run(self) -> None:
+        queue = self._queue
+        while True:
+            first = await queue.get()
+            batch = [first]
+            n = len(first[0])
+            deadline = asyncio.get_running_loop().time() + self.window_s
+            while n < self.max_batch:
+                remaining = deadline - asyncio.get_running_loop().time()
+                if remaining <= 0:
+                    break
+                try:
+                    item = await asyncio.wait_for(queue.get(), remaining)
+                except asyncio.TimeoutError:
+                    break
+                batch.append(item)
+                n += len(item[0])
+            texts = [t for ts, _ in batch for t in ts]
+            self.stats["dispatches"] += 1
+            self.stats["items"] += len(texts)
+            self.stats["max_merged"] = max(self.stats["max_merged"], len(batch))
+            try:
+                embs = await self.inner.embed_texts(texts)
+            except Exception as e:  # noqa: BLE001 - fan the failure out
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(RuntimeError(str(e)))
+                continue
+            off = 0
+            for ts, fut in batch:
+                if not fut.done():
+                    fut.set_result(embs[off : off + len(ts)])
+                off += len(ts)
+
+    async def embed_texts(self, texts: list[str]) -> list[list[float]]:
+        if not texts:
+            return []
+        queue = self._ensure_worker()
+        fut: asyncio.Future = asyncio.get_running_loop().create_future()
+        queue.put_nowait((texts, fut))
+        return await fut
+
+    async def embed_query(self, query: str) -> list[float]:
+        return (await self.embed_texts([query]))[0]
+
+
 class EmbedderFactory:
     """Provider dispatch (ref: ``embeddings/factory.py:14-161``).
 
@@ -250,6 +335,15 @@ class EmbedderFactory:
     @staticmethod
     def create(config: EmbeddingConfig | None = None, **kwargs) -> BaseEmbedder:
         config = config or EmbeddingConfig()
+        inner = EmbedderFactory._create_inner(config, **kwargs)
+        if config.coalesce_window_ms > 0:
+            return CoalescingEmbedder(
+                inner, window_ms=config.coalesce_window_ms, max_batch=config.batch_size
+            )
+        return inner
+
+    @staticmethod
+    def _create_inner(config: EmbeddingConfig, **kwargs) -> BaseEmbedder:
         provider = config.provider
         if provider == "auto":  # pragma: no cover - env-dependent
             url = os.environ.get("YRT_EMBEDDING_URL") or os.environ.get("UTU_EMBEDDING_URL")

@@ -103,12 +103,15 @@ class KnowledgeBase:
         return {"directory": str(d), "chunks": idx.count()}
 
     async def stats(self) -> dict[str, Any]:
-        return {
+        out = {
             "name": self.name,
             "chunks": await self.store.count(),
             "backend": self.config.vector_store.backend,
             "embedder": type(self.embedder).__name__,
         }
+        if hasattr(self.embedder, "stats"):  # CoalescingEmbedder dispatch counters
+            out["embedder_stats"] = dict(self.embedder.stats)
+        return out
 
 
 class KBRegistry:
