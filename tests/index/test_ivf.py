@@ -137,3 +137,61 @@ def test_ivf_int8_index():
     # filters still fused
     hits = idx.search(q[:1], top_k=5, filters={"i": {"$lt": 100}})[0]
     assert hits and all(c.metadata["i"] < 100 for c, _ in hits)
+
+
+# -- adaptive nprobe ---------------------------------------------------------
+
+
+def test_adaptive_probe_shrinks_block_list(rng, unit_vectors):
+    """probe_blocks with a tight margin probes fewer blocks for a query
+    sitting on one cluster; recall-critical clusters survive via min_probe."""
+    import jax.numpy as jnp
+
+    from youtu_rag_tpu.index.ivf import probe_blocks
+
+    d = 32
+    cents = unit_vectors(rng, 8, d)
+    bstart = jnp.arange(8, dtype=jnp.int32) * 4
+    bcnt = jnp.full(8, 4, jnp.int32)
+    q = jnp.asarray(cents[2:3])  # exactly on centroid 2
+
+    common = dict(
+        n_probe=6, max_cluster_blocks=4, total_blocks=32,
+        frozen_blocks=jnp.int32(32), max_blocks=32,
+    )
+    _, n_fixed = probe_blocks(q, jnp.asarray(cents), bstart, bcnt, **common)
+    ids_a, n_adapt = probe_blocks(
+        q, jnp.asarray(cents), bstart, bcnt,
+        adaptive_margin=jnp.float32(0.05), min_probe=jnp.int32(1), **common,
+    )
+    assert int(n_fixed) == 24  # 6 clusters x 4 blocks
+    assert int(n_adapt) == 4  # only cluster 2 within margin
+    assert sorted(np.asarray(ids_a[:4]).tolist()) == [8, 9, 10, 11]
+
+    # min_probe floors the kept set even with margin 0
+    _, n_floor = probe_blocks(
+        q, jnp.asarray(cents), bstart, bcnt,
+        adaptive_margin=jnp.float32(0.0), min_probe=jnp.int32(3), **common,
+    )
+    assert int(n_floor) == 12
+
+
+def test_adaptive_ivf_search_recall(rng):
+    """End-to-end: adaptive margin keeps recall on clustered data while
+    probing less than the fixed plan for on-cluster queries."""
+    d = 64
+    vecs, centers = _clustered_data(rng, 16, 128, d)
+    cfg = IndexConfig(
+        min_capacity=2048, block_rows=64, n_lists=16, n_probe=8,
+        kmeans_iters=8, ivf_adaptive_margin=0.2, ivf_min_probe=2,
+    )
+    idx = DeviceVectorIndex(d, cfg)
+    idx.add([Chunk(f"c{i}", "d", f"t{i}", i, {}) for i in range(len(vecs))], vecs)
+    queries = centers[:8] + 0.05 * rng.normal(size=(8, d)).astype(np.float32)
+    brute = [[c.id for c, _ in idx.search(q[None], top_k=10)[0]] for q in queries]
+    idx.build_ivf()
+    recalls = [
+        len({c.id for c, _ in idx.search(q[None], top_k=10)[0]} & set(b)) / 10
+        for q, b in zip(queries, brute)
+    ]
+    assert np.mean(recalls) >= 0.95, recalls

@@ -231,3 +231,78 @@ class McpHttpTest(AsyncHTTPTestCase := __import__("tornado.testing", fromlist=["
         assert names == {"mul"}
         assert out == "42"
         assert sid == "sess-1"
+
+
+class McpSseTest(AsyncHTTPTestCase):
+    """Legacy HTTP+SSE MCP transport: endpoint event, POST 202, responses
+    pushed over the long-lived stream."""
+
+    def get_app(self):
+        import json as _json
+        import tornado.web
+
+        streams = {}
+
+        class Sse(tornado.web.RequestHandler):
+            async def get(self):
+                self.set_header("Content-Type", "text/event-stream")
+                sid = "s1"
+                streams[sid] = self
+                self.write(f"event: endpoint\ndata: /messages?session={sid}\n\n")
+                await self.flush()
+                self._done = tornado.locks.Event()
+                await self._done.wait()
+
+            async def push(self, msg):
+                self.write("event: message\ndata: " + _json.dumps(msg) + "\n\n")
+                await self.flush()
+
+        class Messages(tornado.web.RequestHandler):
+            async def post(self):
+                msg = _json.loads(self.request.body)
+                m, rid = msg.get("method"), msg.get("id")
+                self.set_status(202)
+                self.finish()
+                if rid is None:  # notification
+                    return
+                stream = streams["s1"]
+                if m == "initialize":
+                    await stream.push({"jsonrpc": "2.0", "id": rid, "result": {
+                        "protocolVersion": "2024-11-05",
+                        "serverInfo": {"name": "sse-demo", "version": "0"},
+                        "capabilities": {}}})
+                elif m == "tools/list":
+                    await stream.push({"jsonrpc": "2.0", "id": rid, "result": {"tools": [
+                        {"name": "sub", "description": "Subtract",
+                         "inputSchema": {"type": "object", "properties": {
+                             "a": {"type": "integer"}, "b": {"type": "integer"}},
+                             "required": ["a", "b"]}}]}})
+                elif m == "tools/call":
+                    args = msg["params"]["arguments"]
+                    await stream.push({"jsonrpc": "2.0", "id": rid, "result": {
+                        "content": [{"type": "text", "text": str(args["a"] - args["b"])}]}})
+
+        import tornado.locks
+
+        return tornado.web.Application([(r"/sse", Sse), (r"/messages", Messages)])
+
+    def test_sse_transport_roundtrip(self):
+        from youtu_rag_tpu.tools.base import ToolkitConfig
+        from youtu_rag_tpu.tools.mcp_client import MCPSseClient, MCPToolkit
+
+        url = f"http://127.0.0.1:{self.get_http_port()}/sse"
+        tk = MCPToolkit(ToolkitConfig(mode="mcp", config={"url": url}))
+        assert isinstance(tk.client, MCPSseClient)  # inferred from /sse path
+
+        async def go():
+            await tk.build()
+            names = {s["function"]["name"] for s in tk.get_tools_in_openai()}
+            out = await tk.call_tool("sub", {"a": 50, "b": 8})
+            await tk.cleanup()
+            return names, out
+
+        names, out = self.io_loop.run_sync(go)
+        assert names == {"sub"}
+        assert out == "42"
+        # endpoint URL resolved relative to the SSE url
+        assert tk.client._endpoint.endswith("/messages?session=s1")

@@ -114,6 +114,11 @@ class IndexConfig(ConfigBase):
     n_lists: int = Field(default=1024, ge=1)
     n_probe: int = Field(default=64, ge=1)
     kmeans_iters: int = Field(default=10, ge=1)
+    # adaptive nprobe: drop probed clusters whose centroid score trails the
+    # per-query best by more than this margin (0 disables). Easy queries
+    # probe fewer blocks; hard queries keep the full n_probe set.
+    ivf_adaptive_margin: float = Field(default=0.0, ge=0.0)
+    ivf_min_probe: int = Field(default=4, ge=1)
     # maintenance
     auto_compact_ratio: float = Field(
         default=0.5,

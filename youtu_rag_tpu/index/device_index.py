@@ -439,8 +439,22 @@ class DeviceVectorIndex:
         st = self._ivf
         total_blocks = self.capacity // self.config.block_rows
         max_blocks = plan_max_blocks(st, queries.shape[0], total_blocks)
-        if max_blocks >= total_blocks:  # probing everything → brute force
+        if max_blocks >= total_blocks and backend not in ("pallas", "pallas_interpret"):
+            # XLA fallback gathers max_blocks regardless of n_valid, so a
+            # full-coverage plan degenerates to brute force. The pallas DMA
+            # kernels loop only n_valid blocks — the actual probed union is
+            # usually far below the static worst-case bound, so they stay
+            # on the IVF path even when the padded plan spans everything.
             return self._run_brute(queries, vectors, bias, k, backend)
+        margin = self.config.ivf_adaptive_margin
+        adaptive = (
+            {
+                "adaptive_margin": jnp.float32(margin),
+                "min_probe": jnp.int32(min(self.config.ivf_min_probe, st.n_probe)),
+            }
+            if margin > 0
+            else {}
+        )
         ids, n_valid = probe_blocks(
             queries,
             st.centroids,
@@ -451,6 +465,7 @@ class DeviceVectorIndex:
             total_blocks=total_blocks,
             frozen_blocks=jnp.int32(st.frozen_blocks),
             max_blocks=max_blocks,
+            **adaptive,
         )
         br = self.config.block_rows
         if self._int8:

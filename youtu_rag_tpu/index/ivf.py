@@ -113,16 +113,31 @@ def probe_blocks(
     total_blocks: int,
     frozen_blocks,  # traced scalar: per-shard values differ under shard_map
     max_blocks: int,
+    adaptive_margin=None,  # traced f32 scalar; None/inf = fixed n_probe
+    min_probe=None,  # traced i32 scalar; floor on kept clusters per query
 ):
     """Union of probed clusters' blocks (+ always the tail) → padded ids.
 
+    Adaptive nprobe: when ``adaptive_margin`` is given, a query keeps only
+    the clusters whose centroid score is within the margin of its best
+    (never fewer than ``min_probe``). Shapes stay static — dropped
+    clusters just contribute zero blocks, shrinking ``n_valid`` and with
+    it the DMA kernel's trip count (ops/ivf.py loops n_valid, not
+    max_blocks). FAISS/ScaNN expose this as per-query nprobe auto-tuning;
+    here it falls out of the mask-and-union plan.
+
     Returns (block_ids [max_blocks] i32, n_valid [] i32)."""
     sims = queries.astype(jnp.float32) @ centroids.T  # [q, C]
-    _, top_c = jax.lax.top_k(sims, n_probe)  # [q, p]
+    top_sims, top_c = jax.lax.top_k(sims, n_probe)  # [q, p]
     sel = top_c.reshape(-1)  # [q*p]
 
     starts = jnp.take(cluster_block_start, sel)  # [qp]
     counts = jnp.take(cluster_block_count, sel)  # [qp]
+    if adaptive_margin is not None:
+        floor = jnp.int32(1) if min_probe is None else min_probe
+        rank = jnp.arange(n_probe)[None, :]  # [1, p] (top_k is sorted)
+        keep = (top_sims >= top_sims[:, :1] - adaptive_margin) | (rank < floor)
+        counts = jnp.where(keep.reshape(-1), counts, 0)
     offs = jnp.arange(max_cluster_blocks)[None, :]  # [1, mcb]
     blocks = starts[:, None] + offs  # [qp, mcb]
     valid = offs < counts[:, None]

@@ -235,6 +235,16 @@ class ShardedVectorIndex(DeviceVectorIndex):
         axis = self.axis
         rows_per_shard = self.capacity // self.n_shards
 
+        margin = self.config.ivf_adaptive_margin
+        adaptive = (
+            {
+                "adaptive_margin": jnp.float32(margin),
+                "min_probe": jnp.int32(min(self.config.ivf_min_probe, n_probe)),
+            }
+            if margin > 0
+            else {}
+        )
+
         def per_shard(q, x, sc, b, bstart, bcnt, frozen, cent):
             ids, n_valid = probe_blocks(
                 q,
@@ -246,6 +256,7 @@ class ShardedVectorIndex(DeviceVectorIndex):
                 total_blocks=local_blocks,
                 frozen_blocks=frozen[0, 0],
                 max_blocks=max_blocks,
+                **adaptive,
             )
             if backend == "pallas" and int8:
                 s, i = pallas_ivf_topk_int8_dma(q, x, sc[:, 0], b, ids, n_valid, k, block_rows=br)

@@ -206,19 +206,160 @@ class MCPHttpClient:
         return "\n".join(parts)
 
 
+class MCPSseClient:
+    """Legacy HTTP+SSE MCP transport (the pre-streamable 2024 profile the
+    reference selects with mcp_transport='sse'): GET the SSE endpoint for a
+    long-lived stream; the first ``endpoint`` event names the POST URL;
+    requests POST there (202) and responses arrive as ``message`` events
+    on the stream."""
+
+    def __init__(self, url: str, headers: dict | None = None, timeout: float = 30.0):
+        self.url = url
+        self.headers = headers or {}
+        self.timeout = timeout
+        self._id = 0
+        self._endpoint: str | None = None
+        self._endpoint_ready: asyncio.Future | None = None
+        self._pending: dict[int, asyncio.Future] = {}
+        self._reader_task: asyncio.Task | None = None
+        self._client = None  # long-lived httpx client pinned to the stream
+
+    async def connect(self) -> None:
+        import httpx
+
+        self._client = httpx.AsyncClient(timeout=httpx.Timeout(self.timeout, read=None))
+        loop = asyncio.get_running_loop()
+        self._endpoint_ready = loop.create_future()
+        self._reader_task = loop.create_task(self._read_stream())
+        await asyncio.wait_for(self._endpoint_ready, self.timeout)
+        result = await self._request(
+            "initialize",
+            {
+                "protocolVersion": _PROTOCOL_VERSION,
+                "capabilities": {},
+                "clientInfo": {"name": "youtu-rag-tpu", "version": "0.1.0"},
+            },
+        )
+        await self._notify("notifications/initialized", {})
+        logger.info("MCP (sse) connected: %s", result.get("serverInfo", {}))
+
+    async def close(self) -> None:
+        if self._reader_task is not None:
+            self._reader_task.cancel()
+            try:
+                await self._reader_task
+            except (asyncio.CancelledError, Exception):  # noqa: BLE001
+                pass
+            self._reader_task = None
+        if self._client is not None:
+            await self._client.aclose()
+            self._client = None
+
+    async def _read_stream(self) -> None:
+        """Parse the SSE stream; route `endpoint` and JSON-RPC `message`s."""
+        from urllib.parse import urljoin
+
+        try:
+            async with self._client.stream(
+                "GET", self.url, headers={"Accept": "text/event-stream", **self.headers}
+            ) as r:
+                r.raise_for_status()
+                event, data_lines = "message", []
+                async for line in r.aiter_lines():
+                    if line.startswith("event:"):
+                        event = line[6:].strip()
+                    elif line.startswith("data:"):
+                        data_lines.append(line[5:].lstrip())
+                    elif line == "":  # blank line = event boundary
+                        if data_lines:
+                            self._dispatch(event, "\n".join(data_lines), urljoin)
+                        event, data_lines = "message", []
+                    # comments (":" prefix) and other fields ignored
+        except asyncio.CancelledError:
+            raise
+        except Exception as e:  # noqa: BLE001 - fail all waiters
+            for fut in self._pending.values():
+                if not fut.done():
+                    fut.set_exception(RuntimeError(f"MCP SSE stream failed: {e}"))
+            if self._endpoint_ready and not self._endpoint_ready.done():
+                self._endpoint_ready.set_exception(RuntimeError(f"MCP SSE connect failed: {e}"))
+
+    def _dispatch(self, event: str, data: str, urljoin) -> None:
+        if not data:
+            return
+        if self._endpoint is None and (event == "endpoint" or not data.startswith("{")):
+            self._endpoint = urljoin(self.url, data)
+            if self._endpoint_ready and not self._endpoint_ready.done():
+                self._endpoint_ready.set_result(None)
+            return
+        try:
+            msg = json.loads(data)
+        except json.JSONDecodeError:
+            return
+        fut = self._pending.pop(msg.get("id"), None)
+        if fut is not None and not fut.done():
+            fut.set_result(msg)
+
+    async def _notify(self, method: str, params: dict) -> None:
+        await self._client.post(
+            self._endpoint,
+            json={"jsonrpc": "2.0", "method": method, "params": params},
+            headers={"Content-Type": "application/json", **self.headers},
+        )
+
+    async def _request(self, method: str, params: dict) -> dict:
+        self._id += 1
+        rid = self._id
+        fut = asyncio.get_running_loop().create_future()
+        self._pending[rid] = fut
+        r = await self._client.post(
+            self._endpoint,
+            json={"jsonrpc": "2.0", "id": rid, "method": method, "params": params},
+            headers={"Content-Type": "application/json", **self.headers},
+        )
+        if r.status_code >= 400:
+            self._pending.pop(rid, None)
+            raise RuntimeError(f"MCP SSE POST failed: HTTP {r.status_code}")
+        msg = await asyncio.wait_for(fut, self.timeout)
+        if "error" in msg:
+            raise RuntimeError(f"MCP error: {msg['error']}")
+        return msg.get("result", {})
+
+    async def list_tools(self) -> list[dict]:
+        return (await self._request("tools/list", {})).get("tools", [])
+
+    async def call_tool(self, name: str, arguments: dict) -> str:
+        result = await self._request("tools/call", {"name": name, "arguments": arguments})
+        parts = []
+        for item in result.get("content", []):
+            if item.get("type") == "text":
+                parts.append(item.get("text", ""))
+            else:
+                parts.append(json.dumps(item, ensure_ascii=False))
+        if result.get("isError"):
+            return "Error: " + ("\n".join(parts) or "tool failed")
+        return "\n".join(parts)
+
+
 @register_toolkit("mcp")
 class MCPToolkit(AsyncBaseToolkit):
     """Bridge an MCP server's tools into the toolkit surface.
 
     config (ToolkitConfig.config):
       stdio transport:           command, args, env, timeout
-      streamable_http transport: url, headers, timeout"""
+      streamable_http transport: url, headers, timeout
+      sse transport (legacy):    url, headers, timeout + transport='sse'
+                                 (also inferred from a /sse url path)"""
 
     def __init__(self, config: ToolkitConfig | dict | None = None):
         super().__init__(config)
         cfg = self.config.config
         if cfg.get("url"):
-            self.client = MCPHttpClient(
+            transport = cfg.get("transport") or (
+                "sse" if cfg["url"].rstrip("/").endswith("/sse") else "streamable_http"
+            )
+            client_cls = MCPSseClient if transport == "sse" else MCPHttpClient
+            self.client = client_cls(
                 url=cfg["url"], headers=cfg.get("headers"), timeout=float(cfg.get("timeout", 30.0))
             )
         else:
