@@ -156,10 +156,17 @@ def main() -> None:
     max_cb = int(np.asarray(block_cnt).max())
 
     results = []
-    for n_probe in (4, 8, 16):
+    # (n_probe, adaptive_margin): margin > 0 drops probed clusters trailing
+    # the per-query best centroid score (per-query adaptive nprobe)
+    for n_probe, margin in ((4, 0.0), (8, 0.0), (16, 0.0), (16, 0.1), (16, 0.2)):
         est = q * n_probe * max_cb + 16
         max_blocks = 1 << (est - 1).bit_length()
         max_blocks = min(max_blocks, nb)
+        adaptive = (
+            {"adaptive_margin": jnp.float32(margin), "min_probe": jnp.int32(2)}
+            if margin > 0
+            else {}
+        )
         ids, n_valid = probe_blocks(
             Qd,
             cent,
@@ -170,6 +177,7 @@ def main() -> None:
             total_blocks=nb,
             frozen_blocks=nb,
             max_blocks=max_blocks,
+            **adaptive,
         )
 
         def ivf_fn(Q, X, S, b, ids=ids, nv=n_valid):
@@ -192,6 +200,7 @@ def main() -> None:
         results.append(
             {
                 "n_probe": n_probe,
+                "adaptive_margin": margin,
                 "probed_blocks": int(np.asarray(n_valid)),
                 "total_blocks": nb,
                 "recall_at_10": round(float(recall), 4),
@@ -200,7 +209,7 @@ def main() -> None:
                 "speedup_vs_brute": round(dt / dt_ivf, 2),
             }
         )
-        print(f"  nprobe={n_probe}: {results[-1]}", file=sys.stderr, flush=True)
+        print(f"  nprobe={n_probe} margin={margin}: {results[-1]}", file=sys.stderr, flush=True)
     report["ivf"] = results
 
     out = json.dumps(report)

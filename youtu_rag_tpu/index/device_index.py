@@ -103,6 +103,13 @@ class DeviceVectorIndex:
         # to share one compiled executable (constants stay traced).
         self._filter_cache: dict[str, CompiledFilter] = {}
         self._ivf = None  # IVFState after build_ivf()
+        # next-tier warming: AOT-compile the search kernel at the *next*
+        # capacity in the background once the index passes 75% full, so the
+        # recompile at growth time is a persistent-cache hit instead of a
+        # 20-40s stall (ROADMAP "capacity-growth stalls")
+        self._seen_sigs: set[tuple] = set()  # (q_rows, k, backend)
+        self._warmed_tier = 0
+        self._warm_stats = {"tiers": 0, "kernels": 0}
 
     # -- device helpers ----------------------------------------------------
 
@@ -140,6 +147,51 @@ class DeviceVectorIndex:
         new capacity; observed as p95 spikes in bench_streaming)."""
         with self._lock:
             self._grow(total_rows)
+
+    # -- next-tier warming ---------------------------------------------------
+
+    def _maybe_warm_next_tier(self) -> None:
+        """Called under the lock after an append. When the index crosses 75%
+        full, AOT-lower+compile the brute search kernels at double capacity
+        in a daemon thread. The compiled executables are discarded — the
+        point is populating the persistent XLA compile cache (utils/
+        jax_cache) so the growth-time jit is a fast deserialize. IVF-path
+        shapes depend on the probe plan, so only the brute kernels warm."""
+        if self.size * 4 < self.capacity * 3:
+            return
+        next_cap = self.capacity * 2
+        if self._warmed_tier >= next_cap or not self._seen_sigs:
+            return
+        self._warmed_tier = next_cap
+        sigs = list(self._seen_sigs)
+        threading.Thread(
+            target=self._warm_tier, args=(next_cap, sigs), daemon=True,
+            name=f"yrt-warm-{next_cap}",
+        ).start()
+
+    def _warm_tier(self, cap: int, sigs: list[tuple]) -> None:
+        try:
+            S = jax.ShapeDtypeStruct
+            br = self.config.block_rows
+            for qn, k, raw_backend in sigs:
+                backend = self._backend(raw_backend, cap=cap)
+                q = S((qn, self.d_pad), jnp.float32)
+                b = S((cap,), jnp.float32)
+                if self._int8:
+                    v = S((cap, self.d_pad), jnp.int8)
+                    sc = S((cap,), jnp.float32)
+                    if backend == "pallas":
+                        pallas_topk_int8.lower(q, v, sc, b, k=k, block_rows=br).compile()
+                    else:
+                        xla_topk_int8.lower(q, v, sc, b, k=k).compile()
+                else:
+                    v = S((cap, self.d_pad), self._store_dtype)
+                    _search_plain.lower(q, v, b, k=k, backend=backend, block_rows=br).compile()
+                self._warm_stats["kernels"] += 1
+            self._warm_stats["tiers"] += 1
+            logger.info("warmed next tier %d (%d kernels)", cap, len(sigs))
+        except Exception:  # noqa: BLE001 - warming must never break serving
+            logger.exception("next-tier warm failed (capacity %d)", cap)
 
     def add(self, chunks: list[Chunk], embeddings: np.ndarray) -> list[int]:
         """Append chunks with their embeddings; returns assigned rows.
@@ -213,6 +265,7 @@ class DeviceVectorIndex:
                 self._doc_rows.setdefault(c.document_id, []).append(row)
             self.size += n
             self.live_count += n
+            self._maybe_warm_next_tier()
             return rows
 
     def delete(self, chunk_ids: list[str]) -> int:
@@ -367,7 +420,12 @@ class DeviceVectorIndex:
 
             if filt is not None:
                 bias = _filter_bias(cols, bias, jnp.asarray(filt_consts), filt.signature(), filt)
-            scores, rows = self._run_search(queries, vectors, bias, k_eff, self._backend(backend))
+            resolved = self._backend(backend)
+            if resolved != "pallas_interpret" and len(self._seen_sigs) < 8:
+                # raw backend recorded; re-resolved at warm time for the
+                # bigger capacity (auto can flip xla -> pallas on growth)
+                self._seen_sigs.add((queries.shape[0], k_eff, backend))
+            scores, rows = self._run_search(queries, vectors, bias, k_eff, resolved)
             chunks_snapshot = list(self._chunks)
 
         scores = np.asarray(scores)
@@ -385,14 +443,14 @@ class DeviceVectorIndex:
             out.append(hits)
         return out
 
-    def _backend(self, backend: str) -> str:
+    def _backend(self, backend: str, cap: int | None = None) -> str:
         if backend != "auto":
             return backend
         try:
             on_tpu = jax.devices()[0].platform == "tpu"
         except Exception:
             on_tpu = False
-        if on_tpu and self.capacity >= 8 * self.config.block_rows:
+        if on_tpu and (cap or self.capacity) >= 8 * self.config.block_rows:
             return "pallas"
         return "xla"
 
