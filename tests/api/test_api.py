@@ -10,6 +10,7 @@ from youtu_rag_tpu.agents.simple_agent import SimpleAgent
 from youtu_rag_tpu.api.app import create_app
 from youtu_rag_tpu.api.state import ApiState
 from youtu_rag_tpu.core.config import IndexConfig, RAGConfig, VectorStoreConfig
+from youtu_rag_tpu.core.types import Document
 
 
 def _state(tmp_suffix="t"):
@@ -382,3 +383,83 @@ class SnapshotRouteTest(AsyncHTTPTestCase):
             "/api/knowledge-bases/kbe/snapshot", method="POST", body=json.dumps({"action": "save"})
         )
         assert r.code == 400
+
+
+class QaPairsMgmtTest(AsyncHTTPTestCase):
+    def get_app(self):
+        return create_app(_state("qamgmt"))
+
+    def test_qa_pairs_add_list_search_delete(self):
+        # add pairs through the management route (no prior KB needed)
+        r = self.fetch(
+            "/api/knowledge-bases/kbm/qa-pairs",
+            method="POST",
+            body=json.dumps({"source_id": "faq", "pairs": [
+                {"question": "what is the refund window?", "answer": "30 days"},
+                {"question": "who is the ceo?", "answer": "Jane Doe", "related_file": "org.md"},
+            ]}),
+        )
+        assert r.code == 201, r.body
+        assert json.loads(r.body)["added"] == 2
+
+        # list
+        r = self.fetch("/api/knowledge-bases/kbm/qa-pairs")
+        data = json.loads(r.body)
+        assert data["matched"] == 2
+        byq = {p["question"]: p for p in data["qa_pairs"]}
+        assert byq["who is the ceo?"]["answer"] == "Jane Doe"
+        assert byq["who is the ceo?"]["related_file"] == "org.md"
+
+        # substring search
+        r = self.fetch("/api/knowledge-bases/kbm/qa-pairs?q=refund")
+        data = json.loads(r.body)
+        assert data["matched"] == 1 and data["qa_pairs"][0]["answer"] == "30 days"
+
+        # the qa answering route sees the managed pairs
+        r = self.fetch(
+            "/api/knowledge-bases/kbm/qa",
+            method="POST",
+            body=json.dumps({"question": "refund window?", "threshold": 0.25}),
+        )
+        assert json.loads(r.body)["matched"]["answer"] == "30 days"
+
+        # delete one by chunk id, rest by source
+        cid = data["qa_pairs"][0]["id"]
+        r = self.fetch(f"/api/knowledge-bases/kbm/qa-pairs?id={cid}", method="DELETE")
+        assert json.loads(r.body)["deleted"] == 1
+        r = self.fetch("/api/knowledge-bases/kbm/qa-pairs?source_id=faq", method="DELETE")
+        assert json.loads(r.body)["deleted"] == 1
+        r = self.fetch("/api/knowledge-bases/kbm/qa-pairs")
+        assert json.loads(r.body)["matched"] == 0
+
+    def test_qa_pairs_validation(self):
+        r = self.fetch(
+            "/api/knowledge-bases/kbv/qa-pairs", method="POST",
+            body=json.dumps({"pairs": [{"answer": "no question"}]}),
+        )
+        assert r.code == 400
+        r = self.fetch("/api/knowledge-bases/kbv/qa-pairs", method="DELETE")
+        assert r.code == 404  # kb never created
+
+
+class ChunkBrowseSearchTest(AsyncHTTPTestCase):
+    def get_app(self):
+        return create_app(_state("chbrowse"))
+
+    def test_offset_and_text_search(self):
+        state = self._app.settings["api_state"]
+        kb = state.get_or_create_kb("kbc")
+        docs = [Document(id=f"d{i}", content=f"chunk number {i} about {'tpu' if i % 2 else 'gpu'}")
+                for i in range(10)]
+        self.io_loop.run_sync(lambda: kb.build_documents(docs))
+
+        r = json.loads(self.fetch("/api/knowledge-bases/kbc/chunks?limit=4").body)
+        assert r["total"] == 10 and len(r["chunks"]) == 4 and r["matched"] == 10
+        r2 = json.loads(self.fetch("/api/knowledge-bases/kbc/chunks?limit=4&offset=8").body)
+        assert len(r2["chunks"]) == 2  # tail page
+        ids = {c["id"] for c in r["chunks"]} | {c["id"] for c in r2["chunks"]}
+        assert len(ids) == 6  # no overlap between pages
+
+        r3 = json.loads(self.fetch("/api/knowledge-bases/kbc/chunks?q=tpu").body)
+        assert r3["matched"] == 5
+        assert all("tpu" in c["content"] for c in r3["chunks"])

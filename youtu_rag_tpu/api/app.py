@@ -305,6 +305,8 @@ class KBChunksHandler(BaseHandler):
         if kb is None:
             raise tornado.web.HTTPError(404, reason=f"knowledge base {name!r} not found")
         limit = int(self.get_query_argument("limit", "50"))
+        offset = int(self.get_query_argument("offset", "0"))
+        text_q = self.get_query_argument("q", "").lower()
         index_type = self.get_query_argument("index_type", None)
         document_id = self.get_query_argument("document_id", None)
         filters: dict = {}
@@ -312,19 +314,21 @@ class KBChunksHandler(BaseHandler):
             filters["index_type"] = index_type
         if document_id:
             filters["source"] = document_id
-        chunks = await kb.store.get_by_filter(filters or {}, limit=limit) if filters else []
-        if not filters:
+        if filters:
+            chunks = await kb.store.get_by_filter(filters, limit=offset + limit)
+        else:
             idx = kb.store._index
-            chunks = []
-            if idx is not None:
-                for c in idx.iter_live():
-                    chunks.append(c)
-                    if len(chunks) >= limit:
-                        break
+            chunks = list(idx.iter_live()) if idx is not None else []
+        if text_q:
+            chunks = [c for c in chunks if text_q in c.content.lower()]
+        matched = len(chunks)
+        chunks = chunks[offset : offset + limit]
         self.write_json(
             {
                 "kb": name,
                 "total": await kb.store.count(),
+                "matched": matched,
+                "offset": offset,
                 "chunks": [
                     {
                         "id": c.id,
@@ -337,6 +341,76 @@ class KBChunksHandler(BaseHandler):
                 ],
             }
         )
+
+
+class KBQAPairsHandler(BaseHandler):
+    """QA-pair management: list / add / delete stored QA associations
+    (ref: the QA management screens + routes, utu/rag/api/routes/
+    knowledge_base.py:759-893; pairs are chunks with element_type=qa whose
+    question is the vector and answer rides in metadata)."""
+
+    def _kb(self, name: str):
+        kb = self.state.kbs.get(name)
+        if kb is None:
+            raise tornado.web.HTTPError(404, reason=f"knowledge base {name!r} not found")
+        return kb
+
+    async def get(self, name: str):
+        kb = self._kb(name)
+        q = self.get_query_argument("q", "").lower()
+        limit = int(self.get_query_argument("limit", "100"))
+        offset = int(self.get_query_argument("offset", "0"))
+        idx = kb.store._index
+        pairs = []
+        for c in idx.iter_live() if idx is not None else []:
+            if (c.metadata or {}).get("element_type") != "qa":
+                continue
+            if q and q not in c.content.lower():
+                continue
+            pairs.append(
+                {
+                    "id": c.id,
+                    "source_id": c.document_id,
+                    "question": c.content.split("\n")[0].removeprefix("Q: "),
+                    "answer": (c.metadata or {}).get("answer", ""),
+                    "related_file": (c.metadata or {}).get("related_file", ""),
+                }
+            )
+        self.write_json(
+            {"kb": name, "matched": len(pairs), "qa_pairs": pairs[offset : offset + limit]}
+        )
+
+    async def post(self, name: str):
+        import uuid as _uuid
+
+        from ..ingest.processors import ProcessorContext, QAProcessor, SourceTask
+        from ..ingest.tables import TableStore
+
+        body = self.json_body()
+        pairs = body.get("pairs") or []
+        if not pairs or not all(p.get("question") for p in pairs):
+            raise tornado.web.HTTPError(400, reason="need 'pairs' each with a 'question'")
+        kb = self.state.get_or_create_kb(name)
+        source_id = body.get("source_id") or f"qa-{_uuid.uuid4().hex[:8]}"
+        ctx = ProcessorContext(
+            name, kb.store, kb.embedder, TableStore(), kb.config.knowledge_builder
+        )
+        res = await QAProcessor(ctx).process(SourceTask(source_id, "qa", qa_pairs=pairs))
+        await kb.warmup()
+        self.write_json({"kb": name, "source_id": source_id, "added": res.chunks}, status=201)
+
+    async def delete(self, name: str):
+        kb = self._kb(name)
+        cid = self.get_query_argument("id", None)
+        source_id = self.get_query_argument("source_id", None)
+        if cid:
+            await kb.store.delete([cid])
+            self.write_json({"deleted": 1})
+        elif source_id:
+            n = await kb.store.delete_by_document_id(source_id)
+            self.write_json({"deleted": n})
+        else:
+            raise tornado.web.HTTPError(400, reason="need ?id= or ?source_id=")
 
 
 class KBQueryHandler(BaseHandler):
@@ -665,6 +739,7 @@ def create_app(state: ApiState | None = None) -> tornado.web.Application:
             (r"/api/knowledge-bases/([^/]+)/snapshot", KBSnapshotHandler),
             (r"/api/knowledge-bases/([^/]+)/query", KBQueryHandler),
             (r"/api/knowledge-bases/([^/]+)/qa", KBQAHandler),
+            (r"/api/knowledge-bases/([^/]+)/qa-pairs", KBQAPairsHandler),
             (r"/api/knowledge-bases/([^/]+)/chunks", KBChunksHandler),
             (r"/api/files/upload", FileUploadHandler),
             (r"/api/files/upload-with-progress", FileUploadProgressStartHandler),
