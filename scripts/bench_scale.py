@@ -59,7 +59,7 @@ def main() -> None:
 
     # clustered data generated host-side in chunks (int8 + per-row scales)
     print(f"generating {N} clustered rows ...", file=sys.stderr, flush=True)
-    centers = rng.normal(size=(args.n_clusters, d)).astype(np.float32)
+    centers = rng.standard_normal((args.n_clusters, d), dtype=np.float32)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     X8 = np.empty((N, d), np.int8)
     scales = np.empty(N, np.float32)
@@ -68,16 +68,21 @@ def main() -> None:
     for i in range(0, N, chunk):
         m = min(chunk, N - i)
         cid = rng.integers(0, args.n_clusters, m)
-        v = centers[cid] + noise * rng.normal(size=(m, d)).astype(np.float32)
+        # standard_normal(dtype=f32) avoids the float64 temporary that made
+        # generation kernel-bound (page zeroing dominated wall clock)
+        v = centers[cid] + noise * rng.standard_normal((m, d), dtype=np.float32)
         v /= np.linalg.norm(v, axis=1, keepdims=True)
         amax = np.maximum(np.abs(v).max(axis=1), 1e-12)
         scales[i : i + m] = amax / 127.0
         X8[i : i + m] = np.clip(np.round(v / (amax / 127.0)[:, None]), -127, 127)
-    queries = centers[:q] + 0.5 * noise * rng.normal(size=(q, d)).astype(np.float32)
+    queries = centers[:q] + 0.5 * noise * rng.standard_normal((q, d), dtype=np.float32)
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
 
+    print("transferring to device ...", file=sys.stderr, flush=True)
     Xd = jax.device_put(jnp.asarray(X8))
     Sd = jax.device_put(jnp.asarray(scales))
+    jax.block_until_ready((Xd, Sd))
+    print("transfer done", file=sys.stderr, flush=True)
     bd = jnp.zeros(N, jnp.float32)
     Qd = jnp.asarray(queries)
 

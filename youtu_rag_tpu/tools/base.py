@@ -70,6 +70,10 @@ class AsyncBaseToolkit:
             for attr_name in dir(type(self)):
                 if attr_name.startswith("__"):
                     continue
+                # skip properties: evaluating them during the scan can force
+                # lazy resources (KB resolution, DB connects) or raise
+                if isinstance(getattr(type(self), attr_name, None), property):
+                    continue
                 attr = getattr(self, attr_name, None)
                 if callable(attr) and getattr(attr, "_is_tool", False):
                     self._tools_map[attr._tool_name] = attr

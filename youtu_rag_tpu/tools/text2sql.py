@@ -36,6 +36,7 @@ class Text2SQLToolkit(BaseRAGToolkit):
     def __init__(self, config=None):
         super().__init__(config)
         self.llm_agent = self.config.config.get("llm_agent")
+        self._adapter = None  # external database (sqlite file / mysql server)
 
     @property
     def tables(self):
@@ -43,6 +44,20 @@ class Text2SQLToolkit(BaseRAGToolkit):
         if t is None:
             raise ValueError("text2sql toolkit needs a 'tables' TableStore in config")
         return t
+
+    @property
+    def adapter(self):
+        """External-database adapter when config has a 'database_url'
+        (sqlite:///... or mysql://...; ref: the mysql branch of the
+        reference's db_utils). None → the KB's in-process TableStore."""
+        if self._adapter is None and self.config.config.get("database_url"):
+            from ..db.adapters import adapter_from_url
+
+            self._adapter = adapter_from_url(
+                self.config.config["database_url"],
+                driver=self.config.config.get("db_driver"),
+            )
+        return self._adapter
 
     @register_tool
     async def schema_link(self, query: str, top_k: int = 3) -> str:
@@ -104,12 +119,23 @@ class Text2SQLToolkit(BaseRAGToolkit):
         Args:
             sql: The SELECT statement to run.
         """
-        result = self.tables.execute_sql(sql)
+        if self.adapter is not None:
+            try:
+                result = self.adapter.query(sql)
+            except Exception as e:  # noqa: BLE001 - same error contract as TableStore
+                result = {"error": str(e)}
+        else:
+            result = self.tables.execute_sql(sql)
         return json.dumps(result, ensure_ascii=False, default=str)
 
     @register_tool
     async def list_tables(self) -> str:
         """List the structured tables available in this knowledge base."""
+        if self.adapter is not None:
+            names = self.adapter.list_tables()
+            if not names:
+                return "No tables in the connected database."
+            return "\n".join(f"- {t}\n{self.adapter.table_ddl(t)}" for t in names)
         rows = self.tables.tables_for_kb(self.kb.name)
         if not rows:
             return "No structured tables in this knowledge base."
