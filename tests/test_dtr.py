@@ -110,3 +110,108 @@ def test_excel_agent_experience_manager(sales_csv):
     agent2 = ExcelAgent(client=FakeChatClient(rule_fn=rule2), memory_toolkit=mem)
     asyncio.run(agent2.run("total revenue for north region?", sales_csv))
     assert "Past successful approaches" in seen["prompt"]
+
+
+# -- MCTS planner -------------------------------------------------------------
+
+
+def test_mcts_planner_prefers_better_branch():
+    from youtu_rag_tpu.integrations.dtr.mcts_planner import MCTSPlanner
+
+    rewards = {"bad": 0.2, "better": 0.6, "best": 1.0}
+    proposals = iter([["better"], ["best"]])
+
+    async def propose(parent_plan, feedback):
+        return next(proposals, parent_plan)
+
+    async def rollout(plan):
+        return rewards[plan[0]], {"plan": plan}
+
+    async def go():
+        p = MCTSPlanner(propose, rollout, iterations=4)
+        return await p.search([["bad"]])
+
+    best = asyncio.run(go())
+    # search escalates bad -> better -> best and early-stops at reward 1.0
+    assert best.plan == ["best"] and best.reward == 1.0
+    stats = type(best).__mro__ and __import__(
+        "youtu_rag_tpu.integrations.dtr.mcts_planner", fromlist=["MCTSPlanner"]
+    ).MCTSPlanner.stats(best)
+    assert stats["nodes"] >= 2
+
+
+def test_mcts_planner_early_stop_budget():
+    from youtu_rag_tpu.integrations.dtr.mcts_planner import MCTSPlanner
+
+    calls = {"rollouts": 0}
+
+    async def propose(parent_plan, feedback):
+        return parent_plan + ["again"]
+
+    async def rollout(plan):
+        calls["rollouts"] += 1
+        return 1.0, None
+
+    async def go():
+        return await MCTSPlanner(propose, rollout, iterations=8).search([["a"]])
+
+    best = asyncio.run(go())
+    assert calls["rollouts"] == 1  # perfect first rollout stops the search
+    assert best.plan == ["a"]
+
+
+def test_mcts_planner_requires_plan():
+    from youtu_rag_tpu.integrations.dtr.mcts_planner import MCTSPlanner
+
+    async def go():
+        async def f(*a):
+            return []
+
+        await MCTSPlanner(f, f).search([])
+
+    with pytest.raises(ValueError):
+        asyncio.run(go())
+
+
+def test_excel_agent_mcts_mode(sales_csv):
+    """MCTS mode: the first plan's code fails, the refined plan succeeds;
+    the final answer comes from the winning rollout."""
+    state = {"code_calls": 0}
+
+    def rule(messages, tools):
+        content = messages[-1].content or ""
+        if content.startswith("You are a data analyst planning"):
+            return FakeChatClient.text_response('["broken first plan"]')
+        if content.startswith("Improve this spreadsheet analysis plan"):
+            return FakeChatClient.text_response('["sum revenue per region"]')
+        if content.startswith("Write pandas code"):
+            state["code_calls"] += 1
+            if "broken first plan" in content:
+                return FakeChatClient.text_response("print(undefined_variable)")
+            return FakeChatClient.text_response(
+                "```python\nprint(dfs['Sheet1'].groupby('region').revenue.sum().to_dict())\n```"
+            )
+        if content.startswith("Did this step execution succeed"):
+            ok = "Error" not in content and "330" in content
+            return FakeChatClient.text_response(json.dumps({"success": ok, "reason": ""}))
+        if content.startswith("Answer the question"):
+            assert "330" in content  # winning rollout feeds the answer
+            return FakeChatClient.text_response("North leads with 330.")
+        raise AssertionError(f"unexpected prompt: {content[:60]}")
+
+    agent = ExcelAgent(
+        client=FakeChatClient(rule_fn=rule),
+        planner="mcts",
+        mcts_iterations=3,
+        max_code_retries=1,
+    )
+    async def go():
+        rec = agent.run_streamed("which region has the most revenue?", sales_csv)
+        events = [e async for e in rec.stream_events()]
+        return await rec.wait(), events
+
+    rec, events = asyncio.run(go())
+    assert rec.final_output == "North leads with 330."
+    mcts_events = [e for e in events if e.type == "plan" and e.data and "mcts" in e.data]
+    assert mcts_events and mcts_events[0].data["best_reward"] == 1.0
+    assert mcts_events[0].data["best_plan"] == ["sum revenue per region"]

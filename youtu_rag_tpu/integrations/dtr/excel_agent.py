@@ -61,6 +61,17 @@ Output:
 
 Reply JSON only: {{"success": true|false, "reason": "..."}}"""
 
+REFINE_PROMPT = """Improve this spreadsheet analysis plan.
+
+Sheets:
+{schema}
+
+Previous plan: {plan}
+Rollout feedback: {feedback}
+
+Propose a better plan (different angle or fixed weaknesses), max {max_steps}
+steps. Reply with a JSON list of step descriptions only."""
+
 ANSWER_PROMPT = """Answer the question from the analysis results.
 
 Question: {question}
@@ -95,6 +106,8 @@ class ExcelAgent:
         max_code_retries: int = 2,
         exec_timeout: float = 30.0,
         memory_toolkit=None,
+        planner: str = "linear",  # "linear" | "mcts" (ref: mcts_planner.py)
+        mcts_iterations: int = 4,
     ):
         self.config = config or AgentConfig()
         self.client = client or get_chat_client(self.config.model.resolved())
@@ -102,6 +115,8 @@ class ExcelAgent:
         self.max_steps = max_steps
         self.max_code_retries = max_code_retries
         self.exec_timeout = exec_timeout
+        self.planner = planner
+        self.mcts_iterations = mcts_iterations
         # experience manager (ref: DTR experience_manager): successful
         # analysis plans persist as procedural skills and prime the planner
         self.memory = memory_toolkit
@@ -115,7 +130,13 @@ class ExcelAgent:
         if path.endswith(".csv"):
             sheets = {"Sheet1": pd.read_csv(path)}
         else:
-            sheets = pd.read_excel(path, sheet_name=None)
+            try:
+                sheets = pd.read_excel(path, sheet_name=None)
+            except ImportError as e:  # pandas lazily needs openpyxl/xlrd
+                raise RuntimeError(
+                    "reading .xlsx needs the 'openpyxl' package (not installed "
+                    "in this environment); convert to CSV or install it"
+                ) from e
         parts = []
         for name, df in sheets.items():
             dtypes = ", ".join(f"{c}:{t}" for c, t in zip(df.columns, df.dtypes.astype(str)))
@@ -191,32 +212,14 @@ class ExcelAgent:
         asyncio.ensure_future(go())
         return recorder
 
-    async def _analyze(self, question: str, path: str | None, recorder: TaskRecorder) -> str:
-        if not path or not Path(path).exists():
-            raise FileNotFoundError(f"spreadsheet not found: {path}")
-        schema = self.load_schema(path)
-        recorder.emit(AgentEvent("reasoning_delta", text=f"loaded sheets:\n{schema[:500]}"))
-
-        experience = ""
-        if self.memory is not None:
-            try:
-                skills = await self.memory.search_skills(question, top_k=2)
-                if skills and not skills.startswith("No skills"):
-                    experience = f"\nPast successful approaches:\n{skills}\n"
-            except Exception:  # noqa: BLE001
-                logger.exception("experience retrieval failed")
-        raw = await self._chat(
-            PLAN_PROMPT.format(
-                schema=schema, question=question, max_steps=self.max_steps, experience=experience
-            )
-        )
-        m = _JSON_LIST.search(raw)
-        step_texts = json.loads(m.group(0)) if m else [question]
-        steps = [AnalysisStep(str(s)) for s in step_texts[: self.max_steps]]
-        recorder.emit(AgentEvent("plan", data={"steps": [s.description for s in steps]}))
-
+    async def _run_plan(
+        self, plan: list[str], path: str, schema: str, recorder: TaskRecorder
+    ) -> list[AnalysisStep]:
+        """Execute a plan's steps (code gen → sandbox → reward evaluator,
+        with error-driven retries). One rollout in MCTS terms."""
         completed: list[AnalysisStep] = []
-        for step in steps:
+        for desc in plan:
+            step = AnalysisStep(desc)
             error_context = ""
             for attempt in range(self.max_code_retries + 1):
                 step.attempts = attempt + 1
@@ -253,6 +256,76 @@ class ExcelAgent:
             recorder.add_message(
                 "analyst", f"{step.description} -> {'ok' if step.success else 'failed'}"
             )
+        return completed
+
+    async def _mcts_analyze(
+        self, plan: list[str], path: str, schema: str, recorder: TaskRecorder
+    ) -> list[AnalysisStep]:
+        """Plan-space UCT search (ref: DTR mcts_planner): rollouts execute
+        candidate plans, reward = fraction of steps the evaluator accepts,
+        refinements come from the LLM conditioned on rollout feedback."""
+        from .mcts_planner import MCTSPlanner
+
+        async def propose(parent_plan: list[str], feedback: str) -> list[str]:
+            raw = await self._chat(
+                REFINE_PROMPT.format(
+                    schema=schema,
+                    plan=json.dumps(parent_plan, ensure_ascii=False),
+                    feedback=feedback or "(first refinement)",
+                    max_steps=self.max_steps,
+                )
+            )
+            mm = _JSON_LIST.search(raw)
+            refined = [str(s) for s in json.loads(mm.group(0))] if mm else []
+            return refined[: self.max_steps] or parent_plan
+
+        async def rollout(p: list[str]) -> tuple[float, list[AnalysisStep]]:
+            steps = await self._run_plan(p, path, schema, recorder)
+            reward = sum(s.success for s in steps) / max(len(steps), 1)
+            return reward, steps
+
+        planner = MCTSPlanner(propose, rollout, iterations=self.mcts_iterations)
+        best = await planner.search([plan])
+        recorder.emit(
+            AgentEvent(
+                "plan",
+                data={
+                    "mcts": MCTSPlanner.stats(best),
+                    "best_reward": best.reward,
+                    "best_plan": best.plan,
+                },
+            )
+        )
+        return best.payload or []
+
+    async def _analyze(self, question: str, path: str | None, recorder: TaskRecorder) -> str:
+        if not path or not Path(path).exists():
+            raise FileNotFoundError(f"spreadsheet not found: {path}")
+        schema = self.load_schema(path)
+        recorder.emit(AgentEvent("reasoning_delta", text=f"loaded sheets:\n{schema[:500]}"))
+
+        experience = ""
+        if self.memory is not None:
+            try:
+                skills = await self.memory.search_skills(question, top_k=2)
+                if skills and not skills.startswith("No skills"):
+                    experience = f"\nPast successful approaches:\n{skills}\n"
+            except Exception:  # noqa: BLE001
+                logger.exception("experience retrieval failed")
+        raw = await self._chat(
+            PLAN_PROMPT.format(
+                schema=schema, question=question, max_steps=self.max_steps, experience=experience
+            )
+        )
+        m = _JSON_LIST.search(raw)
+        step_texts = json.loads(m.group(0)) if m else [question]
+        plan = [str(s) for s in step_texts[: self.max_steps]]
+        recorder.emit(AgentEvent("plan", data={"steps": plan}))
+
+        if self.planner == "mcts":
+            completed = await self._mcts_analyze(plan, path, schema, recorder)
+        else:
+            completed = await self._run_plan(plan, path, schema, recorder)
 
         results = "\n".join(
             f"[{i+1}] {s.description} ({'ok' if s.success else 'FAILED'}):\n{s.output[:600]}"
