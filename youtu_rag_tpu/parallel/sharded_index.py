@@ -122,7 +122,13 @@ class ShardedVectorIndex(DeviceVectorIndex):
         sh = self._row_sharding if getattr(x, "ndim", 1) >= 2 else self._vec_sharding
         return jax.device_put(x, sh)
 
-    def _backend(self, backend: str) -> str:
+    def _maybe_warm_next_tier(self) -> None:
+        # next-tier warming targets the single-device brute kernels; the
+        # sharded search path compiles through shard_map with per-shard
+        # shapes, so warming those would cache the wrong executables
+        return
+
+    def _backend(self, backend: str, cap: int | None = None) -> str:
         if backend != "auto":
             return backend
         on_tpu = self.mesh.devices.flat[0].platform == "tpu"
