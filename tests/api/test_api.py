@@ -463,3 +463,65 @@ class ChunkBrowseSearchTest(AsyncHTTPTestCase):
         r3 = json.loads(self.fetch("/api/knowledge-bases/kbc/chunks?q=tpu").body)
         assert r3["matched"] == 5
         assert all("tpu" in c["content"] for c in r3["chunks"])
+
+
+class MetadataExportImportTest(AsyncHTTPTestCase):
+    def get_app(self):
+        return create_app(_state("metaio"))
+
+    def test_csv_roundtrip_and_json_import(self):
+        state = self._app.settings["api_state"]
+        kb = state.get_or_create_kb("kbx")
+        docs = [Document(id=f"d{i}", content=f"doc {i}", metadata={"lang": "en"}) for i in range(3)]
+        self.io_loop.run_sync(lambda: kb.build_documents(docs))
+
+        # export
+        r = self.fetch("/api/knowledge-bases/kbx/metadata")
+        assert r.code == 200 and r.headers["Content-Type"].startswith("text/csv")
+        lines = r.body.decode().strip().splitlines()
+        assert lines[0].startswith("chunk_id,document_id")
+        assert len(lines) == 4  # header + 3 chunks
+
+        # edit one row's metadata and re-import the CSV
+        import csv as _csv
+        import io as _io
+        rows = list(_csv.DictReader(_io.StringIO(r.body.decode())))
+        target = rows[0]["chunk_id"]
+        rows[0]["metadata"] = json.dumps({"lang": "fr", "reviewed": True})
+        buf = _io.StringIO()
+        w = _csv.DictWriter(buf, fieldnames=rows[0].keys())
+        w.writeheader(); w.writerows(rows)
+        r2 = self.fetch(
+            "/api/knowledge-bases/kbx/metadata", method="POST", body=buf.getvalue(),
+            headers={"Content-Type": "text/csv"},
+        )
+        data = json.loads(r2.body)
+        assert data["updated"] == 3 and data["submitted"] == 3
+
+        # the edit is queryable through the filter path
+        q = json.dumps({"query": "doc", "top_k": 5, "filters": {"lang": "fr"}})
+        hits = json.loads(self.fetch("/api/knowledge-bases/kbx/query", method="POST", body=q).body)
+        assert hits["total_results"] == 1 and hits["results"][0]["chunk_id"] == target
+
+        # JSON import path
+        r3 = self.fetch(
+            "/api/knowledge-bases/kbx/metadata", method="POST",
+            body=json.dumps({"updates": [{"id": target, "metadata": {"lang": "de"}}]}),
+        )
+        assert json.loads(r3.body)["updated"] == 1
+
+    def test_import_validation(self):
+        state = self._app.settings["api_state"]
+        state.get_or_create_kb("kbv2")
+        r = self.fetch(
+            "/api/knowledge-bases/kbv2/metadata", method="POST",
+            body="wrong,header\n1,2", headers={"Content-Type": "text/csv"},
+        )
+        assert r.code == 400 and b"chunk_id" in r.body
+        r = self.fetch(
+            "/api/knowledge-bases/kbv2/metadata", method="POST",
+            body=json.dumps({"updates": [{"id": "x", "metadata": "not-a-dict"}]}),
+        )
+        assert r.code == 400
+        r = self.fetch("/api/knowledge-bases/nope/metadata")
+        assert r.code == 404

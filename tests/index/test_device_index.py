@@ -204,3 +204,38 @@ def test_reserve_prevents_growth(rng, unit_vectors):
         dev.add(make_chunks(200, f"r{batch}"), unit_vectors(rng, 200, d))
     assert dev.capacity == cap  # no growth during the appends
     assert dev.count() == 800
+
+
+def test_update_metadata_reencodes_filters(rng, unit_vectors):
+    from youtu_rag_tpu.core.config import IndexConfig
+    from youtu_rag_tpu.index.device_index import DeviceVectorIndex
+
+    idx = DeviceVectorIndex(32, IndexConfig(min_capacity=128, block_rows=64))
+    embs = unit_vectors(rng, 20, 32)
+    chunks = [Chunk(f"c{i}", "d", f"t{i}", i, {"tier": "cold"}) for i in range(20)]
+    idx.add(chunks, embs)
+
+    # searches with the old value see everything; new value sees nothing
+    q = embs[:1]
+    assert len(idx.search(q, top_k=5, filters={"tier": "cold"})[0]) == 5
+    assert len(idx.search(q, top_k=5, filters={"tier": "hot"})[0]) == 0
+
+    n = idx.update_metadata(["c0", "c1", "c2", "missing"], [{"tier": "hot"}] * 4)
+    assert n == 3
+    hot = idx.search(q, top_k=10, filters={"tier": "hot"})[0]
+    assert {c.id for c, _ in hot} == {"c0", "c1", "c2"}
+    # host-side record agrees with the device columns
+    assert idx.get_by_id("c1").metadata == {"tier": "hot"}
+    # vectors untouched: unfiltered top-1 for q (= c0's embedding) is still c0
+    assert idx.search(q, top_k=1)[0][0][0].id == "c0"
+
+
+def test_update_metadata_new_key_extends_schema(rng, unit_vectors):
+    from youtu_rag_tpu.core.config import IndexConfig
+    from youtu_rag_tpu.index.device_index import DeviceVectorIndex
+
+    idx = DeviceVectorIndex(32, IndexConfig(min_capacity=128, block_rows=64))
+    idx.add([Chunk("a", "d", "t", 0, {})], unit_vectors(rng, 1, 32))
+    idx.update_metadata(["a"], [{"brand_new": 7}])
+    hits = idx.search(unit_vectors(rng, 1, 32), top_k=1, filters={"brand_new": 7})[0]
+    assert [c.id for c, _ in hits] == ["a"]

@@ -413,6 +413,80 @@ class KBQAPairsHandler(BaseHandler):
             raise tornado.web.HTTPError(400, reason="need ?id= or ?source_id=")
 
 
+class KBMetadataHandler(BaseHandler):
+    """Chunk-metadata export/import (ref: rag_webui Excel metadata
+    import/export screens). Export is CSV (chunk_id, document_id,
+    chunk_index, content_preview, metadata JSON); import accepts the same
+    CSV back, or JSON {"updates": [{"id", "metadata"}]} — edits are
+    metadata-only (device filter columns re-encode; vectors untouched)."""
+
+    def _kb(self, name: str):
+        kb = self.state.kbs.get(name)
+        if kb is None:
+            raise tornado.web.HTTPError(404, reason=f"knowledge base {name!r} not found")
+        return kb
+
+    async def get(self, name: str):
+        import csv
+        import io
+
+        kb = self._kb(name)
+        idx = kb.store._index
+        buf = io.StringIO()
+        w = csv.writer(buf)
+        w.writerow(["chunk_id", "document_id", "chunk_index", "content_preview", "metadata"])
+        for c in idx.iter_live() if idx is not None else []:
+            w.writerow(
+                [
+                    c.id,
+                    c.document_id,
+                    c.chunk_index,
+                    c.content[:120].replace("\n", " "),
+                    json.dumps(c.metadata or {}, ensure_ascii=False),
+                ]
+            )
+        self.set_header("Content-Type", "text/csv; charset=utf-8")
+        self.set_header(
+            "Content-Disposition", f'attachment; filename="{name}-metadata.csv"'
+        )
+        self.finish(buf.getvalue())
+
+    async def post(self, name: str):
+        import csv
+        import io
+
+        kb = self._kb(name)
+        ids: list[str] = []
+        metas: list[dict] = []
+        ctype = self.request.headers.get("Content-Type", "")
+        if ctype.startswith("text/csv"):
+            reader = csv.DictReader(io.StringIO(self.request.body.decode("utf-8-sig")))
+            if not reader.fieldnames or "chunk_id" not in reader.fieldnames:
+                raise tornado.web.HTTPError(400, reason="CSV needs a 'chunk_id' column")
+            for row in reader:
+                try:
+                    meta = json.loads(row.get("metadata") or "{}")
+                except json.JSONDecodeError:
+                    raise tornado.web.HTTPError(
+                        400, reason=f"bad metadata JSON for chunk {row['chunk_id']!r}"
+                    ) from None
+                ids.append(row["chunk_id"])
+                metas.append(meta)
+        else:
+            body = self.json_body()
+            for u in body.get("updates") or []:
+                if not u.get("id") or not isinstance(u.get("metadata"), dict):
+                    raise tornado.web.HTTPError(
+                        400, reason="each update needs 'id' and object 'metadata'"
+                    )
+                ids.append(u["id"])
+                metas.append(u["metadata"])
+        if not ids:
+            raise tornado.web.HTTPError(400, reason="no updates supplied")
+        updated = await kb.store.update_metadata(ids, metas)
+        self.write_json({"kb": name, "updated": updated, "submitted": len(ids)})
+
+
 class KBQueryHandler(BaseHandler):
     async def post(self, name: str):
         kb = self.state.kbs.get(name)
@@ -740,6 +814,7 @@ def create_app(state: ApiState | None = None) -> tornado.web.Application:
             (r"/api/knowledge-bases/([^/]+)/query", KBQueryHandler),
             (r"/api/knowledge-bases/([^/]+)/qa", KBQAHandler),
             (r"/api/knowledge-bases/([^/]+)/qa-pairs", KBQAPairsHandler),
+            (r"/api/knowledge-bases/([^/]+)/metadata", KBMetadataHandler),
             (r"/api/knowledge-bases/([^/]+)/chunks", KBChunksHandler),
             (r"/api/files/upload", FileUploadHandler),
             (r"/api/files/upload-with-progress", FileUploadProgressStartHandler),

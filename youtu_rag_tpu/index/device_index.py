@@ -268,6 +268,36 @@ class DeviceVectorIndex:
             self._maybe_warm_next_tier()
             return rows
 
+    def update_metadata(self, chunk_ids: list[str], metadatas: list[dict]) -> int:
+        """In-place metadata update (no re-embedding): host chunk records
+        change and the device filter columns are re-encoded + scattered.
+        The metadata-edit path of the reference's Excel metadata screens —
+        content/vectors are untouched, only filterable fields move."""
+        with self._lock:
+            rows: list[int] = []
+            cols: list[list[int]] = []
+            for cid, meta in zip(chunk_ids, metadatas):
+                row = self._id_to_row.get(cid)
+                if row is None:
+                    continue
+                chunk = self._chunks[row]
+                if chunk is None:
+                    continue
+                chunk.metadata = meta
+                rows.append(row)
+                cols.append(self.schema.encode_row(meta))
+            if not rows:
+                return 0
+            # pad to a pow2 bucket (repeat the first update) so jit
+            # specializations stay bounded, same as delete()
+            bucket = _pow2_at_least(len(rows), 8)
+            rows_p = rows + [rows[0]] * (bucket - len(rows))
+            cols_p = cols + [cols[0]] * (bucket - len(rows))
+            self._cols = _update_cols_kernel(
+                self._cols, jnp.asarray(rows_p, jnp.int32), jnp.asarray(cols_p, jnp.int32)
+            )
+            return len(rows)
+
     def delete(self, chunk_ids: list[str]) -> int:
         """Tombstone rows for the given chunk ids; returns count deleted."""
         with self._lock:
@@ -573,6 +603,11 @@ class DeviceVectorIndex:
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _tombstone_kernel(bias, rows):
     return bias.at[rows].set(NEG_INF)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _update_cols_kernel(cols, rows, new_cols):
+    return cols.at[rows].set(new_cols)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))

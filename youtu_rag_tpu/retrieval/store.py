@@ -122,6 +122,12 @@ class TpuVectorStore(BaseVectorStore):
         if self._index is not None:
             self._index.delete(chunk_ids)
 
+    async def update_metadata(self, chunk_ids: list[str], metadatas: list[dict]) -> int:
+        """Metadata-only update (no re-embedding); see DeviceVectorIndex."""
+        if self._index is None:
+            return 0
+        return self._index.update_metadata(chunk_ids, metadatas)
+
     async def delete_by_document_id(self, document_id: str) -> int:
         if self._index is None:
             return 0
