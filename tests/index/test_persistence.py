@@ -85,3 +85,23 @@ def test_int8_native_snapshot(tmp_path, rng, unit_vectors):
         # near-ties; require top-1 identity and high overlap
         assert ha[0][0].id == hb[0][0].id
         assert len({c.id for c, _ in ha} & {c.id for c, _ in hb}) >= 4
+
+
+def test_ivf_state_survives_snapshot(tmp_path, rng, unit_vectors):
+    """An IVF index restores as an IVF index (re-clustered on load), not a
+    silent brute-force downgrade."""
+    cfg = IndexConfig(min_capacity=2048, block_rows=64, n_lists=8, n_probe=3, kmeans_iters=6)
+    idx = DeviceVectorIndex(32, cfg)
+    idx.add(_chunks(512), unit_vectors(rng, 512, 32))
+    idx.build_ivf(seed=3)
+    assert idx._ivf is not None
+
+    save_index(idx, tmp_path / "ivfsnap")
+    restored = load_index(tmp_path / "ivfsnap")
+    assert restored._ivf is not None
+    assert restored._ivf.n_lists == idx._ivf.n_lists
+    q = unit_vectors(rng, 4, 32)
+    a = idx.search(q, top_k=5)
+    b = restored.search(q, top_k=5)
+    for ha, hb in zip(a, b):
+        assert ha[0][0].id == hb[0][0].id  # top-1 stable across the cycle

@@ -63,6 +63,10 @@ def save_index(index: DeviceVectorIndex, path: str | Path) -> None:
         "metric": index.metric,
         "config": index.config.model_dump(),
         "schema": index.schema.to_dict(),
+        # IVF is positional (cluster-sorted rows + block ranges), which a
+        # save/load cycle invalidates (tombstones compact away). Record
+        # that it was built so load_index re-clusters automatically.
+        "ivf": {"n_lists": index._ivf.n_lists} if getattr(index, "_ivf", None) else None,
         "chunks": [
             {
                 "id": c.id,
@@ -116,6 +120,8 @@ def load_index(path: str | Path, config: IndexConfig | None = None, mesh=None) -
     ]
     if chunks:
         index.add(chunks, vectors)
+    if meta.get("ivf") and chunks:
+        index.build_ivf(n_lists=meta["ivf"]["n_lists"])
     logger.info("loaded index snapshot: %d chunks <- %s", len(chunks), path)
     return index
 
