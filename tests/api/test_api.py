@@ -525,3 +525,52 @@ class MetadataExportImportTest(AsyncHTTPTestCase):
         assert r.code == 400
         r = self.fetch("/api/knowledge-bases/nope/metadata")
         assert r.code == 404
+
+
+class IndexMgmtTest(AsyncHTTPTestCase):
+    def get_app(self):
+        return create_app(_state("idxmgmt"))
+
+    def test_build_drop_ivf_and_compact(self):
+        state = self._app.settings["api_state"]
+        kb = state.get_or_create_kb("kbi")
+        docs = [Document(id=f"d{i}", content=f"topic {i % 7} body {i}") for i in range(200)]
+        self.io_loop.run_sync(lambda: kb.build_documents(docs))
+
+        r = json.loads(self.fetch("/api/knowledge-bases/kbi/index").body)
+        assert r["rows"] == 200 and r["ivf"] is None
+
+        r = json.loads(self.fetch(
+            "/api/knowledge-bases/kbi/index", method="POST",
+            body=json.dumps({"action": "build_ivf", "n_lists": 4})).body)
+        assert r["n_lists"] == 4
+        r = json.loads(self.fetch("/api/knowledge-bases/kbi/index").body)
+        assert r["ivf"]["n_lists"] == 4
+
+        # searches still work through the IVF path
+        q = json.loads(self.fetch(
+            "/api/knowledge-bases/kbi/query", method="POST",
+            body=json.dumps({"query": "topic 3", "top_k": 3})).body)
+        assert q["total_results"] == 3
+
+        # delete some rows -> compact reclaims them
+        self.io_loop.run_sync(lambda: kb.store.delete_by_document_id("d0"))
+        r = json.loads(self.fetch(
+            "/api/knowledge-bases/kbi/index", method="POST",
+            body=json.dumps({"action": "compact"})).body)
+        assert r["rows_after"] == 199
+
+        r = json.loads(self.fetch(
+            "/api/knowledge-bases/kbi/index", method="POST",
+            body=json.dumps({"action": "drop_ivf"})).body)
+        assert r["action"] == "drop_ivf"
+        assert json.loads(self.fetch("/api/knowledge-bases/kbi/index").body)["ivf"] is None
+
+    def test_index_mgmt_validation(self):
+        state = self._app.settings["api_state"]
+        state.get_or_create_kb("kbe")
+        r = self.fetch("/api/knowledge-bases/kbe/index", method="POST",
+                       body=json.dumps({"action": "build_ivf"}))
+        assert r.code == 400  # empty KB
+        r = self.fetch("/api/knowledge-bases/nope/index")
+        assert r.code == 404

@@ -487,6 +487,64 @@ class KBMetadataHandler(BaseHandler):
         self.write_json({"kb": name, "updated": updated, "submitted": len(ids)})
 
 
+class KBIndexHandler(BaseHandler):
+    """Index maintenance: build/drop the IVF (ANN) structure and compact
+    tombstones on a live KB (the serving-side analog of FAISS retrain /
+    Chroma segment GC the reference leaves to its stores)."""
+
+    async def post(self, name: str):
+        kb = self.state.kbs.get(name)
+        if kb is None:
+            raise tornado.web.HTTPError(404, reason=f"knowledge base {name!r} not found")
+        idx = kb.store._index
+        if idx is None:
+            raise tornado.web.HTTPError(400, reason="knowledge base is empty")
+        body = self.json_body()
+        action = body.get("action")
+        if action == "build_ivf":
+            n_lists = body.get("n_lists")
+            idx.build_ivf(n_lists=int(n_lists) if n_lists else None)
+            await kb.warmup()
+            self.write_json(
+                {"action": action, "n_lists": idx._ivf.n_lists, "rows": idx.count()}
+            )
+        elif action == "drop_ivf":
+            idx.drop_ivf()
+            self.write_json({"action": action})
+        elif action == "compact":
+            before = idx.size
+            idx.compact()
+            self.write_json({"action": action, "rows_before": before, "rows_after": idx.size})
+        else:
+            raise tornado.web.HTTPError(
+                400, reason="action must be build_ivf | drop_ivf | compact"
+            )
+
+    async def get(self, name: str):
+        kb = self.state.kbs.get(name)
+        if kb is None:
+            raise tornado.web.HTTPError(404, reason=f"knowledge base {name!r} not found")
+        idx = kb.store._index
+        if idx is None:
+            self.write_json({"rows": 0, "ivf": None})
+            return
+        self.write_json(
+            {
+                "rows": idx.count(),
+                "capacity": idx.capacity,
+                "storage_dtype": idx.config.storage_dtype,
+                "tombstones": idx.size - idx.live_count,
+                "ivf": {
+                    "n_lists": idx._ivf.n_lists,
+                    "n_probe": idx._ivf.n_probe,
+                    "adaptive_margin": idx.config.ivf_adaptive_margin,
+                }
+                if idx._ivf
+                else None,
+            }
+        )
+
+
 class KBQueryHandler(BaseHandler):
     async def post(self, name: str):
         kb = self.state.kbs.get(name)
@@ -815,6 +873,7 @@ def create_app(state: ApiState | None = None) -> tornado.web.Application:
             (r"/api/knowledge-bases/([^/]+)/qa", KBQAHandler),
             (r"/api/knowledge-bases/([^/]+)/qa-pairs", KBQAPairsHandler),
             (r"/api/knowledge-bases/([^/]+)/metadata", KBMetadataHandler),
+            (r"/api/knowledge-bases/([^/]+)/index", KBIndexHandler),
             (r"/api/knowledge-bases/([^/]+)/chunks", KBChunksHandler),
             (r"/api/files/upload", FileUploadHandler),
             (r"/api/files/upload-with-progress", FileUploadProgressStartHandler),
