@@ -9,6 +9,11 @@ Route surface parity:
   POST /api/knowledge-bases/{name}/build          staged build + logs
   GET  /api/knowledge-bases/{name}/build-logs
   POST /api/knowledge-bases/{name}/query          direct retrieval
+  POST /api/knowledge-bases/{name}/qa             QA-association answering
+  GET/POST/DELETE .../qa-pairs                    QA pair management
+  GET/POST .../metadata                           CSV metadata export/import
+  GET/POST .../index                              IVF build/drop + compact
+  POST .../snapshot                               save/restore to disk
   POST /api/files/upload[-with-progress]          multipart upload (+tracker)
   GET  /api/files / DELETE /api/files/{name}
   GET  /api/files/upload-progress/{task_id}
