@@ -239,3 +239,21 @@ def test_update_metadata_new_key_extends_schema(rng, unit_vectors):
     idx.update_metadata(["a"], [{"brand_new": 7}])
     hits = idx.search(unit_vectors(rng, 1, 32), top_k=1, filters={"brand_new": 7})[0]
     assert [c.id for c, _ in hits] == ["a"]
+
+
+def test_clear_compact_preserve_lock_object(pair):
+    """ADVICE r1: clear()/compact() must never reassign self._lock —
+    threads blocked on the old lock would race holders of the new one."""
+    dev, _, embs = pair
+    lock = dev._lock
+    dev.delete([dev._chunks[0].id])
+    dev.compact()
+    assert dev._lock is lock
+    dev.clear()
+    assert dev._lock is lock
+    assert dev.count() == 0
+    # index is fully usable after the in-place reset
+    chunks = make_chunks(10, "post-clear")
+    dev.add(chunks, embs[:10])
+    assert dev.count() == 10
+    assert dev.search(embs[:1], top_k=1)[0][0][0].id == "post-clear-0"

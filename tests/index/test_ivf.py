@@ -195,3 +195,29 @@ def test_adaptive_ivf_search_recall(rng):
         for q, b in zip(queries, brute)
     ]
     assert np.mean(recalls) >= 0.95, recalls
+
+
+def test_dma_kernels_empty_probe_plan():
+    """ADVICE r1: with n_valid == 0 the priming DMAs must not start —
+    un-waited in-flight copies at kernel exit are undefined behavior."""
+    import jax.numpy as jnp
+
+    from youtu_rag_tpu.ops.ivf import pallas_ivf_topk_dma, pallas_ivf_topk_int8_dma
+    from youtu_rag_tpu.ops.topk import NEG_INF, quantize_rows_int8
+
+    rng = np.random.default_rng(5)
+    n, d, br = 512, 128, 64
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(2, d)).astype(np.float32))
+    bias = jnp.zeros((n,), jnp.float32)
+    ids = jnp.zeros((8,), jnp.int32)
+    nv = jnp.int32(0)
+
+    s, _ = pallas_ivf_topk_dma(q, x, bias, ids, nv, 5, block_rows=br, interpret=True)
+    assert np.all(np.asarray(s) <= NEG_INF / 2)
+
+    xq, xs = quantize_rows_int8(x)
+    s8, _ = pallas_ivf_topk_int8_dma(
+        q, xq, xs, bias, ids, nv, 5, block_rows=br, interpret=True
+    )
+    assert np.all(np.asarray(s8) <= NEG_INF / 2)

@@ -170,3 +170,54 @@ def test_sharded_ivf_recall_and_tail():
     idx.add([Chunk("novel", "newdoc", "novel", 0)], novel)
     top = idx.search(novel, top_k=1)[0]
     assert top[0][0].id == "novel"
+
+
+def test_sharded_clear_compact_preserve_mesh():
+    """ADVICE r1: the inherited __init__-based reset used to rebind the
+    index to the default mesh/axis (device positional landing in mesh)."""
+    rng = np.random.default_rng(3)
+    d = 32
+    cfg = IndexConfig(min_capacity=1024, block_rows=64)
+    mesh = get_mesh({"rows": 8})
+    idx = ShardedVectorIndex(d, cfg, mesh=mesh, axis="rows")
+    lock = idx._lock
+    vecs = rng.normal(size=(100, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    idx.add(make_chunks(100, "m"), vecs)
+    idx.delete(["m-0"])
+    idx.compact()
+    assert idx.mesh is mesh and idx.axis == "rows" and idx._lock is lock
+    assert idx.count() == 99
+    assert idx.search(vecs[1:2], top_k=1)[0][0][0].id == "m-1"
+    idx.clear()
+    assert idx.mesh is mesh and idx.axis == "rows" and idx._lock is lock
+    idx.add(make_chunks(8, "n"), vecs[:8])
+    assert idx.search(vecs[:1], top_k=1)[0][0][0].id == "n-0"
+
+
+def test_sharded_ivf_uneven_tail_not_truncated():
+    """ADVICE r1: the probe-plan size must budget the fresh tail of the
+    *least*-frozen shard; sizing by max(frozen_local) silently dropped
+    post-freeze rows landing deep in an empty shard's tail."""
+    rng = np.random.default_rng(11)
+    d = 32
+    cfg = IndexConfig(
+        min_capacity=32768, block_rows=64, n_lists=32, n_probe=1, kmeans_iters=4
+    )
+    mesh = get_mesh({"db": 8})
+    idx = ShardedVectorIndex(d, cfg, mesh=mesh)
+
+    def unit(n):
+        v = rng.normal(size=(n, d)).astype(np.float32)
+        return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+    # 2560 rows all land in shard 0 (40/64 blocks frozen); shards 1-7 empty
+    idx.add(make_chunks(2560, "base"), unit(2560))
+    idx.build_ivf()
+    assert idx._ivf_frozen_min == 0  # an empty shard is 100% fresh tail
+    # append past shard 0 into shard 1's deep tail (block ≥ 32 of shard 1)
+    idx.add(make_chunks(3700, "tail"), unit(3700))
+    novel = unit(1)
+    idx.add([Chunk("novel", "newdoc", "novel", 0, {})], novel)
+    top = idx.search(novel, top_k=1)[0]
+    assert top and top[0][0].id == "novel"

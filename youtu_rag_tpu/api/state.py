@@ -41,12 +41,21 @@ class LocalFileStore:
         self.root.mkdir(parents=True, exist_ok=True)
 
     def _path(self, bucket: str, name: str) -> Path:
-        p = (self.root / bucket / name).resolve()
-        assert str(p).startswith(str((self.root / bucket).resolve())), "path escape"
+        # names arrive attacker-controlled (multipart uploads, URL path
+        # args); a startswith-without-separator or assert-based guard is
+        # bypassable ('..%2F', sibling-prefix dirs, python -O)
+        bdir = (self.root / bucket).resolve()
+        p = (bdir / name).resolve()
+        if p == bdir or not p.is_relative_to(bdir):
+            raise ValueError(f"invalid object name (path escape): {name!r}")
         return p
 
     def _meta_path(self, bucket: str, name: str) -> Path:
-        return self.root / bucket / ".meta" / f"{name}.json"
+        mdir = (self.root / bucket / ".meta").resolve()
+        p = (mdir / f"{name}.json").resolve()
+        if not p.is_relative_to(mdir):
+            raise ValueError(f"invalid object name (path escape): {name!r}")
+        return p
 
     def upload(self, bucket: str, name: str, data: bytes, metadata: dict | None = None) -> dict:
         p = self._path(bucket, name)

@@ -72,9 +72,19 @@ class DeviceVectorIndex:
         enable_compile_cache()
         self.config = config or IndexConfig()
         self.dim = dim
-        self.d_pad = _round_up(dim, _LANE)
-        self.metric = self.config.metric
         self._device = device
+        self._lock = threading.RLock()
+        self._reset()
+
+    def _reset(self) -> None:
+        """(Re)initialize all index state in place.
+
+        Never touches ``self._lock``: clear()/compact() run under the lock,
+        and swapping the lock object mid-hold would let threads blocked on
+        the old lock race threads acquiring the new one (with donated device
+        buffers in _append_kernel that corrupts concurrent add/search)."""
+        self.d_pad = _round_up(self.dim, _LANE)
+        self.metric = self.config.metric
         self._int8 = self.config.storage_dtype == "int8"
         self._store_dtype = {
             "bfloat16": jnp.bfloat16,
@@ -97,7 +107,6 @@ class DeviceVectorIndex:
         self._chunks: list[Chunk | None] = []
         self._id_to_row: dict[str, int] = {}
         self._doc_rows: dict[str, list[int]] = {}
-        self._lock = threading.RLock()
         # signature → canonical CompiledFilter instance. jit hashes static
         # args by identity, so equal-signature filters must share one object
         # to share one compiled executable (constants stay traced).
@@ -354,7 +363,7 @@ class DeviceVectorIndex:
 
     def clear(self) -> None:
         with self._lock:
-            self.__init__(self.dim, self.config, self._device)
+            self._reset()
 
     def reorder(self, permutation: np.ndarray) -> None:
         """Permute rows in place (device arrays + host maps).
@@ -386,13 +395,13 @@ class DeviceVectorIndex:
         with self._lock:
             live = [(r, c) for r, c in enumerate(self._chunks) if c is not None]
             if not live:
-                self.clear()
+                self._reset()
                 return
             rows = np.asarray([r for r, _ in live])
             vecs = np.asarray(self.dequantized_vectors())[rows][:, : self.dim]
             chunks = [c for _, c in live]
-            cfg, dev, schema = self.config, self._device, self.schema
-            self.__init__(self.dim, cfg, dev)
+            schema = self.schema
+            self._reset()
             self.schema = schema  # keep slot assignments stable
             self.add(chunks, vecs)
 

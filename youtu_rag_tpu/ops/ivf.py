@@ -256,10 +256,15 @@ def _ivf_dma_kernel(
     run_i[...] = jnp.zeros(run_i.shape, jnp.int32)
 
     n_valid = nvalid_ref[0]
-    first_id = ids_ref[0]
-    x_dma(0, first_id).start()
-    xs_dma(0, first_id).start()
-    bias_dma(0, first_id).start()
+
+    # guard the priming copies: with n_valid == 0 the fori_loop never runs,
+    # and un-waited in-flight DMAs at kernel exit are undefined behavior
+    @pl.when(n_valid > 0)
+    def _():
+        first_id = ids_ref[0]
+        x_dma(0, first_id).start()
+        xs_dma(0, first_id).start()
+        bias_dma(0, first_id).start()
 
     def body(i, _):
         slot = jax.lax.rem(i, 2)
@@ -347,9 +352,12 @@ def _ivf_dma_kernel_bf16(
     run_i[...] = jnp.zeros(run_i.shape, jnp.int32)
 
     n_valid = nvalid_ref[0]
-    first_id = ids_ref[0]
-    x_dma(0, first_id).start()
-    bias_dma(0, first_id).start()
+
+    @pl.when(n_valid > 0)  # see int8 kernel: no un-waited DMAs when empty
+    def _():
+        first_id = ids_ref[0]
+        x_dma(0, first_id).start()
+        bias_dma(0, first_id).start()
 
     def body(i, _):
         slot = jax.lax.rem(i, 2)

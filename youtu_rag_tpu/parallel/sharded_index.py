@@ -122,6 +122,16 @@ class ShardedVectorIndex(DeviceVectorIndex):
         sh = self._row_sharding if getattr(x, "ndim", 1) >= 2 else self._vec_sharding
         return jax.device_put(x, sh)
 
+    def _reset(self) -> None:
+        # base _reset preserves mesh/axis/shardings set in __init__, so
+        # clear()/compact() keep the custom mesh (ADVICE r1: the old
+        # __init__-based reset rebound to the default mesh via the `device`
+        # positional landing in `mesh`)
+        super()._reset()
+        self._ivf_frozen = None
+        self._ivf_frozen_min = 0
+        self._ivf_local_blocks = 0
+
     def _maybe_warm_next_tier(self) -> None:
         # next-tier warming targets the single-device brute kernels; the
         # sharded search path compiles through shard_map with per-shard
@@ -206,6 +216,10 @@ class ShardedVectorIndex(DeviceVectorIndex):
             self._ivf_frozen = jax.device_put(
                 jnp.asarray(frozen_local[:, None]), NamedSharding(self.mesh, P(self.axis, None))
             )
+            # the *least*-filled shard has the most fresh-tail blocks; the
+            # static probe-plan size must cover that worst case or deep tail
+            # blocks (rows appended post-freeze) silently drop from results
+            self._ivf_frozen_min = int(frozen_local.min())
             self._ivf_local_blocks = local_blocks
 
     def _put_ivf(self, arr):
@@ -232,7 +246,7 @@ class ShardedVectorIndex(DeviceVectorIndex):
         br = self.config.block_rows
         local_blocks = self._ivf_local_blocks
         qn = queries.shape[0]
-        est = qn * st.n_probe * st.max_cluster_blocks + (local_blocks - st.frozen_blocks) + 4
+        est = qn * st.n_probe * st.max_cluster_blocks + (local_blocks - self._ivf_frozen_min) + 4
         max_blocks = min(_pow2_at_least(est, 8), local_blocks)
         n_probe = st.n_probe
         mcb = st.max_cluster_blocks
