@@ -115,3 +115,94 @@ def test_skill_extraction_heuristic():
     out, skills = asyncio.run(go())
     assert out is not None
     assert "kb_file_search" in skills
+
+
+def test_update_memory_reembeds():
+    tk = VectorMemoryToolkit({"user_id": "u-upd"})
+
+    async def go():
+        msg = await tk.add_memory("the capital of France is Paris", "semantic", 0.5)
+        mid = msg.split()[-1]
+        before = await tk.search_memory("volcano eruptions in Iceland", ["semantic"])
+        await tk.update_memory(mid, content="Iceland volcano eruptions happen near Grindavik")
+        after = await tk.search_memory("volcano eruptions in Iceland", ["semantic"])
+        node = tk.store.get(mid)
+        return before, after, node
+
+    before, after, node = asyncio.run(go())
+    assert "Grindavik" in after and "Grindavik" in node.content
+    # only one live memory (same id reinserted, old row tombstoned)
+    assert tk.store.stats("u-upd")["semantic"] == 1
+
+
+def test_skill_outcome_loop_gates_failing_skills():
+    """Weak #6 (r1): skills surfaced into context get outcome updates, and
+    repeated failures push them under the min_success_rate gate."""
+    tk = VectorMemoryToolkit({"user_id": "u-skill"})
+
+    async def go():
+        await tk.store_skill("bad-idea", "For any retrieval task", ["wrong_tool"])
+        # surfaced in context → pending; report 4 failed runs
+        for _ in range(4):
+            ctx = await tk.retrieve_all_context("a retrieval task")
+            assert "bad-idea" in ctx or not tk._pending_skill_ids  # surfaced at least once
+            n = await tk.record_skill_outcomes(success=False)
+        node = next(m for m in tk.store._nodes.values() if m.memory_type == "procedural")
+        ctx_after = await tk.retrieve_all_context("a retrieval task")
+        return node, ctx_after
+
+    node, ctx_after = asyncio.run(go())
+    assert node.use_count >= 3 and node.success_count == 0
+    # success_rate 0 < 0.3 → the gate drops it from context
+    assert "Applicable skills" not in ctx_after
+
+
+def test_memory_persistence_roundtrip(tmp_path):
+    path = str(tmp_path / "mem.json")
+    tk = VectorMemoryToolkit({"user_id": "u-p", "persist_path": path})
+
+    async def fill():
+        await tk.store_skill("roundtrip", "testing persistence", ["step1"])
+        ctx = await tk.retrieve_all_context("testing persistence task")
+        await tk.record_skill_outcomes(success=True)
+
+    asyncio.run(fill())
+
+    tk2 = VectorMemoryToolkit({"user_id": "u-p"})
+
+    async def reload():
+        n = await tk2.store.load(path)
+        hits = await tk2.search_skills("persistence")
+        return n, hits
+
+    n, hits = asyncio.run(reload())
+    assert n >= 1
+    assert "roundtrip" in hits and "100%" in hits  # usage stats survived
+
+
+def test_schema_and_sql_pattern_memories():
+    tk = VectorMemoryToolkit({"user_id": "u-sql"})
+
+    async def go():
+        await tk.store_schema_knowledge(
+            "orders",
+            ["id: INTEGER", "user_id: INTEGER (FK users.id)", "total: REAL"],
+            description="customer orders",
+            relationships=["orders.user_id -> users.id"],
+        )
+        await tk.store_sql_pattern(
+            "monthly-rollup",
+            "SELECT strftime('%Y-%m', date) m, SUM(total) FROM orders GROUP BY m",
+            "Aggregate order totals by month",
+            examples=["monthly revenue"],
+        )
+        schema = await tk.search_schema_knowledge("how do orders join users?")
+        patterns = await tk.search_sql_patterns("revenue by month")
+        # category partitions don't leak into each other
+        only_schema = await tk.search_sql_patterns("orders join users table schema")
+        return schema, patterns, only_schema
+
+    schema, patterns, only_schema = asyncio.run(go())
+    assert "orders.user_id -> users.id" in schema
+    assert "monthly-rollup" in patterns
+    assert "Relationships" not in only_schema

@@ -85,3 +85,71 @@ def test_text2sql_agent_with_retry(built_kb):
     assert attempts["n"] == 2  # retried after the error
     assert out["result"]["rows"][0][0] == "frank"
     assert "frank" in out["answer"]
+
+
+def test_remembered_sql_pattern_changes_generated_query(built_kb):
+    """VERDICT r1 #5: a remembered SQL pattern must reach the generation
+    prompt and change the produced query."""
+    from youtu_rag_tpu.memory.toolkit import VectorMemoryToolkit
+
+    _, agent_b, _, table = built_kb
+    kb = built_kb[0]
+
+    def rule(messages, tools):
+        content = messages[-1].content or ""
+        if content.startswith("You translate questions"):
+            if "Remembered SQL patterns" in content and "AVG(salary)" in content:
+                return FakeChatClient.text_response(
+                    f'SELECT department, AVG(salary) FROM "{table}" GROUP BY department;'
+                )
+            return FakeChatClient.text_response(f'SELECT salary FROM "{table}";')
+        return FakeChatClient.text_response("ok")
+
+    llm = LLMAgent(client=FakeChatClient(rule_fn=rule))
+
+    # without memory: the naive query
+    tk_plain = Text2SQLToolkit(ToolkitConfig(config={"kb": kb, "tables": agent_b.tables}))
+    out_plain = asyncio.run(Text2SQLAgent(tk_plain, llm).text2sql("average salary per department?"))
+    assert "AVG" not in out_plain["sql"]
+
+    # with a remembered pattern: generation follows it
+    mem = VectorMemoryToolkit({"user_id": "sqlmem"})
+    asyncio.run(
+        mem.store_sql_pattern(
+            "avg-by-group",
+            f'SELECT department, AVG(salary) FROM "{table}" GROUP BY department',
+            "Average a numeric column per group",
+            examples=["average salary per department"],
+        )
+    )
+    tk_mem = Text2SQLToolkit(
+        ToolkitConfig(config={"kb": kb, "tables": agent_b.tables, "memory": mem})
+    )
+    out_mem = asyncio.run(Text2SQLAgent(tk_mem, llm).text2sql("average salary per department?"))
+    assert "AVG" in out_mem["sql"] and "GROUP BY" in out_mem["sql"]
+    assert out_mem["result"]["rows"]
+
+
+def test_successful_retry_learns_pattern(built_kb):
+    """A query that failed then succeeded is stored as a sql_pattern."""
+    from youtu_rag_tpu.memory.toolkit import VectorMemoryToolkit
+
+    kb, agent_b, _, table = built_kb
+    attempts = {"n": 0}
+
+    def rule(messages, tools):
+        content = messages[-1].content or ""
+        if content.startswith("You translate questions"):
+            attempts["n"] += 1
+            if attempts["n"] == 1:
+                return FakeChatClient.text_response("SELECT bogus FROM nowhere;")
+            return FakeChatClient.text_response(f'SELECT COUNT(*) FROM "{table}";')
+        return FakeChatClient.text_response("6 employees")
+
+    mem = VectorMemoryToolkit({"user_id": "learner"})
+    tk = Text2SQLToolkit(ToolkitConfig(config={"kb": kb, "tables": agent_b.tables, "memory": mem}))
+    llm = LLMAgent(client=FakeChatClient(rule_fn=rule))
+    out = asyncio.run(Text2SQLAgent(tk, llm).text2sql("how many employees are there?"))
+    assert out["result"]["rows"] == [[6]]
+    learned = asyncio.run(mem.search_sql_patterns("how many employees"))
+    assert "COUNT(*)" in learned

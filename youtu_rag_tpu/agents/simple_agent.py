@@ -200,6 +200,7 @@ class SimpleAgent:
             recorder.finish()
         except Exception as e:  # noqa: BLE001
             logger.exception("agent run failed")
+            await self._store_memory(task, "")  # skills used by a failed run count as failures
             recorder.emit(AgentEvent("error", text=str(e)))
             recorder.finish(error=str(e))
 
@@ -253,10 +254,15 @@ class SimpleAgent:
             return ""
 
     async def _store_memory(self, task: str, answer: str) -> None:
-        if self.memory_toolkit is None or not answer:
+        if self.memory_toolkit is None:
             return
         try:
-            await self.memory_toolkit.store_conversation(task, answer)
+            # close the skill-usage loop: skills surfaced into this run's
+            # context get their success stats updated so retrieve_all_
+            # context's min_success_rate gate has real data to act on
+            await self.memory_toolkit.record_skill_outcomes(success=bool(answer))
+            if answer:
+                await self.memory_toolkit.store_conversation(task, answer)
         except Exception:  # noqa: BLE001
             logger.exception("memory store failed")
 

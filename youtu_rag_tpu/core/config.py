@@ -86,6 +86,10 @@ class KnowledgeBuilderConfig(ConfigBase):
     enable_metadata: bool = True
     metadata_fields: list[str] = Field(default_factory=lambda: ["source", "page", "title"])
     batch_delay: float = Field(default=0.0, ge=0.0, le=60.0)
+    # scale guards for spreadsheet ingestion (the reference row-samples big
+    # sheets; a whole-sheet to_markdown on a 100k-row sheet OOMs):
+    max_fulltext_rows: int = Field(default=2000, ge=1)
+    max_row_docs: int = Field(default=1024, ge=1)
 
 
 class RetrieverConfig(ConfigBase):

@@ -595,6 +595,10 @@ class DeviceVectorIndex:
     def count(self) -> int:
         return self.live_count
 
+    def count_by_document(self, document_id: str) -> int:
+        """Live chunk rows for one document (storage-state checks)."""
+        return len(self._doc_rows.get(document_id, ()))
+
     def nbytes(self) -> int:
         return int(self._vectors.nbytes + self._cols.nbytes + self._bias.nbytes)
 

@@ -55,6 +55,7 @@ class BuildReport:
     errors: list[str] = field(default_factory=list)
     duration_s: float = 0.0
     results: list[ProcessResult] = field(default_factory=list)
+    analysis: dict[str, Any] = field(default_factory=dict)
 
     def summary(self) -> dict[str, Any]:
         return {
@@ -67,6 +68,8 @@ class BuildReport:
             "tables": self.tables,
             "errors": self.errors,
             "duration_s": round(self.duration_s, 3),
+            "by_kind": self.analysis.get("by_kind", {}),
+            "total_bytes": self.analysis.get("total_bytes", 0),
         }
 
 
@@ -97,30 +100,119 @@ class KnowledgeBuilderAgent:
 
     # -- stage 0: analysis -------------------------------------------------
 
-    def analyze(self, request: BuildRequest) -> dict[str, Any]:
-        """Source statistics + per-source plan incl. incremental skips
-        (ref: KnowledgeBuilderAnalyzer.analyze, config_analyzer.py:98-533)."""
+    _STORAGE_TARGETS = {
+        "text": ("vector_index",),
+        "table": ("vector_index", "table_store"),
+        "database": ("vector_index", "table_store"),
+        "qa": ("vector_index",),
+    }
+    _PROCESSOR_NAMES = {
+        "text": "TextProcessor",
+        "table": "ExcelProcessor",
+        "database": "DatabaseProcessor",
+        "qa": "QAProcessor",
+    }
+
+    async def analyze(self, request: BuildRequest) -> dict[str, Any]:
+        """Stage-0 planner: source statistics, storage-state check, and a
+        per-source processing plan that drives skip/process decisions
+        (ref: KnowledgeBuilderAnalyzer.analyze, config_analyzer.py:98-533).
+
+        Unlike the reference (which only checks that the persist dirs
+        exist), the storage-state check here inspects the *live* store: a
+        source whose hashes are unchanged but whose recorded chunks are
+        missing from the index (store cleared, older snapshot restored) is
+        re-processed rather than silently skipped."""
         plans = []
         by_kind: dict[str, int] = {}
+        by_ext: dict[str, int] = {}
+        total_bytes = 0
         for task in request.tasks:
             kind = FileProcessorFactory.task_kind(task)
             by_kind[kind] = by_kind.get(kind, 0) + 1
+            ext = Path(task.path).suffix.lstrip(".").lower() if task.path else "inline"
+            by_ext[ext] = by_ext.get(ext, 0) + 1
+            size = 0
+            if task.path and Path(task.path).exists():
+                size = Path(task.path).stat().st_size
+            elif task.document is not None:
+                size = len(task.document.content)
+            total_bytes += size
             etag, meta_hash = self._hashes(task)
-            skip = (
-                request.incremental
-                and not request.rebuild
-                and not self.manifest.needs_rebuild(task.source_id, etag, meta_hash)
-            )
+
+            record = self.manifest.sources.get(task.source_id)
+            existing = await self._existing_chunks(task)
+            if request.rebuild:
+                action, reason = "process", "full_rebuild"
+            elif not request.incremental:
+                action, reason = "process", "incremental_disabled"
+            elif self.manifest.needs_rebuild(task.source_id, etag, meta_hash):
+                if record is None:
+                    action, reason = "process", "new_source"
+                elif record.etag != etag:
+                    action, reason = "process", "content_changed"
+                else:
+                    action, reason = "process", "metadata_changed"
+            elif record is not None and record.chunk_count > 0 and existing == 0:
+                action, reason = "reprocess", "storage_divergence"
+            else:
+                action, reason = "skip", "up_to_date"
+
             plans.append(
                 {
                     "source_id": task.source_id,
                     "kind": kind,
+                    "file_type": ext,
+                    "size_bytes": size,
                     "etag": etag,
                     "metadata_hash": meta_hash,
-                    "action": "skip" if skip else "process",
+                    "processor": self._PROCESSOR_NAMES[kind],
+                    "storage_targets": list(self._STORAGE_TARGETS[kind]),
+                    "existing_chunks": existing,
+                    "manifest_chunks": record.chunk_count if record else 0,
+                    "action": action,
+                    "reason": reason,
                 }
             )
-        return {"total": len(request.tasks), "by_kind": by_kind, "plans": plans}
+
+        storage_state = await self._storage_state()
+        return {
+            "total": len(request.tasks),
+            "by_kind": by_kind,
+            "by_file_type": by_ext,
+            "total_bytes": total_bytes,
+            "storage_state": storage_state,
+            "plans": plans,
+        }
+
+    async def _existing_chunks(self, task: SourceTask) -> int:
+        """Live chunk count for a source (tries the loader doc-id alias for
+        file paths, where document_id == basename)."""
+        store = self.ctx.store
+        n = await store.count_by_document(task.source_id)
+        if n == 0 and task.path:
+            n = await store.count_by_document(Path(task.path).name)
+        return n
+
+    async def _storage_state(self) -> dict[str, Any]:
+        store = self.ctx.store
+        idx = getattr(store, "_index", None)  # None until first add_chunks
+        state: dict[str, Any] = {
+            "vector_store": {
+                "backend": "tpu_device_index",
+                "live_chunks": await store.count(),
+                "capacity": getattr(idx, "capacity", 0) if idx is not None else 0,
+                "nbytes": idx.nbytes() if idx is not None else 0,
+                "ivf": bool(getattr(idx, "_ivf", None)) if idx is not None else False,
+            },
+            "manifest_sources": len(self.manifest.sources),
+        }
+        try:
+            tables = self.tables.tables_for_kb(self.ctx.kb_name)
+            state["table_store"] = {"tables": [t["table_name"] for t in tables]}
+        except Exception:  # noqa: BLE001 - table store may be closed
+            state["table_store"] = {"tables": []}
+        return state
 
     @staticmethod
     def _hashes(task: SourceTask) -> tuple[str, str]:
@@ -140,7 +232,8 @@ class KnowledgeBuilderAgent:
         async with self._lock:
             t0 = time.perf_counter()
             report = BuildReport(kb_name=request.kb_name, total_sources=len(request.tasks))
-            analysis = self.analyze(request)
+            analysis = await self.analyze(request)
+            report.analysis = analysis
             plan_by_id = {p["source_id"]: p for p in analysis["plans"]}
 
             # stage 1: task groups — qa runs after text/table (associations

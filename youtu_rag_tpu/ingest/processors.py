@@ -187,8 +187,19 @@ class ExcelProcessor(BaseSourceProcessor):
                 tables.append(table)
                 chunks.append(self._table_vector(source_id, table, df))
                 chunks.extend(self._column_vectors(source_id, table, df))
-            # full-text markdown chunks in all cases (ref full-text path)
-            md = df.to_markdown(index=False)
+            # full-text markdown chunks in all cases (ref full-text path).
+            # Scale guard: whole-sheet to_markdown on a 100k-row sheet blows
+            # host memory — sample evenly past max_fulltext_rows (the
+            # reference row-samples big sheets the same way).
+            max_ft = self.ctx.config.max_fulltext_rows
+            if len(df) > max_ft:
+                import numpy as _np
+
+                sel = _np.unique(_np.linspace(0, len(df) - 1, max_ft).astype(int))
+                md = df.iloc[sel].to_markdown(index=False)
+                md += f"\n\n[{len(df)} rows total; {len(sel)} sampled — full data in table store]"
+            else:
+                md = df.to_markdown(index=False)
             doc = Document(
                 source_id,
                 md,
@@ -196,8 +207,10 @@ class ExcelProcessor(BaseSourceProcessor):
             )
             chunks.extend(self._content_chunks(doc))
             if not structured:
-                # unstructured small sheets also index per-row docs (ref row-docs)
-                for ri, row in df.iterrows():
+                # unstructured small sheets also index per-row docs (ref
+                # row-docs), capped so a wide-but-short pathological sheet
+                # can't mint unbounded vectors
+                for ri, row in df.head(self.ctx.config.max_row_docs).iterrows():
                     text = "; ".join(f"{c}={row[c]}" for c in df.columns)
                     meta = {
                         "source": source_id,

@@ -76,23 +76,49 @@ class MemoryVectorStore:
 
     async def add(self, node: MemoryNode) -> str:
         emb = await self.embedder.embed_query(node.content)
+        meta = {
+            "user_id": node.user_id,
+            "memory_type": node.memory_type,
+            "session_id": node.session_id,
+            "importance": node.importance,
+            "created_at": int(node.created_at),
+        }
+        if node.metadata.get("category"):
+            # filterable category partition (schema | sql_pattern | ...):
+            # the text2sql memories of ref memory_toolkit.py:1540-1590
+            meta["category"] = node.metadata["category"]
         chunk = Chunk(
             id=node.id,
             document_id=f"{node.user_id}/{node.memory_type}",
             content=node.content,
             chunk_index=0,
-            metadata={
-                "user_id": node.user_id,
-                "memory_type": node.memory_type,
-                "session_id": node.session_id,
-                "importance": node.importance,
-                "created_at": int(node.created_at),
-            },
+            metadata=meta,
             embedding=emb,
         )
         await self.store.add_chunks([chunk])
         self._nodes[node.id] = node
         return node.id
+
+    async def update(
+        self,
+        memory_id: str,
+        content: str | None = None,
+        importance: float | None = None,
+        metadata: dict[str, Any] | None = None,
+    ) -> bool:
+        """In-place memory edit (ref update_memory): content changes
+        re-embed via delete-then-reinsert under the same id."""
+        node = self._nodes.get(memory_id)
+        if node is None:
+            return False
+        if content is not None:
+            node.content = content
+        if importance is not None:
+            node.importance = max(0.0, min(1.0, importance))
+        if metadata:
+            node.metadata.update(metadata)
+        await self.add(node)  # same id → index tombstones the old row
+        return True
 
     async def delete(self, memory_ids: list[str]) -> int:
         await self.store.delete(memory_ids)
@@ -122,6 +148,7 @@ class MemoryVectorStore:
         recency_half_life_s: float = 7 * 86400.0,
         importance_weight: float = 0.2,
         recency_weight: float = 0.2,
+        category: str | None = None,
     ) -> list[tuple[MemoryNode, float]]:
         """Similarity + importance + recency scoring
         (ref: memory_toolkit.py:840-932). One fused filtered search."""
@@ -130,6 +157,8 @@ class MemoryVectorStore:
         filters["memory_type"] = {"$in": list(types)}
         if min_importance > 0:
             filters["importance"] = {"$gte": min_importance}
+        if category is not None:
+            filters["category"] = category
 
         emb = await self.embedder.embed_query(query)
         hits = await self.store.search(emb, top_k=top_k * 3, filters=filters)
@@ -141,7 +170,9 @@ class MemoryVectorStore:
             if node is None:
                 continue
             if min_success_rate is not None and node.memory_type == "procedural":
-                if node.use_count and node.success_rate < min_success_rate:
+                # grace period mirrors cleanup_procedural's min_uses: a
+                # single bad outcome must not permanently bury a skill
+                if node.use_count >= 3 and node.success_rate < min_success_rate:
                     continue
             age = max(now - node.created_at, 0.0)
             recency = math.exp(-age * math.log(2) / recency_half_life_s)
@@ -173,6 +204,36 @@ class MemoryVectorStore:
                 out[m.memory_type] += 1
         out["total"] = sum(out[t] for t in MEMORY_TYPES)
         return out
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, path: str) -> int:
+        """Serialize all memory nodes (incl. skill usage stats) to JSON.
+        Embeddings are recomputed on load — node text is the source of
+        truth, so saved files survive embedder upgrades."""
+        import json
+        from dataclasses import asdict
+        from pathlib import Path as _P
+
+        data = [asdict(m) for m in self._nodes.values()]
+        p = _P(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(json.dumps(data, ensure_ascii=False))
+        return len(data)
+
+    async def load(self, path: str) -> int:
+        """Re-hydrate nodes from a save() file (additive; same ids upsert)."""
+        import json
+        from pathlib import Path as _P
+
+        p = _P(path)
+        if not p.exists():
+            return 0
+        n = 0
+        for item in json.loads(p.read_text()):
+            await self.add(MemoryNode(**item))
+            n += 1
+        return n
 
     async def cleanup_procedural(
         self, user_id: str, min_success_rate: float = 0.3, min_uses: int = 3

@@ -37,6 +37,10 @@ class Text2SQLToolkit(BaseRAGToolkit):
         super().__init__(config)
         self.llm_agent = self.config.config.get("llm_agent")
         self._adapter = None  # external database (sqlite file / mysql server)
+        # optional VectorMemoryToolkit: remembered schema knowledge joins
+        # schema_link output and SQL patterns feed generation
+        # (ref: memory_toolkit.py:1540-1590 schema/sql_pattern memories)
+        self.memory = self.config.config.get("memory")
 
     @property
     def tables(self):
@@ -109,6 +113,13 @@ class Text2SQLToolkit(BaseRAGToolkit):
                 + ("example values:\n" + "\n".join(value_lines) + "\n" if value_lines else "")
                 + f"sample rows: {json.dumps(sample, ensure_ascii=False, default=str)[:500]}"
             )
+        if self.memory is not None:
+            try:
+                known = await self.memory.search_schema_knowledge(query, top_k=2)
+                if known:
+                    parts.append(f"-- remembered schema knowledge\n{known}")
+            except Exception:  # noqa: BLE001 - memory is advisory
+                logger.exception("schema-knowledge recall failed")
         return "\n\n".join(parts)
 
     @register_tool
@@ -148,7 +159,7 @@ SQL_GEN_PROMPT = """You translate questions into SQLite SELECT statements.
 
 Relevant schema:
 {schema}
-
+{patterns}
 Question: {question}
 {error_context}
 Reply with the SQL statement only (no markdown fences)."""
@@ -165,13 +176,21 @@ _SQL_FENCE = re.compile(r"```(?:sql)?\s*(.*?)```", re.DOTALL)
 
 
 class Text2SQLAgent:
-    """link → generate → execute (with error retry) → answer
-    (ref: Text2sqlAgent.sql_gen_exec flow)."""
+    """link → generate (schema + remembered patterns) → execute (with
+    error retry) → answer, learning successful queries back into memory
+    (ref: Text2sqlAgent.sql_gen_exec flow + memory_toolkit sql_pattern)."""
 
-    def __init__(self, toolkit: Text2SQLToolkit, llm_agent, max_retries: int = 2):
+    def __init__(
+        self,
+        toolkit: Text2SQLToolkit,
+        llm_agent,
+        max_retries: int = 2,
+        learn_patterns: bool = True,
+    ):
         self.toolkit = toolkit
         self.llm = llm_agent
         self.max_retries = max_retries
+        self.learn_patterns = learn_patterns
 
     @staticmethod
     def _extract_sql(text: str) -> str:
@@ -179,14 +198,28 @@ class Text2SQLAgent:
         sql = (m.group(1) if m else text).strip()
         return sql.rstrip(";") + ";"
 
+    async def _recall_patterns(self, question: str) -> str:
+        if self.toolkit.memory is None:
+            return ""
+        try:
+            patterns = await self.toolkit.memory.search_sql_patterns(question, top_k=2)
+        except Exception:  # noqa: BLE001 - memory is advisory
+            logger.exception("sql-pattern recall failed")
+            return ""
+        return f"\nRemembered SQL patterns (apply when relevant):\n{patterns}\n" if patterns else ""
+
     async def text2sql(self, question: str) -> dict[str, Any]:
         schema = await self.toolkit.schema_link(question)
+        patterns = await self._recall_patterns(question)
         error_context = ""
         sql, result = "", {"error": "not attempted"}
         for attempt in range(self.max_retries + 1):
             raw = await self.llm.run(
                 SQL_GEN_PROMPT.format(
-                    schema=schema, question=question, error_context=error_context
+                    schema=schema,
+                    patterns=patterns,
+                    question=question,
+                    error_context=error_context,
                 )
             )
             sql = self._extract_sql(raw)
@@ -204,4 +237,16 @@ class Text2SQLAgent:
                     question=question, sql=sql, result=json.dumps(result, default=str)[:2000]
                 )
             )
+            if self.learn_patterns and self.toolkit.memory is not None and attempt > 0:
+                # the first draft failed and a later one worked: the fix is
+                # worth remembering for next time
+                try:
+                    await self.toolkit.memory.store_sql_pattern(
+                        pattern_name=f"learned:{question[:48]}",
+                        sql_pattern=sql,
+                        description=f"Working query for questions like: {question[:160]}",
+                        examples=[question],
+                    )
+                except Exception:  # noqa: BLE001
+                    logger.exception("sql-pattern learn failed")
         return {"sql": sql, "result": result, "answer": answer}
