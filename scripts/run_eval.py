@@ -21,7 +21,11 @@ async def main() -> None:
     p.add_argument("--config_name", default=None, help="configs/eval/<name> to load")
     p.add_argument("--data", default=None, help="jsonl dataset with question/answer fields")
     p.add_argument("--exp-id", default="default")
-    p.add_argument("--processor", default="exact_match", choices=["exact_match", "llm_judge"])
+    p.add_argument(
+        "--processor",
+        default="exact_match",
+        choices=["exact_match", "llm_judge", "gaia", "webwalker", "xbench", "browsecomp"],
+    )
     p.add_argument("--concurrency", type=int, default=4)
     args = p.parse_args()
 

@@ -113,3 +113,126 @@ def test_processor_factory_names():
     assert ProcessorFactory.create("xbench", judge) is not None
     with pytest.raises(ValueError):
         ProcessorFactory.create("nope")
+
+
+def _fake_agent(answers):
+    client = FakeChatClient(
+        rule_fn=lambda msgs, tools: FakeChatClient.text_response(
+            next(
+                (v for k, v in answers.items() if k in (msgs[-1].content or "")),
+                "unknown",
+            )
+        )
+    )
+    return SimpleAgent(AgentConfig(), client=client)
+
+
+def test_browsecomp_pipeline(tmp_path):
+    """3-sample BrowseComp fixture with FakeChat agent + judge
+    (VERDICT r1 #9)."""
+    data = tmp_path / "bc.jsonl"
+    data.write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"question": "Who founded Acme Corp?", "answer": "Jane Doe", "level": "1"},
+                {"question": "Year Acme IPO'd?", "answer": "1999", "level": "2"},
+                {"question": "Acme HQ city?", "answer": "Springfield", "level": "2"},
+            ]
+        )
+    )
+    agent = _fake_agent(
+        {
+            "founded": "Explanation: records say so\nExact Answer: Jane Doe\nConfidence: 90%",
+            "IPO": "Explanation: guessing\nExact Answer: 2001\nConfidence: 40%",
+            "HQ": "Explanation: sure\nExact Answer: Springfield\nConfidence: 100%",
+        }
+    )
+
+    def judge_rule(msgs, tools):
+        content = msgs[-1].content or ""
+        # grade yes iff the extracted answer text appears near correct_answer
+        import re as _re
+
+        resp = _re.search(r"Exact Answer:\s*(.*)", content)
+        gold = _re.search(r"\[correct_answer\]:\s*(.*)", content)
+        ok = resp and gold and resp.group(1).strip() == gold.group(1).strip()
+        conf = _re.search(r"Confidence:\s*(\d+)", content)
+        return FakeChatClient.text_response(
+            f"extracted_final_answer: {resp.group(1).strip() if resp else 'None'}\n"
+            f"reasoning: compared\ncorrect: {'yes' if ok else 'no'}\n"
+            f"confidence: {conf.group(1) if conf else 100}%"
+        )
+
+    from youtu_rag_tpu.agents.llm_agent import LLMAgent as _LLMAgent
+
+    judge = _LLMAgent(client=FakeChatClient(rule_fn=judge_rule))
+    cfg = EvalConfig(
+        exp_id="bc",
+        processor="browsecomp",
+        db_url=f"sqlite:///{tmp_path}/bc.db",
+        data=EvalDataConfig(dataset="bc", source=str(data)),
+    )
+    bench = BaseBenchmark(cfg, agent=agent, judge_agent=judge)
+    stats = asyncio.run(bench.main())
+    assert stats["details"]["correct"] == 2 and stats["details"]["total"] == 3
+    assert stats["accuracy_pct"] == pytest.approx(66.67, abs=0.1)
+    assert stats["level_metrics"]["1"]["correct"] == 1
+    assert stats["level_metrics"]["2"]["wrong"] == 1
+    assert "calibration_error_pct" in stats
+
+
+def test_xbench_pipeline(tmp_path):
+    data = tmp_path / "xb.jsonl"
+    data.write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"question": "导数 d/dx x^2 是什么?", "answer": "2x", "level": "easy"},
+                {"question": "2 的 10 次方?", "answer": "1024", "level": "easy"},
+                {"question": "圆周率前三位?", "answer": "3.14", "level": "hard"},
+            ]
+        )
+    )
+    agent = _fake_agent({"导数": "最终答案:2x", "10 次方": "最终答案:1024", "圆周率": "最终答案:3.15"})
+
+    def judge_rule(msgs, tools):
+        content = msgs[-1].content or ""
+        import re as _re
+
+        resp = _re.search(r"最终答案:\s*([^\n\]]+)", content)
+        gold = _re.search(r"\[正确答案\]:\s*(.*)", content)
+        ok = resp and gold and resp.group(1).strip() == gold.group(1).strip()
+        return FakeChatClient.text_response(
+            f"最终答案: {resp.group(1).strip() if resp else '无'}\n解释: 对比\n结论: {'正确' if ok else '错误'}"
+        )
+
+    from youtu_rag_tpu.agents.llm_agent import LLMAgent as _LLMAgent
+
+    judge = _LLMAgent(client=FakeChatClient(rule_fn=judge_rule))
+    cfg = EvalConfig(
+        exp_id="xb",
+        processor="xbench",
+        db_url=f"sqlite:///{tmp_path}/xb.db",
+        data=EvalDataConfig(dataset="xb", source=str(data)),
+    )
+    bench = BaseBenchmark(cfg, agent=agent, judge_agent=judge)
+    stats = asyncio.run(bench.main())
+    assert stats["details"] == {"correct": 2, "wrong": 1, "unknown": 0, "total": 3}
+    assert stats["level_metrics"]["easy"]["accuracy"] == 100.0
+    assert stats["level_metrics"]["hard"]["wrong"] == 1
+
+
+def test_structured_judge_invalid_output():
+    from youtu_rag_tpu.agents.llm_agent import LLMAgent as _LLMAgent
+    from youtu_rag_tpu.eval.processor import BrowseCompProcessor
+
+    judge = _LLMAgent(
+        client=FakeChatClient(rule_fn=lambda m, t: FakeChatClient.text_response("gibberish"))
+    )
+    p = BrowseCompProcessor(judge)
+    s = EvaluationSample(
+        dataset="d", index=0, raw_question="q", correct_answer="a", response="Exact Answer: a"
+    )
+    s = asyncio.run(p.judge(s))
+    assert s.judged_response == "invalid" and s.correct is False

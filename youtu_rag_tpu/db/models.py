@@ -89,6 +89,8 @@ class EvaluationSample:
     judged_response: str | None = None
     reward: float | None = None
     correct: bool | None = None
+    level: str = ""  # difficulty bucket (XBench/BrowseComp level metrics)
+    confidence: int | None = None  # self-reported confidence 0-100
     stage: str = "init"  # init | rollout | judged
     exp_id: str = "default"
     created_at: float = field(default_factory=time.time)

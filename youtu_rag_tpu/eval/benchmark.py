@@ -29,7 +29,7 @@ class BaseBenchmark:
         self._agent = agent
         self.db = db or DBService(config.db_url)
         judge = judge_agent
-        if judge is None and config.processor == "llm_judge":
+        if judge is None and config.processor in ("llm_judge", "xbench", "browsecomp", "webwalker"):
             judge = LLMAgent(model=config.judge_model)
         self.processor = ProcessorFactory.create(config.processor, judge)
 
@@ -50,6 +50,7 @@ class BaseBenchmark:
                         source=src,
                         raw_question=d.get("question") or d.get("query") or "",
                         correct_answer=str(d.get("answer") or d.get("correct_answer") or ""),
+                        level=str(d.get("level", "")),
                         exp_id=self.config.exp_id,
                     )
                 )

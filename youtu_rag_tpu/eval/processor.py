@@ -180,9 +180,208 @@ class WebWalkerProcessor(LLMJudgeProcessor):
         return sample
 
 
+def _parse_field(text: str, key: str) -> str:
+    """Extract a `key: value` line from field-structured judge output
+    (tolerates bold markers and multi-line values up to the next field)."""
+    cleaned = text.replace("**", "")
+    m = re.search(rf"{key}\s*[:：]\s*(.*?)(?=\n\s*\S+\s*[:：]|\Z)", cleaned, re.DOTALL)
+    return m.group(1).strip() if m else ""
+
+
+def _overall_metrics(samples: list[EvaluationSample]) -> dict[str, Any]:
+    total = len(samples)
+    invalid = sum(1 for s in samples if s.judged_response == "invalid")
+    correct = sum(1 for s in samples if s.correct)
+    return {
+        "accuracy_pct": round(correct / total * 100, 2) if total else 0.0,
+        "details": {
+            "correct": correct,
+            "wrong": total - correct - invalid,
+            "unknown": invalid,
+            "total": total,
+        },
+    }
+
+
+def _level_metrics(samples: list[EvaluationSample]) -> dict[str, Any]:
+    bins: dict[str, dict[str, Any]] = {}
+    for s in samples:
+        b = bins.setdefault(s.level or "default", {"correct": 0, "wrong": 0, "unknown": 0})
+        if s.judged_response == "invalid":
+            b["unknown"] += 1
+        elif s.correct:
+            b["correct"] += 1
+        else:
+            b["wrong"] += 1
+    for b in bins.values():
+        n = b["correct"] + b["wrong"]
+        b["accuracy"] = round(b["correct"] / n * 100, 4) if n else 0.0
+    return {"level_metrics": bins}
+
+
+def _calibration_error(samples: list[EvaluationSample]) -> float:
+    """Expected calibration error over 20-point confidence bins."""
+    bins = [{"n": 0, "correct": 0, "conf": 0} for _ in range(5)]
+    total = 0
+    for s in samples:
+        if s.judged_response == "invalid":
+            continue
+        conf = s.confidence if s.confidence is not None else 0
+        b = bins[min(conf // 20, 4)]
+        b["n"] += 1
+        b["conf"] += conf
+        b["correct"] += 1 if s.correct else 0
+        total += 1
+    err = 0.0
+    for b in bins:
+        if not b["n"]:
+            continue
+        acc = b["correct"] / b["n"]
+        avg_conf = b["conf"] / b["n"] / 100
+        err += (b["n"] / max(total, 1)) * abs(acc - avg_conf)
+    return round(err * 100, 2)
+
+
+BROWSECOMP_AUG = """{question}
+
+Your response should be in the following format:
+Explanation: {{your explanation for your final answer}}
+Exact Answer: {{your succinct, final answer}}
+Confidence: {{your confidence score between 0% and 100% for your answer}}"""
+
+BROWSECOMP_JUDGE = """Judge whether the following [response] to [question] \
+is correct or not based on the precise and unambiguous [correct_answer] below.
+
+[question]: {question}
+
+[response]: {response}
+
+[correct_answer]: {answer}
+
+Your judgement must be in the format and criteria specified below:
+
+extracted_final_answer: The final exact answer extracted from the [response], \
+or 'None' if there is no exact final answer to extract.
+
+reasoning: Explain, focusing only on whether there are meaningful differences \
+between [correct_answer] and the extracted_final_answer. Do not solve the \
+problem or argue for a different answer.
+
+correct: Answer 'yes' if extracted_final_answer matches the [correct_answer], \
+or is within a small margin of error for numerical problems; 'no' otherwise.
+
+confidence: The confidence score between 0% and 100% extracted from \
+[response], or 100 if none is stated."""
+
+
+class BrowseCompProcessor(LLMJudgeProcessor):
+    """BrowseComp: structured Explanation/Exact Answer/Confidence responses
+    judged with the simple-evals-style field grader; stats add level
+    buckets and calibration error (ref: utu/eval/processer/browse_comp.py,
+    judge/augmentation templates in utu/prompts/eval/*.yaml)."""
+
+    name = "browsecomp"
+
+    def preprocess(self, sample: EvaluationSample) -> EvaluationSample:
+        sample.augmented_question = BROWSECOMP_AUG.format(question=sample.raw_question)
+        return sample
+
+    async def judge(self, sample: EvaluationSample) -> EvaluationSample:
+        raw = await self.judge_agent.run(
+            BROWSECOMP_JUDGE.format(
+                question=sample.raw_question,
+                response=sample.response or "",
+                answer=sample.correct_answer,
+            )
+        )
+        sample.judged_response = raw
+        verdict = _parse_field(raw, "correct").lower()
+        if verdict not in ("yes", "no"):
+            sample.judged_response = "invalid"
+            sample.correct = False
+        else:
+            sample.correct = verdict == "yes"
+        conf = re.search(r"(\d{1,3})\s*%", _parse_field(raw, "confidence") or (sample.response or ""))
+        sample.confidence = min(int(conf.group(1)), 100) if conf else 100
+        sample.reward = 1.0 if sample.correct else 0.0
+        sample.stage = "judged"
+        return sample
+
+    def stat(self, samples: list[EvaluationSample]) -> dict[str, Any]:
+        return {
+            **super().stat(samples),
+            **_overall_metrics(samples),
+            **_level_metrics(samples),
+            "calibration_error_pct": _calibration_error(samples),
+        }
+
+
+XBENCH_AUG = """你是一个通用人工智能助手。我将向你提出一个学术问题, 请尽可能简洁地给出解题思路, \
+并用以下模版作为回答的结尾:
+
+最终答案:[你的答案]
+
+不要在最终答案周围添加任何多余的符号, 在同一行中完成回答; 答案必须是尽可能简洁的数值、短语或数学表达式; \
+如果答案有多个, 使用逗号将它们隔开。
+
+[问题]: {question}"""
+
+XBENCH_JUDGE = """你是一个通用人工智能助手。根据下面给出的[正确答案], 判断以下对[原问题]的[回答]是否正确。
+
+[原问题]: {question}
+
+[正确答案]: {answer}
+
+[回答]: {response}
+
+你的判断必须按照以下格式和标准进行:
+
+最终答案: 从[回答]中提取出的最终准确答案, 没有明确答案则填写'无'。
+
+解释: 只关注[最终答案]与[正确答案]之间是否存在实质性差异, 不要重新解题。
+
+结论: 一致(或数值题在微小误差范围内)填写'正确'; 否则填写'错误'。"""
+
+
+class XBenchProcessor(LLMJudgeProcessor):
+    """XBench (Chinese academic QA): 最终答案/解释/结论 structured judging
+    with per-level accuracy (ref: utu/eval/processer/xbench.py)."""
+
+    name = "xbench"
+
+    def preprocess(self, sample: EvaluationSample) -> EvaluationSample:
+        sample.augmented_question = XBENCH_AUG.format(question=sample.raw_question)
+        return sample
+
+    async def judge(self, sample: EvaluationSample) -> EvaluationSample:
+        raw = await self.judge_agent.run(
+            XBENCH_JUDGE.format(
+                question=sample.raw_question,
+                answer=sample.correct_answer,
+                response=sample.response or "",
+            )
+        )
+        sample.judged_response = raw
+        verdict = _parse_field(raw, "结论")
+        if verdict.startswith("正确"):
+            sample.correct = True
+        elif verdict.startswith("错误"):
+            sample.correct = False
+        else:
+            sample.judged_response = "invalid"
+            sample.correct = False
+        sample.confidence = 100 if sample.correct else 0
+        sample.reward = 1.0 if sample.correct else 0.0
+        sample.stage = "judged"
+        return sample
+
+    def stat(self, samples: list[EvaluationSample]) -> dict[str, Any]:
+        return {**super().stat(samples), **_overall_metrics(samples), **_level_metrics(samples)}
+
+
 class ProcessorFactory:
     """Ref: utu/eval/processer/__init__.py:4-10 (GAIA/WebWalkerQA/XBench/
-    BrowseComp); xbench/browsecomp share the llm_judge flow here."""
+    BrowseComp)."""
 
     @staticmethod
     def create(name: str, judge_agent=None) -> BaseProcessor:
@@ -190,9 +389,15 @@ class ProcessorFactory:
             return ExactMatchProcessor()
         if name == "gaia":
             return GaiaProcessor()
-        if name in ("llm_judge", "xbench", "browsecomp"):
+        if name == "llm_judge":
             assert judge_agent is not None, f"{name} needs a judge agent"
             return LLMJudgeProcessor(judge_agent)
+        if name == "xbench":
+            assert judge_agent is not None, "xbench needs a judge agent"
+            return XBenchProcessor(judge_agent)
+        if name == "browsecomp":
+            assert judge_agent is not None, "browsecomp needs a judge agent"
+            return BrowseCompProcessor(judge_agent)
         if name == "webwalker":
             assert judge_agent is not None, "webwalker needs a judge agent"
             return WebWalkerProcessor(judge_agent)

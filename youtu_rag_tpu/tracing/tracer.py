@@ -154,10 +154,9 @@ def setup_tracing(db_service=None, otlp_endpoint: str | None = None, console: bo
     if db_service is not None and getattr(db_service, "available", False):
         t.add_processor(DBTracingProcessor(db_service))
     if otlp_endpoint:
-        try:  # pragma: no cover - otel not installed in this image
-            from .otel_bridge import OTelProcessor
+        # vendored OTLP/HTTP JSON exporter — no otel packages needed
+        # (OpenInference attribute mapping in tracing/otlp.py)
+        from .otlp import OTLPProcessor
 
-            t.add_processor(OTelProcessor(otlp_endpoint))
-        except Exception:  # noqa: BLE001
-            logger.warning("OTel bridge unavailable; skipping OTLP export")
+        t.add_processor(OTLPProcessor(otlp_endpoint))
     return t
