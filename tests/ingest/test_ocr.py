@@ -33,8 +33,8 @@ def test_ocr_derived_file_flow(tmp_path):
         def __init__(self):
             super().__init__(base_url="http://fake")
 
-        async def ocr_to_markdown(self, data, filename):
-            return "# Page 1\n\nOCR extracted text about rockets."
+        async def ocr(self, data, filename):
+            return {"pages": [{"markdown": "OCR extracted text about rockets."}]}
 
     store = LocalFileStore(tmp_path)
     store.upload("uploads", "scan.pdf", b"%PDF fake")

@@ -676,6 +676,128 @@ class FileItemHandler(BaseHandler):
         self.write_json({"deleted": name})
 
 
+class FileOcrHandler(BaseHandler):
+    """View + edit OCR results for an uploaded file
+    (ref: minio_files.py:1500-1811 view/edit/save OCR markdown)."""
+
+    def _pages(self, name: str) -> list[dict]:
+        from ..ingest.ocr import page_json_name, page_layout_name, page_md_name
+
+        files = self.state.files
+        pages = []
+        i = 1
+        while files.exists("uploads", page_md_name(name, i)):
+            meta = files.stat("uploads", page_md_name(name, i)) or {}
+            entry = {
+                "page_num": i,
+                "markdown_text": files.download("uploads", page_md_name(name, i)).decode("utf-8"),
+                "is_manual_edited": bool(
+                    (meta.get("user_metadata") or {}).get("is_manual_edited")
+                ),
+            }
+            if files.exists("uploads", page_json_name(name, i)):
+                entry["structured_data"] = json.loads(
+                    files.download("uploads", page_json_name(name, i)).decode("utf-8")
+                )
+            if files.exists("uploads", page_layout_name(name, i)):
+                entry["layout_image_url"] = f"/api/files/{name}/ocr/layout/{i}"
+            pages.append(entry)
+            i += 1
+        return pages
+
+    async def get(self, name: str):
+        from ..ingest.ocr import combined_md_name
+
+        files = self.state.files
+        combined_name = combined_md_name(name)
+        pages = self._pages(name)
+        has_combined = files.exists("uploads", combined_name)
+        if not pages and not has_combined:
+            raise tornado.web.HTTPError(404, reason=f"no OCR results for {name}")
+        combined = (
+            files.download("uploads", combined_name).decode("utf-8") if has_combined else None
+        )
+        if not pages and combined is not None:
+            meta = files.stat("uploads", combined_name) or {}
+            pages = [
+                {
+                    "page_num": 1,
+                    "markdown_text": combined,
+                    "is_manual_edited": bool(
+                        (meta.get("user_metadata") or {}).get("is_manual_edited")
+                    ),
+                }
+            ]
+        self.write_json(
+            {
+                "filename": name,
+                "is_multi_page": len(pages) > 1,
+                "total_pages": len(pages),
+                "pages": pages,
+                "markdown_text": combined,
+                "original_file_url": f"/api/files/{name}",
+            }
+        )
+
+    async def put(self, name: str):
+        """Save edited OCR markdown (overwrite mode). Body:
+        {"page_num": N, "markdown_text": "..."} — page_num defaults to 1.
+        The combined derived file regenerates so the next build picks up
+        the edit through its changed content/derived hash."""
+        from ..ingest.ocr import combine_pages, combined_md_name, page_md_name
+
+        body = self.json_body()
+        md = body.get("markdown_text")
+        if md is None:
+            raise tornado.web.HTTPError(400, reason="missing 'markdown_text'")
+        page = int(body.get("page_num", 1))
+        files = self.state.files
+        combined_name = combined_md_name(name)
+        edited_meta = {"derived_from": name, "kind": "ocr_page", "page": page, "is_manual_edited": True}
+
+        if files.exists("uploads", page_md_name(name, page)):
+            files.upload("uploads", page_md_name(name, page), md.encode("utf-8"), edited_meta)
+            # regenerate the combined file from all page files
+            page_mds = []
+            i = 1
+            while files.exists("uploads", page_md_name(name, i)):
+                page_mds.append(
+                    {"markdown": files.download("uploads", page_md_name(name, i)).decode("utf-8")}
+                )
+                i += 1
+            files.upload(
+                "uploads",
+                combined_name,
+                combine_pages(page_mds).encode("utf-8"),
+                {"derived_from": name, "kind": "ocr", "is_manual_edited": True},
+            )
+        elif files.exists("uploads", combined_name) or page == 1:
+            files.upload(
+                "uploads",
+                combined_name,
+                md.encode("utf-8"),
+                {"derived_from": name, "kind": "ocr", "is_manual_edited": True},
+            )
+        else:
+            raise tornado.web.HTTPError(404, reason=f"no OCR page {page} for {name}")
+        self.write_json({"saved": name, "page_num": page})
+
+
+class FileOcrLayoutHandler(BaseHandler):
+    """Serve the OCR layout overlay image for a page
+    (ref: minio_files.py get_ocr_layout_image)."""
+
+    async def get(self, name: str, page: str):
+        from ..ingest.ocr import page_layout_name
+
+        lname = page_layout_name(name, int(page))
+        if not self.state.files.exists("uploads", lname):
+            raise tornado.web.HTTPError(404, reason=f"no layout image for {name} page {page}")
+        self.set_header("Content-Type", "image/png")
+        self.set_header("Content-Disposition", "inline")
+        self.finish(self.state.files.download("uploads", lname))
+
+
 # ---------------------------------------------------------------------------
 # embedding / reranker services (ref: routes/embedding.py, routes/reranker.py)
 # ---------------------------------------------------------------------------
@@ -884,6 +1006,8 @@ def create_app(state: ApiState | None = None) -> tornado.web.Application:
             (r"/api/files/upload-with-progress", FileUploadProgressStartHandler),
             (r"/api/files/upload-progress/([^/]+)", FileUploadProgressHandler),
             (r"/api/files", FileCollectionHandler),
+            (r"/api/files/([^/]+)/ocr", FileOcrHandler),
+            (r"/api/files/([^/]+)/ocr/layout/([0-9]+)", FileOcrLayoutHandler),
             (r"/api/files/([^/]+)", FileItemHandler),
             (r"/api/embedding/embed", EmbedHandler),
             (r"/api/reranker/rerank", RerankHandler),

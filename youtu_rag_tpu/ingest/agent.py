@@ -138,7 +138,7 @@ class KnowledgeBuilderAgent:
             elif task.document is not None:
                 size = len(task.document.content)
             total_bytes += size
-            etag, meta_hash = self._hashes(task)
+            etag, meta_hash, derived_hash = self._hashes(task)
 
             record = self.manifest.sources.get(task.source_id)
             existing = await self._existing_chunks(task)
@@ -146,11 +146,13 @@ class KnowledgeBuilderAgent:
                 action, reason = "process", "full_rebuild"
             elif not request.incremental:
                 action, reason = "process", "incremental_disabled"
-            elif self.manifest.needs_rebuild(task.source_id, etag, meta_hash):
+            elif self.manifest.needs_rebuild(task.source_id, etag, meta_hash, derived_hash):
                 if record is None:
                     action, reason = "process", "new_source"
                 elif record.etag != etag:
                     action, reason = "process", "content_changed"
+                elif record.derived_files_hash != derived_hash:
+                    action, reason = "process", "derived_files_changed"
                 else:
                     action, reason = "process", "metadata_changed"
             elif record is not None and record.chunk_count > 0 and existing == 0:
@@ -166,6 +168,7 @@ class KnowledgeBuilderAgent:
                     "size_bytes": size,
                     "etag": etag,
                     "metadata_hash": meta_hash,
+                    "derived_files_hash": derived_hash,
                     "processor": self._PROCESSOR_NAMES[kind],
                     "storage_targets": list(self._STORAGE_TARGETS[kind]),
                     "existing_chunks": existing,
@@ -215,7 +218,7 @@ class KnowledgeBuilderAgent:
         return state
 
     @staticmethod
-    def _hashes(task: SourceTask) -> tuple[str, str]:
+    def _hashes(task: SourceTask) -> tuple[str, str, str]:
         if task.path and Path(task.path).exists():
             etag = BuildManifest.hash_content(Path(task.path).read_bytes())
         elif task.document is not None:
@@ -224,7 +227,20 @@ class KnowledgeBuilderAgent:
             etag = BuildManifest.hash_content(
                 "".join(f"{p.get('question')}{p.get('answer')}" for p in task.qa_pairs)
             )
-        return etag, BuildManifest.hash_metadata(task.metadata)
+        # derived-files hash: joint hash of the sibling chunklevel/OCR
+        # derivatives the loaders prefer, so an OCR edit (same original
+        # bytes) still triggers a rebuild (ref: kb_config_routes.py:504-605,
+        # minio_client derived-markdown combined-hash :410-580)
+        derived = ""
+        if task.path:
+            p = Path(task.path)
+            parts = []
+            for sib in (f"{p.with_suffix('')}_chunklevel.md", f"{p.with_suffix('')}_ocr.md"):
+                sp = Path(sib)
+                if sp.exists():
+                    parts.append(BuildManifest.hash_content(sp.read_bytes()))
+            derived = BuildManifest.hash_content("|".join(parts)) if parts else ""
+        return etag, BuildManifest.hash_metadata(task.metadata), derived
 
     # -- main --------------------------------------------------------------
 
@@ -265,6 +281,7 @@ class KnowledgeBuilderAgent:
                             task.source_id,
                             plan["etag"],
                             plan["metadata_hash"],
+                            derived_files_hash=plan["derived_files_hash"],
                             chunk_count=result.chunks,
                         )
                         status = "completed"
