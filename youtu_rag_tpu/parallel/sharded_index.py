@@ -99,14 +99,32 @@ def make_sharded_topk(mesh: Mesh, axis: str = "db"):
 
 
 class ShardedVectorIndex(DeviceVectorIndex):
-    """DeviceVectorIndex with rows sharded over a mesh ``db`` axis."""
+    """DeviceVectorIndex with rows sharded over a mesh ``db`` axis.
 
-    def __init__(self, dim: int, config: IndexConfig | None = None, mesh: Mesh | None = None, axis: str = "db"):
-        from .mesh import get_mesh
+    ``axis`` may be a tuple of mesh axes — e.g. ``("dcn", "ici")`` on a
+    hybrid multi-slice mesh (``parallel.mesh.get_hybrid_mesh``): rows shard
+    jointly over both, the per-shard kernel is unchanged, and the tiny
+    (score, gid) candidate merge is the only collective that crosses DCN.
+    Multi-process meshes place arrays via ``jax.make_array_from_callback``
+    (every process holds the same host-side build data — SPMD)."""
 
-        self.mesh = mesh or get_mesh({axis: -1})
+    def __init__(
+        self,
+        dim: int,
+        config: IndexConfig | None = None,
+        mesh: Mesh | None = None,
+        axis: str | tuple[str, ...] = "db",
+    ):
+        from .mesh import get_mesh, is_multi_process
+
+        if mesh is None:
+            assert isinstance(axis, str), "tuple axes need an explicit mesh (get_hybrid_mesh)"
+            mesh = get_mesh({axis: -1})
+        self.mesh = mesh
         self.axis = axis
-        self.n_shards = self.mesh.shape[axis]
+        axes = (axis,) if isinstance(axis, str) else tuple(axis)
+        self.n_shards = int(np.prod([self.mesh.shape[a] for a in axes]))
+        self._multi_process = is_multi_process(self.mesh.devices.flat)
         cfg = config or IndexConfig()
         # capacity must split evenly into shards of whole blocks
         cfg = cfg.model_copy(
@@ -120,6 +138,12 @@ class ShardedVectorIndex(DeviceVectorIndex):
     # placement: shard 2-D arrays on rows, 1-D bias on its only axis
     def _put(self, x):
         sh = self._row_sharding if getattr(x, "ndim", 1) >= 2 else self._vec_sharding
+        if self._multi_process:
+            # device_put cannot target non-addressable devices; build the
+            # global array from per-process local shards of the (identical,
+            # host-replicated) value instead
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
         return jax.device_put(x, sh)
 
     def _reset(self) -> None:
@@ -147,6 +171,28 @@ class ShardedVectorIndex(DeviceVectorIndex):
             return "pallas"
         return "xla"
 
+    def build_ivf(self, n_lists: int | None = None, seed: int = 0) -> None:
+        if self._multi_process:
+            raise NotImplementedError(
+                "IVF clustering needs host-side access to all rows; on a "
+                "multi-process mesh build the IVF single-host and snapshot, "
+                "or search brute-force (the per-shard kernels are identical)"
+            )
+        return self._build_ivf_local(n_lists=n_lists, seed=seed)
+
+    def compact(self) -> None:
+        if self._multi_process:
+            raise NotImplementedError(
+                "compact() materializes rows host-side; not supported on a "
+                "multi-process mesh (tombstone bias keeps search correct)"
+            )
+        return super().compact()
+
+    def _maybe_auto_compact(self) -> None:
+        if self._multi_process:
+            return  # deletes stay tombstones; see compact()
+        super()._maybe_auto_compact()
+
     # -- sharded IVF -------------------------------------------------------
     #
     # Global spherical-k-means centroids (replicated), rows cluster-sorted
@@ -156,7 +202,7 @@ class ShardedVectorIndex(DeviceVectorIndex):
     # the shared centroids and merges candidates over ICI like the brute
     # path. Per-query work per chip ∝ probed fraction of the local shard.
 
-    def build_ivf(self, n_lists: int | None = None, seed: int = 0) -> None:
+    def _build_ivf_local(self, n_lists: int | None = None, seed: int = 0) -> None:
         import numpy as _np
 
         from ..ops.kmeans import kmeans_fit
