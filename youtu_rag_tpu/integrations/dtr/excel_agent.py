@@ -26,6 +26,8 @@ from ...agents.config import AgentConfig
 from ...agents.events import AgentEvent, TaskRecorder
 from ...agents.llm import BaseChatClient, ChatMessage, get_chat_client
 from ...utils.log import get_logger
+from .answer import synthesize_answer
+from .smg import SMGNode, SheetStateMachine, link_sheets
 
 logger = get_logger("dtr.excel")
 
@@ -45,12 +47,15 @@ CODE_PROMPT = """Write pandas code for this analysis step.
 Sheets are preloaded: `dfs` is a dict of DataFrames by sheet name.
 {schema}
 
+{state}
+
 Previous step results:
 {context}
 
 Step: {step}
 {error_context}
-Rules: print() the result; no file or network access.
+Rules: print() the result; no file or network access; frames created by
+previous steps are live — reuse them by name instead of recomputing.
 Reply with Python code only (no fences)."""
 
 EVAL_PROMPT = """Did this step execution succeed and produce a useful result?
@@ -72,27 +77,12 @@ Rollout feedback: {feedback}
 Propose a better plan (different angle or fixed weaknesses), max {max_steps}
 steps. Reply with a JSON list of step descriptions only."""
 
-ANSWER_PROMPT = """Answer the question from the analysis results.
-
-Question: {question}
-
-Analysis steps and results:
-{results}
-
-Write the final answer with concrete numbers where available."""
-
 _JSON_LIST = re.compile(r"\[.*\]", re.DOTALL)
 _JSON_OBJ = re.compile(r"\{.*\}", re.DOTALL)
 _FENCE = re.compile(r"```(?:python)?\s*(.*?)```", re.DOTALL)
 
-
-@dataclass
-class AnalysisStep:
-    description: str
-    code: str = ""
-    output: str = ""
-    success: bool = False
-    attempts: int = 0
+# the step record is the SMG node (state-tracked); old name kept as alias
+AnalysisStep = SMGNode
 
 
 class ExcelAgent:
@@ -124,26 +114,42 @@ class ExcelAgent:
     # -- sheet loading (ref: multi-sheet loader) ---------------------------
 
     @staticmethod
-    def load_schema(path: str) -> str:
+    def load_sheets(path: str):
         import pandas as pd
 
         if path.endswith(".csv"):
-            sheets = {"Sheet1": pd.read_csv(path)}
-        else:
-            try:
-                sheets = pd.read_excel(path, sheet_name=None)
-            except ImportError as e:  # pandas lazily needs openpyxl/xlrd
-                raise RuntimeError(
-                    "reading .xlsx needs the 'openpyxl' package (not installed "
-                    "in this environment); convert to CSV or install it"
-                ) from e
+            return {"Sheet1": pd.read_csv(path)}
+        try:
+            return pd.read_excel(path, sheet_name=None)
+        except ImportError as e:  # pandas lazily needs openpyxl/xlrd
+            raise RuntimeError(
+                "reading .xlsx needs the 'openpyxl' package (not installed "
+                "in this environment); convert to CSV or install it"
+            ) from e
+
+    @staticmethod
+    def load_schema(path: str, question: str | None = None) -> str:
+        """Sheet brief for prompting. With a question and many sheets,
+        schema linking ranks sheets/columns by relevance so only the
+        workbook's relevant corner prompts (ref: DTR schema linking)."""
+        sheets = ExcelAgent.load_sheets(path)
+        order = list(sheets)
+        linked: dict[str, list[str]] = {}
+        if question and len(sheets) > 4:
+            ranked = link_sheets(question, sheets, top_n=4)
+            order = [name for name, _, _ in ranked]
+            linked = {name: cols for name, _, cols in ranked}
         parts = []
-        for name, df in sheets.items():
+        for name in order:
+            df = sheets[name]
             dtypes = ", ".join(f"{c}:{t}" for c, t in zip(df.columns, df.dtypes.astype(str)))
+            hint = f" | relevant columns: {', '.join(linked[name])}" if linked.get(name) else ""
             parts.append(
-                f"- {name}: {df.shape[0]} rows x {df.shape[1]} cols ({dtypes})\n"
+                f"- {name}: {df.shape[0]} rows x {df.shape[1]} cols ({dtypes}){hint}\n"
                 f"  head: {df.head(2).to_dict(orient='records')}"
             )
+        if len(order) < len(sheets):
+            parts.append(f"({len(sheets) - len(order)} less-relevant sheets omitted)")
         return "\n".join(parts)
 
     # -- LLM helpers -------------------------------------------------------
@@ -156,36 +162,6 @@ class ExcelAgent:
     def _code(text: str) -> str:
         m = _FENCE.search(text)
         return (m.group(1) if m else text).strip()
-
-    # -- sandboxed execution ----------------------------------------------
-
-    async def _execute(self, path: str, code: str) -> str:
-        loader = (
-            "import pandas as pd\n"
-            f"_p = {path!r}\n"
-            "dfs = {'Sheet1': pd.read_csv(_p)} if _p.endswith('.csv') "
-            "else pd.read_excel(_p, sheet_name=None)\n"
-        )
-        import tempfile
-
-        with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
-            f.write(loader + code)
-            script = f.name
-        proc = await asyncio.create_subprocess_exec(
-            "python",
-            script,
-            stdout=asyncio.subprocess.PIPE,
-            stderr=asyncio.subprocess.PIPE,
-        )
-        try:
-            out, err = await asyncio.wait_for(proc.communicate(), timeout=self.exec_timeout)
-        except asyncio.TimeoutError:
-            proc.kill()
-            return "Error: execution timed out"
-        text = out.decode(errors="replace").strip()
-        if proc.returncode != 0:
-            text += f"\nError: {err.decode(errors='replace').strip()[-800:]}"
-        return text or "(no output)"
 
     # -- the loop ----------------------------------------------------------
 
@@ -213,54 +189,68 @@ class ExcelAgent:
         return recorder
 
     async def _run_plan(
-        self, plan: list[str], path: str, schema: str, recorder: TaskRecorder
-    ) -> list[AnalysisStep]:
-        """Execute a plan's steps (code gen → sandbox → reward evaluator,
-        with error-driven retries). One rollout in MCTS terms."""
-        completed: list[AnalysisStep] = []
-        for desc in plan:
-            step = AnalysisStep(desc)
+        self, plan: list[str], smg: SheetStateMachine, schema: str, recorder: TaskRecorder
+    ) -> list[SMGNode]:
+        """Execute a plan through the sheet-state machine: per step
+        code-gen (conditioned on the LIVE frame state, so later steps reuse
+        earlier steps' derived frames/joins) → sandbox → reward evaluator,
+        with error-driven retries. Unchanged plan prefixes resume from the
+        SMG's prefix cache instead of re-executing (MCTS rollout reuse)."""
+        cached = smg.cached_prefix(plan)
+        smg.reset_to(cached)
+        completed: list[SMGNode] = list(cached)
+        if cached:
+            recorder.emit(
+                AgentEvent("reasoning_delta", text=f"resumed {len(cached)} cached step(s)")
+            )
+        for desc in plan[len(cached):]:
+            node = SMGNode(desc)
             error_context = ""
+            state_after: dict = {}
             for attempt in range(self.max_code_retries + 1):
-                step.attempts = attempt + 1
+                node.attempts = attempt + 1
                 code_raw = await self._chat(
                     CODE_PROMPT.format(
                         schema=schema,
+                        state=smg.state_summary(),
                         context="\n".join(
                             f"- {s.description}: {s.output[:300]}" for s in completed
                         )
                         or "(none)",
-                        step=step.description,
+                        step=node.description,
                         error_context=error_context,
                     )
                 )
-                step.code = self._code(code_raw)
-                recorder.emit(AgentEvent("tool_call", name="pandas_exec", arguments=step.code[:500]))
-                step.output = await self._execute(path, step.code)
-                recorder.emit(AgentEvent("tool_output", name="pandas_exec", text=step.output[:800]))
+                node.code = self._code(code_raw)
+                recorder.emit(AgentEvent("tool_call", name="pandas_exec", arguments=node.code[:500]))
+                node.output, state_after = await smg.execute_step(node.code)
+                recorder.emit(AgentEvent("tool_output", name="pandas_exec", text=node.output[:800]))
 
                 # reward evaluation (ref: reward evaluator)
                 ev_raw = await self._chat(
-                    EVAL_PROMPT.format(step=step.description, output=step.output[:1000])
+                    EVAL_PROMPT.format(step=node.description, output=node.output[:1000])
                 )
                 mo = _JSON_OBJ.search(ev_raw)
-                verdict = json.loads(mo.group(0)) if mo else {"success": "Error" not in step.output}
-                step.success = bool(verdict.get("success"))
-                if step.success:
+                verdict = json.loads(mo.group(0)) if mo else {"success": "Error" not in node.output}
+                node.success = bool(verdict.get("success"))
+                node.reward = 1.0 if node.success else 0.0
+                if node.success:
                     break
                 error_context = (
-                    f"The previous code failed.\nCode:\n{step.code}\n"
-                    f"Output:\n{step.output[-600:]}\nReason: {verdict.get('reason', '')}\nFix it."
+                    f"The previous code failed.\nCode:\n{node.code}\n"
+                    f"Output:\n{node.output[-600:]}\nReason: {verdict.get('reason', '')}\nFix it."
                 )
-            completed.append(step)
+            smg.record(node, state_after)
+            completed.append(node)
+            smg.cache_prefix([n.description for n in completed], completed)
             recorder.add_message(
-                "analyst", f"{step.description} -> {'ok' if step.success else 'failed'}"
+                "analyst", f"{node.description} -> {'ok' if node.success else 'failed'}"
             )
         return completed
 
     async def _mcts_analyze(
-        self, plan: list[str], path: str, schema: str, recorder: TaskRecorder
-    ) -> list[AnalysisStep]:
+        self, plan: list[str], smg: SheetStateMachine, schema: str, recorder: TaskRecorder
+    ) -> list[SMGNode]:
         """Plan-space UCT search (ref: DTR mcts_planner): rollouts execute
         candidate plans, reward = fraction of steps the evaluator accepts,
         refinements come from the LLM conditioned on rollout feedback."""
@@ -279,8 +269,8 @@ class ExcelAgent:
             refined = [str(s) for s in json.loads(mm.group(0))] if mm else []
             return refined[: self.max_steps] or parent_plan
 
-        async def rollout(p: list[str]) -> tuple[float, list[AnalysisStep]]:
-            steps = await self._run_plan(p, path, schema, recorder)
+        async def rollout(p: list[str]) -> tuple[float, list[SMGNode]]:
+            steps = await self._run_plan(p, smg, schema, recorder)
             reward = sum(s.success for s in steps) / max(len(steps), 1)
             return reward, steps
 
@@ -301,7 +291,8 @@ class ExcelAgent:
     async def _analyze(self, question: str, path: str | None, recorder: TaskRecorder) -> str:
         if not path or not Path(path).exists():
             raise FileNotFoundError(f"spreadsheet not found: {path}")
-        schema = self.load_schema(path)
+        schema = self.load_schema(path, question)
+        smg = SheetStateMachine(path, exec_timeout=self.exec_timeout)
         recorder.emit(AgentEvent("reasoning_delta", text=f"loaded sheets:\n{schema[:500]}"))
 
         experience = ""
@@ -323,15 +314,12 @@ class ExcelAgent:
         recorder.emit(AgentEvent("plan", data={"steps": plan}))
 
         if self.planner == "mcts":
-            completed = await self._mcts_analyze(plan, path, schema, recorder)
+            completed = await self._mcts_analyze(plan, smg, schema, recorder)
         else:
-            completed = await self._run_plan(plan, path, schema, recorder)
+            completed = await self._run_plan(plan, smg, schema, recorder)
 
-        results = "\n".join(
-            f"[{i+1}] {s.description} ({'ok' if s.success else 'FAILED'}):\n{s.output[:600]}"
-            for i, s in enumerate(completed)
-        )
-        answer = await self._chat(ANSWER_PROMPT.format(question=question, results=results))
+        recorder.emit(AgentEvent("reasoning_delta", data={"smg": smg.memory_summary()}))
+        answer = await synthesize_answer(question, completed, self._chat, smg.state)
         if self.memory is not None and completed and all(s.success for s in completed):
             try:
                 await self.memory.store_skill(

@@ -1,0 +1,281 @@
+"""SMG — sheet-state machine for deep table reasoning.
+
+Capability counterpart of the reference's Structured Memory Graph
+(``integrations/DTR/src/modules/smg_module.py:37-2030`` + ``TableState``/
+``SMGNode`` in ``src/core/dtr_structures.py``): the ONE component that
+generates + executes step code, tracks how every sheet and derived frame
+evolves (schema/shape before → after), and feeds that live state back into
+code generation so later steps can build on earlier steps' frames — the
+thing that makes cross-sheet joins work at all.
+
+Execution model (sandbox-safe equivalent of the reference's in-process
+namespace): each step's script = sheet loader + the accumulated code of all
+previously *successful* steps + the current step's code. Derived frames
+(merges, pivots, intermediate aggregates) therefore persist across steps;
+a state-snapshot epilogue reports every live DataFrame back to the state
+machine after each step. Steps are deterministic pure pandas, so prefix
+re-execution is cheap and cacheable (plan-prefix cache, used by the MCTS
+planner to avoid re-running unchanged prefixes across iterations)."""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import re
+import tempfile
+from dataclasses import dataclass, field
+from typing import Any
+
+from ...utils.log import get_logger
+
+logger = get_logger("dtr.smg")
+
+_STATE_MARK = "__SMG_STATE__"
+
+# appended to every step script: snapshot all live DataFrames
+_STATE_EPILOGUE = f"""
+import json as _json
+import pandas as _pd
+_state = {{}}
+for _name, _val in list(globals().items()):
+    if isinstance(_val, _pd.DataFrame) and not _name.startswith('_'):
+        _state[_name] = {{
+            "shape": list(_val.shape),
+            "columns": [str(c) for c in _val.columns][:60],
+            "dtypes": {{str(c): str(t) for c, t in list(_val.dtypes.items())[:60]}},
+        }}
+    elif isinstance(_val, dict) and _name == 'dfs':
+        for _k, _v in _val.items():
+            if isinstance(_v, _pd.DataFrame):
+                _state[f"dfs[{{_k!r}}]"] = {{
+                    "shape": list(_v.shape),
+                    "columns": [str(c) for c in _v.columns][:60],
+                    "dtypes": {{str(c): str(t) for c, t in list(_v.dtypes.items())[:60]}},
+                }}
+print({_STATE_MARK!r} + _json.dumps(_state))
+"""
+
+
+@dataclass
+class TableState:
+    """Schema/shape snapshot of one frame (ref: dtr_structures.TableState)."""
+
+    shape: tuple[int, int] = (0, 0)
+    columns: list[str] = field(default_factory=list)
+    dtypes: dict[str, str] = field(default_factory=dict)
+
+    @classmethod
+    def from_snapshot(cls, d: dict[str, Any]) -> "TableState":
+        return cls(tuple(d.get("shape", (0, 0))), list(d.get("columns", [])), dict(d.get("dtypes", {})))
+
+    def summary(self) -> str:
+        cols = ", ".join(self.columns[:12]) + ("…" if len(self.columns) > 12 else "")
+        return f"{self.shape[0]}x{self.shape[1]} [{cols}]"
+
+
+@dataclass
+class SMGNode:
+    """One executed step in the memory graph (ref: dtr_structures.SMGNode)."""
+
+    description: str
+    code: str = ""
+    output: str = ""
+    success: bool = False
+    attempts: int = 0
+    state_before: dict[str, TableState] = field(default_factory=dict)
+    state_after: dict[str, TableState] = field(default_factory=dict)
+    reward: float = 0.0
+
+    @property
+    def new_frames(self) -> list[str]:
+        return [k for k in self.state_after if k not in self.state_before]
+
+    @property
+    def changed_frames(self) -> list[str]:
+        return [
+            k
+            for k, st in self.state_after.items()
+            if k in self.state_before
+            and (st.shape != self.state_before[k].shape or st.columns != self.state_before[k].columns)
+        ]
+
+
+class SheetStateMachine:
+    """Tracks every sheet + derived frame through the analysis and executes
+    step code with accumulated state."""
+
+    def __init__(self, path: str, exec_timeout: float = 30.0):
+        self.path = path
+        self.exec_timeout = exec_timeout
+        self.nodes: list[SMGNode] = []
+        self.state: dict[str, TableState] = {}
+        # (step-description prefix) → executed nodes; lets the MCTS planner
+        # reuse unchanged plan prefixes instead of re-running every step
+        # (r1 weak #7: rollouts re-executed full plans each iteration)
+        self._prefix_cache: dict[tuple[str, ...], list[SMGNode]] = {}
+        # operator-outcome stats keyed by a coarse step signature
+        self.op_stats: dict[str, dict[str, int]] = {}
+
+    # -- execution ----------------------------------------------------------
+
+    def _loader(self) -> str:
+        p = self.path
+        return (
+            "import pandas as pd\n"
+            f"_p = {p!r}\n"
+            "dfs = {'Sheet1': pd.read_csv(_p)} if _p.endswith('.csv') "
+            "else pd.read_excel(_p, sheet_name=None)\n"
+        )
+
+    def _successful_prefix_code(self) -> str:
+        return "\n".join(n.code for n in self.nodes if n.success)
+
+    async def execute_step(self, code: str) -> tuple[str, dict[str, TableState]]:
+        """Run loader + successful-prefix + step code; returns (step output,
+        post-state). Prefix prints are suppressed so the output belongs to
+        this step alone."""
+        prefix = self._successful_prefix_code()
+        script = self._loader()
+        if prefix:
+            # silence prior steps' prints: they already reported
+            script += (
+                "import io as _io, contextlib as _ctx\n"
+                "with _ctx.redirect_stdout(_io.StringIO()):\n"
+                + "".join(f"    {line}\n" for line in prefix.split("\n"))
+            )
+        script += code + "\n" + _STATE_EPILOGUE
+        with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+            f.write(script)
+            name = f.name
+        proc = await asyncio.create_subprocess_exec(
+            "python", name, stdout=asyncio.subprocess.PIPE, stderr=asyncio.subprocess.PIPE
+        )
+        try:
+            out, err = await asyncio.wait_for(proc.communicate(), timeout=self.exec_timeout)
+        except asyncio.TimeoutError:
+            proc.kill()
+            return "Error: execution timed out", {}
+        text = out.decode(errors="replace")
+        state: dict[str, TableState] = {}
+        lines = []
+        for line in text.split("\n"):
+            if line.startswith(_STATE_MARK):
+                try:
+                    state = {
+                        k: TableState.from_snapshot(v)
+                        for k, v in json.loads(line[len(_STATE_MARK):]).items()
+                    }
+                except json.JSONDecodeError:
+                    pass
+            else:
+                lines.append(line)
+        text = "\n".join(lines).strip()
+        if proc.returncode != 0:
+            text += f"\nError: {err.decode(errors='replace').strip()[-800:]}"
+        return text or "(no output)", state
+
+    def record(self, node: SMGNode, state_after: dict[str, TableState]) -> None:
+        node.state_before = dict(self.state)
+        node.state_after = state_after or dict(self.state)
+        self.nodes.append(node)
+        if node.success and state_after:
+            self.state = state_after
+        sig = _op_signature(node.description)
+        st = self.op_stats.setdefault(sig, {"uses": 0, "successes": 0})
+        st["uses"] += 1
+        st["successes"] += int(node.success)
+
+    # -- prefix cache (MCTS reuse) -------------------------------------------
+
+    def cached_prefix(self, plan: list[str]) -> list[SMGNode]:
+        """Longest cached prefix of successfully executed plan steps."""
+        for i in range(len(plan), 0, -1):
+            hit = self._prefix_cache.get(tuple(plan[:i]))
+            if hit is not None and all(n.success for n in hit):
+                return list(hit)
+        return []
+
+    def cache_prefix(self, plan_prefix: list[str], nodes: list[SMGNode]) -> None:
+        self._prefix_cache[tuple(plan_prefix)] = list(nodes)
+
+    def reset_to(self, nodes: list[SMGNode]) -> None:
+        """Rewind the machine to a cached execution prefix."""
+        self.nodes = list(nodes)
+        self.state = dict(nodes[-1].state_after) if nodes else {}
+
+    # -- state feedback for code generation -----------------------------------
+
+    def state_summary(self) -> str:
+        """Live frame inventory for the code-gen prompt (the reference's
+        get_code_generation_hints / _build_step_context role)."""
+        if not self.state:
+            return "(no frames executed yet — only `dfs` sheet dict is loaded)"
+        lines = ["Live frames from previous steps (reusable by name):"]
+        for name, st in self.state.items():
+            lines.append(f"- {name}: {st.summary()}")
+        return "\n".join(lines)
+
+    def success_rate(self, description: str) -> float | None:
+        st = self.op_stats.get(_op_signature(description))
+        if not st or not st["uses"]:
+            return None
+        return st["successes"] / st["uses"]
+
+    def memory_summary(self) -> dict[str, Any]:
+        return {
+            "steps": len(self.nodes),
+            "succeeded": sum(n.success for n in self.nodes),
+            "frames": {k: v.summary() for k, v in self.state.items()},
+            "op_stats": self.op_stats,
+        }
+
+
+_OP_WORDS = re.compile(r"[a-z]+")
+_OP_KINDS = (
+    "merge", "join", "group", "aggregate", "sum", "mean", "count", "filter",
+    "sort", "pivot", "clean", "rank", "top", "compare", "compute",
+)
+
+
+def _op_signature(description: str) -> str:
+    """Coarse operator category of a step (ref OperatorType buckets)."""
+    words = set(_OP_WORDS.findall(description.lower()))
+    for kind in _OP_KINDS:
+        if kind in words:
+            return kind
+    return "other"
+
+
+# ---------------------------------------------------------------------------
+# schema linking (ref: integrations/DTR schema linking, 542 LoC): rank sheets
+# and columns by relevance to the question so many-sheet workbooks prompt
+# with the few that matter.
+# ---------------------------------------------------------------------------
+
+
+def link_sheets(question: str, sheets: dict[str, Any], top_n: int = 4) -> list[tuple[str, float, list[str]]]:
+    """Score (sheet, relevance, matched_columns) by lexical overlap between
+    the question and sheet/column/sample tokens. Deterministic — the element
+    -index embedding variant rides the KB toolkit when one is attached."""
+    q_tokens = set(_OP_WORDS.findall(question.lower()))
+    out = []
+    for name, df in sheets.items():
+        cols = [str(c) for c in df.columns]
+        col_tokens = {t for c in cols for t in _OP_WORDS.findall(c.lower())}
+        name_tokens = set(_OP_WORDS.findall(str(name).lower()))
+        sample_tokens: set[str] = set()
+        for c in cols[:10]:
+            try:
+                vals = df[c].astype(str).head(8)
+                sample_tokens |= {t for v in vals for t in _OP_WORDS.findall(v.lower())}
+            except Exception:  # noqa: BLE001
+                continue
+        score = (
+            2.0 * len(q_tokens & col_tokens)
+            + 1.5 * len(q_tokens & name_tokens)
+            + 1.0 * len(q_tokens & sample_tokens)
+        )
+        matched = [c for c in cols if set(_OP_WORDS.findall(c.lower())) & q_tokens]
+        out.append((name, score, matched))
+    out.sort(key=lambda t: -t[1])
+    return out[:top_n]
