@@ -44,3 +44,42 @@ def test_encoder_pallas_attention_matches_xla(rng):
     mask_s = mask[:, :128]
     c, _ = encode_tokens(params, ids_s, mask_s, cfg_p)  # t<256 → xla path
     assert np.isfinite(np.asarray(c)).all()
+
+
+def test_flash_attention_matches_xla(rng):
+    import jax.numpy as jnp
+
+    from youtu_rag_tpu.ops.attention import flash_attention
+
+    b, h, t, hd = 1, 2, 1024, 64
+    q = jnp.asarray(rng.normal(size=(b, h, t, hd)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, t, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, t, hd)).astype(np.float32))
+    mask = np.ones((b, t), np.float32)
+    mask[0, 700:] = 0.0
+    bias = jnp.asarray((1.0 - mask) * -1e9)
+
+    got = flash_attention(q, k, v, bias, block_q=256, block_k=256, interpret=True)
+
+    scores = np.einsum("bhqd,bhkd->bhqk", np.asarray(q), np.asarray(k)) / np.sqrt(hd)
+    scores = scores + np.asarray(bias)[:, None, None, :]
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    want = np.einsum("bhqk,bhkd->bhqd", p, np.asarray(v))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
+
+def test_flash_matches_blockwise(rng):
+    """Online-softmax recurrence agrees with the single-pass kernel."""
+    import jax.numpy as jnp
+
+    from youtu_rag_tpu.ops.attention import blockwise_attention, flash_attention
+
+    b, h, t, hd = 2, 2, 512, 64
+    q = jnp.asarray(rng.normal(size=(b, h, t, hd)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, t, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, t, hd)).astype(np.float32))
+    bias = jnp.zeros((b, t), jnp.float32)
+    a = blockwise_attention(q, k, v, bias, block_q=128, interpret=True)
+    f = flash_attention(q, k, v, bias, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(f), atol=2e-4)

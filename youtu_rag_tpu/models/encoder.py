@@ -152,17 +152,26 @@ def _attention(x, mask, wq, wk, wv, wo, cfg: EncoderConfig):
     q = _rope(proj(wq), cfg.rope_base)
     k = _rope(proj(wk), cfg.rope_base)
     v = proj(wv)
-    # the blockwise kernel pays off once score rows outgrow XLA's fused
-    # attention (measured crossover ~T=256 on v5e); short sequences stay XLA
+    # measured on v5e (b4·h12·hd64 bf16): XLA 3.6/14.4 ms at T=2k/4k,
+    # blockwise 0.94/3.1 ms; blockwise fails to compile at T≥8k (the
+    # [block_q, T] f32 score row outgrows VMEM) where flash runs 6.0 ms
+    # (8k) / 24.1 ms (16k). So: XLA < 256 ≤ blockwise ≤ 4k < flash.
     if cfg.attention_impl != "xla" and t >= 256 and t % 128 == 0 and hd % 64 == 0:
-        from ..ops.attention import blockwise_attention
-
+        interpret = cfg.attention_impl == "pallas_interpret"
         bias2d = (1.0 - mask.astype(jnp.float32)) * -1e9  # [B, T]
-        y = blockwise_attention(
-            q, k, v, bias2d,
-            block_q=min(256, t),
-            interpret=cfg.attention_impl == "pallas_interpret",
+        use_flash = cfg.attention_impl == "flash" or (
+            cfg.attention_impl == "pallas" and t > 4096
         )
+        if use_flash:
+            from ..ops.attention import flash_attention
+
+            y = flash_attention(q, k, v, bias2d, interpret=interpret)
+        else:
+            from ..ops.attention import blockwise_attention
+
+            y = blockwise_attention(
+                q, k, v, bias2d, block_q=min(256, t), interpret=interpret
+            )
     else:
         mask_bias = (1.0 - mask[:, None, None, :].astype(jnp.float32)) * -1e9
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)

@@ -1,14 +1,19 @@
-"""Blockwise attention kernel for the encoder forward.
+"""Attention kernels for the encoder forward.
 
-XLA's attention materializes the [B, H, T, T] score tensor in HBM; this
-kernel keeps each query block's scores in VMEM: grid over
-(batch·heads, query blocks), K/V for the head live in VMEM (T·hd·bf16 —
-1 MB at T=4096), softmax(QKᵀ+bias)·V computed per tile on the MXU. At
-encoder scale (T ≤ 4k) the full-T score row fits VMEM, so no online
-softmax bookkeeping is needed — HBM touches only Q/K/V/O.
+Two tiers (selected by EncoderConfig.attention_impl / sequence length):
+
+- ``blockwise_attention`` — grid over (batch·heads, query blocks), full
+  K/V for the head resident in VMEM (T·hd·bf16 — 1 MB at T=4096), one
+  softmax per query tile, no online bookkeeping. Best at encoder scale
+  (256 ≤ T ≤ ~2k) where K/V fits comfortably.
+- ``flash_attention`` — K/V-blocked with online softmax (running max /
+  denominator / rescaled accumulator in VMEM scratch, the FlashAttention
+  recurrence): grid (batch·heads, query blocks, kv blocks), K/V streamed
+  block-by-block by the Mosaic pipeline, so VMEM use is O(block) and the
+  kernel scales to T ≫ 4k (HiChunk-scale documents).
 
 Forward-only: the embedder serves inference; training uses the XLA path
-(remat handles memory there). Select via EncoderConfig.attention_impl."""
+(remat handles memory there)."""
 
 from __future__ import annotations
 
@@ -80,6 +85,121 @@ def blockwise_attention(
         ],
         out_specs=pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, t, hd), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, bias_f)
+    return out.reshape(b, h, t, hd)
+
+
+# ---------------------------------------------------------------------------
+# flash attention: K/V-blocked, online softmax
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(
+    q_ref,  # VMEM [1, BQ, hd]
+    k_ref,  # VMEM [1, BK, hd]
+    v_ref,  # VMEM [1, BK, hd]
+    bias_ref,  # VMEM [1, 1, BK]
+    o_ref,  # VMEM [1, BQ, hd]
+    m_scr,  # VMEM [BQ, 128] f32 (running max, lane-broadcast)
+    l_scr,  # VMEM [BQ, 128] f32 (running denominator)
+    acc_scr,  # VMEM [BQ, hd] f32
+    *,
+    scale: float,
+    n_kv: int,
+):
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BQ, BK]
+    s = s * scale + bias_ref[0]
+
+    m_prev = m_scr[:, :1]  # [BQ, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)  # rescale factor for the old state
+    p = jnp.exp(s - m_new)  # [BQ, BK]
+    l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+    acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(kb == n_kv - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[...] / l_scr[:, :1]).astype(o_ref.dtype)
+
+
+def _fit_block(block: int, t: int) -> int:
+    b = min(block, t)
+    while t % b:
+        b //= 2
+    return max(b, 128)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array,
+    *,
+    block_q: int = 512,
+    block_k: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """softmax(q·kᵀ·scale + bias)·v with O(block) VMEM — long sequences.
+
+    Same contract as ``blockwise_attention``; K/V stream through VMEM in
+    ``block_k`` tiles with the online-softmax recurrence, so T is bounded
+    by HBM, not VMEM. Defaults measured on v5e at T=8192 (b2·h12·hd64):
+    512×2048 → 5.96 ms vs 13.1 ms at 512×512 — big K blocks amortize the
+    online-softmax rescale; blockwise_attention dies at T≥8192 (the
+    [block_q, T] f32 score row outgrows VMEM) while this kernel scales
+    (24.1 ms at T=16384, clean 4× of 8192)."""
+    b, h, t, hd = q.shape
+    assert k.shape == v.shape == (b, h, t, hd)
+    block_q = _fit_block(block_q, t)
+    block_k = _fit_block(block_k, t)
+    assert t % block_q == 0 and t % block_k == 0, (t, block_q, block_k)
+    scale = 1.0 / (hd**0.5)
+
+    bh = b * h
+    qf = q.reshape(bh, t, hd)
+    kf = k.reshape(bh, t, hd)
+    vf = v.reshape(bh, t, hd)
+    bias_f = jnp.repeat(bias.astype(jnp.float32), h, axis=0).reshape(bh, 1, t)
+
+    n_kv = t // block_k
+    grid = (bh, t // block_q, n_kv)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, n_kv=n_kv),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda i, j, kb: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, hd), lambda i, j, kb: (i, kb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, hd), lambda i, j, kb: (i, kb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k), lambda i, j, kb: (i, 0, kb), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, hd), lambda i, j, kb: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, t, hd), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, hd), jnp.float32),
+        ],
         interpret=interpret,
     )(qf, kf, vf, bias_f)
     return out.reshape(b, h, t, hd)
