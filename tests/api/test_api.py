@@ -223,7 +223,7 @@ class UiTest(AsyncHTTPTestCase):
         r = self.fetch("/")
         assert r.code == 200
         assert b"youtu-rag-tpu" in r.body
-        assert b"/api/chat" in r.body
+        assert b"/static/app.js" in r.body  # SPA shell loads the module app
 
 
 class QaRouteTest(AsyncHTTPTestCase):

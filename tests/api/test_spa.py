@@ -1,0 +1,100 @@
+"""SPA integrity tests (no JS runtime in this image, so validate what we
+can hermetically): static assets serve, every API path the JS calls
+matches a registered tornado route, i18n keys resolve in both languages,
+and files are brace-balanced (gross syntax guard)."""
+
+import json
+import re
+from pathlib import Path
+
+import tornado.web
+from tornado.testing import AsyncHTTPTestCase
+
+from youtu_rag_tpu.api.app import create_app
+from youtu_rag_tpu.api.state import ApiState
+from youtu_rag_tpu.core.config import IndexConfig, RAGConfig, VectorStoreConfig
+
+STATIC = Path(__file__).parents[2] / "youtu_rag_tpu" / "api" / "static"
+JS_FILES = sorted(STATIC.rglob("*.js"))
+
+
+def _routes():
+    import tempfile
+
+    rag = RAGConfig(vector_store=VectorStoreConfig(index=IndexConfig(min_capacity=256, block_rows=128)))
+    app = create_app(ApiState(data_dir=tempfile.mkdtemp(prefix="yrt-spa-"), rag_config=rag))
+    pats = []
+    for rule in app.default_router.rules[0].target.rules:
+        pats.append(rule.matcher.regex.pattern)
+    return pats
+
+
+def test_js_api_paths_match_routes():
+    """Every fetch/api() URL literal in the SPA resolves to a real route —
+    catches frontend/backend drift."""
+    pats = _routes()
+    called = set()
+    for f in JS_FILES:
+        text = f.read_text()
+        for m in re.findall(r"""[`"'](/(?:api|health|static|ws)[^`"']*)[`"']""", text):
+            # template params → a concrete placeholder; strip query strings
+            url = re.sub(r"\$\{[^}]*\}", "X", m).split("?")[0]
+            called.add(url)
+    assert called, "no API calls found in the SPA?"
+    misses = []
+    for url in sorted(called):
+        if not any(re.fullmatch(p.rstrip("$"), url) for p in pats):
+            misses.append(url)
+    assert not misses, f"SPA calls unrouted paths: {misses}"
+
+
+def test_js_brace_balance_and_modules():
+    for f in JS_FILES:
+        text = f.read_text()
+        for a, b in ("{}", "()", "[]"):
+            # strings/templates can unbalance this; strip them first
+            stripped = re.sub(r"`(?:[^`\\]|\\.)*`|\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*'|//[^\n]*", "", text)
+            assert stripped.count(a) == stripped.count(b), (f.name, a, stripped.count(a), stripped.count(b))
+    app_js = (STATIC / "app.js").read_text()
+    for view in ("chat", "kb", "files", "monitor"):
+        assert f"./views/{view}.js" in app_js, f"view {view} not wired into the router"
+
+
+def test_i18n_keys_resolve_both_languages():
+    app_js = (STATIC / "app.js").read_text()
+    en = dict(re.findall(r'"([\w.]+)":\s*"([^"]*)"', app_js.split("en: {")[1].split("zh: {")[0]))
+    zh = dict(re.findall(r'"([\w.]+)":\s*"([^"]*)"', app_js.split("zh: {")[1].split("};")[0]))
+    used = set()
+    for f in JS_FILES:
+        used |= set(re.findall(r'\bt\("([\w.]+)"\)', f.read_text()))
+    used |= set(re.findall(r'data-i18n="([\w.]+)"', (STATIC / "index.html").read_text()))
+    missing_en = used - set(en)
+    missing_zh = used - set(zh)
+    assert not missing_en, f"missing en i18n keys: {missing_en}"
+    assert not missing_zh, f"missing zh i18n keys: {missing_zh}"
+
+
+class SpaServeTest(AsyncHTTPTestCase):
+    def get_app(self):
+        import tempfile
+
+        rag = RAGConfig(vector_store=VectorStoreConfig(index=IndexConfig(min_capacity=256, block_rows=128)))
+        self.state = ApiState(data_dir=tempfile.mkdtemp(prefix="yrt-spa2-"), rag_config=rag)
+        return create_app(self.state)
+
+    def test_index_and_assets_serve(self):
+        r = self.fetch("/")
+        assert r.code == 200 and b"/static/app.js" in r.body and b"/static/style.css" in r.body
+        for path in ("/static/app.js", "/static/style.css",
+                     "/static/views/chat.js", "/static/views/kb.js",
+                     "/static/views/files.js", "/static/views/monitor.js"):
+            rr = self.fetch(path)
+            assert rr.code == 200 and len(rr.body) > 500, path
+
+    def test_metadata_csv_roundtrip_shape(self):
+        # the Metadata tab's export link returns CSV with the header row
+        self.fetch("/api/knowledge-bases", method="POST", body=json.dumps({"name": "spa"}))
+        self.fetch("/api/knowledge-bases/spa/build",
+                   method="POST", body=json.dumps({"documents": [{"id": "d", "content": "hello spa"}]}))
+        r = self.fetch("/api/knowledge-bases/spa/metadata")
+        assert r.code == 200 and r.body.startswith(b"chunk_id,document_id")

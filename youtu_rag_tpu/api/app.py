@@ -983,10 +983,14 @@ class IndexPageHandler(BaseHandler):
 
 
 def create_app(state: ApiState | None = None) -> tornado.web.Application:
+    import os as _os
+
     state = state or ApiState()
+    static_dir = _os.path.join(_os.path.dirname(__file__), "static")
     return tornado.web.Application(
         [
             (r"/", IndexPageHandler),
+            (r"/static/(.*)", tornado.web.StaticFileHandler, {"path": static_dir}),
             (r"/ws/chat", ChatWebSocketHandler),
             (r"/api/trajectories", TrajectoriesHandler),
             (r"/health", HealthHandler),

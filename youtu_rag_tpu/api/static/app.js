@@ -1,0 +1,179 @@
+// SPA core: hash router, API client, i18n, toasts, modal.
+// (counterpart of rag_webui's router/api/i18n assets, rebuilt small)
+
+import { renderChat } from "./views/chat.js";
+import { renderKb } from "./views/kb.js";
+import { renderFiles } from "./views/files.js";
+import { renderMonitor } from "./views/monitor.js";
+
+export const state = {
+  lang: localStorage.getItem("yrt-lang") || "en",
+  kb: localStorage.getItem("yrt-kb") || "",
+};
+
+// ---------------------------------------------------------------- i18n
+const I18N = {
+  en: {
+    "tab.chat": "Chat", "tab.kb": "Knowledge Bases", "tab.files": "Files",
+    "tab.monitor": "Monitor",
+    "kb.create": "Create", "kb.name": "new knowledge base name",
+    "kb.none": "No knowledge bases yet — create one.",
+    "kb.delete": "Delete", "kb.chunks": "chunks", "kb.backend": "backend",
+    "kb.build": "Build", "kb.browse": "Chunks", "kb.qa": "QA", "kb.index": "Index",
+    "kb.meta": "Metadata", "kb.snapshot": "Snapshot", "kb.query": "Query",
+    "build.files": "Files to build (from the file manager)",
+    "build.inline": "Inline document (optional)", "build.rebuild": "full rebuild",
+    "build.run": "Run build", "build.logs": "Build logs",
+    "chunks.search": "search chunks…", "qa.question": "question", "qa.answer": "answer",
+    "qa.add": "Add pair", "qa.ask": "Ask", "qa.threshold": "threshold",
+    "files.upload": "Upload", "files.upload.progress": "Upload with stages",
+    "files.name": "name", "files.size": "size", "files.actions": "actions",
+    "files.ocr": "OCR", "files.download": "Download", "files.delete": "Delete",
+    "ocr.save": "Save page", "ocr.edited": "edited", "ocr.none": "no OCR results for this file",
+    "chat.placeholder": "Ask the knowledge base…", "chat.send": "Send",
+    "chat.kb": "Knowledge base", "chat.agent": "Agent", "chat.memory": "Memory",
+    "monitor.health": "Storage health", "monitor.metrics": "Metrics",
+    "monitor.embed": "Embedding tester", "monitor.rerank": "Reranker tester",
+    "monitor.runs": "Recent runs",
+  },
+  zh: {
+    "tab.chat": "对话", "tab.kb": "知识库", "tab.files": "文件", "tab.monitor": "监控",
+    "kb.create": "创建", "kb.name": "新知识库名称", "kb.none": "暂无知识库 — 创建一个。",
+    "kb.delete": "删除", "kb.chunks": "分块", "kb.backend": "后端",
+    "kb.build": "构建", "kb.browse": "分块", "kb.qa": "问答", "kb.index": "索引",
+    "kb.meta": "元数据", "kb.snapshot": "快照", "kb.query": "检索",
+    "build.files": "要构建的文件（来自文件管理）", "build.inline": "内联文档（可选）",
+    "build.rebuild": "全量重建", "build.run": "开始构建", "build.logs": "构建日志",
+    "chunks.search": "搜索分块…", "qa.question": "问题", "qa.answer": "答案",
+    "qa.add": "添加问答对", "qa.ask": "提问", "qa.threshold": "阈值",
+    "files.upload": "上传", "files.upload.progress": "分阶段上传",
+    "files.name": "名称", "files.size": "大小", "files.actions": "操作",
+    "files.ocr": "OCR", "files.download": "下载", "files.delete": "删除",
+    "ocr.save": "保存本页", "ocr.edited": "已编辑", "ocr.none": "该文件没有 OCR 结果",
+    "chat.placeholder": "向知识库提问…", "chat.send": "发送",
+    "chat.kb": "知识库", "chat.agent": "智能体", "chat.memory": "记忆",
+    "monitor.health": "存储健康", "monitor.metrics": "指标",
+    "monitor.embed": "向量化测试", "monitor.rerank": "重排测试", "monitor.runs": "最近运行",
+  },
+};
+
+export function t(key) {
+  return (I18N[state.lang] || I18N.en)[key] || I18N.en[key] || key;
+}
+
+function applyStaticI18n() {
+  document.querySelectorAll("[data-i18n]").forEach((el) => {
+    el.textContent = t(el.dataset.i18n);
+  });
+  document.getElementById("lang-toggle").textContent = state.lang === "en" ? "中文" : "EN";
+}
+
+// ---------------------------------------------------------------- api
+export async function api(path, opts = {}) {
+  const r = await fetch(path, opts);
+  let body = null;
+  try { body = await r.json(); } catch { /* non-JSON */ }
+  if (!r.ok) {
+    const reason = (body && (body.error || body.reason)) || r.statusText;
+    throw new Error(`${r.status}: ${reason}`);
+  }
+  return body;
+}
+
+export function toast(msg, kind = "") {
+  const d = document.createElement("div");
+  d.className = `toast ${kind}`;
+  d.textContent = msg;
+  document.getElementById("toasts").appendChild(d);
+  setTimeout(() => d.remove(), 5000);
+}
+
+export function guard(fn) {
+  // wraps an async handler: errors surface as toasts, never silent
+  return (...args) => fn(...args).catch((e) => toast(String(e.message || e), "err"));
+}
+
+// ---------------------------------------------------------------- modal
+export function openModal(contentEl) {
+  const root = document.getElementById("modal-root");
+  root.innerHTML = "";
+  const box = document.createElement("div");
+  box.className = "modal";
+  box.appendChild(contentEl);
+  root.appendChild(box);
+  root.onclick = (e) => { if (e.target === root) closeModal(); };
+  return box;
+}
+
+export function closeModal() {
+  document.getElementById("modal-root").innerHTML = "";
+}
+
+// ---------------------------------------------------------------- dom
+export function h(tag, attrs = {}, ...children) {
+  const el = document.createElement(tag);
+  for (const [k, v] of Object.entries(attrs)) {
+    if (k === "class") el.className = v;
+    else if (k.startsWith("on")) el.addEventListener(k.slice(2), v);
+    else if (v !== null && v !== undefined) el.setAttribute(k, v);
+  }
+  for (const c of children.flat()) {
+    if (c === null || c === undefined) continue;
+    el.appendChild(typeof c === "string" ? document.createTextNode(c) : c);
+  }
+  return el;
+}
+
+export function fmtBytes(n) {
+  if (n < 1024) return `${n} B`;
+  if (n < 1048576) return `${(n / 1024).toFixed(1)} KB`;
+  return `${(n / 1048576).toFixed(1)} MB`;
+}
+
+// ---------------------------------------------------------------- router
+const routes = [
+  [/^#\/chat/, renderChat, "chat"],
+  [/^#\/kb/, renderKb, "kb"],
+  [/^#\/files/, renderFiles, "files"],
+  [/^#\/monitor/, renderMonitor, "monitor"],
+];
+
+async function route() {
+  const hash = location.hash || "#/chat";
+  const view = document.getElementById("view");
+  for (const [re, render, tab] of routes) {
+    if (re.test(hash)) {
+      document.querySelectorAll("#tabs a").forEach((a) =>
+        a.classList.toggle("active", a.dataset.tab === tab));
+      view.innerHTML = "";
+      try {
+        await render(view, hash);
+      } catch (e) {
+        toast(String(e.message || e), "err");
+      }
+      return;
+    }
+  }
+  location.hash = "#/chat";
+}
+
+async function refreshHealth() {
+  try {
+    const hlt = await api("/health");
+    document.getElementById("health").textContent =
+      `agent: ${hlt.agent_type} · memory: ${hlt.memory_enabled ? "on" : "off"}`;
+  } catch { document.getElementById("health").textContent = "offline"; }
+}
+
+document.getElementById("lang-toggle").addEventListener("click", () => {
+  state.lang = state.lang === "en" ? "zh" : "en";
+  localStorage.setItem("yrt-lang", state.lang);
+  applyStaticI18n();
+  route();
+});
+
+window.addEventListener("hashchange", route);
+applyStaticI18n();
+refreshHealth();
+setInterval(refreshHealth, 15000);
+route();

@@ -1,0 +1,374 @@
+// Knowledge-base views: list + detail (build screen with live log polling,
+// paginated chunk browser, QA management + detail, index maintenance,
+// metadata export/import, snapshots, retrieval tester).
+// Counterpart of rag_webui's knowledge-base{,-detail}.js + qa-detail.js.
+
+import { api, fmtBytes, guard, h, openModal, closeModal, state, t, toast } from "../app.js";
+
+export async function renderKb(view, hash) {
+  const m = hash.match(/^#\/kb\/([^/]+)/);
+  if (m) return renderKbDetail(view, decodeURIComponent(m[1]));
+  return renderKbList(view);
+}
+
+// ------------------------------------------------------------------ list
+
+async function renderKbList(view) {
+  const data = await api("/api/knowledge-bases");
+  const nameInput = h("input", { placeholder: t("kb.name") });
+  const createBtn = h("button", { class: "primary" }, t("kb.create"));
+  createBtn.addEventListener("click", guard(async () => {
+    const name = nameInput.value.trim();
+    if (!name) return;
+    await api("/api/knowledge-bases", { method: "POST", body: JSON.stringify({ name }) });
+    location.hash = `#/kb/${encodeURIComponent(name)}`;
+  }));
+
+  const cards = data.knowledge_bases.map((kb) => {
+    const del = h("button", { class: "danger ghost" }, "✕");
+    del.addEventListener("click", guard(async (ev) => {
+      ev.stopPropagation();
+      if (!confirm(`delete knowledge base ${kb.name}?`)) return;
+      await api(`/api/knowledge-bases/${kb.name}`, { method: "DELETE" });
+      renderKb(view.parentElement ? view : view, "#/kb");
+      location.reload();
+    }));
+    const card = h("div", { class: "card clickable" },
+      h("div", { class: "row" }, h("h2", {}, kb.name), h("div", { class: "spacer" }), del),
+      h("div", { class: "dim" }, `${kb.chunks} ${t("kb.chunks")} · ${t("kb.backend")}: ${kb.backend}`),
+      h("div", { class: "dim" }, `embedder: ${kb.embedder}`));
+    card.addEventListener("click", () => { location.hash = `#/kb/${encodeURIComponent(kb.name)}`; });
+    return card;
+  });
+
+  view.appendChild(h("div", { class: "col" },
+    h("div", { class: "row" }, nameInput, createBtn),
+    cards.length ? h("div", { class: "grid" }, cards) : h("div", { class: "dim" }, t("kb.none"))));
+}
+
+// ------------------------------------------------------------------ detail
+
+async function renderKbDetail(view, name) {
+  state.kb = name;
+  localStorage.setItem("yrt-kb", name);
+  const body = h("div", {});
+  const tabs = [
+    ["build", t("kb.build"), renderBuildTab],
+    ["chunks", t("kb.browse"), renderChunksTab],
+    ["qa", t("kb.qa"), renderQaTab],
+    ["query", t("kb.query"), renderQueryTab],
+    ["index", t("kb.index"), renderIndexTab],
+    ["meta", t("kb.meta"), renderMetaTab],
+    ["snapshot", t("kb.snapshot"), renderSnapshotTab],
+  ];
+  const tabBar = h("div", { class: "tabs-inner" });
+  let active = sessionStorage.getItem(`yrt-kbtab`) || "build";
+  for (const [id, label, render] of tabs) {
+    const b = h("button", { class: id === active ? "active" : "" }, label);
+    b.addEventListener("click", guard(async () => {
+      active = id;
+      sessionStorage.setItem("yrt-kbtab", id);
+      tabBar.querySelectorAll("button").forEach((x) => x.classList.remove("active"));
+      b.classList.add("active");
+      body.innerHTML = "";
+      await render(body, name);
+    }));
+    tabBar.appendChild(b);
+  }
+  view.appendChild(h("div", {},
+    h("div", { class: "row" },
+      h("a", { href: "#/kb", class: "dim" }, "← knowledge bases"),
+      h("h2", { style: "margin:0 0 0 8px" }, name)),
+    tabBar, body));
+  const entry = tabs.find(([id]) => id === active) || tabs[0];
+  await entry[2](body, name);
+}
+
+// ------------------------------------------------------------------ build
+
+async function renderBuildTab(root, name) {
+  const files = await api("/api/files");
+  const fileChecks = files.files.map((f) =>
+    h("label", { class: "row", style: "gap:6px" },
+      h("input", { type: "checkbox", value: f.name }),
+      `${f.name} `, h("span", { class: "dim" }, fmtBytes(f.size))));
+  const inlineId = h("input", { placeholder: "doc id" });
+  const inlineText = h("textarea", { placeholder: t("build.inline"), rows: "4", style: "width:100%" });
+  const rebuild = h("input", { type: "checkbox" });
+  const runBtn = h("button", { class: "primary" }, t("build.run"));
+  const report = h("div", {});
+  const logsBox = h("div", {});
+
+  async function refreshLogs() {
+    const logs = await api(`/api/knowledge-bases/${name}/build-logs`);
+    logsBox.innerHTML = "";
+    if (!logs.logs.length) { logsBox.appendChild(h("div", { class: "dim" }, "(no builds yet)")); return; }
+    const rows = logs.logs.slice(-10).reverse().map((l) =>
+      h("tr", {},
+        h("td", {}, new Date(l.time * 1000).toLocaleTimeString()),
+        h("td", {}, h("span", { class: `badge ${l.status === "completed" ? "ok" : l.status === "running" ? "warn" : "err"}` }, l.status)),
+        h("td", {}, l.detail ? `${l.detail.processed_documents} docs · ${l.detail.total_chunks} chunks` : ""),
+        h("td", { class: "dim" }, l.detail && l.detail.errors && l.detail.errors.length ? l.detail.errors.join("; ").slice(0, 140) : "")));
+    logsBox.appendChild(h("table", {},
+      h("tr", {}, h("th", {}, "time"), h("th", {}, "status"), h("th", {}, "result"), h("th", {}, "errors")),
+      rows));
+  }
+
+  runBtn.addEventListener("click", guard(async () => {
+    const selected = [...root.querySelectorAll("input[type=checkbox][value]")]
+      .filter((c) => c.checked).map((c) => c.value);
+    const docs = [];
+    if (inlineText.value.trim()) {
+      docs.push({ id: inlineId.value.trim() || `inline-${Date.now()}`, content: inlineText.value });
+    }
+    if (!selected.length && !docs.length) { toast("select files or add an inline document", "err"); return; }
+    runBtn.disabled = true;
+    report.innerHTML = "";
+    report.appendChild(h("div", { class: "dim" }, "building…"));
+    const poll = setInterval(() => refreshLogs().catch(() => {}), 1000);
+    try {
+      const r = await api(`/api/knowledge-bases/${name}/build`, {
+        method: "POST",
+        body: JSON.stringify({ files: selected, documents: docs, rebuild: rebuild.checked }),
+      });
+      report.innerHTML = "";
+      report.appendChild(h("div", {},
+        h("span", { class: `badge ${r.status.status === "completed" ? "ok" : "err"}` }, r.status.status),
+        ` ${r.status.processed_documents} docs → ${r.status.total_chunks} chunks`,
+        r.status.errors.length ? h("pre", {}, r.status.errors.join("\n")) : null));
+      toast(`build ${r.status.status}`, r.status.errors.length ? "err" : "ok");
+    } finally {
+      clearInterval(poll);
+      runBtn.disabled = false;
+      refreshLogs();
+    }
+  }));
+
+  root.appendChild(h("div", { class: "col" },
+    h("div", { class: "card" },
+      h("h3", {}, t("build.files")),
+      fileChecks.length ? h("div", { class: "col" }, fileChecks)
+        : h("div", { class: "dim" }, "(upload files in the Files tab first)"),
+      h("h3", {}, t("build.inline")),
+      h("div", { class: "row" }, inlineId),
+      inlineText,
+      h("div", { class: "row", style: "margin-top:8px" },
+        h("label", { class: "dim" }, rebuild, ` ${t("build.rebuild")}`),
+        h("div", { class: "spacer" }), runBtn),
+      report),
+    h("div", { class: "card" }, h("h3", {}, t("build.logs")), logsBox)));
+  await refreshLogs();
+}
+
+// ------------------------------------------------------------------ chunks
+
+async function renderChunksTab(root, name) {
+  const PAGE = 25;
+  let offset = 0;
+  const q = h("input", { placeholder: t("chunks.search"), style: "flex:1" });
+  const stats = h("span", { class: "dim" });
+  const table = h("div", {});
+  const prev = h("button", {}, "‹");
+  const next = h("button", {}, "›");
+
+  async function load() {
+    const data = await api(`/api/knowledge-bases/${name}/chunks?limit=${PAGE}&offset=${offset}&q=${encodeURIComponent(q.value.trim())}`);
+    stats.textContent = `${data.matched} matched of ${data.total} · rows ${offset}–${offset + data.chunks.length}`;
+    table.innerHTML = "";
+    const rows = data.chunks.map((c) => {
+      const tr = h("tr", { class: "clickable" },
+        h("td", { class: "dim" }, `${c.document_id}#${c.chunk_index}`),
+        h("td", {}, c.content.slice(0, 140)),
+        h("td", { class: "dim" }, (c.metadata && c.metadata.index_type) || ""));
+      tr.addEventListener("click", () => {
+        openModal(h("div", {},
+          h("h2", {}, `${c.document_id} #${c.chunk_index}`),
+          h("pre", {}, c.content),
+          h("h3", {}, "metadata"),
+          h("pre", {}, JSON.stringify(c.metadata, null, 2)),
+          h("button", { onclick: closeModal }, "close")));
+      });
+      return tr;
+    });
+    table.appendChild(h("table", {},
+      h("tr", {}, h("th", {}, "chunk"), h("th", {}, "content"), h("th", {}, "index")),
+      rows));
+  }
+
+  prev.addEventListener("click", guard(async () => { offset = Math.max(0, offset - PAGE); await load(); }));
+  next.addEventListener("click", guard(async () => { offset += PAGE; await load(); }));
+  q.addEventListener("keydown", guard(async (e) => { if (e.key === "Enter") { offset = 0; await load(); } }));
+
+  root.appendChild(h("div", { class: "card col" },
+    h("div", { class: "row" }, q, prev, next, stats), table));
+  await load();
+}
+
+// ------------------------------------------------------------------ qa
+
+async function renderQaTab(root, name) {
+  const qIn = h("input", { placeholder: t("qa.question"), style: "flex:1" });
+  const aIn = h("input", { placeholder: t("qa.answer"), style: "flex:1" });
+  const addBtn = h("button", { class: "primary" }, t("qa.add"));
+  const askIn = h("input", { placeholder: t("qa.question"), style: "flex:1" });
+  const thIn = h("input", { type: "number", value: "0.6", step: "0.05", min: "0", max: "1", style: "width:80px", title: t("qa.threshold") });
+  const askBtn = h("button", {}, t("qa.ask"));
+  const askOut = h("div", {});
+  const listBox = h("div", {});
+
+  async function load() {
+    const data = await api(`/api/knowledge-bases/${name}/qa-pairs?limit=100`);
+    listBox.innerHTML = "";
+    if (!data.qa_pairs.length) { listBox.appendChild(h("div", { class: "dim" }, "(no QA pairs)")); return; }
+    const rows = data.qa_pairs.map((p) => {
+      const del = h("button", { class: "danger ghost" }, "✕");
+      del.addEventListener("click", guard(async () => {
+        await api(`/api/knowledge-bases/${name}/qa-pairs?id=${encodeURIComponent(p.id)}`, { method: "DELETE" });
+        await load();
+      }));
+      const tr = h("tr", { class: "clickable" },
+        h("td", {}, p.question), h("td", { class: "dim" }, (p.answer || "").slice(0, 100)),
+        h("td", { class: "dim" }, p.source_id), h("td", {}, del));
+      tr.addEventListener("click", (ev) => {
+        if (ev.target === del) return;
+        openModal(h("div", {},
+          h("h2", {}, "QA pair"),
+          h("h3", {}, "question"), h("pre", {}, p.question),
+          h("h3", {}, "answer"), h("pre", {}, p.answer || "(empty)"),
+          p.related_file ? h("div", { class: "dim" }, `related file: ${p.related_file}`) : null,
+          h("div", { class: "dim" }, `id: ${p.id} · source: ${p.source_id}`),
+          h("button", { onclick: closeModal }, "close")));
+      });
+      return tr;
+    });
+    listBox.appendChild(h("table", {},
+      h("tr", {}, h("th", {}, "question"), h("th", {}, "answer"), h("th", {}, "source"), h("th", {}, "")),
+      rows));
+  }
+
+  addBtn.addEventListener("click", guard(async () => {
+    if (!qIn.value.trim()) return;
+    await api(`/api/knowledge-bases/${name}/qa-pairs`, {
+      method: "POST",
+      body: JSON.stringify({ pairs: [{ question: qIn.value.trim(), answer: aIn.value.trim() }] }),
+    });
+    qIn.value = ""; aIn.value = "";
+    await load();
+  }));
+
+  askBtn.addEventListener("click", guard(async () => {
+    const r = await api(`/api/knowledge-bases/${name}/qa`, {
+      method: "POST",
+      body: JSON.stringify({ question: askIn.value.trim(), threshold: parseFloat(thIn.value) }),
+    });
+    askOut.innerHTML = "";
+    if (r.matched) {
+      askOut.appendChild(h("div", {},
+        h("span", { class: "badge ok" }, `match ${r.matched.score.toFixed(3)}`),
+        h("pre", {}, r.matched.answer)));
+    } else {
+      const best = r.candidates && r.candidates.length ? r.candidates[0].score.toFixed(3) : "n/a";
+      askOut.appendChild(h("div", { class: "dim" }, `no QA match above threshold (best: ${best})`));
+    }
+  }));
+
+  root.appendChild(h("div", { class: "col" },
+    h("div", { class: "card col" },
+      h("h3", {}, "add"), h("div", { class: "row" }, qIn, aIn, addBtn),
+      h("h3", {}, "ask"), h("div", { class: "row" }, askIn, thIn, askBtn), askOut),
+    h("div", { class: "card" }, listBox)));
+  await load();
+}
+
+// ------------------------------------------------------------------ query tester
+
+async function renderQueryTab(root, name) {
+  const qIn = h("input", { placeholder: "retrieval query…", style: "flex:1" });
+  const kIn = h("input", { type: "number", value: "5", min: "1", max: "50", style: "width:70px" });
+  const btn = h("button", { class: "primary" }, t("kb.query"));
+  const out = h("div", {});
+  btn.addEventListener("click", guard(async () => {
+    const r = await api(`/api/knowledge-bases/${name}/query`, {
+      method: "POST", body: JSON.stringify({ query: qIn.value.trim(), top_k: parseInt(kIn.value) }),
+    });
+    out.innerHTML = "";
+    out.appendChild(h("div", { class: "dim" }, `${r.total_results} results in ${r.retrieval_time_ms.toFixed(1)} ms`));
+    for (const res of r.results) {
+      out.appendChild(h("div", { class: "card", style: "margin-top:8px" },
+        h("div", { class: "row" },
+          h("span", { class: "badge" }, `#${res.rank}`),
+          h("span", { class: "badge ok" }, res.score.toFixed(4)),
+          h("span", { class: "dim" }, `${res.document_id}#${res.chunk_index}`)),
+        h("div", { style: "margin-top:6px" }, res.content.slice(0, 400))));
+    }
+  }));
+  root.appendChild(h("div", { class: "card col" }, h("div", { class: "row" }, qIn, kIn, btn), out));
+}
+
+// ------------------------------------------------------------------ index
+
+async function renderIndexTab(root, name) {
+  const stateBox = h("pre", {});
+  const nLists = h("input", { type: "number", placeholder: "n_lists (auto)", style: "width:130px" });
+  const buildBtn = h("button", { class: "primary" }, "Build IVF");
+  const dropBtn = h("button", {}, "Drop IVF");
+  const compactBtn = h("button", {}, "Compact");
+
+  async function load() {
+    const s = await api(`/api/knowledge-bases/${name}/index`);
+    stateBox.textContent = JSON.stringify(s, null, 2);
+  }
+  async function act(action, extra = {}) {
+    const r = await api(`/api/knowledge-bases/${name}/index`, {
+      method: "POST", body: JSON.stringify({ action, ...extra }),
+    });
+    toast(JSON.stringify(r), "ok");
+    await load();
+  }
+  buildBtn.addEventListener("click", guard(() =>
+    act("build_ivf", nLists.value ? { n_lists: parseInt(nLists.value) } : {})));
+  dropBtn.addEventListener("click", guard(() => act("drop_ivf")));
+  compactBtn.addEventListener("click", guard(() => act("compact")));
+
+  root.appendChild(h("div", { class: "card col" },
+    h("div", { class: "row" }, nLists, buildBtn, dropBtn, compactBtn), stateBox));
+  await load();
+}
+
+// ------------------------------------------------------------------ metadata
+
+async function renderMetaTab(root, name) {
+  const exportBtn = h("a", { href: `/api/knowledge-bases/${name}/metadata`, download: `${name}-metadata.csv` },
+    h("button", {}, "Export CSV"));
+  const importBox = h("textarea", { rows: "6", style: "width:100%", placeholder: '{"updates": [{"id": "…", "metadata": {…}}]}' });
+  const importBtn = h("button", { class: "primary" }, "Import JSON");
+  const out = h("div", { class: "dim" });
+  importBtn.addEventListener("click", guard(async () => {
+    const r = await api(`/api/knowledge-bases/${name}/metadata`, { method: "PUT", body: importBox.value });
+    out.textContent = JSON.stringify(r);
+    toast("metadata updated", "ok");
+  }));
+  root.appendChild(h("div", { class: "card col" },
+    h("div", { class: "row" }, exportBtn, importBtn), importBox, out));
+}
+
+// ------------------------------------------------------------------ snapshot
+
+async function renderSnapshotTab(root, name) {
+  const out = h("pre", {});
+  const saveBtn = h("button", { class: "primary" }, "Save snapshot");
+  const restoreBtn = h("button", {}, "Restore latest");
+  async function act(action) {
+    const r = await api(`/api/knowledge-bases/${name}/snapshot`, {
+      method: "POST", body: JSON.stringify({ action }),
+    });
+    out.textContent = JSON.stringify(r, null, 2);
+    toast(`snapshot ${action} ok`, "ok");
+  }
+  saveBtn.addEventListener("click", guard(() => act("save")));
+  restoreBtn.addEventListener("click", guard(() => act("restore")));
+  root.appendChild(h("div", { class: "card col" },
+    h("div", { class: "row" }, saveBtn, restoreBtn),
+    h("div", { class: "dim" }, "snapshots persist the device index (int8-native) + chunk payloads + manifest"),
+    out));
+}
