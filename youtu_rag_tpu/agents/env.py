@@ -69,19 +69,39 @@ class ShellLocalEnv(BaseEnv):
 
 
 class BrowserEnv(BaseEnv):
-    """Docker browser sandbox (gated; ref: env/utils/docker_manager.py)."""
+    """Docker browser sandbox (ref: env/utils/docker_manager.py +
+    BrowserEnv): a labeled container exposing a CDP/MCP endpoint on an
+    allocated host port. Gated on a docker daemon — absent here, build()
+    raises with a clear message; the manager itself is fully testable
+    through an injected fake runner."""
 
-    def __init__(self, image: str = "browser-sandbox", **kwargs):
+    def __init__(self, image: str = "env_browser_chromium:latest", manager=None, **kwargs):
         self.image = image
         self.kwargs = kwargs
+        self.manager = manager  # injectable DockerManager (tests)
+        self.container = None
 
     async def build(self) -> None:
-        if shutil.which("docker") is None:
-            raise RuntimeError(
-                "BrowserEnv requires a docker daemon (none in this environment); "
-                "use ShellLocalEnv or point YRT_DOCKER_HOST at a daemon"
-            )
-        raise NotImplementedError("docker browser sandbox lands with a docker-enabled image")
+        from .docker_env import DockerManager, docker_available
+
+        if self.manager is None:
+            if not docker_available():
+                raise RuntimeError(
+                    "BrowserEnv requires a docker daemon (none in this environment); "
+                    "use ShellLocalEnv or point YRT_DOCKER_HOST at a daemon"
+                )
+            self.manager = DockerManager(image=self.image)
+        self.container = await self.manager.start_container()
+
+    async def cleanup(self) -> None:
+        if self.manager is not None and self.container is not None:
+            await self.manager.stop_container(self.container.id)
+            self.container = None
+
+    def get_state(self) -> str:
+        if self.container is None:
+            return "browser sandbox: not started"
+        return f"browser sandbox on 127.0.0.1:{self.container.port} ({self.container.status.value})"
 
 
 def get_env(config=None) -> BaseEnv:
