@@ -221,3 +221,58 @@ def test_dma_kernels_empty_probe_plan():
         q, xq, xs, bias, ids, nv, 5, block_rows=br, interpret=True
     )
     assert np.all(np.asarray(s8) <= NEG_INF / 2)
+
+
+def test_nprobe_autotune_closed_loop(rng, unit_vectors):
+    """ROADMAP r1 item 6: observed recall drives n_probe up until the
+    target holds, and back down when over-provisioned."""
+    from youtu_rag_tpu.core.config import IndexConfig
+    from youtu_rag_tpu.core.types import Chunk
+    from youtu_rag_tpu.index.device_index import DeviceVectorIndex
+
+    d = 64
+    # well-separated clusters: probing 1 list gives poor cross-cluster recall
+    centers = unit_vectors(rng, 16, d)
+    parts = []
+    for c in centers:
+        pts = c[None] + 0.05 * rng.normal(size=(64, d)).astype(np.float32)
+        parts.append(pts / np.linalg.norm(pts, axis=1, keepdims=True))
+    vecs = np.concatenate(parts)[rng.permutation(1024)]
+
+    cfg = IndexConfig(
+        min_capacity=1024, block_rows=64, n_lists=16, n_probe=1,
+        kmeans_iters=8, ivf_recall_target=0.95, ivf_tune_interval=1,
+        ivf_min_probe=2,
+    )
+    idx = DeviceVectorIndex(d, cfg)
+    idx.add([Chunk(f"c{i}", "doc", f"t{i}", i, {}) for i in range(1024)], vecs)
+    idx.build_ivf(n_lists=16)
+    assert idx._ivf.n_probe == 1
+
+    # single queries between clusters stress recall at n_probe=1 (batched
+    # plans at this tiny scale cover every block and fall back to brute)
+    q = unit_vectors(rng, 12, d)
+    grew = []
+    for i in range(12):
+        idx.search(q[i : i + 1], top_k=10)
+        grew.append(idx._ivf.n_probe)
+        if (
+            idx._ivf_recall_est is not None
+            and idx._ivf_recall_est >= 0.95
+            and idx._ivf.n_probe > 1
+        ):
+            break
+    assert idx._ivf.n_probe > 1, grew
+    assert idx._ivf_recall_est is not None and idx._ivf_recall_est >= 0.95, (
+        idx._ivf_recall_est, grew)
+
+    # over-provision: force max probing, then easy self-queries shrink it
+    idx._ivf.n_probe = 16
+    for _ in range(6):
+        idx.search(vecs[:4], top_k=5)
+        if idx._ivf.n_probe < 16:
+            break
+    assert idx._ivf.n_probe < 16
+
+    # tuner state surfaces for the API/monitoring
+    assert 0.0 <= idx._ivf_recall_est <= 1.0

@@ -543,6 +543,8 @@ class KBIndexHandler(BaseHandler):
                     "n_lists": idx._ivf.n_lists,
                     "n_probe": idx._ivf.n_probe,
                     "adaptive_margin": idx.config.ivf_adaptive_margin,
+                    "recall_target": idx.config.ivf_recall_target,
+                    "observed_recall": idx._ivf_recall_est,
                 }
                 if idx._ivf
                 else None,

@@ -123,6 +123,13 @@ class IndexConfig(ConfigBase):
     # probe fewer blocks; hard queries keep the full n_probe set.
     ivf_adaptive_margin: float = Field(default=0.0, ge=0.0)
     ivf_min_probe: int = Field(default=4, ge=1)
+    # closed-loop nprobe auto-tuning: every ivf_tune_interval IVF query
+    # batches, one batch is shadow-checked against brute force; n_probe
+    # grows by ivf_probe_step while recall@k < target and shrinks when
+    # comfortably above. 0 disables (default).
+    ivf_recall_target: float = Field(default=0.0, ge=0.0, le=1.0)
+    ivf_tune_interval: int = Field(default=64, ge=1)
+    ivf_probe_step: float = Field(default=1.5, gt=1.0)
     # maintenance
     auto_compact_ratio: float = Field(
         default=0.5,

@@ -119,6 +119,9 @@ class DeviceVectorIndex:
         self._seen_sigs: set[tuple] = set()  # (q_rows, k, backend)
         self._warmed_tier = 0
         self._warm_stats = {"tiers": 0, "kernels": 0}
+        # closed-loop nprobe tuner state (IndexConfig.ivf_recall_target)
+        self._ivf_tune_counter = 0
+        self._ivf_recall_est: float | None = None
 
     # -- device helpers ----------------------------------------------------
 
@@ -469,8 +472,19 @@ class DeviceVectorIndex:
             scores, rows = self._run_search(queries, vectors, bias, k_eff, resolved)
             chunks_snapshot = list(self._chunks)
 
+            # closed-loop nprobe tuning: every Nth IVF batch also runs the
+            # brute kernel on the same snapshot (shadow check); observed
+            # recall drives n_probe up/down (ROADMAP r1 item 6)
+            shadow = None
+            if self._ivf is not None and self.config.ivf_recall_target > 0:
+                self._ivf_tune_counter += 1
+                if self._ivf_tune_counter % self.config.ivf_tune_interval == 0:
+                    shadow = self._run_brute(queries, vectors, bias, k_eff, resolved)
+
         scores = np.asarray(scores)
         rows = np.asarray(rows)
+        if shadow is not None:
+            self._tune_nprobe(rows, np.asarray(shadow[1]), k_eff)
         out: list[list[tuple[Chunk, float]]] = []
         for qi in range(scores.shape[0]):
             hits: list[tuple[Chunk, float]] = []
@@ -538,6 +552,39 @@ class DeviceVectorIndex:
 
     def drop_ivf(self) -> None:
         self._ivf = None
+
+    def _tune_nprobe(self, ivf_rows: np.ndarray, brute_rows: np.ndarray, k: int) -> None:
+        """Adjust n_probe from the observed IVF-vs-brute overlap@k.
+
+        Growth is multiplicative toward the recall target; shrink needs
+        comfortable headroom (+0.04) so the loop doesn't oscillate at the
+        boundary. n_probe values stay few, so the probe-plan jit cache
+        stays bounded."""
+        overlap = float(
+            np.mean(
+                [
+                    len(set(ivf_rows[i]) & set(brute_rows[i])) / max(k, 1)
+                    for i in range(ivf_rows.shape[0])
+                ]
+            )
+        )
+        self._ivf_recall_est = overlap
+        cfg = self.config
+        with self._lock:
+            st = self._ivf
+            if st is None:
+                return
+            if overlap < cfg.ivf_recall_target and st.n_probe < st.n_lists:
+                new = min(st.n_lists, max(st.n_probe + 1, int(st.n_probe * cfg.ivf_probe_step)))
+                logger.info("nprobe tune: recall %.3f < %.2f → n_probe %d → %d",
+                            overlap, cfg.ivf_recall_target, st.n_probe, new)
+                st.n_probe = new
+            elif overlap >= min(cfg.ivf_recall_target + 0.04, 1.0) and st.n_probe > cfg.ivf_min_probe:
+                new = max(cfg.ivf_min_probe, int(st.n_probe / cfg.ivf_probe_step))
+                if new < st.n_probe:
+                    logger.info("nprobe tune: recall %.3f comfortable → n_probe %d → %d",
+                                overlap, st.n_probe, new)
+                    st.n_probe = new
 
     def _run_ivf_search(self, queries, vectors, bias, k: int, backend: str):
         from ..ops.ivf import pallas_ivf_topk, xla_ivf_topk

@@ -274,6 +274,10 @@ class ShardedVectorIndex(DeviceVectorIndex):
     def _run_search(self, queries, vectors, bias, k, backend):
         if self._ivf is not None:
             return self._run_sharded_ivf(queries, vectors, bias, k, backend)
+        return self._run_brute(queries, vectors, bias, k, backend)
+
+    def _run_brute(self, queries, vectors, bias, k, backend):
+        # also the nprobe tuner's shadow check (base search())
         if self._int8:
             return self._sharded_topk.int8(
                 queries, vectors, self._scales, bias, k, backend, self.config.block_rows

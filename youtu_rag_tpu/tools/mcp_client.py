@@ -213,25 +213,48 @@ class MCPSseClient:
     requests POST there (202) and responses arrive as ``message`` events
     on the stream."""
 
-    def __init__(self, url: str, headers: dict | None = None, timeout: float = 30.0):
+    def __init__(
+        self,
+        url: str,
+        headers: dict | None = None,
+        timeout: float = 30.0,
+        max_reconnects: int = 3,
+        reconnect_backoff: float = 0.3,
+    ):
         self.url = url
         self.headers = headers or {}
         self.timeout = timeout
+        self.max_reconnects = max_reconnects
+        self.reconnect_backoff = reconnect_backoff
         self._id = 0
         self._endpoint: str | None = None
         self._endpoint_ready: asyncio.Future | None = None
         self._pending: dict[int, asyncio.Future] = {}
         self._reader_task: asyncio.Task | None = None
         self._client = None  # long-lived httpx client pinned to the stream
+        self._closed = False
+        self._connected = False
+        self._reconnects = 0
+        self.reconnect_count = 0  # total successful reconnects (observability)
 
     async def connect(self) -> None:
+        self._closed = False
+        await self._open_stream()
+        await self._handshake()
+
+    async def _open_stream(self) -> None:
         import httpx
 
-        self._client = httpx.AsyncClient(timeout=httpx.Timeout(self.timeout, read=None))
+        if self._client is None:
+            self._client = httpx.AsyncClient(timeout=httpx.Timeout(self.timeout, read=None))
+        self._endpoint = None
         loop = asyncio.get_running_loop()
         self._endpoint_ready = loop.create_future()
         self._reader_task = loop.create_task(self._read_stream())
         await asyncio.wait_for(self._endpoint_ready, self.timeout)
+        self._connected = True
+
+    async def _handshake(self) -> None:
         result = await self._request(
             "initialize",
             {
@@ -243,7 +266,50 @@ class MCPSseClient:
         await self._notify("notifications/initialized", {})
         logger.info("MCP (sse) connected: %s", result.get("serverInfo", {}))
 
+    async def _reconnect(self) -> None:
+        """Re-open the stream + re-handshake after a dropped connection
+        (sessions don't survive the stream, so in-flight requests failed
+        already; new requests ride the fresh session)."""
+        while not self._closed and self._reconnects < self.max_reconnects:
+            self._reconnects += 1
+            delay = self.reconnect_backoff * 2 ** (self._reconnects - 1)
+            logger.warning(
+                "MCP SSE stream lost; reconnect %d/%d in %.1fs",
+                self._reconnects, self.max_reconnects, delay,
+            )
+            await asyncio.sleep(delay)
+            if self._closed:
+                return
+            try:
+                await self._open_stream()
+                await self._handshake()
+                self._reconnects = 0
+                self.reconnect_count += 1
+                logger.info("MCP SSE reconnected")
+                return
+            except Exception as e:  # noqa: BLE001 - retry until budget spent
+                logger.warning("MCP SSE reconnect failed: %s", e)
+                self._connected = False
+        if not self._closed:
+            logger.error("MCP SSE gave up after %d reconnect attempts", self.max_reconnects)
+
+    async def _await_connected(self) -> None:
+        """Block a request briefly while a reconnect is in flight."""
+        if self._connected:
+            return
+        deadline = asyncio.get_running_loop().time() + self.timeout
+        while not self._connected:
+            if self._closed:
+                raise RuntimeError("MCP SSE client is closed")
+            if self._reconnects >= self.max_reconnects:
+                raise RuntimeError("MCP SSE disconnected (reconnect budget spent)")
+            if asyncio.get_running_loop().time() > deadline:
+                raise RuntimeError("MCP SSE disconnected (reconnect timed out)")
+            await asyncio.sleep(0.05)
+
     async def close(self) -> None:
+        self._closed = True
+        self._connected = False
         if self._reader_task is not None:
             self._reader_task.cancel()
             try:
@@ -278,11 +344,23 @@ class MCPSseClient:
         except asyncio.CancelledError:
             raise
         except Exception as e:  # noqa: BLE001 - fail all waiters
-            for fut in self._pending.values():
-                if not fut.done():
-                    fut.set_exception(RuntimeError(f"MCP SSE stream failed: {e}"))
-            if self._endpoint_ready and not self._endpoint_ready.done():
-                self._endpoint_ready.set_exception(RuntimeError(f"MCP SSE connect failed: {e}"))
+            self._stream_lost(f"MCP SSE stream failed: {e}")
+            return
+        # server closed the stream cleanly (restart/keep-alive cutoff)
+        self._stream_lost("MCP SSE stream closed by server")
+
+    def _stream_lost(self, reason: str) -> None:
+        was_connected = self._connected
+        self._connected = False
+        for fut in self._pending.values():
+            if not fut.done():
+                fut.set_exception(RuntimeError(reason))
+        self._pending.clear()
+        if self._endpoint_ready and not self._endpoint_ready.done():
+            self._endpoint_ready.set_exception(RuntimeError(reason))
+            return  # initial connect failing is the caller's error, not a reconnect
+        if was_connected and not self._closed:
+            asyncio.get_running_loop().create_task(self._reconnect())
 
     def _dispatch(self, event: str, data: str, urljoin) -> None:
         if not data:
@@ -326,9 +404,11 @@ class MCPSseClient:
         return msg.get("result", {})
 
     async def list_tools(self) -> list[dict]:
+        await self._await_connected()
         return (await self._request("tools/list", {})).get("tools", [])
 
     async def call_tool(self, name: str, arguments: dict) -> str:
+        await self._await_connected()
         result = await self._request("tools/call", {"name": name, "arguments": arguments})
         parts = []
         for item in result.get("content", []):
