@@ -155,3 +155,42 @@ def test_answer_fallback_without_llm():
     # all-failed case reports the failures instead of hallucinating
     bad = fallback_answer("q", [SMGNode("broken", success=False)])
     assert "did not produce" in bad and "broken" in bad
+
+
+def test_staged_code_generation_understand_reflect(orders_workbook):
+    """Multi-stage code gen (ref: smg_module enable_multi_stage,
+    _stage1/2/3): understand → align-validate → generate; a failed step
+    routes through the reflect pass."""
+    stages = []
+
+    def rule(messages, tools):
+        content = messages[-1].content or ""
+        if content.startswith("You are a data analyst planning"):
+            return FakeChatClient.text_response('["sum the amount column"]')
+        if content.startswith("Understand this analysis step"):
+            stages.append("understand")
+            return FakeChatClient.text_response(json.dumps(
+                {"goal": "total", "input_frames": ["ghost_frame"],
+                 "columns": ["amount", "no_such_col"], "approach": "sum"}))
+        if content.startswith("Write pandas code"):
+            stages.append("generate")
+            # the alignment validator must flag the bogus frame/column
+            assert "ALIGNMENT WARNINGS" in content
+            assert "ghost_frame" in content and "no_such_col" in content
+            return FakeChatClient.text_response("print(broken_name)")  # fails
+        if content.startswith("Reflect on why this analysis code failed"):
+            stages.append("reflect")
+            assert "broken_name" in content
+            return FakeChatClient.text_response(
+                "The variable did not exist.\n```python\nprint(dfs['Sheet1']['amount'].sum())\n```")
+        if content.startswith("Did this step execution succeed"):
+            ok = "Error" not in content
+            return FakeChatClient.text_response(json.dumps({"success": ok, "reason": "nameerror"}))
+        if content.startswith("Answer the question"):
+            return FakeChatClient.text_response("Total is 210 [step 1].")
+        return FakeChatClient.text_response("?")
+
+    agent = ExcelAgent(client=FakeChatClient(rule_fn=rule), code_mode="staged")
+    rec = asyncio.run(agent.run("what is the total amount?", orders_workbook))
+    assert "210" in rec.final_output
+    assert stages == ["understand", "generate", "reflect"]

@@ -77,6 +77,7 @@ class AgentConfig(ConfigBase):
         "orchestrator",
         "parallel_orchestrator",
         "workforce",
+        "excel",  # DTR deep-table-reasoning agent (integrations/dtr)
     ] = "simple"
 
     model: ModelConfig = Field(default_factory=ModelConfig)

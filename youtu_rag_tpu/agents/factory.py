@@ -64,4 +64,11 @@ def get_agent(config: AgentConfig | dict, **kwargs):
         from .workforce import WorkforceAgent
 
         return WorkforceAgent(config, **kwargs)
+    if t == "excel":
+        # deep-table-reasoning agent (ref: _create_agent_instance maps
+        # ExcelAgent as a first-class chat agent, api/dependencies.py)
+        from ..integrations.dtr.excel_agent import ExcelAgent
+
+        kwargs.pop("trajectory_sink", None)  # recorder-only agent
+        return ExcelAgent(config, **kwargs)
     raise ValueError(f"unknown agent type {t!r}")

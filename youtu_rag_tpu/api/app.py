@@ -96,6 +96,36 @@ class HealthHandler(BaseHandler):
 # ---------------------------------------------------------------------------
 
 
+_TABLE_EXTS = (".csv", ".xlsx", ".xls")
+_TEXT_EXTS = (".txt", ".md", ".markdown", ".json", ".jsonl", ".py", ".html")
+
+
+def _modify_query(state, query: str, kb_id, file_ids) -> tuple[str, str | None]:
+    """Inject kb/file context into the query (ref: ChatService.modify_query,
+    chat_service.py:486-623 — kb reference + file download for Excel
+    agents). Returns (augmented_query, spreadsheet_path_for_excel_agent)."""
+    parts = []
+    table_path = None
+    if kb_id:
+        state.get_or_create_kb(kb_id)
+        parts.append(f"[knowledge base: {kb_id}]")
+    for fid in file_ids or []:
+        if not state.files.exists("uploads", fid):
+            raise tornado.web.HTTPError(400, reason=f"attached file not found: {fid}")
+        path = str(state.files.local_path("uploads", fid))
+        if table_path is None and fid.lower().endswith(_TABLE_EXTS):
+            table_path = path  # spreadsheet → DTR excel agent (FILE_PATH analog)
+        parts.append(f"[attached file: {path}]")
+        if fid.lower().endswith(_TEXT_EXTS):
+            try:
+                preview = state.files.download("uploads", fid).decode("utf-8", errors="replace")
+                parts.append(f"[file {fid} content]\n{preview[:4000]}")
+            except Exception:  # noqa: BLE001 - preview is best-effort
+                pass
+    parts.append(query)
+    return "\n".join(parts), table_path
+
+
 class ChatHandler(BaseHandler):
     async def post(self):
         body = self.json_body()
@@ -105,22 +135,19 @@ class ChatHandler(BaseHandler):
         kb_id = body.get("kb_id")
         stream = body.get("stream", True)
 
-        # inject the KB reference for retrieval toolkits (ref modify_query)
-        if kb_id:
-            self.state.get_or_create_kb(kb_id)
-            query_aug = f"[knowledge base: {kb_id}]\n{query}"
-        else:
-            query_aug = query
-
+        query_aug, table_path = _modify_query(self.state, query, kb_id, body.get("file_ids"))
         agent = await self.state.get_agent()
+        excel_routed = table_path is not None and hasattr(agent, "load_schema")
         if not stream:
-            rec = await agent.run(query_aug)
+            rec = await (agent.run(query_aug, table_path) if excel_routed else agent.run(query_aug))
             self.write_json({"answer": rec.final_output, "trace_id": rec.trace_id})
             return
 
         self.set_header("Content-Type", "text/event-stream")
         self.set_header("Cache-Control", "no-cache")
-        recorder = agent.run_streamed(query_aug)
+        recorder = (
+            agent.run_streamed(query_aug, table_path) if excel_routed else agent.run_streamed(query_aug)
+        )
         async for ev in recorder.stream_events():
             card = {"type": ev.type}
             if ev.text:
@@ -882,9 +909,11 @@ class AgentsHandler(BaseHandler):
                 "available_types": [
                     "simple",
                     "orchestra",
+                    "orchestra_react_sql",
                     "orchestrator",
                     "parallel_orchestrator",
                     "workforce",
+                    "excel",
                 ],
             }
         )
@@ -924,9 +953,11 @@ class ChatWebSocketHandler(tornado.websocket.WebSocketHandler):
         if not query:
             await self.write_message(json.dumps({"type": "error", "content": "missing 'query'"}))
             return
-        if body.get("kb_id"):
-            self.state.get_or_create_kb(body["kb_id"])
-            query = f"[knowledge base: {body['kb_id']}]\n{query}"
+        try:
+            query, _ = _modify_query(self.state, query, body.get("kb_id"), body.get("file_ids"))
+        except tornado.web.HTTPError as e:
+            await self.write_message(json.dumps({"type": "error", "content": e.reason}))
+            return
         agent = await self.state.get_agent()
         recorder = agent.run_streamed(query)
         async for ev in recorder.stream_events():

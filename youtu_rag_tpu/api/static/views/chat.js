@@ -12,12 +12,14 @@ export async function renderChat(view) {
   const input = h("input", { placeholder: t("chat.placeholder"), autocomplete: "off" });
   const sendBtn = h("button", { class: "primary", type: "submit" }, t("chat.send"));
 
+  const fileBox = h("div", { class: "col" });
   const side = h("div", { class: "chat-side col" },
     h("div", { class: "card col" },
       h("h3", {}, t("chat.kb")), kbSel,
       h("h3", {}, t("chat.agent")), agentSel,
       h("h3", {}, t("chat.memory")),
       h("label", { class: "dim" }, memToggle, " enabled"),
+      h("h3", {}, "attach files"), fileBox,
     ),
   );
 
@@ -27,16 +29,24 @@ export async function renderChat(view) {
     const q = input.value.trim();
     if (!q) return;
     input.value = "";
-    await send(q, log, kbSel.value);
+    const fileIds = [...fileBox.querySelectorAll("input:checked")].map((c) => c.value);
+    await send(q, log, kbSel.value, fileIds);
   }));
 
   view.appendChild(h("div", { class: "chat-wrap" },
     h("div", { class: "chat-main" }, log, form), side));
 
   // populate selectors
-  const [kbs, agents, mem] = await Promise.all([
+  const [kbs, agents, mem, files] = await Promise.all([
     api("/api/knowledge-bases"), api("/api/agents"), api("/api/memory/config"),
+    api("/api/files"),
   ]);
+  const attachable = files.files.filter((f) => !f.name.startsWith(".meta")).slice(0, 12);
+  if (!attachable.length) fileBox.appendChild(h("span", { class: "dim" }, "(no uploads)"));
+  for (const f of attachable) {
+    fileBox.appendChild(h("label", { class: "dim row", style: "gap:6px" },
+      h("input", { type: "checkbox", value: f.name }), f.name));
+  }
   kbSel.innerHTML = "";
   kbSel.appendChild(h("option", { value: "" }, "(no knowledge base)"));
   for (const kb of kbs.knowledge_bases) kbSel.appendChild(h("option", {}, kb.name));
@@ -75,10 +85,11 @@ function card(log, cls, title, body = null, open = false) {
   return el;
 }
 
-async function send(q, log, kb) {
-  bubble(log, "user", q);
+async function send(q, log, kb, fileIds = []) {
+  bubble(log, "user", q + (fileIds.length ? `\n📎 ${fileIds.join(", ")}` : ""));
   const body = { query: q, stream: true };
   if (kb) body.kb_id = kb;
+  if (fileIds.length) body.file_ids = fileIds;
   const resp = await fetch("/api/chat", { method: "POST", body: JSON.stringify(body) });
   if (!resp.ok) { card(log, "error", `HTTP ${resp.status}`); return; }
   const reader = resp.body.getReader();

@@ -77,6 +77,47 @@ Rollout feedback: {feedback}
 Propose a better plan (different angle or fixed weaknesses), max {max_steps}
 steps. Reply with a JSON list of step descriptions only."""
 
+UNDERSTAND_PROMPT = """Understand this analysis step before coding it.
+
+Sheets:
+{schema}
+
+{state}
+
+Step: {step}
+
+Reply JSON only:
+{{"goal": "...", "input_frames": ["dfs['Sheet1']" or frame names], \
+"columns": ["columns you will use"], "approach": "one-line plan"}}"""
+
+STAGED_CODE_PROMPT = """Write pandas code for this analysis step.
+
+Sheets are preloaded: `dfs` is a dict of DataFrames by sheet name.
+{schema}
+
+{state}
+
+Step: {step}
+Validated understanding: {understanding}
+{alignment_note}
+Rules: print() the result; no file or network access; frames created by
+previous steps are live — reuse them by name instead of recomputing.
+Reply with Python code only (no fences)."""
+
+REFLECT_PROMPT = """Reflect on why this analysis code failed, then fix it.
+
+{state}
+
+Step: {step}
+Code:
+{code}
+Output:
+{output}
+Evaluator reason: {reason}
+
+First reason briefly about the root cause, then reply with the corrected
+Python code in a ```python fence."""
+
 _JSON_LIST = re.compile(r"\[.*\]", re.DOTALL)
 _JSON_OBJ = re.compile(r"\{.*\}", re.DOTALL)
 _FENCE = re.compile(r"```(?:python)?\s*(.*?)```", re.DOTALL)
@@ -98,6 +139,7 @@ class ExcelAgent:
         memory_toolkit=None,
         planner: str = "linear",  # "linear" | "mcts" (ref: mcts_planner.py)
         mcts_iterations: int = 4,
+        code_mode: str = "direct",  # "direct" | "staged" (ref: enable_multi_stage)
     ):
         self.config = config or AgentConfig()
         self.client = client or get_chat_client(self.config.model.resolved())
@@ -107,6 +149,7 @@ class ExcelAgent:
         self.exec_timeout = exec_timeout
         self.planner = planner
         self.mcts_iterations = mcts_iterations
+        self.code_mode = code_mode
         # experience manager (ref: DTR experience_manager): successful
         # analysis plans persist as procedural skills and prime the planner
         self.memory = memory_toolkit
@@ -163,6 +206,67 @@ class ExcelAgent:
         m = _FENCE.search(text)
         return (m.group(1) if m else text).strip()
 
+    # -- multi-stage code generation (ref: smg_module stages 1-3) -----------
+
+    @staticmethod
+    def _validate_alignment(understanding: dict, smg: SheetStateMachine, schema: str) -> str:
+        """Host-side check that the understanding references live frames /
+        known columns (ref: _validate_alignment, smg_module.py:1111).
+        Returns a correction note for the code prompt ('' when aligned)."""
+        notes = []
+        known_frames = set(smg.state)
+        for f in understanding.get("input_frames", []):
+            f = str(f)
+            if f.startswith("dfs[") or f == "dfs" or f in known_frames:
+                continue
+            notes.append(
+                f"frame {f!r} does not exist; available: {sorted(known_frames) or ['dfs sheets only']}"
+            )
+        known_cols = set()
+        for st in smg.state.values():
+            known_cols.update(st.columns)
+        for col in understanding.get("columns", []):
+            if str(col) in known_cols or str(col) in schema:
+                continue
+            notes.append(f"column {col!r} not found in any frame or sheet")
+        return ("ALIGNMENT WARNINGS:\n" + "\n".join(f"- {n}" for n in notes)) if notes else ""
+
+    async def _gen_code_staged(
+        self, desc: str, smg: SheetStateMachine, schema: str,
+        prev_code: str, prev_output: str, prev_reason: str,
+    ) -> str:
+        """Understand → align-validate → generate; failures route through
+        a reflect-and-refine pass instead of a bare retry."""
+        if prev_code:  # stage 3: reflect on the failed attempt
+            raw = await self._chat(
+                REFLECT_PROMPT.format(
+                    state=smg.state_summary(), step=desc,
+                    code=prev_code, output=prev_output[-600:], reason=prev_reason,
+                )
+            )
+            return self._code(raw)
+        raw = await self._chat(
+            UNDERSTAND_PROMPT.format(schema=schema, state=smg.state_summary(), step=desc)
+        )
+        mo = _JSON_OBJ.search(raw)
+        understanding: dict = {}
+        if mo:
+            try:
+                understanding = json.loads(mo.group(0))
+            except json.JSONDecodeError:
+                understanding = {}
+        note = self._validate_alignment(understanding, smg, schema) if understanding else ""
+        raw = await self._chat(
+            STAGED_CODE_PROMPT.format(
+                schema=schema,
+                state=smg.state_summary(),
+                step=desc,
+                understanding=json.dumps(understanding, ensure_ascii=False) or "(unparsed)",
+                alignment_note=note,
+            )
+        )
+        return self._code(raw)
+
     # -- the loop ----------------------------------------------------------
 
     async def run(self, question: str, file_path: str | None = None) -> TaskRecorder:
@@ -206,22 +310,31 @@ class ExcelAgent:
         for desc in plan[len(cached):]:
             node = SMGNode(desc)
             error_context = ""
+            last_reason = ""
             state_after: dict = {}
             for attempt in range(self.max_code_retries + 1):
                 node.attempts = attempt + 1
-                code_raw = await self._chat(
-                    CODE_PROMPT.format(
-                        schema=schema,
-                        state=smg.state_summary(),
-                        context="\n".join(
-                            f"- {s.description}: {s.output[:300]}" for s in completed
-                        )
-                        or "(none)",
-                        step=node.description,
-                        error_context=error_context,
+                if self.code_mode == "staged":
+                    node.code = await self._gen_code_staged(
+                        desc, smg, schema,
+                        prev_code=node.code if attempt else "",
+                        prev_output=node.output if attempt else "",
+                        prev_reason=last_reason,
                     )
-                )
-                node.code = self._code(code_raw)
+                else:
+                    code_raw = await self._chat(
+                        CODE_PROMPT.format(
+                            schema=schema,
+                            state=smg.state_summary(),
+                            context="\n".join(
+                                f"- {s.description}: {s.output[:300]}" for s in completed
+                            )
+                            or "(none)",
+                            step=node.description,
+                            error_context=error_context,
+                        )
+                    )
+                    node.code = self._code(code_raw)
                 recorder.emit(AgentEvent("tool_call", name="pandas_exec", arguments=node.code[:500]))
                 node.output, state_after = await smg.execute_step(node.code)
                 recorder.emit(AgentEvent("tool_output", name="pandas_exec", text=node.output[:800]))
@@ -236,9 +349,10 @@ class ExcelAgent:
                 node.reward = 1.0 if node.success else 0.0
                 if node.success:
                     break
+                last_reason = str(verdict.get("reason", ""))
                 error_context = (
                     f"The previous code failed.\nCode:\n{node.code}\n"
-                    f"Output:\n{node.output[-600:]}\nReason: {verdict.get('reason', '')}\nFix it."
+                    f"Output:\n{node.output[-600:]}\nReason: {last_reason}\nFix it."
                 )
             smg.record(node, state_after)
             completed.append(node)
