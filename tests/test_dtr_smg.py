@@ -194,3 +194,53 @@ def test_staged_code_generation_understand_reflect(orders_workbook):
     rec = asyncio.run(agent.run("what is the total amount?", orders_workbook))
     assert "210" in rec.final_output
     assert stages == ["understand", "generate", "reflect"]
+
+
+def test_autonomous_loop(orders_workbook):
+    """Plan-free [THINK]/[CODE]/[Final Answer] loop (ref: smg_autonomous):
+    the model thinks, runs state-persisting code twice (second turn reuses
+    the first turn's frame), then answers."""
+    turn = {"n": 0}
+
+    def rule(messages, tools):
+        content = messages[-1].content or ""
+        if not content.startswith("# Autonomous tabular analysis"):
+            return FakeChatClient.text_response("?")
+        turn["n"] += 1
+        if turn["n"] == 1:
+            return FakeChatClient.text_response(
+                "[THINK]\nI should aggregate amounts per customer first.")
+        if turn["n"] == 2:
+            return FakeChatClient.text_response(
+                "[CODE]\n```python\ntotals = dfs['Sheet1'].groupby('customer')"
+                "['amount'].sum().reset_index()\nprint(len(totals))\n```")
+        if turn["n"] == 3:
+            # the live-state section must advertise `totals` from turn 2
+            assert "totals" in content
+            return FakeChatClient.text_response(
+                "[CODE]\n```python\nbest = totals.sort_values('amount').iloc[-1]\n"
+                "print(best['customer'], int(best['amount']))\n```")
+        assert "ann 100" in content  # turn-3 output visible in history
+        return FakeChatClient.text_response(
+            "[Final Answer]\n## Result\nann leads with **100** (turns 2-3).")
+
+    agent = ExcelAgent(client=FakeChatClient(rule_fn=rule), planner="autonomous")
+    rec = asyncio.run(agent.run("which customer spent the most?", orders_workbook))
+    assert "ann" in rec.final_output and "100" in rec.final_output
+    assert turn["n"] == 4
+
+
+def test_autonomous_budget_forces_synthesis(orders_workbook):
+    """The loop closes itself after max_iters via the answer generator."""
+
+    def rule(messages, tools):
+        content = messages[-1].content or ""
+        if content.startswith("# Autonomous tabular analysis"):
+            return FakeChatClient.text_response("[THINK]\nstill thinking…")
+        if content.startswith("Answer the question"):
+            return FakeChatClient.text_response("No result was computed.")
+        return FakeChatClient.text_response("?")
+
+    agent = ExcelAgent(client=FakeChatClient(rule_fn=rule), planner="autonomous")
+    rec = asyncio.run(agent.run("question?", orders_workbook))
+    assert rec.final_output  # synthesized despite never reaching an answer

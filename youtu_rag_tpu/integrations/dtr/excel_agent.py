@@ -118,6 +118,37 @@ Evaluator reason: {reason}
 First reason briefly about the root cause, then reply with the corrected
 Python code in a ```python fence."""
 
+AUTONOMOUS_PROMPT = """# Autonomous tabular analysis
+
+You are answering a question about spreadsheet data through an autonomous
+iterative process. Decide each turn whether to think, run code, or answer.
+
+Goal: {question}
+
+Sheets (preloaded as `dfs`, a dict of DataFrames by sheet name):
+{schema}
+
+{state}
+
+{reference}
+History of your previous turns:
+{history}
+
+Output EXACTLY ONE action tag and its content:
+
+[THINK]
+(reasoning about the data / next move — no code)
+
+[CODE]
+(python using `dfs` and any frames your earlier code created; print() what
+you learn; frames persist between turns)
+
+[Final Answer]
+(the answer: concrete numbers, markdown tables where tabular, cite the
+turns that produced the evidence)"""
+
+_ACTION_TAG = re.compile(r"\[\s*(THINK|REFLECT|CODE|Final Answer)\s*\]", re.IGNORECASE)
+
 _JSON_LIST = re.compile(r"\[.*\]", re.DOTALL)
 _JSON_OBJ = re.compile(r"\{.*\}", re.DOTALL)
 _FENCE = re.compile(r"```(?:python)?\s*(.*?)```", re.DOTALL)
@@ -402,12 +433,69 @@ class ExcelAgent:
         )
         return best.payload or []
 
+    async def _autonomous_analyze(
+        self,
+        question: str,
+        smg: SheetStateMachine,
+        schema: str,
+        recorder: TaskRecorder,
+        reference_plan: list[str] | None = None,
+        max_iters: int = 10,
+    ) -> str:
+        """Plan-free loop (ref: smg_autonomous.py execute_with_autonomous_
+        loop): the LLM chooses [THINK]/[CODE]/[Final Answer] each turn;
+        code runs through the state machine so frames persist; a reference
+        plan (when given) is advisory, not binding; the loop force-closes
+        after max_iters with the answer generator."""
+        history: list[str] = []
+        reference = ""
+        if reference_plan:
+            reference = (
+                "Suggested steps (a REFERENCE — follow or deviate):\n"
+                + "\n".join(f"- {s}" for s in reference_plan)
+                + "\n"
+            )
+        for it in range(max_iters):
+            raw = await self._chat(
+                AUTONOMOUS_PROMPT.format(
+                    question=question,
+                    schema=schema,
+                    state=smg.state_summary(),
+                    reference=reference,
+                    history="\n".join(history[-12:]) or "(first turn)",
+                )
+            )
+            m = _ACTION_TAG.search(raw)
+            action = (m.group(1).upper() if m else "THINK").replace("REFLECT", "THINK")
+            content = raw[m.end():].strip() if m else raw.strip()
+            if action == "FINAL ANSWER":
+                recorder.emit(AgentEvent("final", text=""))
+                return content
+            if action == "CODE":
+                code = self._code(content)
+                node = SMGNode(f"autonomous turn {it + 1}", code=code)
+                recorder.emit(AgentEvent("tool_call", name="pandas_exec", arguments=code[:500]))
+                out, state_after = await smg.execute_step(code)
+                node.output = out
+                node.success = "Error" not in out
+                node.reward = 1.0 if node.success else 0.0
+                smg.record(node, state_after)
+                recorder.emit(AgentEvent("tool_output", name="pandas_exec", text=out[:800]))
+                history.append(f"[turn {it + 1} CODE]\n{code}\n→ {out[:400]}")
+            else:
+                recorder.emit(AgentEvent("reasoning_delta", text=content[:500]))
+                history.append(f"[turn {it + 1} THINK] {content[:400]}")
+        # iteration budget spent: synthesize from what executed
+        return await synthesize_answer(question, smg.nodes, self._chat, smg.state)
+
     async def _analyze(self, question: str, path: str | None, recorder: TaskRecorder) -> str:
         if not path or not Path(path).exists():
             raise FileNotFoundError(f"spreadsheet not found: {path}")
         schema = self.load_schema(path, question)
         smg = SheetStateMachine(path, exec_timeout=self.exec_timeout)
         recorder.emit(AgentEvent("reasoning_delta", text=f"loaded sheets:\n{schema[:500]}"))
+        if self.planner == "autonomous":
+            return await self._autonomous_analyze(question, smg, schema, recorder)
 
         experience = ""
         if self.memory is not None:
