@@ -13,13 +13,13 @@ client on httpx with:
 
 from __future__ import annotations
 
-import asyncio
 import json
 import os
 from collections.abc import AsyncIterator, Callable
 from dataclasses import dataclass, field
 from typing import Any
 
+from ..utils.http import post_json_with_retry
 from ..utils.log import get_logger
 
 logger = get_logger("agents.llm")
@@ -189,35 +189,23 @@ class OpenAIChatClient(BaseChatClient):
             )
 
     async def chat(self, messages, tools=None, **kwargs) -> ChatResponse:
-        import httpx
-
         self._require_config()
         payload = self._payload(messages, tools, **kwargs)
-        last: Exception | None = None
-        async with httpx.AsyncClient(timeout=self.timeout) as client:
-            for attempt in range(self.max_retries):
-                try:
-                    r = await client.post(
-                        f"{self.base_url}/chat/completions", json=payload, headers=self._headers()
-                    )
-                    if r.status_code in (429, 500, 502, 503):
-                        raise httpx.HTTPStatusError("retryable", request=r.request, response=r)
-                    r.raise_for_status()
-                    data = r.json()
-                    choice = data["choices"][0]
-                    usage = data.get("usage") or {}
-                    return ChatResponse(
-                        message=self._parse_message(choice["message"]),
-                        finish_reason=choice.get("finish_reason", "stop"),
-                        usage=Usage(
-                            usage.get("prompt_tokens", 0), usage.get("completion_tokens", 0)
-                        ),
-                    )
-                except Exception as e:  # noqa: BLE001
-                    last = e
-                    logger.warning("chat attempt %d failed: %s", attempt, e)
-                    await asyncio.sleep(1.5**attempt)
-        raise RuntimeError(f"chat failed after {self.max_retries} retries: {last}")
+        data = await post_json_with_retry(
+            f"{self.base_url}/chat/completions",
+            payload,
+            headers=self._headers(),
+            timeout=self.timeout,
+            max_retries=self.max_retries,
+            log=logger,
+        )
+        choice = data["choices"][0]
+        usage = data.get("usage") or {}
+        return ChatResponse(
+            message=self._parse_message(choice["message"]),
+            finish_reason=choice.get("finish_reason", "stop"),
+            usage=Usage(usage.get("prompt_tokens", 0), usage.get("completion_tokens", 0)),
+        )
 
     async def stream_chat(self, messages, tools=None, **kwargs) -> AsyncIterator[StreamDelta]:
         import httpx

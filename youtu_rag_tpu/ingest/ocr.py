@@ -9,11 +9,11 @@ pipeline continues with the original file."""
 
 from __future__ import annotations
 
-import asyncio
 import base64
 import os
 from pathlib import Path
 
+from ..utils.http import post_json_with_retry
 from ..utils.log import get_logger
 
 logger = get_logger("ingest.ocr")
@@ -37,26 +37,19 @@ class RemoteOCRClient:
         or ``{"markdown": ...}`` for single-page services."""
         if not self.available:
             raise RuntimeError("OCR is not configured (set YRT_OCR_URL)")
-        import httpx
-
         payload = {
             "filename": filename,
             "data": base64.b64encode(data).decode(),
             "output": "markdown",
         }
-        last: Exception | None = None
-        async with httpx.AsyncClient(timeout=self.timeout) as client:
-            for attempt in range(self.max_retries):
-                try:
-                    r = await client.post(f"{self.base_url.rstrip('/')}/ocr", json=payload)
-                    if r.status_code in (502, 503):
-                        raise httpx.HTTPStatusError("retryable", request=r.request, response=r)
-                    r.raise_for_status()
-                    return r.json()
-                except Exception as e:  # noqa: BLE001
-                    last = e
-                    await asyncio.sleep(2**attempt)
-        raise RuntimeError(f"OCR failed after {self.max_retries} retries: {last}")
+        return await post_json_with_retry(
+            f"{self.base_url.rstrip('/')}/ocr",
+            payload,
+            timeout=self.timeout,
+            max_retries=self.max_retries,
+            backoff=2.0,
+            log=logger,
+        )
 
     async def ocr_to_markdown(self, data: bytes, filename: str) -> str:
         """POST the document, return combined per-page markdown."""

@@ -25,6 +25,7 @@ import numpy as np
 
 from ..core.config import EmbeddingConfig
 from ..core.types import BaseEmbedder
+from ..utils.http import post_json_with_retry
 from ..utils.log import get_logger
 from .tokenizer import HashTokenizer
 
@@ -196,26 +197,12 @@ class RemoteEmbedder(BaseEmbedder):
         return self._dim
 
     async def _post(self, path: str, payload: dict) -> dict:
-        import httpx
-
         headers = {}
         if self.config.api_key:
             headers["Authorization"] = f"Bearer {self.config.api_key}"
-        last: Exception | None = None
-        async with httpx.AsyncClient(timeout=60.0) as client:
-            for attempt in range(3):
-                try:
-                    r = await client.post(
-                        self.config.base_url.rstrip("/") + path, json=payload, headers=headers
-                    )
-                    if r.status_code in (502, 503):
-                        raise httpx.HTTPStatusError("retryable", request=r.request, response=r)
-                    r.raise_for_status()
-                    return r.json()
-                except Exception as e:  # noqa: BLE001 - collect and retry
-                    last = e
-                    await asyncio.sleep(1.5**attempt)
-        raise RuntimeError(f"embedding request failed after retries: {last}")
+        return await post_json_with_retry(
+            self.config.base_url.rstrip("/") + path, payload, headers=headers, log=logger
+        )
 
     async def embed_texts(self, texts: list[str]) -> list[list[float]]:
         out: list[list[float]] = []

@@ -13,7 +13,6 @@ All honor the reference contract: return results re-scored and re-ranked,
 
 from __future__ import annotations
 
-import asyncio
 import math
 import os
 from collections import Counter
@@ -22,7 +21,11 @@ import numpy as np
 
 from ..core.config import RerankerConfig
 from ..core.types import BaseReranker, RetrievalResult
+from ..utils.http import post_json_with_retry
+from ..utils.log import get_logger
 from .tokenizer import HashTokenizer
+
+logger = get_logger("models.reranker")
 
 
 def _reranked(results: list[RetrievalResult], scores: list[float], top_k: int | None):
@@ -123,8 +126,6 @@ class RemoteReranker(BaseReranker):
     async def rerank(self, query, results, top_k=None):
         if not results:
             return []
-        import httpx
-
         headers = {}
         if self.config.api_key:
             headers["Authorization"] = f"Bearer {self.config.api_key}"
@@ -134,23 +135,13 @@ class RemoteReranker(BaseReranker):
             "documents": [r.chunk.content for r in results],
             "top_n": top_k or len(results),
         }
-        last = None
-        async with httpx.AsyncClient(timeout=60.0) as client:
-            for attempt in range(3):
-                try:
-                    r = await client.post(
-                        self.config.base_url.rstrip("/") + "/rerank", json=payload, headers=headers
-                    )
-                    r.raise_for_status()
-                    data = r.json()
-                    scores = [0.0] * len(results)
-                    for item in data.get("results", []):
-                        scores[item["index"]] = item.get("relevance_score", 0.0)
-                    return _reranked(results, scores, top_k)
-                except Exception as e:  # noqa: BLE001
-                    last = e
-                    await asyncio.sleep(1.5**attempt)
-        raise RuntimeError(f"rerank request failed after retries: {last}")
+        data = await post_json_with_retry(
+            self.config.base_url.rstrip("/") + "/rerank", payload, headers=headers, log=logger
+        )
+        scores = [0.0] * len(results)
+        for item in data.get("results", []):
+            scores[item["index"]] = item.get("relevance_score", 0.0)
+        return _reranked(results, scores, top_k)
 
 
 class RerankerFactory:

@@ -35,6 +35,7 @@ from .misc import (  # noqa: F401
     UserInteractionToolkit,
     VideoToolkit,
 )
+from .file_edit import FileEditToolkit  # noqa: F401
 from .rag_toolkit import RAGToolkit  # noqa: F401
 from .html_toolkit import HTMLToolkit  # noqa: F401
 from .mcp_client import MCPToolkit  # noqa: F401
