@@ -17,6 +17,7 @@ from pathlib import Path
 from typing import Any, Type, TypeVar
 
 from ..utils.log import get_logger
+from .migrations import column_type, migrate_table
 from .models import (
     EvaluationSample,
     GenerationTraceRecord,
@@ -63,19 +64,15 @@ class DBService:
     def _init_tables(self) -> None:
         with self._lock:
             for cls, table in _TABLES.items():
-                cols = []
-                for f in dataclasses.fields(cls):
-                    typ = "TEXT"
-                    if f.type in ("int", int):
-                        typ = "INTEGER"
-                    elif f.type in ("float", float, "float | None"):
-                        typ = "REAL"
-                    elif f.type in ("bool | None",):
-                        typ = "INTEGER"
-                    cols.append(f'"{f.name}" {typ}')
+                cols = [
+                    f'"{f.name}" {column_type(f)}' for f in dataclasses.fields(cls)
+                ]
                 self._conn.execute(
                     f"CREATE TABLE IF NOT EXISTS {table} (_rowid INTEGER PRIMARY KEY AUTOINCREMENT, {', '.join(cols)})"
                 )
+                # DB files written by an older build: add columns the record
+                # type has grown since (ref: utu/rag/api/migrations/*)
+                migrate_table(self._conn, table, cls)
             self._conn.commit()
 
     # -- API (safe in no-op mode) ------------------------------------------
