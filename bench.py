@@ -31,7 +31,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from youtu_rag_tpu.ops.topk import pallas_topk, xla_topk
+    from youtu_rag_tpu.ops.topk import pallas_topk_pruned, xla_topk
 
     d, q, k = 768, 8, 10
     N = 512 * 2048  # 1,048,576
@@ -70,7 +70,9 @@ def main() -> None:
         return max((t48 - t1) / 47, 1e-9)
 
     if on_tpu:
-        main_fn = lambda Q, X, b: pallas_topk(Q, X, b, k, block_rows=block_rows)
+        # pruned kernel: running-threshold block pruning (exact results),
+        # 13-15% faster than the always-select kernel — production default
+        main_fn = lambda Q, X, b: pallas_topk_pruned(Q, X, b, k, block_rows=block_rows)
     else:  # CPU fallback so the script still runs anywhere
         main_fn = lambda Q, X, b: xla_topk(Q, X, b, k)
 
@@ -81,12 +83,14 @@ def main() -> None:
     extras = {}
     if on_tpu:
         try:
-            from youtu_rag_tpu.ops.topk import pallas_topk_int8, quantize_rows_int8
+            from youtu_rag_tpu.ops.topk import pallas_topk_int8_pruned, quantize_rows_int8
 
             Xq, Xs = quantize_rows_int8(Xd.astype(jnp.float32))
             # int8 tiles are half the bytes of bf16, so double the block:
-            # 8192 measured 1.18 ms vs 1.26 ms at 4096 (fewer tile merges)
-            fn8 = lambda Q, Xq, Xs, b: pallas_topk_int8(Q, Xq, Xs, b, k, block_rows=2 * block_rows)
+            # pruned@8192 measured 1.09 ms vs plain 1.28 ms same-run
+            fn8 = lambda Q, Xq, Xs, b: pallas_topk_int8_pruned(
+                Q, Xq, Xs, b, k, block_rows=2 * block_rows
+            )
             extras["int8_ms_per_batch"] = round(measure(fn8, (Xq, Xs, bd)) * 1e3, 3)
         except Exception as e:  # noqa: BLE001
             extras["int8_error"] = str(e)[:200]

@@ -8,7 +8,7 @@ from youtu_rag_tpu.tools import get_toolkit
 
 
 def _run(coro):
-    return asyncio.get_event_loop().run_until_complete(coro)
+    return asyncio.run(coro)
 
 
 @pytest.fixture

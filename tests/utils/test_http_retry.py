@@ -23,7 +23,7 @@ def _transport(script):
 
 
 def _run(coro):
-    return asyncio.get_event_loop().run_until_complete(coro)
+    return asyncio.run(coro)
 
 
 def test_retries_transient_then_succeeds():

