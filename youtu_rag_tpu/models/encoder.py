@@ -92,6 +92,37 @@ def count_params(params: dict) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
 
 
+def save_params_npz(params: dict, path) -> None:
+    """Persist a param tree as one npz ('/'-joined nested keys).
+
+    The deployment format: `TpuEmbedder(params=load_params_npz(p))` serves a
+    finetuned encoder; orbax checkpoints (models/checkpoint.py) remain the
+    in-training format with optimizer state."""
+    flat: dict[str, np.ndarray] = {}
+
+    def walk(prefix: str, node) -> None:
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", params)
+    np.savez_compressed(path, **flat)
+
+
+def load_params_npz(path) -> dict:
+    data = np.load(path)
+    out: dict = {}
+    for key in data.files:
+        parts = key.split("/")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(data[key])
+    return out
+
+
 def param_sharding_spec(cfg: EncoderConfig) -> dict:
     """PartitionSpec tree for a ('dp','tp') mesh: Megatron-style TP.
 
