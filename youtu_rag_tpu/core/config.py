@@ -70,7 +70,7 @@ class EmbeddingConfig(ConfigBase):
 class RerankerConfig(ConfigBase):
     """Reranker backend selection (ref factory: utu/rag/rerankers/factory.py:15-216)."""
 
-    provider: Literal["none", "tpu", "lexical", "openai", "service"] = "none"
+    provider: Literal["none", "tpu", "lexical", "openai", "service", "jina", "tione"] = "none"
     model: str | None = None
     api_key: str | None = None
     base_url: str | None = None

@@ -118,10 +118,15 @@ class TpuReranker(BaseReranker):
 
 
 class RemoteReranker(BaseReranker):
-    """Jina-style ``POST /rerank`` adapter (ref: openai_reranker.py:67-214)."""
+    """Jina-style ``POST /rerank`` adapter (ref: openai_reranker.py:67-214).
 
-    def __init__(self, config: RerankerConfig):
+    ``top_field`` handles vendor dialects: Jina/OpenAI-style services take
+    ``top_n`` while TIONE takes ``top_k`` (ref tione_reranker.py:81-88) —
+    both return ``{"results": [{"index", "relevance_score"}]}``."""
+
+    def __init__(self, config: RerankerConfig, top_field: str = "top_n"):
         self.config = config
+        self.top_field = top_field
 
     async def rerank(self, query, results, top_k=None):
         if not results:
@@ -133,7 +138,7 @@ class RemoteReranker(BaseReranker):
             "model": self.config.model,
             "query": query,
             "documents": [r.chunk.content for r in results],
-            "top_n": top_k or len(results),
+            self.top_field: top_k or len(results),
         }
         data = await post_json_with_retry(
             self.config.base_url.rstrip("/") + "/rerank", payload, headers=headers, log=logger
@@ -157,7 +162,7 @@ class RerankerFactory:
             return LexicalReranker()
         if p == "tpu":
             return TpuReranker(**kwargs)
-        if p in ("openai", "service"):
+        if p in ("openai", "service", "jina", "tione"):
             if not config.base_url:
                 config = config.model_copy(
                     update={
@@ -168,5 +173,5 @@ class RerankerFactory:
                         or os.environ.get("UTU_RERANKER_API_KEY"),
                     }
                 )
-            return RemoteReranker(config)
+            return RemoteReranker(config, top_field="top_k" if p == "tione" else "top_n")
         raise ValueError(f"unknown reranker provider {p!r}")

@@ -60,6 +60,8 @@ class SearchToolkit(AsyncBaseToolkit):
             query: The search query.
             num_results: Number of results to return.
         """
+        if self.config.config.get("engine") == "baidu":
+            return await self._baidu_search(query, num_results)
         if not self._api_key:
             return "Error: web search is not configured (set YRT_SERPER_API_KEY)."
         data = await _post_json(
@@ -70,6 +72,33 @@ class SearchToolkit(AsyncBaseToolkit):
         out = []
         for item in (data.get("organic") or [])[:num_results]:
             out.append(f"- {item.get('title')}\n  {item.get('link')}\n  {item.get('snippet', '')}")
+        return "\n".join(out) or "No results."
+
+    async def _baidu_search(self, query: str, num_results: int) -> str:
+        """Key-less Baidu scrape (ref: search/baidu_search.py:50-95 — same
+        `.result` / `h3 > a` / `.c-abstract` selectors; subject to anti-bot
+        measures, degrades with a clear error)."""
+        try:
+            r = await _get(
+                "https://www.baidu.com/s",
+                params={"wd": query, "rn": str(max(num_results, 10))},
+                headers={"User-Agent": "Mozilla/5.0 (X11; Linux x86_64)"},
+            )
+        except Exception as e:  # noqa: BLE001
+            return f"Error: baidu search failed: {e}"
+        from bs4 import BeautifulSoup
+
+        soup = BeautifulSoup(r.text, "html.parser")
+        out = []
+        for item in soup.select(".result")[:num_results]:
+            a = item.select_one("h3 > a")
+            desc = item.select_one(".c-abstract, .c-span-last")
+            if a is None:
+                continue
+            out.append(
+                f"- {a.get_text(strip=True)}\n  {a.get('href', '')}\n  "
+                f"{desc.get_text(strip=True) if desc else ''}"
+            )
         return "\n".join(out) or "No results."
 
     @register_tool
