@@ -27,6 +27,8 @@ from ...agents.events import AgentEvent, TaskRecorder
 from ...agents.llm import BaseChatClient, ChatMessage, get_chat_client
 from ...utils.log import get_logger
 from .answer import synthesize_answer
+from .loader import load_sheets, profile_workbook, workbook_brief
+from .reward import evaluate_plan, evaluate_step
 from .smg import SMGNode, SheetStateMachine, link_sheets
 
 logger = get_logger("dtr.excel")
@@ -189,22 +191,14 @@ class ExcelAgent:
 
     @staticmethod
     def load_sheets(path: str):
-        import pandas as pd
-
-        if path.endswith(".csv"):
-            return {"Sheet1": pd.read_csv(path)}
-        try:
-            return pd.read_excel(path, sheet_name=None)
-        except ImportError as e:  # pandas lazily needs openpyxl/xlrd
-            raise RuntimeError(
-                "reading .xlsx needs the 'openpyxl' package (not installed "
-                "in this environment); convert to CSV or install it"
-            ) from e
+        # header-detecting multi-sheet loader (ref: multi-sheet loader)
+        return load_sheets(path)
 
     @staticmethod
     def load_schema(path: str, question: str | None = None) -> str:
-        """Sheet brief for prompting. With a question and many sheets,
-        schema linking ranks sheets/columns by relevance so only the
+        """Profiled sheet brief for prompting: semantic column types, null
+        fractions, categorical top-values (loader.py). With a question and
+        many sheets, schema linking ranks sheets/columns so only the
         workbook's relevant corner prompts (ref: DTR schema linking)."""
         sheets = ExcelAgent.load_sheets(path)
         order = list(sheets)
@@ -213,18 +207,11 @@ class ExcelAgent:
             ranked = link_sheets(question, sheets, top_n=4)
             order = [name for name, _, _ in ranked]
             linked = {name: cols for name, _, cols in ranked}
-        parts = []
-        for name in order:
-            df = sheets[name]
-            dtypes = ", ".join(f"{c}:{t}" for c, t in zip(df.columns, df.dtypes.astype(str)))
-            hint = f" | relevant columns: {', '.join(linked[name])}" if linked.get(name) else ""
-            parts.append(
-                f"- {name}: {df.shape[0]} rows x {df.shape[1]} cols ({dtypes}){hint}\n"
-                f"  head: {df.head(2).to_dict(orient='records')}"
-            )
+        profiles = profile_workbook({name: sheets[name] for name in order})
+        brief = workbook_brief(profiles, relevant=linked)
         if len(order) < len(sheets):
-            parts.append(f"({len(sheets) - len(order)} less-relevant sheets omitted)")
-        return "\n".join(parts)
+            brief += f"\n({len(sheets) - len(order)} less-relevant sheets omitted)"
+        return brief
 
     # -- LLM helpers -------------------------------------------------------
 
@@ -377,7 +364,6 @@ class ExcelAgent:
                 mo = _JSON_OBJ.search(ev_raw)
                 verdict = json.loads(mo.group(0)) if mo else {"success": "Error" not in node.output}
                 node.success = bool(verdict.get("success"))
-                node.reward = 1.0 if node.success else 0.0
                 if node.success:
                     break
                 last_reason = str(verdict.get("reason", ""))
@@ -386,6 +372,9 @@ class ExcelAgent:
                     f"Output:\n{node.output[-600:]}\nReason: {last_reason}\nFix it."
                 )
             smg.record(node, state_after)
+            # graded multi-dimension reward (ref: reward evaluator) — the
+            # LLM verdict gates success; the heuristics grade quality
+            node.reward = evaluate_step(node).total
             completed.append(node)
             smg.cache_prefix([n.description for n in completed], completed)
             recorder.add_message(
@@ -394,7 +383,12 @@ class ExcelAgent:
         return completed
 
     async def _mcts_analyze(
-        self, plan: list[str], smg: SheetStateMachine, schema: str, recorder: TaskRecorder
+        self,
+        plan: list[str],
+        smg: SheetStateMachine,
+        schema: str,
+        recorder: TaskRecorder,
+        question: str = "",
     ) -> list[SMGNode]:
         """Plan-space UCT search (ref: DTR mcts_planner): rollouts execute
         candidate plans, reward = fraction of steps the evaluator accepts,
@@ -416,8 +410,10 @@ class ExcelAgent:
 
         async def rollout(p: list[str]) -> tuple[float, list[SMGNode]]:
             steps = await self._run_plan(p, smg, schema, recorder)
-            reward = sum(s.success for s in steps) / max(len(steps), 1)
-            return reward, steps
+            # graded plan reward (ref: reward evaluator): mean step reward
+            # + completion bonus — gives UCT a gradient between rollouts
+            # that binary success fractions collapse together
+            return evaluate_plan(steps, question=question), steps
 
         planner = MCTSPlanner(propose, rollout, iterations=self.mcts_iterations)
         best = await planner.search([plan])
@@ -478,8 +474,8 @@ class ExcelAgent:
                 out, state_after = await smg.execute_step(code)
                 node.output = out
                 node.success = "Error" not in out
-                node.reward = 1.0 if node.success else 0.0
                 smg.record(node, state_after)
+                node.reward = evaluate_step(node).total
                 recorder.emit(AgentEvent("tool_output", name="pandas_exec", text=out[:800]))
                 history.append(f"[turn {it + 1} CODE]\n{code}\n→ {out[:400]}")
             else:
@@ -516,7 +512,7 @@ class ExcelAgent:
         recorder.emit(AgentEvent("plan", data={"steps": plan}))
 
         if self.planner == "mcts":
-            completed = await self._mcts_analyze(plan, smg, schema, recorder)
+            completed = await self._mcts_analyze(plan, smg, schema, recorder, question=question)
         else:
             completed = await self._run_plan(plan, smg, schema, recorder)
 

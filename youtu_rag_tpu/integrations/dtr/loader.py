@@ -1,0 +1,195 @@
+"""Multi-sheet workbook loader/profiler for the Excel agent.
+
+Parity surface: the reference's multi-sheet loader module
+(``integrations/DTR/src/modules`` multi-sheet loader, ~370 LoC): load every
+sheet, detect headerless sheets, infer semantic column types, and produce a
+compact per-sheet profile the planner/coder prompts from. The agent's old
+``load_sheets``/``load_schema`` only dumped dtypes + two head rows; this
+profiler adds:
+
+- header detection: a first row that looks like data (numeric-dominant or
+  duplicating row 2's types) gets synthetic ``col_N`` names instead of
+  silently becoming the header;
+- semantic types per column: ``id`` (unique key), ``numeric``, ``datetime``
+  (parse-probed on object columns), ``categorical`` (low cardinality, with
+  top values), ``text``;
+- null fractions and unique counts — the stats SQL-ish reasoning needs to
+  pick join keys and group-bys."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+
+@dataclass
+class ColumnProfile:
+    name: str
+    dtype: str
+    semantic: str  # id | numeric | datetime | categorical | text
+    null_frac: float = 0.0
+    n_unique: int = 0
+    top_values: list[Any] = field(default_factory=list)
+
+    def brief(self) -> str:
+        bits = [self.semantic]
+        if self.null_frac > 0:
+            bits.append(f"{self.null_frac:.0%} null")
+        if self.semantic == "categorical" and self.top_values:
+            tv = ", ".join(str(v)[:20] for v in self.top_values[:4])
+            bits.append(f"values: {tv}")
+        return f"{self.name} ({'; '.join(bits)})"
+
+
+@dataclass
+class SheetProfile:
+    name: str
+    shape: tuple[int, int]
+    columns: list[ColumnProfile]
+    synthetic_header: bool = False
+    sample: list[dict] = field(default_factory=list)
+
+    def brief(self, max_cols: int = 16) -> str:
+        cols = "; ".join(c.brief() for c in self.columns[:max_cols])
+        extra = f" (+{len(self.columns) - max_cols} more cols)" if len(self.columns) > max_cols else ""
+        header_note = " [headerless: synthetic col names]" if self.synthetic_header else ""
+        return (
+            f"- {self.name}: {self.shape[0]} rows x {self.shape[1]} cols{header_note}\n"
+            f"  columns: {cols}{extra}\n"
+            f"  sample: {self.sample[:2]}"
+        )
+
+
+def _first_row_is_data(df) -> bool:
+    """True when the parsed header row looks like a data row: mostly
+    numeric-parseable, or duplicated/unnamed placeholder labels."""
+    cols = [str(c) for c in df.columns]
+    if not cols:
+        return False
+    unnamed = sum(c.startswith("Unnamed:") for c in cols)
+    if unnamed >= max(len(cols) // 2, 1):
+        return True
+
+    def numericish(s: str) -> bool:
+        try:
+            float(s)
+            return True
+        except ValueError:
+            return False
+
+    return sum(numericish(c) for c in cols) >= max(len(cols) // 2, 1)
+
+
+def load_sheets(path: str) -> dict[str, Any]:
+    """Load every sheet with header detection. csv/tsv → one sheet."""
+    import pandas as pd
+
+    if path.endswith((".csv", ".tsv")):
+        sep = "\t" if path.endswith(".tsv") else ","
+        sheets = {"Sheet1": pd.read_csv(path, sep=sep)}
+        raw = {"Sheet1": (lambda: pd.read_csv(path, sep=sep, header=None))}
+    else:
+        try:
+            sheets = pd.read_excel(path, sheet_name=None)
+        except ImportError as e:  # pandas lazily needs openpyxl/xlrd
+            raise RuntimeError(
+                "reading .xlsx needs the 'openpyxl' package (not installed "
+                "in this environment); convert to CSV or install it"
+            ) from e
+        raw = {name: (lambda n=name: pd.read_excel(path, sheet_name=n, header=None)) for name in sheets}
+
+    out = {}
+    for name, df in sheets.items():
+        if len(df) > 0 and _first_row_is_data(df):
+            df = raw[name]()
+            df.columns = [f"col_{i}" for i in range(df.shape[1])]
+            df.attrs["synthetic_header"] = True
+        out[name] = df
+    return out
+
+
+def profile_column(series) -> ColumnProfile:
+    import pandas as pd
+
+    n = max(len(series), 1)
+    null_frac = float(series.isna().sum()) / n
+    nun = int(series.nunique(dropna=True))
+    dtype = str(series.dtype)
+
+    if pd.api.types.is_datetime64_any_dtype(series):
+        semantic = "datetime"
+    elif pd.api.types.is_numeric_dtype(series):
+        # all-unique integers look like keys; floats are measurements
+        unique_int = (
+            pd.api.types.is_integer_dtype(series)
+            and nun == n - int(series.isna().sum())
+            and nun > 20
+        )
+        semantic = "id" if unique_int else "numeric"
+    else:
+        # probe object columns for dates (sampled — cheap on wide tables)
+        sample = series.dropna().astype(str).head(50)
+        parsed = 0
+        if len(sample):
+            with pd.option_context("mode.chained_assignment", None):
+                try:
+                    parsed = pd.to_datetime(sample, errors="coerce", format="mixed").notna().sum()
+                except (TypeError, ValueError):
+                    parsed = 0
+        if len(sample) and parsed >= 0.8 * len(sample):
+            semantic = "datetime"
+        elif nun == n - int(series.isna().sum()) and nun > 20:
+            semantic = "id"
+        elif nun <= max(20, int(0.05 * n)):
+            semantic = "categorical"
+        else:
+            semantic = "text"
+
+    top = []
+    if semantic == "categorical":
+        top = series.value_counts(dropna=True).head(5).index.tolist()
+    return ColumnProfile(
+        name=str(series.name),
+        dtype=dtype,
+        semantic=semantic,
+        null_frac=round(null_frac, 3),
+        n_unique=nun,
+        top_values=top,
+    )
+
+
+def profile_workbook(sheets: dict[str, Any], sample_rows: int = 2) -> list[SheetProfile]:
+    profiles = []
+    for name, df in sheets.items():
+        cols = [profile_column(df[c]) for c in df.columns]
+        sample = df.head(sample_rows).to_dict(orient="records")
+        # keep the sample JSON-safe and short
+        for row in sample:
+            for k, v in list(row.items()):
+                if isinstance(v, float) and np.isnan(v):
+                    row[k] = None
+                else:
+                    row[k] = str(v)[:40] if not isinstance(v, (int, float, bool, type(None))) else v
+        profiles.append(
+            SheetProfile(
+                name=name,
+                shape=(int(df.shape[0]), int(df.shape[1])),
+                columns=cols,
+                synthetic_header=bool(df.attrs.get("synthetic_header")),
+                sample=sample,
+            )
+        )
+    return profiles
+
+
+def workbook_brief(profiles: list[SheetProfile], relevant: dict[str, list[str]] | None = None) -> str:
+    """The prompt block: per-sheet profile, schema-linked columns first."""
+    parts = []
+    for p in profiles:
+        hint = ""
+        if relevant and relevant.get(p.name):
+            hint = f"\n  relevant columns: {', '.join(relevant[p.name])}"
+        parts.append(p.brief() + hint)
+    return "\n".join(parts)
