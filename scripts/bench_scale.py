@@ -50,7 +50,7 @@ def main() -> None:
     from youtu_rag_tpu.index.ivf import probe_blocks
     from youtu_rag_tpu.ops.ivf import pallas_ivf_topk_int8_dma
     from youtu_rag_tpu.ops.kmeans import kmeans_fit
-    from youtu_rag_tpu.ops.topk import pallas_topk_int8
+    from youtu_rag_tpu.ops.topk import pallas_topk_int8_pruned
 
     N, d, q, k, BR = args.n_rows, args.dim, args.queries, args.k, args.block_rows
     assert N % BR == 0
@@ -109,10 +109,10 @@ def main() -> None:
 
     # ---- brute force ground truth + timing -------------------------------
     print("brute force ...", file=sys.stderr, flush=True)
-    gs, gi = pallas_topk_int8(Qd, Xd, Sd, bd, k, block_rows=BR)
+    gs, gi = pallas_topk_int8_pruned(Qd, Xd, Sd, bd, k, block_rows=BR)
     truth = np.asarray(gi)
-    t4 = amortized(lambda Q, X, S, b: pallas_topk_int8(Q, X, S, b, k, block_rows=BR), (Xd, Sd, bd), 4)
-    t12 = amortized(lambda Q, X, S, b: pallas_topk_int8(Q, X, S, b, k, block_rows=BR), (Xd, Sd, bd), 12)
+    t4 = amortized(lambda Q, X, S, b: pallas_topk_int8_pruned(Q, X, S, b, k, block_rows=BR), (Xd, Sd, bd), 4)
+    t12 = amortized(lambda Q, X, S, b: pallas_topk_int8_pruned(Q, X, S, b, k, block_rows=BR), (Xd, Sd, bd), 12)
     dt = max((t12 - t4) / 8, 1e-9)
     report["brute_int8_ms"] = round(dt * 1e3, 3)
     report["brute_int8_qps"] = round(q / dt, 1)

@@ -45,6 +45,11 @@ def get_fasthash():
             int hash_embed_one(const char *text, int len, float *out, int dim);
             void hash_embed_batch(const char *buf, const int *offsets,
                                   int n_texts, float *out, int dim);
+            int tokenize_ids(const char *text, int len, int32_t *out,
+                             int max_out, int n_buckets, int n_special);
+            void tokenize_ids_batch(const char *buf, const int *offsets,
+                                    int n_texts, int32_t *out, int *counts,
+                                    int max_len, int n_buckets, int n_special);
             """
         )
         build = _build_dir()
@@ -68,6 +73,58 @@ def get_fasthash():
         logger.exception("native fasthash unavailable; using python fallback")
         _ffi, _lib = None, None
     return _ffi, _lib
+
+
+def tokenize_ids_native(text: str, max_out: int, n_buckets: int, n_special: int):
+    """Tokenize one string into hashed ids via the C kernel; None if
+    unavailable. ``text`` is lowercased here (full-Unicode folding stays
+    in Python; the C scanner assumes pre-folded input)."""
+    import numpy as np
+
+    ffi, lib = get_fasthash()
+    if lib is None:
+        return None
+    enc = text.lower().encode("utf-8")
+    out = np.empty(max_out, np.int32)
+    n = lib.tokenize_ids(
+        ffi.from_buffer(enc) if enc else ffi.NULL,
+        len(enc),
+        ffi.cast("int32_t *", ffi.from_buffer(out)),
+        max_out,
+        n_buckets,
+        n_special,
+    )
+    return out[:n].tolist()
+
+
+def tokenize_ids_batch_native(
+    texts: list[str], max_len: int, n_buckets: int, n_special: int
+):
+    """Batch tokenize → (ids [n, max_len] int32, counts [n]); None if the
+    native kernel is unavailable."""
+    import numpy as np
+
+    ffi, lib = get_fasthash()
+    if lib is None:
+        return None
+    encoded = [t.lower().encode("utf-8") for t in texts]
+    offsets = np.zeros(len(texts) + 1, np.int32)
+    for i, e in enumerate(encoded):
+        offsets[i + 1] = offsets[i] + len(e)
+    buf = b"".join(encoded) or b"\x00"
+    out = np.zeros((len(texts), max_len), np.int32)
+    counts = np.zeros(len(texts), np.int32)
+    lib.tokenize_ids_batch(
+        ffi.from_buffer(buf),
+        ffi.cast("const int *", ffi.from_buffer(offsets)),
+        len(texts),
+        ffi.cast("int32_t *", ffi.from_buffer(out)),
+        ffi.cast("int *", ffi.from_buffer(counts)),
+        max_len,
+        n_buckets,
+        n_special,
+    )
+    return out, counts
 
 
 def hash_embed_batch_native(texts: list[str], dim: int):

@@ -152,3 +152,139 @@ void hash_embed_batch(const char *buf, const int *offsets, int n_texts, float *o
         hash_embed_one(buf + start, end - start, out + (size_t)t * dim, dim);
     }
 }
+
+/* ----------------------------------------------------------------------
+ * Encoder tokenizer fast path: word/codepoint tokenization + blake2b-8
+ * token ids, exactly matching models/tokenizer.py HashTokenizer.tokenize
+ * (which hashes with hashlib.blake2b(digest_size=8), little-endian
+ * signed). Texts arrive already lowercased (Python str.lower() runs
+ * host-side first so full-Unicode case folding stays correct).
+ * -------------------------------------------------------------------- */
+
+static const uint64_t B2B_IV[8] = {
+    0x6a09e667f3bcc908ULL, 0xbb67ae8584caa73bULL, 0x3c6ef372fe94f82bULL,
+    0xa54ff53a5f1d36f1ULL, 0x510e527fade682d1ULL, 0x9b05688c2b3e6c1fULL,
+    0x1f83d9abfb41bd6bULL, 0x5be0cd19137e2179ULL};
+
+static const unsigned char B2B_SIGMA[10][16] = {
+    {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+    {14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3},
+    {11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4},
+    {7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8},
+    {9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13},
+    {2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9},
+    {12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11},
+    {13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10},
+    {6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5},
+    {10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0}};
+
+static inline uint64_t rotr64(uint64_t x, int n) { return (x >> n) | (x << (64 - n)); }
+
+#define B2B_G(a, b, c, d, x, y)                                                \
+    do {                                                                       \
+        v[a] = v[a] + v[b] + (x);                                              \
+        v[d] = rotr64(v[d] ^ v[a], 32);                                        \
+        v[c] = v[c] + v[d];                                                    \
+        v[b] = rotr64(v[b] ^ v[c], 24);                                        \
+        v[a] = v[a] + v[b] + (y);                                              \
+        v[d] = rotr64(v[d] ^ v[a], 16);                                        \
+        v[c] = v[c] + v[d];                                                    \
+        v[b] = rotr64(v[b] ^ v[c], 63);                                        \
+    } while (0)
+
+static void b2b_compress(uint64_t h[8], const unsigned char block[128],
+                         uint64_t t, int final) {
+    uint64_t v[16], m[16];
+    for (int i = 0; i < 8; i++) v[i] = h[i];
+    for (int i = 0; i < 8; i++) v[i + 8] = B2B_IV[i];
+    v[12] ^= t; /* t_hi always 0 at token scale */
+    if (final) v[14] = ~v[14];
+    for (int i = 0; i < 16; i++) {
+        uint64_t w = 0;
+        for (int j = 7; j >= 0; j--) w = (w << 8) | block[i * 8 + j];
+        m[i] = w;
+    }
+    for (int r = 0; r < 12; r++) {
+        const unsigned char *s = B2B_SIGMA[r % 10];
+        B2B_G(0, 4, 8, 12, m[s[0]], m[s[1]]);
+        B2B_G(1, 5, 9, 13, m[s[2]], m[s[3]]);
+        B2B_G(2, 6, 10, 14, m[s[4]], m[s[5]]);
+        B2B_G(3, 7, 11, 15, m[s[6]], m[s[7]]);
+        B2B_G(0, 5, 10, 15, m[s[8]], m[s[9]]);
+        B2B_G(1, 6, 11, 12, m[s[10]], m[s[11]]);
+        B2B_G(2, 7, 8, 13, m[s[12]], m[s[13]]);
+        B2B_G(3, 4, 9, 14, m[s[14]], m[s[15]]);
+    }
+    for (int i = 0; i < 8; i++) h[i] ^= v[i] ^ v[i + 8];
+}
+
+/* blake2b digest_size=8, unkeyed; returns h[0] (== the 8-byte digest read
+ * little-endian, i.e. exactly Python's stable_hash64 as uint64) */
+static uint64_t blake2b8(const unsigned char *data, size_t n) {
+    uint64_t h[8];
+    for (int i = 0; i < 8; i++) h[i] = B2B_IV[i];
+    h[0] ^= 0x01010000ULL ^ 8ULL; /* digest_size=8, key=0, fanout=depth=1 */
+    size_t off = 0;
+    while (n - off > 128) {
+        b2b_compress(h, data + off, (uint64_t)(off + 128), 0);
+        off += 128;
+    }
+    unsigned char buf[128];
+    memset(buf, 0, 128);
+    memcpy(buf, data + off, n - off);
+    b2b_compress(h, buf, (uint64_t)n, 1);
+    return h[0];
+}
+
+/* Python regex \s whitespace set (unicode) */
+static int is_uspace(uint32_t cp) {
+    if (cp == ' ' || (cp >= 0x09 && cp <= 0x0D)) return 1;
+    if (cp >= 0x1C && cp <= 0x1F) return 1;
+    if (cp == 0x85 || cp == 0xA0 || cp == 0x1680) return 1;
+    if (cp >= 0x2000 && cp <= 0x200A) return 1;
+    if (cp == 0x2028 || cp == 0x2029 || cp == 0x202F || cp == 0x205F) return 1;
+    return cp == 0x3000;
+}
+
+/* tokenize one pre-lowercased utf-8 text into hashed ids:
+ * id = n_special + blake2b8(token) mod n_buckets (Python-modulo).
+ * Returns the number of ids written (capped at max_out). */
+int tokenize_ids(const char *text, int len, int32_t *out, int max_out,
+                 int n_buckets, int n_special) {
+    const unsigned char *s = (const unsigned char *)text;
+    size_t n = (size_t)len, i = 0;
+    int written = 0;
+    while (i < n && written < max_out) {
+        unsigned char c = s[i];
+        const unsigned char *tok = s + i;
+        size_t tlen = 0;
+        if (is_word_byte(c)) {
+            size_t start = i;
+            while (i < n && is_word_byte(s[i])) i++;
+            tlen = i - start;
+        } else {
+            uint32_t cp;
+            int used = utf8_decode(s + i, n - i, &cp);
+            i += (size_t)used;
+            if (is_uspace(cp)) continue;
+            tlen = (size_t)used; /* single-codepoint token */
+        }
+        int64_t hv = (int64_t)blake2b8(tok, tlen);
+        int64_t m = hv % (int64_t)n_buckets;
+        if (m < 0) m += n_buckets; /* Python modulo semantics */
+        out[written++] = (int32_t)(n_special + m);
+    }
+    return written;
+}
+
+/* batch: texts concatenated (pre-lowercased) with explicit offsets;
+ * per-text ids land at out + t*max_len, counts[t] = ids written */
+void tokenize_ids_batch(const char *buf, const int *offsets, int n_texts,
+                        int32_t *out, int *counts, int max_len,
+                        int n_buckets, int n_special) {
+    for (int t = 0; t < n_texts; t++) {
+        counts[t] = tokenize_ids(buf + offsets[t], offsets[t + 1] - offsets[t],
+                                 out + (size_t)t * max_len, max_len,
+                                 n_buckets, n_special);
+    }
+}
