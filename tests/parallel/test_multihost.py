@@ -98,8 +98,60 @@ _WORKER = textwrap.dedent(
     # delete propagates (tombstone bias over the global mesh)
     victim = got[0][0][0].id
     idx.delete([victim])
+    ref.delete([victim])
     after = idx.search(q[:1], top_k=5)[0]
     assert victim not in [c.id for c, _ in after]
+
+    # IVF build on the multi-process mesh: device-side k-means fit +
+    # assignment, shard-local cluster sort. n_probe (default 64) covers
+    # all 4 lists so results stay exact → brute parity must hold.
+    idx.build_ivf(n_lists=4)
+    got = idx.search(q, top_k=5, filters={{"i": {{"$lt": 100}}}})
+    want = ref.search(q, top_k=5, filters={{"i": {{"$lt": 100}}}})
+    for g, w in zip(got, want):
+        assert [c.id for c, _ in g] == [c.id for c, _ in w], (g, w)
+
+    # compact on the multi-process mesh: cross-shard permutation gathers
+    # live rows to the front; dead tail becomes reusable
+    more = [c.id for c, _ in idx.search(q[1:], top_k=3)[0]]
+    idx.delete(more)
+    ref.delete(more)
+    idx.compact()
+    assert idx.size == idx.live_count == n - 1 - len(more), (idx.size, idx.live_count)
+    got = idx.search(q, top_k=5)
+    want = ref.search(q, top_k=5)
+    for g, w in zip(got, want):
+        assert [c.id for c, _ in g] == [c.id for c, _ in w], (g, w)
+
+    # append after compact reuses tail rows, and growth past min_capacity
+    # runs the jitted concat (eager concat would crash multi-process)
+    extra = 420
+    chunks2 = [Chunk(f"x{{i}}", "doc2", f"u{{i}}", i, {{"i": 1000 + i}}) for i in range(extra)]
+    embs2 = rng.normal(size=(extra, d)).astype(np.float32)
+    embs2 /= np.linalg.norm(embs2, axis=1, keepdims=True)
+    idx.add(chunks2, embs2)
+    ref.add(chunks2, embs2)
+    assert idx.capacity > 512  # grew
+    got = idx.search(embs2[:2], top_k=3)
+    want = ref.search(embs2[:2], top_k=3)
+    for g, w in zip(got, want):
+        assert [c.id for c, _ in g] == [c.id for c, _ in w], (g, w)
+
+    # int8 storage lane: append (jitted scale scatter), IVF, compact
+    cfg8 = IndexConfig(min_capacity=512, block_rows=64, storage_dtype="int8")
+    idx8 = ShardedVectorIndex(d, cfg8, mesh=mesh, axis=("dcn", "ici"))
+    idx8.add(chunks, embs)
+    hits = idx8.search(embs[:1], top_k=1)[0]
+    assert hits[0][0].id == "m0"
+    idx8.build_ivf(n_lists=4)
+    hits = idx8.search(embs[:1], top_k=1)[0]
+    assert hits[0][0].id == "m0"
+    idx8.delete(["m1", "m2"])
+    idx8.compact()
+    assert idx8.live_count == n - 2
+    hits = idx8.search(embs[:1], top_k=1)[0]
+    assert hits[0][0].id == "m0"
+
     print(f"MULTIHOST-PARITY-OK pid={{os.environ['JAX_PROCESS_ID']}}", flush=True)
     """
 )

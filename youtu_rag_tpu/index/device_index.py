@@ -263,8 +263,8 @@ class DeviceVectorIndex:
                     self._put(jnp.asarray(bpad)),
                     jnp.int32(start),
                 )
-                self._scales = jax.lax.dynamic_update_slice(
-                    self._scales, jnp.asarray(spad), (jnp.int32(start),)
+                self._scales = _append_scales_kernel(
+                    self._scales, jnp.asarray(spad), jnp.int32(start)
                 )
             else:
                 self._vectors, self._cols, self._bias = _append_kernel(
@@ -386,12 +386,7 @@ class DeviceVectorIndex:
             perm = np.asarray(permutation, np.int64)
             assert perm.shape == (self.size,), (perm.shape, self.size)
             full = np.concatenate([perm, np.arange(self.size, self.capacity)])
-            idx = jnp.asarray(full, jnp.int32)
-            self._vectors = self._put(jnp.take(self._vectors, idx, axis=0))
-            self._cols = self._put(jnp.take(self._cols, idx, axis=0))
-            self._bias = self._put(jnp.take(self._bias, idx, axis=0))
-            if self._int8:
-                self._scales = self._put(jnp.take(self._scales, idx, axis=0))
+            self._apply_permutation(full)
             old_chunks = self._chunks
             self._chunks = [old_chunks[o] for o in perm]
             self._id_to_row = {}
@@ -400,6 +395,19 @@ class DeviceVectorIndex:
                 if c is not None:
                     self._id_to_row[c.id] = new_row
                     self._doc_rows.setdefault(c.document_id, []).append(new_row)
+
+    def _apply_permutation(self, idx: np.ndarray) -> None:
+        """Gather all device rows by ``idx`` (length == capacity).
+
+        Overridable array-movement hook: the sharded index swaps in a
+        shard_map local gather (block-diagonal permutations) or a GSPMD
+        global gather (cross-shard moves, e.g. compaction)."""
+        gidx = jnp.asarray(idx, jnp.int32)
+        self._vectors = self._put(jnp.take(self._vectors, gidx, axis=0))
+        self._cols = self._put(jnp.take(self._cols, gidx, axis=0))
+        self._bias = self._put(jnp.take(self._bias, gidx, axis=0))
+        if self._int8:
+            self._scales = self._put(jnp.take(self._scales, gidx, axis=0))
 
     def compact(self) -> None:
         """Rebuild arrays dropping tombstones (periodic maintenance)."""
@@ -466,7 +474,9 @@ class DeviceVectorIndex:
                         if c is not None and host_eval(filters, c.metadata)
                     ]
                     hb[keep] = 0.0
-                    bias = bias + jnp.asarray(hb)
+                    # jit (not op-by-op): bias may be a multi-process
+                    # global array, which cannot run eager ops
+                    bias = _add_bias(bias, jnp.asarray(hb))
 
             if filt is not None:
                 bias = _filter_bias(cols, bias, jnp.asarray(filt_consts), filt.signature(), filt)
@@ -680,6 +690,11 @@ class DeviceVectorIndex:
 # ---------------------------------------------------------------------------
 
 
+@jax.jit
+def _add_bias(bias, extra):
+    return bias + extra
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _tombstone_kernel(bias, rows):
     return bias.at[rows].set(NEG_INF)
@@ -688,6 +703,12 @@ def _tombstone_kernel(bias, rows):
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _update_cols_kernel(cols, rows, new_cols):
     return cols.at[rows].set(new_cols)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _append_scales_kernel(scales, new_scales, start):
+    # jit (not op-by-op) so multi-process global scale arrays work
+    return jax.lax.dynamic_update_slice(scales, new_scales, (start,))
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))

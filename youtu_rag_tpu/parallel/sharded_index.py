@@ -26,6 +26,7 @@ shard_map = jax.shard_map
 from ..core.config import IndexConfig
 from ..index.device_index import DeviceVectorIndex, _pow2_at_least
 from ..ops.topk import (
+    NEG_INF,
     pallas_topk_int8_pruned,
     pallas_topk_pruned,
     xla_topk,
@@ -140,10 +141,15 @@ class ShardedVectorIndex(DeviceVectorIndex):
     # placement: shard 2-D arrays on rows, 1-D bias on its only axis
     def _put(self, x):
         sh = self._row_sharding if getattr(x, "ndim", 1) >= 2 else self._vec_sharding
+        return self._put_spec(x, sh)
+
+    def _put_spec(self, x, sh: NamedSharding):
+        """Place host data with an explicit sharding, multi-process-safe.
+
+        ``device_put`` cannot target non-addressable devices; on a
+        multi-process mesh the global array is built from per-process
+        local shards of the (identical, host-replicated) value."""
         if self._multi_process:
-            # device_put cannot target non-addressable devices; build the
-            # global array from per-process local shards of the (identical,
-            # host-replicated) value instead
             x = np.asarray(x)
             return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
         return jax.device_put(x, sh)
@@ -173,27 +179,147 @@ class ShardedVectorIndex(DeviceVectorIndex):
             return "pallas"
         return "xla"
 
-    def build_ivf(self, n_lists: int | None = None, seed: int = 0) -> None:
-        if self._multi_process:
-            raise NotImplementedError(
-                "IVF clustering needs host-side access to all rows; on a "
-                "multi-process mesh build the IVF single-host and snapshot, "
-                "or search brute-force (the per-shard kernels are identical)"
+    def _grow(self, need_rows: int) -> None:
+        """Capacity growth. Multi-process meshes cannot concatenate global
+        arrays op-by-op, so the pad-and-concat runs under jit with the row
+        shardings pinned (pow2 doubling keeps capacity divisible by
+        shards × block_rows)."""
+        if not self._multi_process:
+            return super()._grow(need_rows)
+        new_cap = self.capacity
+        while new_cap < need_rows:
+            new_cap *= 2
+        if new_cap == self.capacity:
+            return
+        pad = new_cap - self.capacity
+        scales = self._scales if self._int8 else self._bias  # dummy slot
+
+        def go(v, c, b, s):
+            return (
+                jnp.concatenate([v, jnp.zeros((pad, v.shape[1]), v.dtype)]),
+                jnp.concatenate([c, jnp.full((pad, c.shape[1]), -(2**31), c.dtype)]),
+                jnp.concatenate([b, jnp.full((pad,), NEG_INF, b.dtype)]),
+                jnp.concatenate([s, jnp.zeros((pad,), s.dtype)]),
             )
+
+        fn = jax.jit(
+            go,
+            out_shardings=(
+                self._row_sharding,
+                self._row_sharding,
+                self._vec_sharding,
+                self._vec_sharding,
+            ),
+        )
+        v, c, b, s = fn(self._vectors, self._cols, self._bias, scales)
+        self._vectors, self._cols, self._bias = v, c, b
+        if self._int8:
+            self._scales = s
+        self.capacity = new_cap
+
+    def build_ivf(self, n_lists: int | None = None, seed: int = 0) -> None:
         return self._build_ivf_local(n_lists=n_lists, seed=seed)
 
     def compact(self) -> None:
-        if self._multi_process:
-            raise NotImplementedError(
-                "compact() materializes rows host-side; not supported on a "
-                "multi-process mesh (tombstone bias keeps search correct)"
-            )
-        return super().compact()
+        """Drop tombstones. Single-process keeps the base rebuild (shrinks
+        capacity back down); multi-process compacts by a device-side
+        permutation instead: live rows gather to the global front (keeps
+        the stored int8/bf16 values — no dequantize round-trip), dead rows
+        park as inert NEG_INF-bias tail that future appends overwrite.
+        Capacity is retained (no shrink) — the permutation crosses shard
+        boundaries, so this is the one maintenance op whose gather rides
+        the collectives; fine at maintenance cadence."""
+        if not self._multi_process:
+            return super().compact()
+        with self._lock:
+            live = [r for r, c in enumerate(self._chunks) if c is not None]
+            if not live:
+                self._reset()
+                return
+            dead = [r for r, c in enumerate(self._chunks) if c is None]
+            perm = np.asarray(live + dead, np.int64)
+            full = np.concatenate([perm, np.arange(self.size, self.capacity)])
+            self._apply_permutation(full)
+            chunks = [self._chunks[o] for o in perm[: len(live)]]
+            self._chunks = chunks
+            self._id_to_row = {}
+            self._doc_rows = {}
+            for row, c in enumerate(chunks):
+                self._id_to_row[c.id] = row
+                self._doc_rows.setdefault(c.document_id, []).append(row)
+            self.size = len(live)
+            self.live_count = len(live)
+            self._ivf = None
+            self._ivf_frozen = None
+            self._ivf_frozen_min = 0
+            self._ivf_local_blocks = 0
 
-    def _maybe_auto_compact(self) -> None:
-        if self._multi_process:
-            return  # deletes stay tombstones; see compact()
-        super()._maybe_auto_compact()
+    # -- permutation dispatch ---------------------------------------------
+
+    def _apply_permutation(self, idx: np.ndarray) -> None:
+        """Shard-aware row gather. Block-diagonal permutations (every row
+        stays in its shard — the IVF cluster sort by construction) run as
+        a shard_map local take with zero communication; anything else
+        (compaction) runs as a GSPMD global gather."""
+        idx = np.asarray(idx, np.int64)
+        rows = self.capacity // self.n_shards
+        if np.array_equal(idx // rows, np.arange(idx.shape[0]) // rows):
+            self._permute_shard_local((idx % rows).astype(np.int32))
+        else:
+            self._permute_global(idx.astype(np.int32))
+
+    @functools.cached_property
+    def _local_perm_fn(self):
+        axis = self.axis
+
+        def per_shard(v, c, b, s, i):
+            return (
+                jnp.take(v, i, axis=0),
+                jnp.take(c, i, axis=0),
+                jnp.take(b, i, axis=0),
+                jnp.take(s, i, axis=0),
+            )
+
+        return jax.jit(
+            shard_map(
+                per_shard,
+                mesh=self.mesh,
+                in_specs=(P(axis, None), P(axis, None), P(axis), P(axis), P(axis)),
+                out_specs=(P(axis, None), P(axis, None), P(axis), P(axis)),
+            )
+        )
+
+    @functools.cached_property
+    def _global_perm_fn(self):
+        return jax.jit(
+            lambda v, c, b, s, i: (
+                jnp.take(v, i, axis=0),
+                jnp.take(c, i, axis=0),
+                jnp.take(b, i),
+                jnp.take(s, i),
+            ),
+            out_shardings=(
+                self._row_sharding,
+                self._row_sharding,
+                self._vec_sharding,
+                self._vec_sharding,
+            ),
+        )
+
+    def _permute_shard_local(self, local_idx: np.ndarray) -> None:
+        scales = self._scales if self._int8 else self._bias  # dummy slot
+        li = self._put_spec(local_idx, self._vec_sharding)
+        v, c, b, s = self._local_perm_fn(self._vectors, self._cols, self._bias, scales, li)
+        self._vectors, self._cols, self._bias = v, c, b
+        if self._int8:
+            self._scales = s
+
+    def _permute_global(self, idx: np.ndarray) -> None:
+        scales = self._scales if self._int8 else self._bias  # dummy slot
+        v, c, b, s = self._global_perm_fn(self._vectors, self._cols, self._bias, scales, idx)
+        self._vectors, self._cols, self._bias = v, c, b
+        if self._int8:
+            self._scales = s
 
     # -- sharded IVF -------------------------------------------------------
     #
@@ -214,14 +340,19 @@ class ShardedVectorIndex(DeviceVectorIndex):
         n_lists = n_lists or min(cfg.n_lists, max(self.size // 64, 1))
 
         with self._lock:
-            vecs = np.asarray(self.dequantized_vectors()[: self.size])
-            rng = _np.random.default_rng(seed)
-            fit_on = vecs
-            if self.size > 131072:
-                sel = _np.sort(rng.choice(self.size, 131072, replace=False))
-                fit_on = vecs[sel]
-            centroids = kmeans_fit(jnp.asarray(fit_on), n_lists, iters=cfg.kmeans_iters, seed=seed)
-            assign = _np.asarray(jnp.argmax(jnp.asarray(vecs) @ centroids.T, axis=1))
+            if self._multi_process:
+                centroids, assign = self._mp_fit_assign(n_lists, seed)
+            else:
+                vecs = np.asarray(self.dequantized_vectors()[: self.size])
+                rng = _np.random.default_rng(seed)
+                fit_on = vecs
+                if self.size > 131072:
+                    sel = _np.sort(rng.choice(self.size, 131072, replace=False))
+                    fit_on = vecs[sel]
+                centroids = kmeans_fit(
+                    jnp.asarray(fit_on), n_lists, iters=cfg.kmeans_iters, seed=seed
+                )
+                assign = _np.asarray(jnp.argmax(jnp.asarray(vecs) @ centroids.T, axis=1))
 
             rows_per_shard = self.capacity // self.n_shards
             br = cfg.block_rows
@@ -261,7 +392,7 @@ class ShardedVectorIndex(DeviceVectorIndex):
             )
             # per-shard frozen block counts [S, 1]: the fresh-tail boundary
             # differs per shard (appends land in the shard owning row=size)
-            self._ivf_frozen = jax.device_put(
+            self._ivf_frozen = self._put_spec(
                 jnp.asarray(frozen_local[:, None]), NamedSharding(self.mesh, P(self.axis, None))
             )
             # the *least*-filled shard has the most fresh-tail blocks; the
@@ -270,8 +401,52 @@ class ShardedVectorIndex(DeviceVectorIndex):
             self._ivf_frozen_min = int(frozen_local.min())
             self._ivf_local_blocks = local_blocks
 
+    def _mp_fit_assign(self, n_lists: int, seed: int):
+        """Device-side k-means fit + full assignment for multi-process
+        meshes, where rows cannot materialize host-side (shards live on
+        non-addressable devices).
+
+        Fit: a host-chosen sample (same seed on every process — SPMD)
+        gathers to a replicated array via a jitted take (GSPMD inserts the
+        cross-shard collectives), then ``kmeans_fit`` runs replicated.
+        Assignment: computed shard-locally (dequant + argmax against the
+        replicated centroids), with only the [capacity] int32 assignment
+        vector all-gathered back to every host."""
+        from ..ops.kmeans import kmeans_fit
+
+        repl = NamedSharding(self.mesh, P())
+        cfg = self.config
+        rng = np.random.default_rng(seed)
+        if self.size > 131072:
+            sel = np.sort(rng.choice(self.size, 131072, replace=False)).astype(np.int32)
+        else:
+            sel = np.arange(self.size, dtype=np.int32)
+        int8 = self._int8
+        scales = self._scales if int8 else self._bias  # dummy slot when not int8
+
+        def dequant_take(v, sc, i):
+            x = jnp.take(v, i, axis=0).astype(jnp.float32)
+            if int8:
+                x = x * jnp.take(sc, i)[:, None]
+            return x
+
+        fit_on = jax.jit(dequant_take, out_shardings=repl)(self._vectors, scales, sel)
+        centroids = kmeans_fit(fit_on, n_lists, iters=cfg.kmeans_iters, seed=seed)
+        centroids = jax.jit(lambda a: a, out_shardings=repl)(centroids)
+
+        def assign_all(v, sc, cent):
+            x = v.astype(jnp.float32)
+            if int8:
+                x = x * sc[:, None]
+            return jnp.argmax(x @ cent.T, axis=1).astype(jnp.int32)
+
+        assign_full = jax.jit(assign_all, out_shardings=repl)(
+            self._vectors, scales, centroids
+        )
+        return centroids, np.asarray(assign_full)[: self.size]
+
     def _put_ivf(self, arr):
-        return jax.device_put(jnp.asarray(arr), NamedSharding(self.mesh, P(self.axis, None)))
+        return self._put_spec(jnp.asarray(arr), NamedSharding(self.mesh, P(self.axis, None)))
 
     def _run_search(self, queries, vectors, bias, k, backend):
         if self._ivf is not None:
@@ -331,11 +506,11 @@ class ShardedVectorIndex(DeviceVectorIndex):
                 **adaptive,
             )
             if backend == "pallas" and int8:
-                s, i = pallas_ivf_topk_int8_dma(q, x, sc[:, 0], b, ids, n_valid, k, block_rows=br)
+                s, i = pallas_ivf_topk_int8_dma(q, x, sc, b, ids, n_valid, k, block_rows=br)
             elif backend == "pallas":
                 s, i = pallas_ivf_topk_dma(q, x, b, ids, n_valid, k, block_rows=br)
             else:
-                xf = x.astype(jnp.float32) * sc if int8 else x
+                xf = x.astype(jnp.float32) * sc[:, None] if int8 else x
                 s, i = xla_ivf_topk(q, xf, b, ids, n_valid, k, block_rows=br)
             shard = jax.lax.axis_index(axis)
             gi = i + shard * rows_per_shard
@@ -348,18 +523,16 @@ class ShardedVectorIndex(DeviceVectorIndex):
             ti = jnp.take_along_axis(cand_i, pos, axis=1)
             return ts, ti
 
-        sc_arr = (
-            scales[:, None]
-            if int8
-            else jnp.zeros((self.capacity, 1), jnp.float32)  # placeholder, unused
-        )
+        # scales stay 1-D (no eager reshape: multi-process global arrays
+        # cannot run op-by-op); the per-shard body broadcasts as needed
+        sc_arr = scales if int8 else self._bias  # placeholder, unused
         return shard_map(
             per_shard,
             mesh=self.mesh,
             in_specs=(
                 P(),
                 P(self.axis, None),
-                P(self.axis, None),
+                P(self.axis),
                 P(self.axis),
                 P(self.axis, None),
                 P(self.axis, None),
