@@ -148,6 +148,7 @@ class ChatHandler(BaseHandler):
         recorder = (
             agent.run_streamed(query_aug, table_path) if excel_routed else agent.run_streamed(query_aug)
         )
+        streamed_error = False
         async for ev in recorder.stream_events():
             card = {"type": ev.type}
             if ev.text:
@@ -158,6 +159,7 @@ class ChatHandler(BaseHandler):
                 card["arguments"] = ev.arguments
             if ev.data:
                 card["data"] = ev.data
+            streamed_error = streamed_error or ev.type == "error"
             self.write(f"data: {json.dumps(card, ensure_ascii=False)}\n\n")
             try:
                 await self.flush()
@@ -165,9 +167,15 @@ class ChatHandler(BaseHandler):
                 return
         try:
             await recorder.wait()
-            done = {"type": "done", "trace_id": recorder.trace_id}
         except RuntimeError as e:
-            done = {"type": "error", "content": str(e)}
+            # the failure usually already streamed as an error card; don't
+            # repeat it — but never swallow one that didn't stream
+            if not streamed_error:
+                self.write(
+                    f"data: {json.dumps({'type': 'error', 'content': str(e)}, ensure_ascii=False)}\n\n"
+                )
+        # always terminate the stream with a done card so clients reset
+        done = {"type": "done", "trace_id": getattr(recorder, "trace_id", None)}
         self.write(f"data: {json.dumps(done, ensure_ascii=False)}\n\n")
         await self.flush()
 
