@@ -3,13 +3,28 @@
 Capability counterpart of the reference's answer generator
 (``integrations/DTR/src/modules/answer_generator.py``, 1,440 LoC): the
 final synthesis stage that turns the SMG's executed steps into an answer
-with evidence — per-step citations, the concrete numbers/tables produced,
-and a state trace of the frames involved. An LLM writes the prose when
-one is configured; the deterministic path composes the answer from the
-last successful step's output (the hermetic surface the reference lacks)."""
+with evidence. Beyond the evidence block + citations, this carries the
+reference's behavioral surface deterministically (hermetically testable,
+which the reference is not):
+
+- question-intent analysis (lookup / aggregation / comparison / trend /
+  list / why) driving short-vs-detailed answer style
+  (ref ``_analyze_question_intent`` :1019, ``_is_short_answer_type`` :1410);
+- float-artifact cleaning — ``3.9999999998`` → ``4``, trailing zero
+  strings (ref ``_clean_number_format`` :1380);
+- format-error detection on LLM output with one strict retry before the
+  deterministic fallback (ref ``_has_format_errors`` :1325);
+- final-frame rendering: the last derived frame re-renders as a
+  row-sampled markdown table through the state machine, so tabular
+  answers show the actual result rows (ref ``_format_dataframe`` :798,
+  ``_generate_fallback`` :969).
+
+An LLM writes the prose when one is configured; the deterministic path
+composes the answer from the last successful step's output."""
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 from .smg import SMGNode
@@ -29,6 +44,115 @@ Write the final answer:
 - include a small markdown table when the result is tabular,
 - note any step that failed and how it limits confidence."""
 
+SHORT_ANSWER_PROMPT = """Answer the question from the analysis results.
+
+Question: {question}
+
+Analysis evidence:
+{evidence}
+
+This is a {intent} question — reply with ONLY the direct answer (the
+value, name, or number asked for, with its unit), one short sentence at
+most. No preamble, no markdown, no restating the question."""
+
+STRICT_RETRY_PROMPT = """Your previous answer had formatting problems.
+Answer again, plain text/markdown only: no code fences, no role markers,
+no template placeholders.
+
+Question: {question}
+
+Evidence:
+{evidence}
+
+Answer:"""
+
+
+# ---------------------------------------------------------------------------
+# question intent (ref answer_generator._analyze_question_intent:1019-1054)
+# ---------------------------------------------------------------------------
+
+_INTENT_PATTERNS: list[tuple[str, re.Pattern]] = [
+    ("why", re.compile(r"\b(why|explain|reason|cause)\b|为什么|原因")),
+    (
+        "comparison",
+        re.compile(r"\b(compare|versus|vs\.?|difference|more than|less than|higher|lower)\b|相比|对比|差异"),
+    ),
+    ("trend", re.compile(r"\b(trend|over time|growth|change|increase|decrease|evolution)\b|趋势|变化|增长")),
+    ("list", re.compile(r"\b(list|enumerate|which ones|what are (all|the))\b|列出|哪些")),
+    (
+        "aggregation",
+        re.compile(
+            r"\b(total|sum|average|mean|median|count|how many|how much|max(imum)?|min(imum)?|highest|lowest|top\s*\d*)\b"
+            r"|总|平均|合计|多少|最高|最低|最大|最小"
+        ),
+    ),
+    ("lookup", re.compile(r"\b(what is|who is|when|where|which)\b|是什么|是谁|何时|哪个")),
+]
+
+
+def analyze_question_intent(question: str) -> str:
+    q = question.lower()
+    for intent, pat in _INTENT_PATTERNS:
+        if pat.search(q):
+            return intent
+    return "other"
+
+
+def is_short_answer(intent: str) -> bool:
+    """Lookup/aggregation questions want the value, not an essay."""
+    return intent in ("lookup", "aggregation")
+
+
+# ---------------------------------------------------------------------------
+# number cleaning (ref answer_generator._clean_number_format:1380-1408)
+# ---------------------------------------------------------------------------
+
+_FLOAT_RE = re.compile(r"\d+\.\d{4,}")
+
+
+def clean_number_format(text: str) -> str:
+    """Collapse float representation artifacts in prose: long runs of
+    0s/9s from binary rounding (``3.9999999998`` → ``4``,
+    ``12.50000000001`` → ``12.5``); other long decimals round to 4
+    places. Values inside markdown table cells get the same treatment."""
+
+    def fix(m: re.Match) -> str:
+        s = m.group(0)
+        intpart, frac = s.split(".")
+        if re.match(r"^(9{4,})\d{0,3}$", frac) or re.match(r"^\d{0,3}?(9{4,})\d{0,2}$", frac):
+            return f"{float(s):.4f}".rstrip("0").rstrip(".")
+        if re.match(r"^\d{0,3}?(0{4,})\d{0,2}$", frac):
+            return f"{float(s):.4f}".rstrip("0").rstrip(".")
+        return f"{float(s):.4f}"
+
+    return _FLOAT_RE.sub(fix, text)
+
+
+# ---------------------------------------------------------------------------
+# format-error detection (ref answer_generator._has_format_errors:1325-1334)
+# ---------------------------------------------------------------------------
+
+_FORMAT_ERRORS = (
+    re.compile(r"^```|```\s*$"),  # fenced blob instead of an answer
+    re.compile(r"\{(question|evidence|frames|intent)\}"),  # unfilled template
+    re.compile(r"^(system|assistant|user)\s*:", re.IGNORECASE),  # role markers
+    re.compile(r"as an ai\b", re.IGNORECASE),
+)
+
+
+def has_format_errors(answer: str) -> bool:
+    a = answer.strip()
+    if not a:
+        return True
+    if a.count("```") % 2 == 1:  # unbalanced fence
+        return True
+    return any(p.search(a) for p in _FORMAT_ERRORS)
+
+
+# ---------------------------------------------------------------------------
+# evidence + frame rendering
+# ---------------------------------------------------------------------------
+
 
 def build_evidence(nodes: list[SMGNode]) -> str:
     """Per-step evidence block: description, outcome, trimmed output, and
@@ -47,28 +171,101 @@ def build_evidence(nodes: list[SMGNode]) -> str:
     return "\n\n".join(parts) or "(no steps executed)"
 
 
-def fallback_answer(question: str, nodes: list[SMGNode]) -> str:
+async def render_frame(machine, name: str, max_rows: int = 10) -> str | None:
+    """Re-render one live frame as a row-sampled markdown table via the
+    state machine (head/tail with an ellipsis row past ``max_rows`` —
+    ref ``_format_dataframe``). Returns None when rendering fails."""
+    expr = name
+    m = re.match(r"^dfs\[(.+)\]$", name)
+    if m:
+        expr = f"dfs[{m.group(1)}]"
+    h, t = (max_rows + 1) // 2, max_rows // 2
+    code = (
+        f"_f = {expr}\n"
+        f"if len(_f) > {max_rows}:\n"
+        f"    _top = _f.head({h}).astype(str)\n"
+        f"    _bot = _f.tail({t}).astype(str)\n"
+        "    _gap = _top.iloc[:1].map(lambda _x: '…')\n"
+        "    _f = pd.concat([_top, _gap, _bot])\n"
+        "try:\n"
+        "    print(_f.to_markdown(index=False))\n"
+        "except ImportError:\n"
+        "    print(_f.to_string(index=False))\n"
+    )
+    try:
+        out, _ = await machine.execute_step(code)
+    except Exception:  # noqa: BLE001 - rendering is best-effort
+        return None
+    if not out or out.startswith("Error") or "\nError" in out:
+        return None
+    return out.strip()[:2400]
+
+
+def _final_frame(nodes: list[SMGNode]) -> str | None:
+    """The most recently created derived frame — the natural 'result'."""
+    for n in reversed(nodes):
+        if n.success and n.new_frames:
+            return n.new_frames[-1]
+    return None
+
+
+# ---------------------------------------------------------------------------
+# synthesis
+# ---------------------------------------------------------------------------
+
+
+def fallback_answer(question: str, nodes: list[SMGNode], table: str | None = None) -> str:
     """Deterministic synthesis when no LLM is configured: the last
-    successful step's output is the answer, with a citation trail."""
+    successful step's output is the answer, with a citation trail and the
+    rendered result table when one exists."""
     ok = [(i, n) for i, n in enumerate(nodes, start=1) if n.success and n.output.strip()]
     if not ok:
+        if table:
+            return f"Result table:\n\n{table}"
         failures = "; ".join(f"[step {i}] {n.description}" for i, n in enumerate(nodes, start=1))
         return f"Analysis did not produce a result. Failed steps: {failures or 'none executed'}"
     i, last = ok[-1]
     cites = ", ".join(f"[step {j}]" for j, _ in ok)
-    return f"{last.output.strip()[:1200]}\n\n(evidence: {cites}; answering step: [step {i}])"
+    body = clean_number_format(last.output.strip()[:1200])
+    if table and table not in body:
+        body += f"\n\n{table}"
+    return f"{body}\n\n(evidence: {cites}; answering step: [step {i}])"
 
 
-async def synthesize_answer(question: str, nodes: list[SMGNode], llm_chat, state: dict[str, Any] | None = None) -> str:
-    """LLM synthesis with the evidence block; deterministic fallback when
-    ``llm_chat`` is None or fails."""
+async def synthesize_answer(
+    question: str,
+    nodes: list[SMGNode],
+    llm_chat,
+    state: dict[str, Any] | None = None,
+    machine=None,
+) -> str:
+    """LLM synthesis with the evidence block; intent-matched style (terse
+    for lookup/aggregation), number cleaning, one strict retry on format
+    errors, deterministic fallback when ``llm_chat`` is None or fails."""
+    intent = analyze_question_intent(question)
+    table = None
+    if machine is not None:
+        name = _final_frame(nodes)
+        if name is not None:
+            table = await render_frame(machine, name)
+
     if llm_chat is None:
-        return fallback_answer(question, nodes)
+        return fallback_answer(question, nodes, table)
+
+    evidence = build_evidence(nodes)
+    if table:
+        evidence += f"\n\nFinal result table:\n{table}"
     frames = ", ".join(f"{k} ({v.summary()})" for k, v in (state or {}).items()) or "(none)"
+    if is_short_answer(intent):
+        prompt = SHORT_ANSWER_PROMPT.format(question=question, evidence=evidence, intent=intent)
+    else:
+        prompt = ANSWER_PROMPT.format(question=question, evidence=evidence, frames=frames)
     try:
-        out = await llm_chat(
-            ANSWER_PROMPT.format(question=question, evidence=build_evidence(nodes), frames=frames)
-        )
-        return out or fallback_answer(question, nodes)
+        out = await llm_chat(prompt)
+        if out and has_format_errors(out):
+            out = await llm_chat(STRICT_RETRY_PROMPT.format(question=question, evidence=evidence))
+        if not out or has_format_errors(out):
+            return fallback_answer(question, nodes, table)
+        return clean_number_format(out.strip())
     except Exception:  # noqa: BLE001 - answer must always come back
-        return fallback_answer(question, nodes)
+        return fallback_answer(question, nodes, table)

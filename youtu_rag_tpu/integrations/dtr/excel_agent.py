@@ -482,7 +482,7 @@ class ExcelAgent:
                 recorder.emit(AgentEvent("reasoning_delta", text=content[:500]))
                 history.append(f"[turn {it + 1} THINK] {content[:400]}")
         # iteration budget spent: synthesize from what executed
-        return await synthesize_answer(question, smg.nodes, self._chat, smg.state)
+        return await synthesize_answer(question, smg.nodes, self._chat, smg.state, machine=smg)
 
     async def _analyze(self, question: str, path: str | None, recorder: TaskRecorder) -> str:
         if not path or not Path(path).exists():
@@ -517,7 +517,7 @@ class ExcelAgent:
             completed = await self._run_plan(plan, smg, schema, recorder)
 
         recorder.emit(AgentEvent("reasoning_delta", data={"smg": smg.memory_summary()}))
-        answer = await synthesize_answer(question, completed, self._chat, smg.state)
+        answer = await synthesize_answer(question, completed, self._chat, smg.state, machine=smg)
         if self.memory is not None and completed and all(s.success for s in completed):
             try:
                 await self.memory.store_skill(
