@@ -40,6 +40,7 @@ Sheets available (loaded as pandas DataFrames in `dfs` by sheet name):
 {schema}
 
 Question: {question}
+{operators}
 {experience}
 Produce a short ordered plan of concrete analysis steps (max {max_steps}).
 Reply JSON only: ["step 1", "step 2", ...]"""
@@ -389,6 +390,7 @@ class ExcelAgent:
         schema: str,
         recorder: TaskRecorder,
         question: str = "",
+        ado=None,
     ) -> list[SMGNode]:
         """Plan-space UCT search (ref: DTR mcts_planner): rollouts execute
         candidate plans, reward = fraction of steps the evaluator accepts,
@@ -413,7 +415,12 @@ class ExcelAgent:
             # graded plan reward (ref: reward evaluator): mean step reward
             # + completion bonus — gives UCT a gradient between rollouts
             # that binary success fractions collapse together
-            return evaluate_plan(steps, question=question), steps
+            r = evaluate_plan(steps, question=question)
+            if ado is not None:
+                # ADO validity bonus: steps inside the decomposed operator
+                # set; off-set plans are likely drifting off-question
+                r = round(min(r + 0.05 * ado.plan_coverage(p), 1.0), 4)
+            return r, steps
 
         planner = MCTSPlanner(propose, rollout, iterations=self.mcts_iterations)
         best = await planner.search([plan])
@@ -493,6 +500,18 @@ class ExcelAgent:
         if self.planner == "autonomous":
             return await self._autonomous_analyze(question, smg, schema, recorder)
 
+        # ADO stage (ref ado_module): decompose the question into its
+        # operator set before planning — constrains the plan prompt and
+        # scores plan validity in the MCTS reward
+        from .operators import decompose
+
+        try:
+            ado = decompose(question, profile_workbook(self.load_sheets(path)))
+            recorder.emit(AgentEvent("plan", data={"operators": ado.names}))
+        except Exception:  # noqa: BLE001 - decomposition is advisory
+            logger.exception("operator decomposition failed")
+            ado = None
+
         experience = ""
         if self.memory is not None:
             try:
@@ -503,7 +522,11 @@ class ExcelAgent:
                 logger.exception("experience retrieval failed")
         raw = await self._chat(
             PLAN_PROMPT.format(
-                schema=schema, question=question, max_steps=self.max_steps, experience=experience
+                schema=schema,
+                question=question,
+                max_steps=self.max_steps,
+                experience=experience,
+                operators=f"\n{ado.prompt_block()}\n" if ado is not None else "",
             )
         )
         m = _JSON_LIST.search(raw)
@@ -512,7 +535,9 @@ class ExcelAgent:
         recorder.emit(AgentEvent("plan", data={"steps": plan}))
 
         if self.planner == "mcts":
-            completed = await self._mcts_analyze(plan, smg, schema, recorder, question=question)
+            completed = await self._mcts_analyze(
+                plan, smg, schema, recorder, question=question, ado=ado
+            )
         else:
             completed = await self._run_plan(plan, smg, schema, recorder)
 
