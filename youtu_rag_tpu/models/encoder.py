@@ -159,12 +159,15 @@ def _layer_norm(x, scale, bias, eps=1e-6):
     return (y * scale + bias).astype(x.dtype)
 
 
-def _rope(x, base: float):
-    """Rotary embedding over the last dim of [B, H, T, hd]."""
+def _rope(x, base: float, pos_offset=0):
+    """Rotary embedding over the last dim of [B, H, T, hd].
+
+    ``pos_offset`` shifts positions — the sequence-parallel path passes
+    each shard's global start so rotations match the unsharded forward."""
     _, _, t, hd = x.shape
     half = hd // 2
     freqs = 1.0 / (base ** (jnp.arange(0, half, dtype=jnp.float32) / half))
-    pos = jnp.arange(t, dtype=jnp.float32)
+    pos = jnp.arange(t, dtype=jnp.float32) + pos_offset
     ang = pos[:, None] * freqs[None, :]  # [T, half]
     cos = jnp.cos(ang)[None, None, :, :].astype(x.dtype)
     sin = jnp.sin(ang)[None, None, :, :].astype(x.dtype)

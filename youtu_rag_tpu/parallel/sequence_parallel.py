@@ -1,0 +1,162 @@
+"""Sequence-parallel encoder: ring attention over the ICI mesh.
+
+The attach point SURVEY.md §5.7 names: very long inputs (whole-document
+embedding, HiChunk-scale markdown) outgrow one chip's memory/latency at
+T ≫ 8k even with the flash kernel. Here the *sequence* axis shards over
+the mesh — each chip holds a [B, T/S] slice of the tokens — and
+attention runs as **ring attention**: queries stay local while K/V (and
+the padding-mask bias) blocks rotate around the ring via
+``jax.lax.ppermute``, with online-softmax accumulation in f32, so the
+full [T, T] score matrix never exists on any chip and peak activation
+memory drops by the ring size. Everything else in the transformer
+(layernorm, FFN, residuals) is per-token and needs no communication;
+mean-pooling finishes with one ``psum`` over the ring.
+
+Design notes (TPU-first):
+- bidirectional encoder → no causal masking; every ring step does the
+  same dense [Tl x Tl] block matmul on the MXU — uniform, compiler
+  friendly, and overlappable (ppermute of the next block rides ICI
+  while the current block multiplies);
+- RoPE uses each shard's global position offset so results match the
+  unsharded forward bit-for-bit in f32 (tests assert parity);
+- composes with dp (batch) sharding on an outer mesh axis: the ring
+  collectives only touch the ``sp`` axis.
+
+No reference counterpart (SURVEY §5.7: the reference never runs a
+transformer); the design follows the public ring-attention recipe
+(Liu et al. 2023) expressed as shard_map + ppermute.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.encoder import EncoderConfig, _layer_norm, _rope
+
+shard_map = jax.shard_map
+
+
+def _ring_attention(q, k, v, bias, axis: str, sp_size: int, scale: float):
+    """Full (non-causal) ring attention.
+
+    Args:
+      q, k, v: [B, H, Tl, hd] local blocks (RoPE already applied).
+      bias:    [B, Tl] additive mask bias for the LOCAL key block
+               (0 live, -1e9 padding); travels the ring with k/v.
+    Returns: [B, H, Tl, hd] attention output (q's dtype).
+    """
+    b, h, tl, hd = q.shape
+    perm = [(i, (i + 1) % sp_size) for i in range(sp_size)]
+    qf = q.astype(jnp.float32)
+
+    def step(carry, _):
+        k_cur, v_cur, b_cur, m, l, acc = carry
+        s = jnp.einsum("bhqd,bhkd->bhqk", qf, k_cur.astype(jnp.float32)) * scale
+        s = s + b_cur[:, None, None, :]  # [B, 1, 1, Tl] padding bias
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))  # [B, H, Tl]
+        p = jnp.exp(s - m_new[..., None])  # [B, H, Tl, Tl]
+        corr = jnp.exp(m - m_new)
+        l = l * corr + jnp.sum(p, axis=-1)
+        acc = acc * corr[..., None] + jnp.einsum(
+            "bhqk,bhkd->bhqd", p, v_cur.astype(jnp.float32)
+        )
+        k_nxt = jax.lax.ppermute(k_cur, axis, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis, perm)
+        b_nxt = jax.lax.ppermute(b_cur, axis, perm)
+        return (k_nxt, v_nxt, b_nxt, m_new, l, acc), None
+
+    m0 = jnp.full((b, h, tl), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((b, h, tl), jnp.float32)
+    acc0 = jnp.zeros((b, h, tl, hd), jnp.float32)
+    (k, v, bias, m, l, acc), _ = jax.lax.scan(
+        step, (k, v, bias, m0, l0, acc0), None, length=sp_size
+    )
+    return (acc / jnp.maximum(l, 1e-30)[..., None]).astype(q.dtype)
+
+
+def make_sp_encoder(
+    cfg: EncoderConfig,
+    mesh: Mesh,
+    sp_axis: str = "sp",
+    dp_axis: str | None = None,
+):
+    """Build the jitted sequence-sharded forward.
+
+    Returns ``fn(params, token_ids, mask) -> (emb [B, out_dim] f32, cls
+    [B, d_model] f32)`` with the same contract as ``encode_tokens``.
+    ``token_ids``/``mask`` are [B, T] with T divisible by the sp size
+    (pad to a multiple; padding has mask 0). Params replicate over the
+    ring (combine tp by sharding params on another axis outside)."""
+    sp_size = int(mesh.shape[sp_axis])
+    dt = cfg.dtype
+    h, hd = cfg.n_heads, cfg.head_dim
+    scale = 1.0 / float(np.sqrt(hd))
+    batch_spec = dp_axis  # None → replicated batch
+
+    def forward(params, ids, mask):
+        # ids/mask: [B, Tl] local slice
+        b, tl = ids.shape
+        shard = jax.lax.axis_index(sp_axis)
+        pos0 = (shard * tl).astype(jnp.float32)
+        x = params["tok_emb"].astype(dt)[ids]  # [B, Tl, D]
+        kv_bias = (1.0 - mask.astype(jnp.float32)) * -1e9  # [B, Tl]
+
+        def proj(xin, w):
+            y = jnp.einsum("btd,de->bte", xin, w.astype(xin.dtype))
+            return y.reshape(b, tl, h, hd).transpose(0, 2, 1, 3)
+
+        def layer(x, lp):
+            hn = _layer_norm(x, lp["ln1_scale"], lp["ln1_bias"])
+            q = _rope(proj(hn, lp["wq"]), cfg.rope_base, pos_offset=pos0)
+            k = _rope(proj(hn, lp["wk"]), cfg.rope_base, pos_offset=pos0)
+            v = proj(hn, lp["wv"])
+            y = _ring_attention(q, k, v, kv_bias, sp_axis, sp_size, scale)
+            y = y.transpose(0, 2, 1, 3).reshape(b, tl, cfg.d_model)
+            x = x + jnp.einsum("btd,de->bte", y, lp["wo"].astype(x.dtype))
+            hn = _layer_norm(x, lp["ln2_scale"], lp["ln2_bias"])
+            hn = jnp.einsum("btd,df->btf", hn, lp["w1"].astype(dt)) + lp["b1"].astype(dt)
+            hn = jax.nn.gelu(hn)
+            hn = jnp.einsum("btf,fd->btd", hn, lp["w2"].astype(dt)) + lp["b2"].astype(dt)
+            return x + hn, None
+
+        x, _ = jax.lax.scan(layer, x, params["layers"])
+        x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"])
+
+        # masked mean pool: local partial sums, one psum over the ring
+        m = mask.astype(jnp.float32)[:, :, None]
+        psum = jax.lax.psum(jnp.sum(x.astype(jnp.float32) * m, axis=1), sp_axis)
+        cnt = jax.lax.psum(jnp.sum(m, axis=1), sp_axis)
+        pooled = psum / jnp.maximum(cnt, 1.0)
+        emb = pooled @ params["out_proj"]
+        emb = emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        # CLS (global position 0) lives on ring rank 0; psum broadcasts it
+        cls_local = jnp.where(shard == 0, x[:, 0, :].astype(jnp.float32), 0.0)
+        cls = jax.lax.psum(cls_local, sp_axis)
+        return emb, cls
+
+    seq_spec = P(batch_spec, sp_axis)
+    out_spec = P(batch_spec, None) if batch_spec else P()
+    fn = shard_map(
+        forward,
+        mesh=mesh,
+        in_specs=(P(), seq_spec, seq_spec),
+        out_specs=(out_spec, out_spec),
+        check_vma=False,  # psum makes outputs replicated over sp
+    )
+    return jax.jit(fn)
+
+
+def pad_to_multiple(ids: np.ndarray, mask: np.ndarray, multiple: int):
+    """Right-pad [B, T] token ids + mask so T divides the ring size."""
+    b, t = ids.shape
+    t_pad = ((t + multiple - 1) // multiple) * multiple
+    if t_pad == t:
+        return ids, mask
+    out_ids = np.zeros((b, t_pad), ids.dtype)
+    out_mask = np.zeros((b, t_pad), mask.dtype)
+    out_ids[:, :t] = ids
+    out_mask[:, :t] = mask
+    return out_ids, out_mask
