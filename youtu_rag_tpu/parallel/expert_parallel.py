@@ -1,0 +1,202 @@
+"""Expert-parallel MoE encoder: FFN experts sharded over an ``ep`` axis.
+
+Completes the parallelism alphabet (dp / tp / sp / pp / ep) for the
+encoder trunk. The FFN of each layer becomes a top-1-routed mixture of
+experts: a router picks one expert per token, and the expert FFNs shard
+over the ``ep`` mesh axis so each chip stores — and computes — only its
+local experts. Capacity therefore scales with the mesh (E experts cost
+each chip E/ep of a dense FFN's weights), the classic MoE scaling story.
+
+Dispatch strategy (TPU-first): each chip evaluates its LOCAL experts
+over all tokens, masks by the router's top-1 choice and probability,
+and one ``psum`` combines chip contributions. Compared to
+all-to-all token dispatch this trades perfectly uniform MXU matmuls and
+zero layout churn for computing masked tokens; at E == ep chips it
+matches a dense FFN's per-chip FLOPs exactly while holding E-fold
+parameters. (An a2a dispatch drops the masked compute and is the
+follow-on optimization; the psum-combine here is the correctness
+anchor.) Routing is deterministic argmax — the sharded and unsharded
+paths agree exactly, and tests assert it.
+
+Training hook: ``load_balancing_loss`` is the standard switch-style
+aux loss (mean fraction-routed x mean router prob, scaled by E).
+
+No reference counterpart (SURVEY §2: the reference runs no models).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.encoder import EncoderConfig, _layer_norm, _attention
+
+shard_map = jax.shard_map
+
+
+def init_moe_params(cfg: EncoderConfig, n_experts: int, seed: int = 0) -> dict:
+    """Encoder params with the FFN replaced by ``n_experts`` experts per
+    layer (+ a router). Non-FFN weights reuse ``init_encoder_params``."""
+    from ..models.encoder import init_encoder_params
+
+    base = init_encoder_params(cfg, seed)
+    k = jax.random.PRNGKey(seed + 1)
+    ks = jax.random.split(k, 3)
+    L, D, F, E = cfg.n_layers, cfg.d_model, cfg.d_ff, n_experts
+    s_attn = 1.0 / np.sqrt(D)
+    s_ff = 1.0 / np.sqrt(F)
+    layers = dict(base["layers"])
+    for gone in ("w1", "b1", "w2", "b2"):
+        layers.pop(gone)
+    layers.update(
+        {
+            "router": (jax.random.normal(ks[0], (L, D, E), jnp.float32) * 0.02),
+            "ew1": (jax.random.normal(ks[1], (L, E, D, F), jnp.float32) * s_attn),
+            "eb1": jnp.zeros((L, E, F), jnp.float32),
+            "ew2": (jax.random.normal(ks[2], (L, E, F, D), jnp.float32) * s_ff),
+            "eb2": jnp.zeros((L, E, D), jnp.float32),
+        }
+    )
+    base["layers"] = layers
+    return base
+
+
+def _route(x, router_w):
+    """Top-1 routing. Returns (expert_idx [B, T], prob [B, T], probs_full)."""
+    logits = jnp.einsum("btd,de->bte", x.astype(jnp.float32), router_w)
+    probs = jax.nn.softmax(logits, axis=-1)
+    idx = jnp.argmax(probs, axis=-1)
+    p = jnp.take_along_axis(probs, idx[..., None], axis=-1)[..., 0]
+    return idx.astype(jnp.int32), p, probs
+
+
+def _expert_ffn(x, idx, p, lp, e_base, n_local: int, dt):
+    """Evaluate ``n_local`` experts (global ids e_base..e_base+n_local)
+    over all tokens, masked by the routing choice; sum of contributions.
+    Inside shard_map this is the chip-local part of the psum combine."""
+
+    def one(e_local, acc):
+        w1 = jax.lax.dynamic_index_in_dim(lp["ew1"], e_local, keepdims=False)
+        b1 = jax.lax.dynamic_index_in_dim(lp["eb1"], e_local, keepdims=False)
+        w2 = jax.lax.dynamic_index_in_dim(lp["ew2"], e_local, keepdims=False)
+        b2 = jax.lax.dynamic_index_in_dim(lp["eb2"], e_local, keepdims=False)
+        h = jnp.einsum("btd,df->btf", x, w1.astype(dt)) + b1.astype(dt)
+        h = jax.nn.gelu(h)
+        y = jnp.einsum("btf,fd->btd", h, w2.astype(dt)) + b2.astype(dt)
+        sel = (idx == (e_base + e_local)).astype(dt) * p.astype(dt)
+        return acc + y * sel[..., None]
+
+    acc = jnp.zeros_like(x)
+    return jax.lax.fori_loop(0, n_local, lambda i, a: one(i, a), acc)
+
+
+def moe_encode_tokens(params, token_ids, mask, cfg: EncoderConfig, n_experts: int):
+    """Unsharded reference forward for the MoE encoder (parity anchor +
+    CPU/single-chip path). Same contract as ``encode_tokens``."""
+    dt = cfg.dtype
+    x = params["tok_emb"].astype(dt)[token_ids]
+
+    def layer(x, lp):
+        h = _layer_norm(x, lp["ln1_scale"], lp["ln1_bias"])
+        x = x + _attention(h, mask, lp["wq"], lp["wk"], lp["wv"], lp["wo"], cfg)
+        h = _layer_norm(x, lp["ln2_scale"], lp["ln2_bias"])
+        idx, p, _ = _route(h, lp["router"])
+        y = _expert_ffn(h, idx, p, lp, 0, n_experts, dt)
+        return x + y, None
+
+    x, _ = jax.lax.scan(layer, x, params["layers"])
+    x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"])
+    m = mask.astype(jnp.float32)[:, :, None]
+    pooled = jnp.sum(x.astype(jnp.float32) * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    emb = pooled @ params["out_proj"]
+    emb = emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+    return emb, x[:, 0, :].astype(jnp.float32)
+
+
+def make_ep_encoder(cfg: EncoderConfig, mesh: Mesh, n_experts: int, ep_axis: str = "ep"):
+    """Build the jitted expert-parallel forward (see module docstring)."""
+    ep = int(mesh.shape[ep_axis])
+    assert n_experts % ep == 0, (n_experts, ep)
+    n_local = n_experts // ep
+    dt = cfg.dtype
+
+    def forward(params, ids, mask):
+        shard = jax.lax.axis_index(ep_axis)
+        e_base = shard * n_local
+        x = params["tok_emb"].astype(dt)[ids]
+
+        def layer(x, lp):
+            h = _layer_norm(x, lp["ln1_scale"], lp["ln1_bias"])
+            x = x + _attention(h, mask, lp["wq"], lp["wk"], lp["wv"], lp["wo"], cfg)
+            h = _layer_norm(x, lp["ln2_scale"], lp["ln2_bias"])
+            # router weights are replicated → identical routing everywhere
+            idx, p, _ = _route(h, lp["router"])
+            y_local = _expert_ffn(h, idx, p, lp, e_base, n_local, dt)
+            y = jax.lax.psum(y_local, ep_axis)  # combine expert contributions
+            return x + y, None
+
+        x, _ = jax.lax.scan(layer, x, params["layers"])
+        x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"])
+        m = mask.astype(jnp.float32)[:, :, None]
+        pooled = jnp.sum(x.astype(jnp.float32) * m, axis=1) / jnp.maximum(
+            jnp.sum(m, axis=1), 1.0
+        )
+        emb = pooled @ params["out_proj"]
+        emb = emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        return emb, x[:, 0, :].astype(jnp.float32)
+
+    # expert stacks shard dim 1 (the expert axis; dim 0 is layers)
+    expert_leaves = {"ew1", "eb1", "ew2", "eb2"}
+    layer_specs = {
+        k: P(None, ep_axis) if k in expert_leaves else P()
+        for k in (
+            "ln1_scale", "ln1_bias", "wq", "wk", "wv", "wo",
+            "ln2_scale", "ln2_bias", "router", "ew1", "eb1", "ew2", "eb2",
+        )
+    }
+    param_specs = {
+        "tok_emb": P(),
+        "layers": layer_specs,
+        "final_ln_scale": P(),
+        "final_ln_bias": P(),
+        "out_proj": P(),
+        "score_head": P(),
+    }
+    fn = shard_map(
+        forward,
+        mesh=mesh,
+        in_specs=(param_specs, P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def shard_params_ep(params: dict, mesh: Mesh, ep_axis: str = "ep") -> dict:
+    """Place a MoE param tree: expert stacks sharded over ``ep_axis`` on
+    the expert dim, everything else replicated."""
+    expert_leaves = {"ew1", "eb1", "ew2", "eb2"}
+    out = dict(params)
+    layers = {}
+    for k, v in params["layers"].items():
+        if k in expert_leaves:
+            spec = P(*([None, ep_axis] + [None] * (v.ndim - 2)))
+        else:
+            spec = P()
+        layers[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    out["layers"] = layers
+    for k, v in params.items():
+        if k != "layers":
+            out[k] = jax.device_put(v, NamedSharding(mesh, P()))
+    return out
+
+
+def load_balancing_loss(probs: jax.Array, idx: jax.Array, n_experts: int) -> jax.Array:
+    """Switch-transformer aux loss: E * Σ_e (fraction routed to e) x
+    (mean router prob of e). Minimized at uniform routing."""
+    onehot = jax.nn.one_hot(idx, n_experts, dtype=jnp.float32)
+    frac = jnp.mean(onehot.reshape(-1, n_experts), axis=0)
+    mean_p = jnp.mean(probs.reshape(-1, n_experts), axis=0)
+    return n_experts * jnp.sum(frac * mean_p)
