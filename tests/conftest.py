@@ -21,6 +21,11 @@ if not os.environ.get("YRT_TEST_TPU"):
 
     jax.config.update("jax_platforms", "cpu")
 
+# tornado's AsyncHTTPTestCase.fetch uses the module-level timeout (env
+# knob only — subclass overrides are ignored); agent routes that spawn
+# real pandas subprocesses outgrow the 5 s default under full-suite load
+os.environ.setdefault("ASYNC_TEST_TIMEOUT", "30")
+
 import numpy as np
 import pytest
 
