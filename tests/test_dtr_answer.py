@@ -74,6 +74,8 @@ def test_format_errors():
     assert has_format_errors("The answer is {evidence}")
     assert not has_format_errors("Total revenue was 4,200 [step 2].")
     assert not has_format_errors("a table:\n\n| a |\n|---|\n| 1 |")
+    # a balanced fence INSIDE an answer is legitimate formatting
+    assert not has_format_errors("Totals by region:\n```\nnorth 12\nsouth 30\n```")
 
 
 # ---------------------------------------------------------------- synthesis

@@ -133,7 +133,7 @@ def clean_number_format(text: str) -> str:
 # ---------------------------------------------------------------------------
 
 _FORMAT_ERRORS = (
-    re.compile(r"^```|```\s*$"),  # fenced blob instead of an answer
+    re.compile(r"^\s*```"),  # the whole reply is a fenced blob, not an answer
     re.compile(r"\{(question|evidence|frames|intent)\}"),  # unfilled template
     re.compile(r"^(system|assistant|user)\s*:", re.IGNORECASE),  # role markers
     re.compile(r"as an ai\b", re.IGNORECASE),
@@ -175,10 +175,9 @@ async def render_frame(machine, name: str, max_rows: int = 10) -> str | None:
     """Re-render one live frame as a row-sampled markdown table via the
     state machine (head/tail with an ellipsis row past ``max_rows`` —
     ref ``_format_dataframe``). Returns None when rendering fails."""
+    # state keys are already valid expressions: bare frame names or
+    # dfs['Sheet'] with repr quoting from the snapshot epilogue
     expr = name
-    m = re.match(r"^dfs\[(.+)\]$", name)
-    if m:
-        expr = f"dfs[{m.group(1)}]"
     h, t = (max_rows + 1) // 2, max_rows // 2
     code = (
         f"_f = {expr}\n"
@@ -202,10 +201,15 @@ async def render_frame(machine, name: str, max_rows: int = 10) -> str | None:
 
 
 def _final_frame(nodes: list[SMGNode]) -> str | None:
-    """The most recently created derived frame — the natural 'result'."""
+    """The most recently created derived frame — the natural 'result'.
+
+    Input sheets (``dfs[...]`` keys) are excluded: the first step's
+    state diff reports the freshly loaded sheets as 'new', and rendering
+    a raw source sheet as the result table would misrepresent it."""
     for n in reversed(nodes):
-        if n.success and n.new_frames:
-            return n.new_frames[-1]
+        derived = [f for f in n.new_frames if not f.startswith("dfs[")]
+        if n.success and derived:
+            return derived[-1]
     return None
 
 

@@ -196,12 +196,13 @@ class ExcelAgent:
         return load_sheets(path)
 
     @staticmethod
-    def load_schema(path: str, question: str | None = None) -> str:
+    def load_schema(path: str, question: str | None = None, sheets=None) -> str:
         """Profiled sheet brief for prompting: semantic column types, null
         fractions, categorical top-values (loader.py). With a question and
         many sheets, schema linking ranks sheets/columns so only the
-        workbook's relevant corner prompts (ref: DTR schema linking)."""
-        sheets = ExcelAgent.load_sheets(path)
+        workbook's relevant corner prompts (ref: DTR schema linking).
+        Pass preloaded ``sheets`` to avoid re-reading the workbook."""
+        sheets = sheets if sheets is not None else ExcelAgent.load_sheets(path)
         order = list(sheets)
         linked: dict[str, list[str]] = {}
         if question and len(sheets) > 4:
@@ -424,6 +425,10 @@ class ExcelAgent:
 
         planner = MCTSPlanner(propose, rollout, iterations=self.mcts_iterations)
         best = await planner.search([plan])
+        # rewind the state machine to the winning rollout: answer-time frame
+        # rendering must see the BEST plan's frames, not whichever refinement
+        # happened to execute last
+        smg.reset_to([n for n in (best.payload or []) if n.success])
         recorder.emit(
             AgentEvent(
                 "plan",
@@ -494,7 +499,8 @@ class ExcelAgent:
     async def _analyze(self, question: str, path: str | None, recorder: TaskRecorder) -> str:
         if not path or not Path(path).exists():
             raise FileNotFoundError(f"spreadsheet not found: {path}")
-        schema = self.load_schema(path, question)
+        sheets = self.load_sheets(path)  # one read serves schema + ADO
+        schema = self.load_schema(path, question, sheets=sheets)
         smg = SheetStateMachine(path, exec_timeout=self.exec_timeout)
         recorder.emit(AgentEvent("reasoning_delta", text=f"loaded sheets:\n{schema[:500]}"))
         if self.planner == "autonomous":
@@ -506,7 +512,7 @@ class ExcelAgent:
         from .operators import decompose
 
         try:
-            ado = decompose(question, profile_workbook(self.load_sheets(path)))
+            ado = decompose(question, profile_workbook(sheets))
             recorder.emit(AgentEvent("plan", data={"operators": ado.names}))
         except Exception:  # noqa: BLE001 - decomposition is advisory
             logger.exception("operator decomposition failed")

@@ -175,6 +175,30 @@ def _rope(x, base: float, pos_offset=0):
     return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
 
 
+def _ffn(h, lp, dt):
+    """Position-wise FFN block (shared by the dense, pipeline and
+    sequence-parallel layer bodies — keep in sync in ONE place)."""
+    h = jnp.einsum("btd,df->btf", h, lp["w1"].astype(dt)) + lp["b1"].astype(dt)
+    h = jax.nn.gelu(h)
+    return jnp.einsum("btf,fd->btd", h, lp["w2"].astype(dt)) + lp["b2"].astype(dt)
+
+
+def masked_pool_sums(x, mask):
+    """Masked token sums + counts (f32) — the reducible half of pooling;
+    sequence parallelism psums these across the ring before dividing."""
+    m = mask.astype(jnp.float32)[:, :, None]
+    return jnp.sum(x.astype(jnp.float32) * m, axis=1), jnp.sum(m, axis=1)
+
+
+def pool_project(params, summed, count):
+    """Mean-pool from (sums, counts) → out_proj → L2 normalize (f32).
+    The single definition of the embedding epilogue for every
+    parallelism variant (dense/sp/pp/ep)."""
+    pooled = summed / jnp.maximum(count, 1.0)
+    emb = pooled @ params["out_proj"]
+    return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+
+
 def _attention(x, mask, wq, wk, wv, wo, cfg: EncoderConfig):
     b, t, d = x.shape
     h, hd = cfg.n_heads, cfg.head_dim
@@ -234,19 +258,13 @@ def encode_tokens(
         h = _layer_norm(x, lp["ln1_scale"], lp["ln1_bias"])
         x = x + _attention(h, mask, lp["wq"], lp["wk"], lp["wv"], lp["wo"], cfg)
         h = _layer_norm(x, lp["ln2_scale"], lp["ln2_bias"])
-        h = jnp.einsum("btd,df->btf", h, lp["w1"].astype(dt)) + lp["b1"].astype(dt)
-        h = jax.nn.gelu(h)
-        h = jnp.einsum("btf,fd->btd", h, lp["w2"].astype(dt)) + lp["b2"].astype(dt)
-        return x + h, None
+        return x + _ffn(h, lp, dt), None
 
     x, _ = jax.lax.scan(layer, x, params["layers"])
     x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"])
 
     # mean pool over mask → project → L2 normalize (f32 for stability)
-    m = mask.astype(jnp.float32)[:, :, None]
-    pooled = jnp.sum(x.astype(jnp.float32) * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
-    emb = pooled @ params["out_proj"]
-    emb = emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+    emb = pool_project(params, *masked_pool_sums(x, mask))
     cls = x[:, 0, :].astype(jnp.float32)
     return emb, cls
 

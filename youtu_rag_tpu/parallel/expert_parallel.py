@@ -31,7 +31,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.encoder import EncoderConfig, _layer_norm, _attention
+from ..models.encoder import (
+    EncoderConfig,
+    _attention,
+    _layer_norm,
+    masked_pool_sums,
+    pool_project,
+)
 
 shard_map = jax.shard_map
 
@@ -108,10 +114,7 @@ def moe_encode_tokens(params, token_ids, mask, cfg: EncoderConfig, n_experts: in
 
     x, _ = jax.lax.scan(layer, x, params["layers"])
     x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"])
-    m = mask.astype(jnp.float32)[:, :, None]
-    pooled = jnp.sum(x.astype(jnp.float32) * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
-    emb = pooled @ params["out_proj"]
-    emb = emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+    emb = pool_project(params, *masked_pool_sums(x, mask))
     return emb, x[:, 0, :].astype(jnp.float32)
 
 
@@ -139,12 +142,7 @@ def make_ep_encoder(cfg: EncoderConfig, mesh: Mesh, n_experts: int, ep_axis: str
 
         x, _ = jax.lax.scan(layer, x, params["layers"])
         x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"])
-        m = mask.astype(jnp.float32)[:, :, None]
-        pooled = jnp.sum(x.astype(jnp.float32) * m, axis=1) / jnp.maximum(
-            jnp.sum(m, axis=1), 1.0
-        )
-        emb = pooled @ params["out_proj"]
-        emb = emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        emb = pool_project(params, *masked_pool_sums(x, mask))
         return emb, x[:, 0, :].astype(jnp.float32)
 
     # expert stacks shard dim 1 (the expert axis; dim 0 is layers)

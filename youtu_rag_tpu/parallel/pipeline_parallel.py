@@ -28,25 +28,27 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.encoder import EncoderConfig, _layer_norm, _rope, encode_tokens
+from ..models.encoder import (
+    EncoderConfig,
+    _attention,
+    _ffn,
+    _layer_norm,
+    masked_pool_sums,
+    pool_project,
+)
 
 shard_map = jax.shard_map
 
 
 def _stage_forward(x, layers, mask, cfg: EncoderConfig):
     """Scan this stage's local layer slice over activation x [mb, T, D]."""
-    from ..models.encoder import _attention
-
     dt = cfg.dtype
 
     def layer(x, lp):
         h = _layer_norm(x, lp["ln1_scale"], lp["ln1_bias"])
         x = x + _attention(h, mask, lp["wq"], lp["wk"], lp["wv"], lp["wo"], cfg)
         h = _layer_norm(x, lp["ln2_scale"], lp["ln2_bias"])
-        h = jnp.einsum("btd,df->btf", h, lp["w1"].astype(dt)) + lp["b1"].astype(dt)
-        h = jax.nn.gelu(h)
-        h = jnp.einsum("btf,fd->btd", h, lp["w2"].astype(dt)) + lp["b2"].astype(dt)
-        return x + h, None
+        return x + _ffn(h, lp, dt), None
 
     out, _ = jax.lax.scan(layer, x, layers)
     return out
@@ -119,12 +121,7 @@ def make_pp_encoder(cfg: EncoderConfig, mesh: Mesh, pp_axis: str = "pp", n_micro
         mm = mask.reshape(M, mb, t)
         y = piped(params["layers"], xm, mm).reshape(b, t, cfg.d_model)
         y = _layer_norm(y, params["final_ln_scale"], params["final_ln_bias"])
-        m = mask.astype(jnp.float32)[:, :, None]
-        pooled = jnp.sum(y.astype(jnp.float32) * m, axis=1) / jnp.maximum(
-            jnp.sum(m, axis=1), 1.0
-        )
-        emb = pooled @ params["out_proj"]
-        emb = emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        emb = pool_project(params, *masked_pool_sums(y, mask))
         cls = y[:, 0, :].astype(jnp.float32)
         return emb, cls
 
@@ -134,7 +131,6 @@ def make_pp_encoder(cfg: EncoderConfig, mesh: Mesh, pp_axis: str = "pp", n_micro
 def shard_params_pp(params: dict, mesh: Mesh, pp_axis: str = "pp") -> dict:
     """Place the param tree for the pipeline: layer stacks sharded on the
     layer axis over ``pp_axis``; everything else replicated."""
-    layer_sh = NamedSharding(mesh, P(pp_axis))
 
     def place(path_is_layer: bool, leaf):
         if path_is_layer:
@@ -147,5 +143,4 @@ def shard_params_pp(params: dict, mesh: Mesh, pp_axis: str = "pp") -> dict:
     for k, v in params.items():
         if k != "layers":
             out[k] = place(False, v)
-    del layer_sh
     return out

@@ -34,7 +34,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..models.encoder import EncoderConfig, _layer_norm, _rope
+from ..models.encoder import (
+    EncoderConfig,
+    _ffn,
+    _layer_norm,
+    _rope,
+    masked_pool_sums,
+    pool_project,
+)
 
 shard_map = jax.shard_map
 
@@ -117,21 +124,16 @@ def make_sp_encoder(
             y = y.transpose(0, 2, 1, 3).reshape(b, tl, cfg.d_model)
             x = x + jnp.einsum("btd,de->bte", y, lp["wo"].astype(x.dtype))
             hn = _layer_norm(x, lp["ln2_scale"], lp["ln2_bias"])
-            hn = jnp.einsum("btd,df->btf", hn, lp["w1"].astype(dt)) + lp["b1"].astype(dt)
-            hn = jax.nn.gelu(hn)
-            hn = jnp.einsum("btf,fd->btd", hn, lp["w2"].astype(dt)) + lp["b2"].astype(dt)
-            return x + hn, None
+            return x + _ffn(hn, lp, dt), None
 
         x, _ = jax.lax.scan(layer, x, params["layers"])
         x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"])
 
         # masked mean pool: local partial sums, one psum over the ring
-        m = mask.astype(jnp.float32)[:, :, None]
-        psum = jax.lax.psum(jnp.sum(x.astype(jnp.float32) * m, axis=1), sp_axis)
-        cnt = jax.lax.psum(jnp.sum(m, axis=1), sp_axis)
-        pooled = psum / jnp.maximum(cnt, 1.0)
-        emb = pooled @ params["out_proj"]
-        emb = emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        summed, cnt = masked_pool_sums(x, mask)
+        emb = pool_project(
+            params, jax.lax.psum(summed, sp_axis), jax.lax.psum(cnt, sp_axis)
+        )
         # CLS (global position 0) lives on ring rank 0; psum broadcasts it
         cls_local = jnp.where(shard == 0, x[:, 0, :].astype(jnp.float32), 0.0)
         cls = jax.lax.psum(cls_local, sp_axis)
