@@ -389,12 +389,17 @@ class DeviceVectorIndex:
             self._apply_permutation(full)
             old_chunks = self._chunks
             self._chunks = [old_chunks[o] for o in perm]
-            self._id_to_row = {}
-            self._doc_rows = {}
-            for new_row, c in enumerate(self._chunks):
-                if c is not None:
-                    self._id_to_row[c.id] = new_row
-                    self._doc_rows.setdefault(c.document_id, []).append(new_row)
+            self._rebuild_host_maps()
+
+    def _rebuild_host_maps(self) -> None:
+        """Recompute _id_to_row/_doc_rows from _chunks (after any row
+        movement — reorder, compaction)."""
+        self._id_to_row = {}
+        self._doc_rows = {}
+        for new_row, c in enumerate(self._chunks):
+            if c is not None:
+                self._id_to_row[c.id] = new_row
+                self._doc_rows.setdefault(c.document_id, []).append(new_row)
 
     def _apply_permutation(self, idx: np.ndarray) -> None:
         """Gather all device rows by ``idx`` (length == capacity).

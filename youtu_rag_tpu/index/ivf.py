@@ -37,6 +37,17 @@ class IVFState:
     n_probe: int
 
 
+def fit_sample_indices(n: int, seed: int, cap: int = 131072) -> np.ndarray | None:
+    """Row sample for the k-means fit (None → fit on everything).
+
+    Deterministic per seed — multi-process builds rely on every process
+    drawing the same sample (SPMD)."""
+    if n <= cap:
+        return None
+    sel = np.random.default_rng(seed).choice(n, cap, replace=False)
+    return np.sort(sel).astype(np.int32)
+
+
 def build_ivf_state(index, n_lists: int | None = None, seed: int = 0, fit_sample: int = 131072) -> IVFState:
     """Cluster, reorder the index in place, and return probe metadata."""
     cfg = index.config
@@ -48,9 +59,9 @@ def build_ivf_state(index, n_lists: int | None = None, seed: int = 0, fit_sample
     assert n > 0, "cannot build IVF over an empty index"
 
     fit_on = vecs
-    if n > fit_sample:
-        sel = np.random.default_rng(seed).choice(n, fit_sample, replace=False)
-        fit_on = jnp.take(vecs, jnp.asarray(np.sort(sel)), axis=0)
+    sel = fit_sample_indices(n, seed, fit_sample)
+    if sel is not None:
+        fit_on = jnp.take(vecs, jnp.asarray(sel), axis=0)
     centroids = kmeans_fit(fit_on, n_lists, iters=cfg.kmeans_iters, seed=seed)
 
     # full assignment in chunks (bounds peak memory at ~chunk x C)

@@ -32,6 +32,9 @@ from ..ops.topk import (
     xla_topk,
     xla_topk_int8,
 )
+from ..utils.log import get_logger
+
+logger = get_logger("parallel.sharded_index")
 
 
 def make_sharded_topk(mesh: Mesh, axis: str = "db"):
@@ -160,9 +163,19 @@ class ShardedVectorIndex(DeviceVectorIndex):
         # __init__-based reset rebound to the default mesh via the `device`
         # positional landing in `mesh`)
         super()._reset()
+        self._clear_ivf_state()
+
+    def _clear_ivf_state(self) -> None:
+        """One place that forgets IVF layout (reset, compact, drop)."""
+        self._ivf = None
         self._ivf_frozen = None
         self._ivf_frozen_min = 0
         self._ivf_local_blocks = 0
+
+    def _scales_or_dummy(self):
+        """Scale array for device-side plumbing; non-int8 indexes pass the
+        bias as a same-shaped placeholder (ignored by the consumers)."""
+        return self._scales if self._int8 else self._bias
 
     def _maybe_warm_next_tier(self) -> None:
         # next-tier warming targets the single-device brute kernels; the
@@ -191,8 +204,9 @@ class ShardedVectorIndex(DeviceVectorIndex):
             new_cap *= 2
         if new_cap == self.capacity:
             return
+        logger.info("index grow %d -> %d rows (multi-process)", self.capacity, new_cap)
         pad = new_cap - self.capacity
-        scales = self._scales if self._int8 else self._bias  # dummy slot
+        scales = self._scales_or_dummy()
 
         def go(v, c, b, s):
             return (
@@ -237,22 +251,16 @@ class ShardedVectorIndex(DeviceVectorIndex):
                 self._reset()
                 return
             dead = [r for r, c in enumerate(self._chunks) if c is None]
+            if not dead:
+                return  # nothing to reclaim — keep arrays AND the IVF
             perm = np.asarray(live + dead, np.int64)
             full = np.concatenate([perm, np.arange(self.size, self.capacity)])
             self._apply_permutation(full)
-            chunks = [self._chunks[o] for o in perm[: len(live)]]
-            self._chunks = chunks
-            self._id_to_row = {}
-            self._doc_rows = {}
-            for row, c in enumerate(chunks):
-                self._id_to_row[c.id] = row
-                self._doc_rows.setdefault(c.document_id, []).append(row)
+            self._chunks = [self._chunks[o] for o in perm[: len(live)]]
+            self._rebuild_host_maps()
             self.size = len(live)
             self.live_count = len(live)
-            self._ivf = None
-            self._ivf_frozen = None
-            self._ivf_frozen_min = 0
-            self._ivf_local_blocks = 0
+            self._clear_ivf_state()
 
     # -- permutation dispatch ---------------------------------------------
 
@@ -307,7 +315,7 @@ class ShardedVectorIndex(DeviceVectorIndex):
         )
 
     def _permute_shard_local(self, local_idx: np.ndarray) -> None:
-        scales = self._scales if self._int8 else self._bias  # dummy slot
+        scales = self._scales_or_dummy()
         li = self._put_spec(local_idx, self._vec_sharding)
         v, c, b, s = self._local_perm_fn(self._vectors, self._cols, self._bias, scales, li)
         self._vectors, self._cols, self._bias = v, c, b
@@ -315,7 +323,7 @@ class ShardedVectorIndex(DeviceVectorIndex):
             self._scales = s
 
     def _permute_global(self, idx: np.ndarray) -> None:
-        scales = self._scales if self._int8 else self._bias  # dummy slot
+        scales = self._scales_or_dummy()
         v, c, b, s = self._global_perm_fn(self._vectors, self._cols, self._bias, scales, idx)
         self._vectors, self._cols, self._bias = v, c, b
         if self._int8:
@@ -343,16 +351,16 @@ class ShardedVectorIndex(DeviceVectorIndex):
             if self._multi_process:
                 centroids, assign = self._mp_fit_assign(n_lists, seed)
             else:
+                from ..index.ivf import fit_sample_indices
+                from ..ops.kmeans import kmeans_assign
+
                 vecs = np.asarray(self.dequantized_vectors()[: self.size])
-                rng = _np.random.default_rng(seed)
-                fit_on = vecs
-                if self.size > 131072:
-                    sel = _np.sort(rng.choice(self.size, 131072, replace=False))
-                    fit_on = vecs[sel]
+                sel = fit_sample_indices(self.size, seed)
+                fit_on = vecs if sel is None else vecs[sel]
                 centroids = kmeans_fit(
                     jnp.asarray(fit_on), n_lists, iters=cfg.kmeans_iters, seed=seed
                 )
-                assign = _np.asarray(jnp.argmax(jnp.asarray(vecs) @ centroids.T, axis=1))
+                assign = _np.asarray(kmeans_assign(jnp.asarray(vecs), centroids))
 
             rows_per_shard = self.capacity // self.n_shards
             br = cfg.block_rows
@@ -401,6 +409,38 @@ class ShardedVectorIndex(DeviceVectorIndex):
             self._ivf_frozen_min = int(frozen_local.min())
             self._ivf_local_blocks = local_blocks
 
+    @functools.cached_property
+    def _mp_dequant_take_fn(self):
+        """Jitted replicated gather of dequantized rows (cached per
+        instance — builds at the same capacity reuse the executable)."""
+        int8 = self._int8
+
+        def dequant_take(v, sc, i):
+            x = jnp.take(v, i, axis=0).astype(jnp.float32)
+            if int8:
+                x = x * jnp.take(sc, i)[:, None]
+            return x
+
+        return jax.jit(dequant_take, out_shardings=NamedSharding(self.mesh, P()))
+
+    @functools.cached_property
+    def _mp_assign_fn(self):
+        """Jitted shard-local dequant + argmax-vs-centroids, output
+        replicated (only the int32 assignment crosses the network)."""
+        int8 = self._int8
+
+        def assign_all(v, sc, cent):
+            x = v.astype(jnp.float32)
+            if int8:
+                x = x * sc[:, None]
+            return jnp.argmax(x @ cent.T, axis=1).astype(jnp.int32)
+
+        return jax.jit(assign_all, out_shardings=NamedSharding(self.mesh, P()))
+
+    @functools.cached_property
+    def _mp_replicate_fn(self):
+        return jax.jit(lambda a: a, out_shardings=NamedSharding(self.mesh, P()))
+
     def _mp_fit_assign(self, n_lists: int, seed: int):
         """Device-side k-means fit + full assignment for multi-process
         meshes, where rows cannot materialize host-side (shards live on
@@ -412,37 +452,17 @@ class ShardedVectorIndex(DeviceVectorIndex):
         Assignment: computed shard-locally (dequant + argmax against the
         replicated centroids), with only the [capacity] int32 assignment
         vector all-gathered back to every host."""
+        from ..index.ivf import fit_sample_indices
         from ..ops.kmeans import kmeans_fit
 
-        repl = NamedSharding(self.mesh, P())
-        cfg = self.config
-        rng = np.random.default_rng(seed)
-        if self.size > 131072:
-            sel = np.sort(rng.choice(self.size, 131072, replace=False)).astype(np.int32)
-        else:
+        sel = fit_sample_indices(self.size, seed)
+        if sel is None:
             sel = np.arange(self.size, dtype=np.int32)
-        int8 = self._int8
-        scales = self._scales if int8 else self._bias  # dummy slot when not int8
-
-        def dequant_take(v, sc, i):
-            x = jnp.take(v, i, axis=0).astype(jnp.float32)
-            if int8:
-                x = x * jnp.take(sc, i)[:, None]
-            return x
-
-        fit_on = jax.jit(dequant_take, out_shardings=repl)(self._vectors, scales, sel)
-        centroids = kmeans_fit(fit_on, n_lists, iters=cfg.kmeans_iters, seed=seed)
-        centroids = jax.jit(lambda a: a, out_shardings=repl)(centroids)
-
-        def assign_all(v, sc, cent):
-            x = v.astype(jnp.float32)
-            if int8:
-                x = x * sc[:, None]
-            return jnp.argmax(x @ cent.T, axis=1).astype(jnp.int32)
-
-        assign_full = jax.jit(assign_all, out_shardings=repl)(
-            self._vectors, scales, centroids
-        )
+        scales = self._scales_or_dummy()
+        fit_on = self._mp_dequant_take_fn(self._vectors, scales, sel)
+        centroids = kmeans_fit(fit_on, n_lists, iters=self.config.kmeans_iters, seed=seed)
+        centroids = self._mp_replicate_fn(centroids)
+        assign_full = self._mp_assign_fn(self._vectors, scales, centroids)
         return centroids, np.asarray(assign_full)[: self.size]
 
     def _put_ivf(self, arr):
@@ -525,7 +545,7 @@ class ShardedVectorIndex(DeviceVectorIndex):
 
         # scales stay 1-D (no eager reshape: multi-process global arrays
         # cannot run op-by-op); the per-shard body broadcasts as needed
-        sc_arr = scales if int8 else self._bias  # placeholder, unused
+        sc_arr = self._scales_or_dummy()
         return shard_map(
             per_shard,
             mesh=self.mesh,
