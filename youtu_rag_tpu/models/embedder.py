@@ -108,6 +108,8 @@ class TpuEmbedder(BaseEmbedder):
         params: dict | None = None,
         batch_size: int = 128,
         mesh=None,
+        sp_mesh=None,
+        long_max_len: int | None = None,
         seed: int = 0,
     ):
         import jax
@@ -144,6 +146,17 @@ class TpuEmbedder(BaseEmbedder):
         else:
             self._fwd = jax.jit(fwd)
 
+        # long-document path: with an 'sp' mesh, texts that tokenize past
+        # max_len embed through the ring-attention encoder (sequence
+        # sharded over chips) instead of being truncated
+        self._sp_fwd = None
+        if sp_mesh is not None:
+            from ..parallel.sequence_parallel import make_sp_encoder
+
+            self._sp_fwd = make_sp_encoder(self.cfg, sp_mesh, sp_axis="sp")
+            self._sp_size = int(sp_mesh.shape["sp"])
+            self._long_max = long_max_len or 8 * self.cfg.max_len
+
     @property
     def dimension(self) -> int:
         return self.cfg.out_dim
@@ -156,21 +169,54 @@ class TpuEmbedder(BaseEmbedder):
         return b
 
     def embed_batch(self, texts: list[str]) -> np.ndarray:
-        """Synchronous batched embed → [n, out_dim] f32 (L2-normalized)."""
+        """Synchronous batched embed → [n, out_dim] f32 (L2-normalized).
+
+        With an ``sp_mesh``, texts longer than ``max_len`` tokens detour
+        through the sequence-parallel ring-attention forward (full
+        content, no truncation)."""
         out = np.zeros((len(texts), self.cfg.out_dim), np.float32)
+        long_idx: list[int] = []
+        if self._sp_fwd is not None:
+            for j, t in enumerate(texts):
+                if len(self.tokenizer.tokenize(t)) + 2 > self.cfg.max_len:
+                    long_idx.append(j)
+            if long_idx:
+                long_embs = self._embed_long([texts[j] for j in long_idx])
+                for row, j in enumerate(long_idx):
+                    out[j] = long_embs[row]
+        short = [(j, t) for j, t in enumerate(texts) if j not in set(long_idx)]
         bs = self.batch_size
-        for i in range(0, len(texts), bs):
-            batch = texts[i : i + bs]
-            ids, mask = self.tokenizer.batch(batch)
-            t_b = min(self._bucket(ids.shape[1], 16), self.cfg.max_len)
-            n_b = self._bucket(len(batch), 8)
-            ids_p = np.zeros((n_b, t_b), np.int32)
-            mask_p = np.zeros((n_b, t_b), np.float32)
-            ids_p[: len(batch), : ids.shape[1]] = ids[:, :t_b]
-            mask_p[: len(batch), : mask.shape[1]] = mask[:, :t_b]
-            emb = self._fwd(self.params, ids_p, mask_p)
-            out[i : i + len(batch)] = np.asarray(emb)[: len(batch)]
+        for i in range(0, len(short), bs):
+            chunk = short[i : i + bs]
+            rows = [j for j, _ in chunk]
+            embs = self._embed_short([t for _, t in chunk])
+            out[rows] = embs
         return out
+
+    def _embed_long(self, texts: list[str]) -> np.ndarray:
+        """Ring-attention embed of over-length texts, one pow2 T bucket
+        per call batch (T padded to a multiple of the ring size)."""
+        seqs = [self.tokenizer.encode(t, self._long_max) for t in texts]
+        t_need = max(len(s) for s in seqs)
+        t_b = self._bucket(t_need, max(16 * self._sp_size, 16))
+        ids = np.zeros((len(seqs), t_b), np.int32)
+        mask = np.zeros((len(seqs), t_b), np.float32)
+        for j, s in enumerate(seqs):
+            ids[j, : len(s)] = s
+            mask[j, : len(s)] = 1.0
+        emb, _ = self._sp_fwd(self.params, ids, mask)
+        return np.asarray(emb)
+
+    def _embed_short(self, batch: list[str]) -> np.ndarray:
+        ids, mask = self.tokenizer.batch(batch)
+        t_b = min(self._bucket(ids.shape[1], 16), self.cfg.max_len)
+        n_b = self._bucket(len(batch), 8)
+        ids_p = np.zeros((n_b, t_b), np.int32)
+        mask_p = np.zeros((n_b, t_b), np.float32)
+        ids_p[: len(batch), : min(ids.shape[1], t_b)] = ids[:, :t_b]
+        mask_p[: len(batch), : min(mask.shape[1], t_b)] = mask[:, :t_b]
+        emb = self._fwd(self.params, ids_p, mask_p)
+        return np.asarray(emb)[: len(batch)]
 
     async def embed_texts(self, texts: list[str]) -> list[list[float]]:
         return self.embed_batch(texts).tolist()
