@@ -11,6 +11,7 @@ from youtu_rag_tpu.parallel.expert_parallel import (
     init_moe_params,
     load_balancing_loss,
     make_ep_encoder,
+    make_ep_encoder_a2a,
     moe_encode_tokens,
     shard_params_ep,
     _route,
@@ -68,6 +69,40 @@ def test_routing_uses_multiple_experts(params):
     idx, p, probs = _route(x, params["layers"]["router"][0])
     assert len(np.unique(np.asarray(idx))) > 1  # not a collapsed router
     assert float(p.min()) >= 1.0 / E  # top-1 prob at least uniform
+
+
+@pytest.mark.parametrize("ep", [2, 4])
+def test_a2a_dispatch_matches_unsharded_when_dropless(params, ep):
+    """Switch-style all_to_all dispatch: with capacity covering every
+    token the output matches the unsharded MoE forward exactly."""
+    rng = np.random.default_rng(10 + ep)
+    b, t = ep * 2, 16
+    ids, mask = _batch(rng, b=b, t=t)
+    mesh = get_mesh({"ep": ep})
+    # worst case: every local token routed to ONE destination chip →
+    # cap must reach local_tokens; cf = ep guarantees droplessness
+    fn = make_ep_encoder_a2a(CFG, mesh, n_experts=E, capacity_factor=float(ep))
+    emb_a2a, cls_a2a = fn(shard_params_ep(params, mesh), ids, mask)
+    emb, cls = moe_encode_tokens(params, jnp.asarray(ids), jnp.asarray(mask), CFG, E)
+    np.testing.assert_allclose(np.asarray(emb_a2a), np.asarray(emb), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cls_a2a), np.asarray(cls), atol=2e-4)
+
+
+def test_a2a_capacity_overflow_drops_gracefully(params):
+    """With a tiny capacity, overflowing tokens lose only their FFN delta
+    (residual carries them): outputs stay finite and unit-norm."""
+    rng = np.random.default_rng(20)
+    ids, mask = _batch(rng, b=4, t=16)
+    mesh = get_mesh({"ep": 4})
+    fn = make_ep_encoder_a2a(CFG, mesh, n_experts=E, capacity_factor=0.1)
+    emb, _ = fn(shard_params_ep(params, mesh), ids, mask)
+    emb = np.asarray(emb)
+    assert np.isfinite(emb).all()
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
+    # and it genuinely differs from the dropless result
+    fn_full = make_ep_encoder_a2a(CFG, mesh, n_experts=E, capacity_factor=4.0)
+    full = np.asarray(fn_full(shard_params_ep(params, mesh), ids, mask)[0])
+    assert np.abs(emb - full).max() > 1e-6
 
 
 def test_load_balancing_loss(params):

@@ -145,16 +145,31 @@ def make_ep_encoder(cfg: EncoderConfig, mesh: Mesh, n_experts: int, ep_axis: str
         emb = pool_project(params, *masked_pool_sums(x, mask))
         return emb, x[:, 0, :].astype(jnp.float32)
 
-    # expert stacks shard dim 1 (the expert axis; dim 0 is layers)
-    expert_leaves = {"ew1", "eb1", "ew2", "eb2"}
+    fn = shard_map(
+        forward,
+        mesh=mesh,
+        in_specs=(_ep_param_specs(ep_axis), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+_EXPERT_LEAVES = frozenset({"ew1", "eb1", "ew2", "eb2"})
+
+
+def _ep_param_specs(ep_axis: str) -> dict:
+    """shard_map in_specs for the MoE param tree: expert stacks shard
+    dim 1 (the expert axis; dim 0 is layers), everything else
+    replicated."""
     layer_specs = {
-        k: P(None, ep_axis) if k in expert_leaves else P()
+        k: P(None, ep_axis) if k in _EXPERT_LEAVES else P()
         for k in (
             "ln1_scale", "ln1_bias", "wq", "wk", "wv", "wo",
             "ln2_scale", "ln2_bias", "router", "ew1", "eb1", "ew2", "eb2",
         )
     }
-    param_specs = {
+    return {
         "tok_emb": P(),
         "layers": layer_specs,
         "final_ln_scale": P(),
@@ -162,11 +177,110 @@ def make_ep_encoder(cfg: EncoderConfig, mesh: Mesh, n_experts: int, ep_axis: str
         "out_proj": P(),
         "score_head": P(),
     }
+
+
+def make_ep_encoder_a2a(
+    cfg: EncoderConfig,
+    mesh: Mesh,
+    n_experts: int,
+    ep_axis: str = "ep",
+    capacity_factor: float = 2.0,
+):
+    """Expert parallelism with **all-to-all token dispatch** (Switch /
+    Mesh-TensorFlow style) — the scaling form of ``make_ep_encoder``.
+
+    Tokens shard over ``ep`` alongside the experts (the batch dimension
+    is data-parallel on the same axis). Each chip routes its local
+    tokens: a one-hot dispatch tensor scatters them into per-destination
+    capacity slots, one ``all_to_all`` moves ~N·capacity_factor/ep
+    activations per chip over ICI, the receiving chip runs only its
+    local experts over what arrived, and a second ``all_to_all`` +
+    combine einsum returns outputs to their source rows. Per-chip FFN
+    compute is ~ep× lower than the psum-combine variant (which
+    evaluates local experts over ALL tokens).
+
+    ``capacity_factor`` bounds per-(source→destination) traffic at
+    ``ceil(local_tokens / ep · cf)``; tokens past a destination's
+    capacity are dropped for that layer (their FFN delta is zero — the
+    residual stream carries them), the standard MoE overflow semantics.
+    With balanced routing and cf ≥ 1 drops are rare; parity tests use a
+    cf that guarantees droplessness and match ``moe_encode_tokens``
+    exactly. Requires the global batch divisible by the ``ep`` size."""
+    ep = int(mesh.shape[ep_axis])
+    assert n_experts % ep == 0, (n_experts, ep)
+    n_local = n_experts // ep
+    dt = cfg.dtype
+
+    def forward(params, ids, mask):
+        # routing is by GLOBAL expert id; the chip offset is implicit in
+        # the all_to_all destination (dest = id // n_local)
+        bl, t = ids.shape  # local batch slice
+        n_tok = bl * t
+        cap = max(int(np.ceil(n_tok / ep * capacity_factor)), 1)
+        x = params["tok_emb"].astype(dt)[ids]
+
+        def moe_ffn(h, lp):
+            hf = h.reshape(n_tok, cfg.d_model)
+            idx, p, _ = _route(h, lp["router"])
+            idx_f = idx.reshape(n_tok)
+            p_f = p.reshape(n_tok).astype(jnp.float32)
+            dest = idx_f // n_local  # [N] destination chip
+            eid = (idx_f % n_local).astype(jnp.float32)
+
+            oh = jax.nn.one_hot(dest, ep, dtype=jnp.float32)  # [N, ep]
+            slot = (jnp.cumsum(oh, axis=0) * oh).sum(axis=1) - 1.0  # rank in dest
+            keep = slot < cap
+            slot_oh = jax.nn.one_hot(
+                jnp.clip(slot, 0, cap - 1).astype(jnp.int32), cap, dtype=jnp.float32
+            )
+            # dispatch tensor [N, ep, cap]: one-hot (dest, slot) per kept token
+            disp = oh[:, :, None] * slot_oh[:, None, :] * keep[:, None, None]
+
+            send_x = jnp.einsum("nec,nd->ecd", disp, hf.astype(jnp.float32))
+            send_e = jnp.einsum("nec,n->ec", disp, eid)
+            recv_x = jax.lax.all_to_all(send_x, ep_axis, 0, 0, tiled=True)
+            recv_e = jax.lax.all_to_all(send_e, ep_axis, 0, 0, tiled=True)
+
+            xin = recv_x.reshape(ep * cap, cfg.d_model).astype(dt)
+            eids = jnp.round(recv_e.reshape(ep * cap)).astype(jnp.int32)
+
+            def one(e_local, acc):
+                w1 = jax.lax.dynamic_index_in_dim(lp["ew1"], e_local, keepdims=False)
+                b1 = jax.lax.dynamic_index_in_dim(lp["eb1"], e_local, keepdims=False)
+                w2 = jax.lax.dynamic_index_in_dim(lp["ew2"], e_local, keepdims=False)
+                b2 = jax.lax.dynamic_index_in_dim(lp["eb2"], e_local, keepdims=False)
+                hh = jnp.einsum("nd,df->nf", xin, w1.astype(dt)) + b1.astype(dt)
+                hh = jax.nn.gelu(hh)
+                yy = jnp.einsum("nf,fd->nd", hh, w2.astype(dt)) + b2.astype(dt)
+                sel = (eids == e_local).astype(dt)
+                return acc + yy * sel[:, None]
+
+            y = jax.lax.fori_loop(0, n_local, one, jnp.zeros_like(xin))
+            y_back = jax.lax.all_to_all(
+                y.reshape(ep, cap, cfg.d_model).astype(jnp.float32), ep_axis, 0, 0, tiled=True
+            )
+            out = jnp.einsum("nec,ecd->nd", disp, y_back)  # gather own rows
+            out = out * p_f[:, None]  # router-probability weighting
+            return out.reshape(bl, t, cfg.d_model).astype(dt)
+
+        def layer(x, lp):
+            h = _layer_norm(x, lp["ln1_scale"], lp["ln1_bias"])
+            x = x + _attention(h, mask, lp["wq"], lp["wk"], lp["wv"], lp["wo"], cfg)
+            h = _layer_norm(x, lp["ln2_scale"], lp["ln2_bias"])
+            return x + moe_ffn(h, lp), None
+
+        x, _ = jax.lax.scan(layer, x, params["layers"])
+        x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"])
+        emb = pool_project(params, *masked_pool_sums(x, mask))
+        return emb, x[:, 0, :].astype(jnp.float32)
+
+    param_specs = _ep_param_specs(ep_axis)
+    tok_spec = P(ep_axis, None)
     fn = shard_map(
         forward,
         mesh=mesh,
-        in_specs=(param_specs, P(), P()),
-        out_specs=(P(), P()),
+        in_specs=(param_specs, tok_spec, tok_spec),
+        out_specs=(tok_spec, tok_spec),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -175,11 +289,10 @@ def make_ep_encoder(cfg: EncoderConfig, mesh: Mesh, n_experts: int, ep_axis: str
 def shard_params_ep(params: dict, mesh: Mesh, ep_axis: str = "ep") -> dict:
     """Place a MoE param tree: expert stacks sharded over ``ep_axis`` on
     the expert dim, everything else replicated."""
-    expert_leaves = {"ew1", "eb1", "ew2", "eb2"}
     out = dict(params)
     layers = {}
     for k, v in params["layers"].items():
-        if k in expert_leaves:
+        if k in _EXPERT_LEAVES:
             spec = P(*([None, ep_axis] + [None] * (v.ndim - 2)))
         else:
             spec = P()
