@@ -82,6 +82,30 @@ def test_pad_to_multiple_parity(params):
     np.testing.assert_allclose(np.asarray(emb_sp), np.asarray(emb), atol=2e-5)
 
 
+def test_sp_with_tp_megatron(params):
+    """dp=2 × sp=2 × tp=2 — sequence ring + Megatron tensor parallelism
+    composed on one mesh must still match the unsharded forward."""
+    rng = np.random.default_rng(5)
+    ids, mask = _batch(rng, b=4, t=32)
+    mesh = get_mesh({"dp": 2, "sp": 2, "tp": 2})
+    fn = make_sp_encoder(CFG, mesh, dp_axis="dp", tp_axis="tp")
+    emb_sp, cls_sp = fn(params, ids, mask)
+    emb, cls = encode_tokens(params, jnp.asarray(ids), jnp.asarray(mask), CFG)
+    np.testing.assert_allclose(np.asarray(emb_sp), np.asarray(emb), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cls_sp), np.asarray(cls), atol=2e-4)
+
+
+def test_sp_tp_only(params):
+    """sp × tp without dp (batch replicated)."""
+    rng = np.random.default_rng(6)
+    ids, mask = _batch(rng, b=2, t=16)
+    mesh = get_mesh({"sp": 2, "tp": 4})
+    fn = make_sp_encoder(CFG, mesh, tp_axis="tp")
+    emb_sp, _ = fn(params, ids, mask)
+    emb, _ = encode_tokens(params, jnp.asarray(ids), jnp.asarray(mask), CFG)
+    np.testing.assert_allclose(np.asarray(emb_sp), np.asarray(emb), atol=2e-5)
+
+
 def test_sp_single_device_ring(params):
     rng = np.random.default_rng(4)
     ids, mask = _batch(rng, b=2, t=16)

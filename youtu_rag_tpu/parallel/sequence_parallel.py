@@ -89,17 +89,29 @@ def make_sp_encoder(
     mesh: Mesh,
     sp_axis: str = "sp",
     dp_axis: str | None = None,
+    tp_axis: str | None = None,
 ):
     """Build the jitted sequence-sharded forward.
 
     Returns ``fn(params, token_ids, mask) -> (emb [B, out_dim] f32, cls
     [B, d_model] f32)`` with the same contract as ``encode_tokens``.
     ``token_ids``/``mask`` are [B, T] with T divisible by the sp size
-    (pad to a multiple; padding has mask 0). Params replicate over the
-    ring (combine tp by sharding params on another axis outside)."""
+    (pad to a multiple; padding has mask 0).
+
+    With ``tp_axis`` the layer weights additionally shard Megatron-style
+    over tensor parallelism — wq/wk/wv and w1 column-parallel (heads /
+    FFN hidden split across chips), wo and w2 row-parallel with a psum —
+    composing a full dp × sp × tp mesh: batch over dp, sequence over the
+    sp ring, heads+hidden over tp. Activations stay replicated across tp
+    between blocks (standard Megatron), so the ring attention is
+    unchanged — it just runs on the local head subset."""
     sp_size = int(mesh.shape[sp_axis])
+    tp_size = int(mesh.shape[tp_axis]) if tp_axis else 1
     dt = cfg.dtype
-    h, hd = cfg.n_heads, cfg.head_dim
+    assert cfg.n_heads % tp_size == 0, (cfg.n_heads, tp_size)
+    assert cfg.d_ff % tp_size == 0, (cfg.d_ff, tp_size)
+    h_local = cfg.n_heads // tp_size
+    hd = cfg.head_dim
     scale = 1.0 / float(np.sqrt(hd))
     batch_spec = dp_axis  # None → replicated batch
 
@@ -112,8 +124,9 @@ def make_sp_encoder(
         kv_bias = (1.0 - mask.astype(jnp.float32)) * -1e9  # [B, Tl]
 
         def proj(xin, w):
+            # w: [D, D/tp] local column slice → local heads
             y = jnp.einsum("btd,de->bte", xin, w.astype(xin.dtype))
-            return y.reshape(b, tl, h, hd).transpose(0, 2, 1, 3)
+            return y.reshape(b, tl, h_local, hd).transpose(0, 2, 1, 3)
 
         def layer(x, lp):
             hn = _layer_norm(x, lp["ln1_scale"], lp["ln1_bias"])
@@ -121,9 +134,21 @@ def make_sp_encoder(
             k = _rope(proj(hn, lp["wk"]), cfg.rope_base, pos_offset=pos0)
             v = proj(hn, lp["wv"])
             y = _ring_attention(q, k, v, kv_bias, sp_axis, sp_size, scale)
-            y = y.transpose(0, 2, 1, 3).reshape(b, tl, cfg.d_model)
-            x = x + jnp.einsum("btd,de->bte", y, lp["wo"].astype(x.dtype))
+            y = y.transpose(0, 2, 1, 3).reshape(b, tl, h_local * hd)
+            attn_out = jnp.einsum("btd,de->bte", y, lp["wo"].astype(x.dtype))
+            if tp_axis:  # row-parallel wo: partial sums combine over tp
+                attn_out = jax.lax.psum(attn_out, tp_axis)
+            x = x + attn_out
             hn = _layer_norm(x, lp["ln2_scale"], lp["ln2_bias"])
+            if tp_axis:
+                # column-parallel w1 (+its bias slice), row-parallel w2;
+                # b2 adds AFTER the psum or it would be counted tp times
+                hh = jnp.einsum("btd,df->btf", hn, lp["w1"].astype(dt)) + lp["b1"].astype(dt)
+                hh = jax.nn.gelu(hh)
+                ff = jax.lax.psum(
+                    jnp.einsum("btf,fd->btd", hh, lp["w2"].astype(dt)), tp_axis
+                ) + lp["b2"].astype(dt)
+                return x + ff, None
             return x + _ffn(hn, lp, dt), None
 
         x, _ = jax.lax.scan(layer, x, params["layers"])
@@ -141,10 +166,29 @@ def make_sp_encoder(
 
     seq_spec = P(batch_spec, sp_axis)
     out_spec = P(batch_spec, None) if batch_spec else P()
+    if tp_axis:
+        layer_specs = {
+            "ln1_scale": P(), "ln1_bias": P(),
+            "wq": P(None, None, tp_axis), "wk": P(None, None, tp_axis),
+            "wv": P(None, None, tp_axis), "wo": P(None, tp_axis, None),
+            "ln2_scale": P(), "ln2_bias": P(),
+            "w1": P(None, None, tp_axis), "b1": P(None, tp_axis),
+            "w2": P(None, tp_axis, None), "b2": P(),
+        }
+        param_specs = {
+            "tok_emb": P(),
+            "layers": layer_specs,
+            "final_ln_scale": P(),
+            "final_ln_bias": P(),
+            "out_proj": P(),
+            "score_head": P(),
+        }
+    else:
+        param_specs = P()
     fn = shard_map(
         forward,
         mesh=mesh,
-        in_specs=(P(), seq_spec, seq_spec),
+        in_specs=(param_specs, seq_spec, seq_spec),
         out_specs=(out_spec, out_spec),
         check_vma=False,  # psum makes outputs replicated over sp
     )
