@@ -107,6 +107,39 @@ def test_reorder_preserves_lookup(rng, unit_vectors):
     assert idx.delete_by_document_id("d0") == 20
 
 
+@pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+def test_host_staged_reorder_parity(rng, unit_vectors, monkeypatch, dtype):
+    """When 2x index bytes exceed device memory, reorder stages through
+    the host (pull → free → permute → push). Force the path and assert
+    identical search results to the device gather."""
+    d = 32
+    cfg = IndexConfig(min_capacity=128, block_rows=64, storage_dtype=dtype)
+    vecs = unit_vectors(rng, 60, d)
+    chunks = [Chunk(f"c{i}", f"d{i % 3}", f"t{i}", i, {"i": i}) for i in range(60)]
+    perm = np.random.default_rng(1).permutation(60)
+
+    dev = DeviceVectorIndex(d, cfg)
+    dev.add(chunks, vecs)
+    dev.reorder(perm)
+    want = dev.search(vecs[:3], top_k=3)
+
+    host = DeviceVectorIndex(d, cfg)
+    host.add(chunks, vecs)
+    monkeypatch.setattr(host, "_should_stage_reorder", lambda: True)
+    host.reorder(perm)
+    got = host.search(vecs[:3], top_k=3)
+
+    for g, w in zip(got, want):
+        assert [c.id for c, _ in g] == [c.id for c, _ in w]
+        for (_, gs), (_, ws) in zip(g, w):
+            assert abs(gs - ws) < 2e-3  # bf16 round-trip through f32
+    assert host.get_by_id("c5").content == "t5"
+    # and IVF builds fine on top of a host-staged reorder
+    host.build_ivf(n_lists=4)
+    hit = host.search(vecs[:1], top_k=1)[0][0][0]
+    assert hit.id == "c0"
+
+
 def test_ivf_int8_index():
     """int8 storage + IVF (DMA kernel path; XLA dequant fallback on CPU)."""
     rng = np.random.default_rng(21)

@@ -406,13 +406,68 @@ class DeviceVectorIndex:
 
         Overridable array-movement hook: the sharded index swaps in a
         shard_map local gather (block-diagonal permutations) or a GSPMD
-        global gather (cross-shard moves, e.g. compaction)."""
+        global gather (cross-shard moves, e.g. compaction).
+
+        The device gather holds old + new copies (~2× the index bytes);
+        when that exceeds the chip's memory limit the permutation stages
+        through the host instead — pull rows in chunks, free the device
+        arrays, permute host-side, push back (device peak ≈ 1× + one
+        chunk; the round-trip is fine at build/maintenance cadence)."""
+        if self._should_stage_reorder():
+            return self._apply_permutation_host(idx)
         gidx = jnp.asarray(idx, jnp.int32)
         self._vectors = self._put(jnp.take(self._vectors, gidx, axis=0))
         self._cols = self._put(jnp.take(self._cols, gidx, axis=0))
         self._bias = self._put(jnp.take(self._bias, gidx, axis=0))
         if self._int8:
             self._scales = self._put(jnp.take(self._scales, gidx, axis=0))
+
+    def _should_stage_reorder(self) -> bool:
+        import os
+
+        try:
+            dev = self._device or jax.devices()[0]
+            stats = dev.memory_stats() or {}
+            limit = stats.get("bytes_limit")
+            if not limit and dev.platform == "tpu":
+                # remote/tunneled TPUs report no stats; assume a 16 GB
+                # chip (v5e) unless told otherwise
+                limit = int(os.environ.get("YRT_HBM_BYTES", 16 * 1024**3))
+        except Exception:  # noqa: BLE001 - stats unavailable (CPU backends)
+            return False
+        if not limit:
+            return False
+        total = self.nbytes() + (self._scales.nbytes if self._int8 else 0)
+        # old + new copies live at once, plus gather workspace and the
+        # deferred deallocation of in-flight buffers — 2.5x observed safe
+        # (2x OOMed a 6.4 GB index on a 16 GB chip)
+        return 2.5 * total > limit
+
+    def _apply_permutation_host(self, idx: np.ndarray) -> None:
+        logger.info("host-staged reorder (%d rows, %.1f GB index)",
+                    len(idx), self._vectors.nbytes / 1e9)
+
+        def pull(arr, dtype):
+            out = np.empty(arr.shape, dtype)
+            step = 1 << 20
+            for i in range(0, arr.shape[0], step):
+                out[i : i + step] = np.asarray(arr[i : i + step])
+            return out
+
+        v = pull(self._vectors, np.int8 if self._int8 else np.float32)
+        c = pull(self._cols, np.int32)
+        b = np.asarray(self._bias)
+        s = np.asarray(self._scales) if self._int8 else None
+        # free device copies BEFORE pushing the permuted arrays back
+        self._vectors = self._cols = self._bias = None
+        if self._int8:
+            self._scales = None
+        # int8 round-trips exactly; bf16 pulls as f32 and re-casts on push
+        self._vectors = self._put(jnp.asarray(v[idx], self._store_dtype))
+        self._cols = self._put(c[idx])
+        self._bias = self._put(b[idx])
+        if self._int8:
+            self._scales = self._put(s[idx])
 
     def compact(self) -> None:
         """Rebuild arrays dropping tombstones (periodic maintenance)."""
@@ -422,7 +477,13 @@ class DeviceVectorIndex:
                 self._reset()
                 return
             rows = np.asarray([r for r, _ in live])
-            vecs = np.asarray(self.dequantized_vectors())[rows][:, : self.dim]
+            # chunked dequantized gather: bounded device memory (the full
+            # f32 view is 4x the int8 bytes — OOM at multi-M rows)
+            vecs = np.empty((len(rows), self.dim), np.float32)
+            step = 1 << 20
+            for i in range(0, len(rows), step):
+                part = self.dequantize_take(rows[i : i + step])
+                vecs[i : i + len(part)] = np.asarray(part)[:, : self.dim]
             chunks = [c for _, c in live]
             schema = self.schema
             self._reset()
@@ -531,10 +592,31 @@ class DeviceVectorIndex:
         return "xla"
 
     def dequantized_vectors(self) -> jnp.ndarray:
-        """Full-precision view of stored vectors (f32)."""
+        """Full-precision view of stored vectors (f32).
+
+        Materializes [capacity, d] f32 on device — 4× the int8 footprint.
+        At multi-million-row scale use ``dequantized_rows`` (chunked) or
+        ``dequantize_take`` (row subset) instead; the IVF builder does."""
         if self._int8:
             return self._vectors.astype(jnp.float32) * self._scales[:, None]
         return self._vectors.astype(jnp.float32)
+
+    def dequantized_rows(self, start: int, count: int) -> jnp.ndarray:
+        """f32 view of rows [start, start+count) — bounded device memory
+        (the full-index f32 view is 4× the int8 bytes and OOMs one chip
+        past ~4M rows at d=768)."""
+        if self._int8:
+            return _dequant_slice_int8(
+                self._vectors, self._scales, jnp.int32(start), count
+            )
+        return jax.lax.dynamic_slice_in_dim(self._vectors, start, count).astype(jnp.float32)
+
+    def dequantize_take(self, rows) -> jnp.ndarray:
+        """f32 gather of an arbitrary row subset (k-means fit samples)."""
+        idx = jnp.asarray(rows, jnp.int32)
+        if self._int8:
+            return _dequant_take_int8(self._vectors, self._scales, idx)
+        return jnp.take(self._vectors, idx, axis=0).astype(jnp.float32)
 
     def _run_search(self, queries, vectors, bias, k: int, backend: str):
         """Overridable search dispatch (ShardedVectorIndex swaps in the
@@ -698,6 +780,18 @@ class DeviceVectorIndex:
 @jax.jit
 def _add_bias(bias, extra):
     return bias + extra
+
+
+@functools.partial(jax.jit, static_argnames=("count",))
+def _dequant_slice_int8(vectors, scales, start, count: int):
+    v = jax.lax.dynamic_slice_in_dim(vectors, start, count)
+    s = jax.lax.dynamic_slice_in_dim(scales, start, count)
+    return v.astype(jnp.float32) * s[:, None]
+
+
+@jax.jit
+def _dequant_take_int8(vectors, scales, idx):
+    return jnp.take(vectors, idx, axis=0).astype(jnp.float32) * jnp.take(scales, idx)[:, None]
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))

@@ -54,22 +54,22 @@ def build_ivf_state(index, n_lists: int | None = None, seed: int = 0, fit_sample
     n_lists = n_lists or min(cfg.n_lists, max(index.size // 64, 1))
     block_rows = cfg.block_rows
 
-    vecs = index.dequantized_vectors()[: index.size]  # handles int8 scales
     n = index.size
     assert n > 0, "cannot build IVF over an empty index"
 
-    fit_on = vecs
+    # the fit sample and the assignment both dequantize CHUNKED — a full
+    # f32 view is 4x the int8 bytes and OOMs one chip past ~4M rows
     sel = fit_sample_indices(n, seed, fit_sample)
-    if sel is not None:
-        fit_on = jnp.take(vecs, jnp.asarray(sel), axis=0)
+    fit_on = index.dequantize_take(sel if sel is not None else np.arange(n, dtype=np.int32))
     centroids = kmeans_fit(fit_on, n_lists, iters=cfg.kmeans_iters, seed=seed)
 
-    # full assignment in chunks (bounds peak memory at ~chunk x C)
+    from ..ops.kmeans import kmeans_assign
+
     chunk = 1 << 20
     assigns = []
     for i in range(0, n, chunk):
-        part = vecs[i : i + chunk]
-        assigns.append(np.asarray(jnp.argmax(part @ centroids.T, axis=1)))
+        part = index.dequantized_rows(i, min(chunk, n - i))
+        assigns.append(np.asarray(kmeans_assign(part, centroids)))
     assign = np.concatenate(assigns)
 
     perm = np.argsort(assign, kind="stable")

@@ -354,13 +354,17 @@ class ShardedVectorIndex(DeviceVectorIndex):
                 from ..index.ivf import fit_sample_indices
                 from ..ops.kmeans import kmeans_assign
 
-                vecs = np.asarray(self.dequantized_vectors()[: self.size])
                 sel = fit_sample_indices(self.size, seed)
-                fit_on = vecs if sel is None else vecs[sel]
-                centroids = kmeans_fit(
-                    jnp.asarray(fit_on), n_lists, iters=cfg.kmeans_iters, seed=seed
+                fit_on = self.dequantize_take(
+                    sel if sel is not None else _np.arange(self.size, dtype=_np.int32)
                 )
-                assign = _np.asarray(kmeans_assign(jnp.asarray(vecs), centroids))
+                centroids = kmeans_fit(fit_on, n_lists, iters=cfg.kmeans_iters, seed=seed)
+                chunk = 1 << 20
+                parts = []
+                for i in range(0, self.size, chunk):
+                    rows = self.dequantized_rows(i, min(chunk, self.size - i))
+                    parts.append(_np.asarray(kmeans_assign(rows, centroids)))
+                assign = _np.concatenate(parts)
 
             rows_per_shard = self.capacity // self.n_shards
             br = cfg.block_rows
