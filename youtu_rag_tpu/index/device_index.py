@@ -425,20 +425,34 @@ class DeviceVectorIndex:
     def _should_stage_reorder(self) -> bool:
         import os
 
+        dev = self._device
+        if dev is None:
+            try:
+                dev = jax.devices()[0]
+            except Exception:  # noqa: BLE001 - no backend
+                return False
         try:
-            dev = self._device or jax.devices()[0]
             stats = dev.memory_stats() or {}
-            limit = stats.get("bytes_limit")
-            if not limit and dev.platform == "tpu":
-                # remote/tunneled TPUs report no stats; assume a 16 GB
-                # chip (v5e) unless told otherwise
+        except Exception:  # noqa: BLE001 - PJRT plugins may raise UNIMPLEMENTED
+            stats = {}
+        limit = stats.get("bytes_limit")
+        in_use = stats.get("bytes_in_use")
+        if not limit and dev.platform == "tpu":
+            # remote/tunneled TPUs report no stats; assume a 16 GB chip
+            # (v5e) unless told otherwise
+            try:
                 limit = int(os.environ.get("YRT_HBM_BYTES", 16 * 1024**3))
-        except Exception:  # noqa: BLE001 - stats unavailable (CPU backends)
-            return False
+            except ValueError:
+                logger.warning("bad YRT_HBM_BYTES=%r; using 16 GB", os.environ["YRT_HBM_BYTES"])
+                limit = 16 * 1024**3
         if not limit:
             return False
         total = self.nbytes() + (self._scales.nbytes if self._int8 else 0)
-        # old + new copies live at once, plus gather workspace and the
+        if in_use is not None:
+            # the gather needs ~1.3x the index bytes of FREE memory (new
+            # copies + workspace; the old arrays are inside bytes_in_use)
+            return 1.3 * total > limit - in_use
+        # no usage info: old + new copies live at once, plus workspace and
         # deferred deallocation of in-flight buffers — 2.5x observed safe
         # (2x OOMed a 6.4 GB index on a 16 GB chip)
         return 2.5 * total > limit
@@ -447,27 +461,35 @@ class DeviceVectorIndex:
         logger.info("host-staged reorder (%d rows, %.1f GB index)",
                     len(idx), self._vectors.nbytes / 1e9)
 
-        def pull(arr, dtype):
-            out = np.empty(arr.shape, dtype)
+        def pull(arr):
+            # native-dtype host buffer (bf16 via ml_dtypes): 1x the device
+            # bytes, not a widened f32 copy
+            out = np.empty(arr.shape, arr.dtype)
             step = 1 << 20
             for i in range(0, arr.shape[0], step):
                 out[i : i + step] = np.asarray(arr[i : i + step])
             return out
 
-        v = pull(self._vectors, np.int8 if self._int8 else np.float32)
-        c = pull(self._cols, np.int32)
+        v = pull(self._vectors)
+        c = pull(self._cols)
         b = np.asarray(self._bias)
         s = np.asarray(self._scales) if self._int8 else None
-        # free device copies BEFORE pushing the permuted arrays back
+        # permute host-side, free the device copies, then push — new
+        # arrays land in locals first so a failed push cannot leave the
+        # index half-assigned (the host copies still exist to retry)
+        v, c, b = v[idx], c[idx], b[idx]
+        if self._int8:
+            s = s[idx]
         self._vectors = self._cols = self._bias = None
         if self._int8:
             self._scales = None
-        # int8 round-trips exactly; bf16 pulls as f32 and re-casts on push
-        self._vectors = self._put(jnp.asarray(v[idx], self._store_dtype))
-        self._cols = self._put(c[idx])
-        self._bias = self._put(b[idx])
+        new_v = self._put(jnp.asarray(v, self._store_dtype))
+        new_c = self._put(c)
+        new_b = self._put(b)
+        new_s = self._put(s) if self._int8 else None
+        self._vectors, self._cols, self._bias = new_v, new_c, new_b
         if self._int8:
-            self._scales = self._put(s[idx])
+            self._scales = new_s
 
     def compact(self) -> None:
         """Rebuild arrays dropping tombstones (periodic maintenance)."""
@@ -478,12 +500,13 @@ class DeviceVectorIndex:
                 return
             rows = np.asarray([r for r, _ in live])
             # chunked dequantized gather: bounded device memory (the full
-            # f32 view is 4x the int8 bytes — OOM at multi-M rows)
+            # f32 view is 4x the int8 bytes — OOM at multi-M rows) with
+            # pow2-padded gathers (bounded jit specializations)
             vecs = np.empty((len(rows), self.dim), np.float32)
             step = 1 << 20
             for i in range(0, len(rows), step):
-                part = self.dequantize_take(rows[i : i + step])
-                vecs[i : i + len(part)] = np.asarray(part)[:, : self.dim]
+                part, n_valid = self.dequantize_take_padded(rows[i : i + step])
+                vecs[i : i + n_valid] = np.asarray(part)[:n_valid, : self.dim]
             chunks = [c for _, c in live]
             schema = self.schema
             self._reset()
@@ -617,6 +640,20 @@ class DeviceVectorIndex:
         if self._int8:
             return _dequant_take_int8(self._vectors, self._scales, idx)
         return jnp.take(self._vectors, idx, axis=0).astype(jnp.float32)
+
+    def dequantize_take_padded(self, rows: np.ndarray) -> tuple[jnp.ndarray, int]:
+        """Like ``dequantize_take`` but the gather index pads to a pow2
+        bucket (repeating the first row) so repeated maintenance loops
+        keep bounded jit specializations (CLAUDE.md static-shape
+        invariant). Returns (padded [B, d_pad] f32, n_valid) — trim
+        host-side after materializing."""
+        rows = np.asarray(rows, np.int64)
+        n = len(rows)
+        bucket = _pow2_at_least(max(n, 1), 4096)
+        if bucket > n:
+            pad_val = rows[0] if n else 0
+            rows = np.concatenate([rows, np.full(bucket - n, pad_val, np.int64)])
+        return self.dequantize_take(rows), n
 
     def _run_search(self, queries, vectors, bias, k: int, backend: str):
         """Overridable search dispatch (ShardedVectorIndex swaps in the

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.kmeans import kmeans_fit
+from ..ops.kmeans import kmeans_assign, kmeans_fit
 from ..utils.log import get_logger
 
 logger = get_logger("index.ivf")
@@ -48,6 +48,28 @@ def fit_sample_indices(n: int, seed: int, cap: int = 131072) -> np.ndarray | Non
     return np.sort(sel).astype(np.int32)
 
 
+def fit_and_assign(index, n_lists: int, seed: int, fit_sample: int = 131072):
+    """k-means fit + full assignment with bounded device memory.
+
+    Dequantization happens CHUNKED — a full f32 view is 4x the int8
+    bytes and OOMs one chip past ~4M rows at d=768 — and the assignment
+    gathers pad to pow2 buckets so repeated builds keep bounded jit
+    specializations. Shared by the single-device and (single-process)
+    sharded builders. Returns (centroids [C, d], assign np[int32, size])."""
+    n = index.size
+    sel = fit_sample_indices(n, seed, fit_sample)
+    fit_on = index.dequantize_take(sel if sel is not None else np.arange(n, dtype=np.int32))
+    centroids = kmeans_fit(fit_on, n_lists, iters=index.config.kmeans_iters, seed=seed)
+
+    chunk = 1 << 20
+    assigns = []
+    for i in range(0, n, chunk):
+        rows = np.arange(i, min(i + chunk, n), dtype=np.int64)
+        part, n_valid = index.dequantize_take_padded(rows)
+        assigns.append(np.asarray(kmeans_assign(part, centroids))[:n_valid])
+    return centroids, np.concatenate(assigns)
+
+
 def build_ivf_state(index, n_lists: int | None = None, seed: int = 0, fit_sample: int = 131072) -> IVFState:
     """Cluster, reorder the index in place, and return probe metadata."""
     cfg = index.config
@@ -56,21 +78,7 @@ def build_ivf_state(index, n_lists: int | None = None, seed: int = 0, fit_sample
 
     n = index.size
     assert n > 0, "cannot build IVF over an empty index"
-
-    # the fit sample and the assignment both dequantize CHUNKED — a full
-    # f32 view is 4x the int8 bytes and OOMs one chip past ~4M rows
-    sel = fit_sample_indices(n, seed, fit_sample)
-    fit_on = index.dequantize_take(sel if sel is not None else np.arange(n, dtype=np.int32))
-    centroids = kmeans_fit(fit_on, n_lists, iters=cfg.kmeans_iters, seed=seed)
-
-    from ..ops.kmeans import kmeans_assign
-
-    chunk = 1 << 20
-    assigns = []
-    for i in range(0, n, chunk):
-        part = index.dequantized_rows(i, min(chunk, n - i))
-        assigns.append(np.asarray(kmeans_assign(part, centroids)))
-    assign = np.concatenate(assigns)
+    centroids, assign = fit_and_assign(index, n_lists, seed, fit_sample)
 
     perm = np.argsort(assign, kind="stable")
     index.reorder(perm)

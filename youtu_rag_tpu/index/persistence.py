@@ -51,9 +51,14 @@ def save_index(index: DeviceVectorIndex, path: str | Path) -> None:
         sc = np.asarray(index._scales)
         arrays["scales"] = sc[rows] if len(rows) else np.zeros(0, np.float32)
     else:
-        vecs32 = np.asarray(index.dequantized_vectors())
+        # pull the RAW storage (bf16 round-trips via ml_dtypes) and widen
+        # host-side — dequantized_vectors() would materialize a 2x f32
+        # copy on device and OOM large bf16 indexes
+        raw = np.asarray(index._vectors)
         arrays["vectors"] = (
-            vecs32[rows][:, : index.dim] if len(rows) else np.zeros((0, index.dim), np.float32)
+            raw[rows][:, : index.dim].astype(np.float32)
+            if len(rows)
+            else np.zeros((0, index.dim), np.float32)
         )
     cols = np.asarray(index._cols)[rows] if len(rows) else np.zeros((0, index.schema.max_columns), np.int32)
 

@@ -341,8 +341,6 @@ class ShardedVectorIndex(DeviceVectorIndex):
     def _build_ivf_local(self, n_lists: int | None = None, seed: int = 0) -> None:
         import numpy as _np
 
-        from ..ops.kmeans import kmeans_fit
-
         assert self.size > 0, "cannot build IVF over an empty index"
         cfg = self.config
         n_lists = n_lists or min(cfg.n_lists, max(self.size // 64, 1))
@@ -351,20 +349,9 @@ class ShardedVectorIndex(DeviceVectorIndex):
             if self._multi_process:
                 centroids, assign = self._mp_fit_assign(n_lists, seed)
             else:
-                from ..index.ivf import fit_sample_indices
-                from ..ops.kmeans import kmeans_assign
+                from ..index.ivf import fit_and_assign
 
-                sel = fit_sample_indices(self.size, seed)
-                fit_on = self.dequantize_take(
-                    sel if sel is not None else _np.arange(self.size, dtype=_np.int32)
-                )
-                centroids = kmeans_fit(fit_on, n_lists, iters=cfg.kmeans_iters, seed=seed)
-                chunk = 1 << 20
-                parts = []
-                for i in range(0, self.size, chunk):
-                    rows = self.dequantized_rows(i, min(chunk, self.size - i))
-                    parts.append(_np.asarray(kmeans_assign(rows, centroids)))
-                assign = _np.concatenate(parts)
+                centroids, assign = fit_and_assign(self, n_lists, seed)
 
             rows_per_shard = self.capacity // self.n_shards
             br = cfg.block_rows
