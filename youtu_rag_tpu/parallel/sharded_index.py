@@ -465,12 +465,14 @@ class ShardedVectorIndex(DeviceVectorIndex):
         return self._run_brute(queries, vectors, bias, k, backend)
 
     def _run_brute(self, queries, vectors, bias, k, backend):
-        # also the nprobe tuner's shadow check (base search())
+        # also the nprobe tuner's shadow check (base search()). Kernel
+        # tile sized against the PER-SHARD rows (must divide them).
+        br = self._kernel_block_rows(int8=self._int8, rows=self.capacity // self.n_shards)
         if self._int8:
             return self._sharded_topk.int8(
-                queries, vectors, self._scales, bias, k, backend, self.config.block_rows
+                queries, vectors, self._scales, bias, k, backend, br
             )
-        return self._sharded_topk(queries, vectors, bias, k, backend, self.config.block_rows)
+        return self._sharded_topk(queries, vectors, bias, k, backend, br)
 
     def _run_sharded_ivf(self, queries, vectors, bias, k, backend):
         from ..index.ivf import probe_blocks
