@@ -140,6 +140,43 @@ def test_host_staged_reorder_parity(rng, unit_vectors, monkeypatch, dtype):
     assert hit.id == "c0"
 
 
+def test_stage_reorder_heuristic(monkeypatch):
+    """Free-memory-aware staging decision: uses bytes_in_use when
+    reported, falls back to the 2.5x-vs-limit rule, tolerates stats
+    errors, honors YRT_HBM_BYTES."""
+    idx = DeviceVectorIndex(32, IndexConfig(min_capacity=128, block_rows=64))
+
+    class Dev:
+        platform = "tpu"
+
+        def __init__(self, stats=None, raise_=False):
+            self._stats, self._raise = stats, raise_
+
+        def memory_stats(self):
+            if self._raise:
+                raise RuntimeError("UNIMPLEMENTED")
+            return self._stats
+
+    total = idx.nbytes()
+    # plenty of free memory → device path
+    idx._device = Dev({"bytes_limit": 100 * total, "bytes_in_use": total})
+    assert idx._should_stage_reorder() is False
+    # tight free memory despite a big limit → host staging
+    idx._device = Dev({"bytes_limit": 100 * total, "bytes_in_use": int(99.5 * total)})
+    assert idx._should_stage_reorder() is True
+    # no usage info: 2.5x rule against the limit
+    idx._device = Dev({"bytes_limit": 2 * total})
+    assert idx._should_stage_reorder() is True
+    idx._device = Dev({"bytes_limit": 10 * total})
+    assert idx._should_stage_reorder() is False
+    # stats raising on a TPU backend still reaches the default/env limit
+    monkeypatch.setenv("YRT_HBM_BYTES", str(2 * total))
+    idx._device = Dev(raise_=True)
+    assert idx._should_stage_reorder() is True
+    monkeypatch.setenv("YRT_HBM_BYTES", "not-a-number")
+    assert idx._should_stage_reorder() is False  # falls back to 16 GB
+
+
 def test_ivf_int8_index():
     """int8 storage + IVF (DMA kernel path; XLA dequant fallback on CPU)."""
     rng = np.random.default_rng(21)
