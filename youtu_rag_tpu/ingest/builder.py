@@ -78,6 +78,17 @@ class KnowledgeBuilder(BaseKnowledgeBuilder):
             start_time=time.strftime("%Y-%m-%dT%H:%M:%S"),
         )
         self._status = status
+        try:
+            return await self._build_inner(documents, status)
+        except Exception as e:  # noqa: BLE001 - status must never stick at 'running'
+            logger.exception("build aborted")
+            status.status = "failed"
+            status.errors.append(f"build aborted: {e}")
+            status.end_time = time.strftime("%Y-%m-%dT%H:%M:%S")
+            status.metadata["errors_count"] = len(status.errors)
+            return status
+
+    async def _build_inner(self, documents: list[Document], status: BuildStatus) -> BuildStatus:
 
         sem = asyncio.Semaphore(self.config.max_workers)
 

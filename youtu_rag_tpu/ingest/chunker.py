@@ -69,7 +69,12 @@ class RecursiveTextSplitter(BaseTextSplitter):
 
     def _fixed_windows(self, text: str) -> list[str]:
         size = self.config.chunk_size
+        # overlap >= size passes config validation (overlap caps at 1000
+        # regardless of size); an unguarded stride would be <= 0 — empty
+        # output (silently unindexed text) or a range() ValueError
         stride = size - self.config.chunk_overlap
+        if stride <= 0:
+            stride = max(size // 2, 1)
         return [text[i : i + size] for i in range(0, len(text), stride)]
 
 
@@ -95,31 +100,40 @@ class HierarchicalMarkdownSplitter(BaseTextSplitter):
         return [c.strip() for c in chunks if c.strip()]
 
     def _sections(self, text: str):
-        """Yield (header_text, content_lines) per H1/H2 section."""
+        """Yield (header_text, content_lines) per H1/H2 section.
+
+        Header-only sections (consecutive headers with no body) still
+        yield — a heading is indexable text and dropping it would lose
+        e.g. '# Overview' directly followed by '# Details'."""
         h1 = h2 = None
         lines: list[str] = []
+        saw_header = False
 
         def flush():
-            nonlocal lines
-            if lines:
+            nonlocal lines, saw_header
+            if lines or saw_header:
                 parts = []
                 if h1:
                     parts.append(f"# {h1}")
                 if h2:
                     parts.append(f"## {h2}")
-                yield "\n".join(parts), lines
+                if parts or lines:
+                    yield "\n".join(parts), lines
                 lines = []
+            saw_header = False
 
         for line in text.split("\n"):
             m1 = self._H1.match(line)
             if m1:
                 yield from flush()
                 h1, h2 = m1.group(1).strip(), None
+                saw_header = True
                 continue
             m2 = self._H2.match(line)
             if m2:
                 yield from flush()
                 h2 = m2.group(1).strip()
+                saw_header = True
                 continue
             if line.strip():
                 lines.append(line)

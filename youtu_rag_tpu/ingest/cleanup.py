@@ -9,6 +9,7 @@ sweep."""
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Any
 
 from ..index.persistence import BuildManifest
@@ -33,8 +34,15 @@ class KnowledgeCleanupManager:
         self.manifest = manifest
 
     async def cleanup_source(self, source_id: str) -> dict[str, Any]:
-        """Remove all vectors + tables + manifest state for one source."""
+        """Remove all vectors + tables + manifest state for one source.
+
+        Path-style source ids store their chunks under the file BASENAME
+        (the loader doc-id convention; see agent._existing_chunks) — both
+        forms are deleted so a configured path actually cleans up."""
         deleted_chunks = await self.store.delete_by_document_id(source_id)
+        base = Path(source_id).name
+        if base != source_id:
+            deleted_chunks += await self.store.delete_by_document_id(base)
         dropped = []
         for table in self.tables.tables_for_source(self.kb_name, source_id):
             if self.tables.drop_table(self.kb_name, table):
@@ -53,6 +61,10 @@ class KnowledgeCleanupManager:
         """Diff configured sources vs indexed documents and clean leftovers
         (ref: KBConfigService.cleanup_removed_sources)."""
         current = set(current_source_ids)
+        # path-style source ids index their chunks under the basename —
+        # count both forms as "still configured" or live sources whose
+        # id is a path would be deleted as removed
+        current |= {Path(s).name for s in current_source_ids}
         indexed: set[str] = set()
         if self.store._index is not None:
             for c in self.store._index.iter_live():

@@ -139,13 +139,19 @@ class HiChunkEngine:
         while start < len(sentences):
             window: list[tuple[int, str]] = list(carry)
             used = sum(len(s) + 8 for _, s in window)
+            consumed = 0
             while start < len(sentences):
                 s = sentences[start]
-                if used + len(s) + 8 > self.window_size and window:
+                if used + len(s) + 8 > self.window_size and window and consumed:
                     break
+                # `consumed` guard: a window must always take at least one
+                # NEW sentence — when the carry alone fills the budget
+                # (small window_size vs line_max_len) breaking here would
+                # rebuild the identical carry and loop forever
                 window.append((start, s))
                 used += len(s) + 8
                 start += 1
+                consumed += 1
             infer = getattr(self.model, "infer_async", None)
             got = await infer(window) if infer else self.model.infer(window)
             seen = {(p.level, p.line) for p in points}

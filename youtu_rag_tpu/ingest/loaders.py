@@ -37,7 +37,7 @@ def load_excel(path: str, metadata: dict | None = None) -> list[Document]:
     import pandas as pd
 
     docs = []
-    sheets = pd.read_excel(path, sheet_name=None) if path.endswith((".xlsx", ".xls")) else {
+    sheets = pd.read_excel(path, sheet_name=None) if path.lower().endswith((".xlsx", ".xls")) else {
         "Sheet1": pd.read_csv(path)
     }
     for sheet_name, df in sheets.items():

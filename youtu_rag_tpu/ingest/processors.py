@@ -104,7 +104,12 @@ class BaseSourceProcessor:
         docs = DocumentLoaderRegistry.load(task.path, task.metadata or None)
         return docs[0]
 
-    def _content_chunks(self, doc: Document, strategy: str | None = None) -> list[Chunk]:
+    def _content_chunks(
+        self, doc: Document, strategy: str | None = None, id_salt: str | None = None
+    ) -> list[Chunk]:
+        """``id_salt`` disambiguates chunk ids for multi-part documents
+        (Excel sheets share one document_id; two identical sheets would
+        otherwise mint identical (doc, index, text) chunk ids)."""
         cfg = self.ctx.config.chunking
         if strategy:
             cfg = cfg.model_copy(update={"strategy": strategy})
@@ -113,6 +118,7 @@ class BaseSourceProcessor:
             cfg = cfg.model_copy(update={"strategy": "hierarchical"})
         splitter = get_splitter(cfg)
         texts = splitter.split_text(doc.content, doc.metadata)
+        id_base = f"{doc.id}#{id_salt}" if id_salt else doc.id
         out = []
         for i, t in enumerate(texts):
             meta = dict(doc.metadata or {})
@@ -124,7 +130,7 @@ class BaseSourceProcessor:
                     "index_type": INDEX_CONTENT,
                 }
             )
-            out.append(Chunk(make_chunk_id(doc.id, i, t), doc.id, t, i, meta))
+            out.append(Chunk(make_chunk_id(id_base, i, t), doc.id, t, i, meta))
         return out
 
     def _summary_chunk(self, doc: Document, summary: str | None = None) -> Chunk:
@@ -167,7 +173,7 @@ class ExcelProcessor(BaseSourceProcessor):
         source_id = task.source_id
         await self.ctx.store.delete_by_document_id(source_id)
 
-        if path and path.endswith(".csv"):
+        if path and path.lower().endswith(".csv"):
             sheets = {"Sheet1": pd.read_csv(path)}
         elif path:
             sheets = pd.read_excel(path, sheet_name=None)
@@ -205,7 +211,7 @@ class ExcelProcessor(BaseSourceProcessor):
                 md,
                 {**task.metadata, "source": source_id, "sheet": sheet_name, "file_type": "excel"},
             )
-            chunks.extend(self._content_chunks(doc))
+            chunks.extend(self._content_chunks(doc, id_salt=sheet_name))
             if not structured:
                 # unstructured small sheets also index per-row docs (ref
                 # row-docs), capped so a wide-but-short pathological sheet
@@ -221,6 +227,16 @@ class ExcelProcessor(BaseSourceProcessor):
                     chunks.append(
                         Chunk(md5_hex(f"{source_id}:{sheet_name}:row{ri}"), source_id, text, ri, meta)
                     )
+
+        # all sheets share one document_id: renumber CONTENT chunk_index
+        # to a single per-document sequence (per-sheet indexes restarted
+        # at 0, breaking any consumer ordering/paginating a document by
+        # index). Element vectors (table/column) keep their conventions.
+        content = [c for c in chunks if (c.metadata or {}).get("index_type") == INDEX_CONTENT]
+        for i, c in enumerate(content):
+            c.chunk_index = i
+            c.metadata["chunk_index"] = i
+            c.metadata["total_chunks"] = len(content)
 
         summary_doc = Document(
             source_id,
@@ -333,9 +349,10 @@ class QAProcessor(BaseSourceProcessor):
                 "answer": a[:2000],
                 "related_file": pair.get("related_file", ""),
             }
-            chunks.append(
-                Chunk(md5_hex(f"qa:{source_id}:{i}:{q}"), source_id, f"Q: {q}\nA: {a}", i, meta)
-            )
+            # the QUESTION alone is the vector (the documented parity
+            # contract): question-shaped queries must not be diluted by
+            # long answer text; the answer rides in metadata
+            chunks.append(Chunk(md5_hex(f"qa:{source_id}:{i}:{q}"), source_id, q, i, meta))
         n = await self._embed_and_store(chunks)
         return ProcessResult(source_id, chunks=n)
 

@@ -79,6 +79,22 @@ class TableStore:
 
     def store_dataframe(self, kb: str, source: str, name: str, df: pd.DataFrame) -> str:
         table = sanitize_table_name(name)
+        # sanitized names can collide ACROSS sources (a/sales.xlsx vs
+        # b/sales.xlsx, or a-b vs a_b); replacing another source's table
+        # would silently re-point its registry row and vectors to this
+        # source's data — disambiguate with a stable source-hash suffix
+        with self._lock:
+            row = self._conn.execute(
+                "SELECT source FROM kb_tables WHERE kb = ? AND table_name = ?", (kb, table)
+            ).fetchone()
+        if row is not None and row["source"] != source:
+            import hashlib
+
+            suffix = hashlib.md5(source.encode()).hexdigest()[:6]
+            table = f"{table}_{suffix}"
+            logger.warning(
+                "table name collision for %r across sources; using %s", name, table
+            )
         with self._lock:
             df.to_sql(table, self._conn, if_exists="replace", index=False)
         self.register(kb, source, table, df)
@@ -95,14 +111,32 @@ class TableStore:
             return cur.rowcount > 0
 
     def execute_sql(self, sql: str, limit: int = 200) -> dict[str, Any]:
-        """Read-only query execution for text2sql (ref: ex_sql)."""
+        """Read-only query execution for text2sql (ref: ex_sql).
+
+        Enforcement is an sqlite authorizer, not just the statement-prefix
+        regex — CTE-wrapped writes ('WITH x AS (...) DELETE ...'),
+        PRAGMA, and ATTACH all pass a prefix check but are denied here."""
         forbidden = re.match(r"\s*(insert|update|delete|drop|alter|create|replace)\b", sql, re.I)
         if forbidden:
             return {"error": "only SELECT statements are allowed"}
+
+        allowed = {sqlite3.SQLITE_SELECT, sqlite3.SQLITE_READ, sqlite3.SQLITE_FUNCTION}
+        recursive = getattr(sqlite3, "SQLITE_RECURSIVE", None)
+        if recursive is not None:
+            allowed.add(recursive)
+
+        def authorizer(action, *_args):
+            return sqlite3.SQLITE_OK if action in allowed else sqlite3.SQLITE_DENY
+
         try:
             with self._lock:
-                rows = self._conn.execute(sql).fetchmany(limit)
-                columns = [d[0] for d in self._conn.execute(sql).description]
+                self._conn.set_authorizer(authorizer)
+                try:
+                    cur = self._conn.execute(sql)
+                    rows = cur.fetchmany(limit)
+                    columns = [d[0] for d in cur.description] if cur.description else []
+                finally:
+                    self._conn.set_authorizer(None)
             return {"columns": columns, "rows": [list(r) for r in rows], "row_count": len(rows)}
         except sqlite3.Error as e:
             return {"error": str(e)}
