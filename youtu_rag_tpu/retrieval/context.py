@@ -56,6 +56,11 @@ class ContextAssembler:
         used = 0
         for s in sections:
             if used + len(s) > self.max_context_length:
+                if not out:
+                    # the TOP hit alone exceeds the budget (big chunks vs a
+                    # small budget): truncate it rather than answering with
+                    # zero context
+                    out.append(s[: self.max_context_length])
                 break
             out.append(s)
             used += len(s)

@@ -8,7 +8,6 @@ layer registers and toolkits resolve by name."""
 
 from __future__ import annotations
 
-import asyncio
 from typing import Any
 
 from ..core.config import RAGConfig
@@ -85,19 +84,42 @@ class KnowledgeBase:
         if self.store._index is None:
             raise RuntimeError("empty knowledge base; nothing to snapshot")
         save_index(self.store._index, d / "index")
-        (d / "kb.json").write_text(
-            __import__("json").dumps({"name": self.name, "config": self.config.model_dump()})
-        )
+        import json as _json
+
+        tmp = d / "kb.json.tmp"
+        tmp.write_text(_json.dumps({"name": self.name, "config": self.config.model_dump()}))
+        tmp.replace(d / "kb.json")  # atomic per artifact
         return {"directory": str(d), "chunks": self.store._index.count()}
 
     def load(self, directory: str) -> dict[str, Any]:
-        """Restore a snapshot into this KB (replaces current contents)."""
+        """Restore a snapshot into this KB (replaces current contents).
+
+        The restored engine honors the store's configuration: the mesh
+        (sharded KBs stay sharded) and the numpy test backend (rebuilt in
+        that engine rather than silently switching to the device index).
+        The snapshot dimension must match this KB's embedder."""
         from pathlib import Path
 
         from ..index.persistence import load_index
 
         d = Path(directory)
-        idx = load_index(d / "index")
+        idx = load_index(d / "index", mesh=self.store._mesh)
+        emb_dim = getattr(self.embedder, "dimension", None)
+        if emb_dim and emb_dim != idx.dim:
+            raise ValueError(
+                f"snapshot dimension {idx.dim} != embedder dimension {emb_dim}; "
+                "restore into a KB configured with the matching embedding model"
+            )
+        if self.config.vector_store.backend == "numpy":
+            import numpy as _np
+
+            target = self.store._make_index(idx.dim)
+            chunks = list(idx.iter_live())
+            if chunks:
+                rows = [idx._id_to_row[c.id] for c in chunks]
+                embs = _np.asarray(idx.dequantize_take(_np.asarray(rows)))[:, : idx.dim]
+                target.add(chunks, embs)
+            idx = target
         self.store._index = idx
         self.store._dim = idx.dim
         return {"directory": str(d), "chunks": idx.count()}
@@ -120,8 +142,10 @@ class KBRegistry:
     _create_retriever cache)."""
 
     def __init__(self):
+        # single-threaded tornado loop + synchronous get_or_create → no
+        # lock needed (one would imply a concurrency guarantee this
+        # registry doesn't provide)
         self._kbs: dict[str, KnowledgeBase] = {}
-        self._lock = asyncio.Lock()
 
     def get(self, name: str) -> KnowledgeBase | None:
         return self._kbs.get(name)

@@ -26,7 +26,9 @@ class StorageMonitor(BaseStorageMonitor):
         self.name = name
         self._queries: deque[QueryLogEntry] = deque(maxlen=10000)
         self._errors = 0
-        self._alerts: list[dict[str, Any]] = []
+        # bounded like _queries: a sustained-slow backend must not grow
+        # process memory for the server's lifetime
+        self._alerts: deque[dict[str, Any]] = deque(maxlen=1000)
 
     async def check_health(self) -> HealthStatus:
         try:
@@ -50,9 +52,8 @@ class StorageMonitor(BaseStorageMonitor):
             )
 
     async def log_query(self, query: str, latency_ms: float, result_count: int) -> None:
-        if not self.config.enable_query_logging:
-            return
-        self._queries.append(QueryLogEntry(query[:200], latency_ms, result_count))
+        # alerting is independent of query logging (separate config
+        # switches) — a disabled log must not silence slow-query alerts
         threshold = self.config.alert_thresholds.get("query_latency_ms", 1000.0)
         if self.config.enable_alerts and latency_ms > threshold:
             alert = {
@@ -63,6 +64,9 @@ class StorageMonitor(BaseStorageMonitor):
             }
             self._alerts.append(alert)
             logger.warning("slow query alert: %.1fms > %.1fms", latency_ms, threshold)
+        if not self.config.enable_query_logging:
+            return
+        self._queries.append(QueryLogEntry(query[:200], latency_ms, result_count))
 
     def log_error(self) -> None:
         self._errors += 1

@@ -76,6 +76,15 @@ class VectorRetriever(BaseRetriever):
             if similarity_threshold is not None
             else self.config.similarity_threshold
         )
+        metric = getattr(self.store.config, "distance_metric", "cosine")
+        if threshold > 0 and metric not in ("cosine",):
+            # l2 scores are 2q·x − ||x||² and ip is unbounded — a [0,1]
+            # similarity threshold would drop results arbitrarily
+            logger.warning(
+                "similarity_threshold ignored for metric %r (scores are not similarities)",
+                metric,
+            )
+            threshold = 0.0
         fetch_k = top_k * 2 if rerank else top_k
 
         embs = np.asarray(await self.embedder.embed_texts(queries), np.float32)
@@ -117,12 +126,32 @@ class HybridRetriever(VectorRetriever):
         self.fusion_pool = fusion_pool
         self._lexical = LexicalReranker()
 
-    async def batch_retrieve(self, queries, top_k=None, filters=None, **kwargs):
+    async def batch_retrieve(
+        self,
+        queries,
+        top_k=None,
+        filters=None,
+        enable_reranking=None,
+        similarity_threshold=None,
+        **kwargs,
+    ):
         top_k = top_k or self.config.top_k
+        rerank = (
+            enable_reranking
+            if enable_reranking is not None
+            else (self.config.enable_reranking and self.reranker is not None)
+        )
+        threshold = (
+            similarity_threshold
+            if similarity_threshold is not None
+            else self.config.similarity_threshold
+        )
         pool = max(self.fusion_pool, top_k)
+        # threshold applies on the DENSE similarity before fusion — RRF
+        # values are rank artifacts (~1/rrf_k), not similarities
         dense_lists = await super().batch_retrieve(
             queries, top_k=pool, filters=filters, enable_reranking=False,
-            similarity_threshold=0.0,
+            similarity_threshold=threshold,
         )
         out = []
         for query, dense in zip(queries, dense_lists):
@@ -134,12 +163,16 @@ class HybridRetriever(VectorRetriever):
             rrf: dict[int, float] = {}
             for rank, i in enumerate(lex_order):
                 rrf[i] = rrf.get(i, 0.0) + 1.0 / (self.rrf_k + rank + 1)
-            for rank, i in enumerate(range(len(dense))):  # dense already ranked
-                rrf[i] = rrf.get(i, 0.0) + 1.0 / (self.rrf_k + rank + 1)
+            for i in range(len(dense)):  # the dense list IS its ranking
+                rrf[i] = rrf.get(i, 0.0) + 1.0 / (self.rrf_k + i + 1)
             order = sorted(rrf, key=lambda i: -rrf[i])[:top_k]
-            results = []
-            for rank, i in enumerate(order):
-                r = dense[i]
-                results.append(RetrievalResult(chunk=r.chunk, score=rrf[i], rank=rank + 1))
+            # RRF orders; the reported score stays the dense similarity so
+            # downstream confidence cutoffs keep a [0,1]-ish scale
+            results = [
+                RetrievalResult(chunk=dense[i].chunk, score=dense[i].score, rank=rank + 1)
+                for rank, i in enumerate(order)
+            ]
+            if rerank and results and self.reranker is not None:
+                results = await self.reranker.rerank(query, results, top_k=top_k)
             out.append(results)
         return out

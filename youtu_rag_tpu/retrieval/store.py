@@ -105,8 +105,11 @@ class TpuVectorStore(BaseVectorStore):
         """Engine-native batched search: one fused kernel launch for the
         whole query batch."""
         q = np.asarray(query_embeddings, np.float32)
+        n_q = q.shape[0] if q.ndim >= 1 else 0
+        if n_q == 0:
+            return []  # empty batch: (0,)-shaped array would fail dim checks
         if self._index is None or self._index.count() == 0:
-            return [[] for _ in range(q.shape[0])]
+            return [[] for _ in range(n_q)]
         return self._index.search(q, top_k=top_k, filters=filters)
 
     async def reserve(self, total_rows: int, dim: int | None = None) -> None:
