@@ -113,7 +113,9 @@ class SimpleAgent:
 
     def run_streamed(self, task: str, **kwargs) -> TaskRecorder:
         recorder = TaskRecorder(task=task)
-        asyncio.ensure_future(self._run_loop(task, recorder, **kwargs))
+        # the task handle rides on the recorder so stream consumers (SSE/
+        # WS handlers) can cancel an abandoned run on client disconnect
+        recorder.run_task = asyncio.ensure_future(self._run_loop(task, recorder, **kwargs))
         return recorder
 
     async def chat(self, message: str) -> str:

@@ -100,6 +100,17 @@ _TABLE_EXTS = (".csv", ".xlsx", ".xls")
 _TEXT_EXTS = (".txt", ".md", ".markdown", ".json", ".jsonl", ".py", ".html")
 
 
+def _deep_merge(base: dict, override: dict) -> dict:
+    """Recursive dict merge: nested overrides replace leaves, not whole
+    sections (pydantic would refill a replaced section with defaults)."""
+    for k, v in override.items():
+        if isinstance(v, dict) and isinstance(base.get(k), dict):
+            _deep_merge(base[k], v)
+        else:
+            base[k] = v
+    return base
+
+
 def _modify_query(state, query: str, kb_id, file_ids) -> tuple[str, str | None]:
     """Inject kb/file context into the query (ref: ChatService.modify_query,
     chat_service.py:486-623 — kb reference + file download for Excel
@@ -107,7 +118,11 @@ def _modify_query(state, query: str, kb_id, file_ids) -> tuple[str, str | None]:
     parts = []
     table_path = None
     if kb_id:
-        state.get_or_create_kb(kb_id)
+        # unknown kb must 404 like every other handler — get_or_create
+        # here would mint (and permanently register) a junk empty KB for
+        # every mistyped kb_id
+        if state.kbs.get(kb_id) is None:
+            raise tornado.web.HTTPError(404, reason=f"knowledge base {kb_id!r} not found")
         parts.append(f"[knowledge base: {kb_id}]")
     for fid in file_ids or []:
         if not state.files.exists("uploads", fid):
@@ -164,6 +179,11 @@ class ChatHandler(BaseHandler):
             try:
                 await self.flush()
             except tornado.iostream.StreamClosedError:
+                # client gone: cancel the in-flight run instead of letting
+                # it burn model/TPU work into a queue nobody drains
+                run_task = getattr(recorder, "run_task", None)
+                if run_task is not None and not run_task.done():
+                    run_task.cancel()
                 return
         try:
             await recorder.wait()
@@ -208,7 +228,8 @@ class KBCollectionHandler(BaseHandler):
             from ..core.config import RAGConfig
 
             base = self.state.rag_config.model_dump()
-            base.update(body["config"])
+            _deep_merge(base, body["config"])  # shallow update would reset
+            # every sibling field of a partially-overridden section
             base["name"] = name
             try:
                 cfg = RAGConfig.model_validate(base)
@@ -232,7 +253,7 @@ class KBItemHandler(BaseHandler):
         if kb is None:
             raise tornado.web.HTTPError(404, reason=f"knowledge base {name!r} not found")
         await kb.store.clear()
-        self.state.kbs.remove(name)
+        self.state.remove_kb(name)
         self.write_json({"deleted": name})
 
 
@@ -355,7 +376,9 @@ class KBChunksHandler(BaseHandler):
         if document_id:
             filters["source"] = document_id
         if filters:
-            chunks = await kb.store.get_by_filter(filters, limit=offset + limit)
+            # no pre-cap: the text query filters AFTER this, so capping at
+            # offset+limit here would hide deeper matches and undercount
+            chunks = await kb.store.get_by_filter(filters, limit=None)
         else:
             idx = kb.store._index
             chunks = list(idx.iter_live()) if idx is not None else []
@@ -539,6 +562,11 @@ class KBIndexHandler(BaseHandler):
         idx = kb.store._index
         if idx is None:
             raise tornado.web.HTTPError(400, reason="knowledge base is empty")
+        if not hasattr(idx, "build_ivf"):
+            # numpy test backend: no device-index maintenance surface
+            raise tornado.web.HTTPError(
+                400, reason=f"index maintenance not supported for backend {type(idx).__name__}"
+            )
         body = self.json_body()
         action = body.get("action")
         if action == "build_ivf":
@@ -567,6 +595,11 @@ class KBIndexHandler(BaseHandler):
         idx = kb.store._index
         if idx is None:
             self.write_json({"rows": 0, "ivf": None})
+            return
+        if not hasattr(idx, "capacity"):  # numpy test backend
+            self.write_json(
+                {"rows": idx.count(), "backend": type(idx).__name__, "ivf": None}
+            )
             return
         self.write_json(
             {
@@ -898,11 +931,16 @@ class MemoryConfigHandler(BaseHandler):
     async def post(self):
         body = self.json_body()
         enabled = bool(body.get("memoryEnabled"))
+        changed = enabled != self.state.memory_enabled
         self.state.memory_enabled = enabled
         if enabled and self.state.memory_toolkit is None:
             from ..memory.toolkit import VectorMemoryToolkit
 
             self.state.memory_toolkit = VectorMemoryToolkit({})
+        if changed:
+            # rebuild the agent so the toggle actually takes effect (the
+            # toolkit wires in at agent construction, state.get_agent)
+            await self.state.switch_agent(self.state.agent_config)
         self.write_json({"memoryEnabled": enabled})
 
 
@@ -933,7 +971,9 @@ class AgentSwitchHandler(BaseHandler):
         try:
             config = AgentConfig.from_dict(body)
         except Exception as e:  # noqa: BLE001
-            raise tornado.web.HTTPError(400, reason=f"invalid agent config: {e}")
+            # tornado reasons must be single-line; pydantic errors aren't
+            detail = " | ".join(str(e).splitlines())[:300]
+            raise tornado.web.HTTPError(400, reason=f"invalid agent config: {detail}") from None
         await self.state.switch_agent(config)
         self.write_json({"switched": config.type})
 
@@ -962,27 +1002,48 @@ class ChatWebSocketHandler(tornado.websocket.WebSocketHandler):
             await self.write_message(json.dumps({"type": "error", "content": "missing 'query'"}))
             return
         try:
-            query, _ = _modify_query(self.state, query, body.get("kb_id"), body.get("file_ids"))
+            query, table_path = _modify_query(
+                self.state, query, body.get("kb_id"), body.get("file_ids")
+            )
         except tornado.web.HTTPError as e:
             await self.write_message(json.dumps({"type": "error", "content": e.reason}))
             return
         agent = await self.state.get_agent()
-        recorder = agent.run_streamed(query)
+        excel_routed = table_path is not None and hasattr(agent, "load_schema")
+        recorder = (
+            agent.run_streamed(query, table_path) if excel_routed else agent.run_streamed(query)
+        )
+        streamed_error = False
         async for ev in recorder.stream_events():
             card = {"type": ev.type}
             if ev.text:
                 card["content"] = ev.text
             if ev.name:
                 card["name"] = ev.name
+            if ev.arguments:
+                card["arguments"] = ev.arguments
+            if ev.data:
+                card["data"] = ev.data
+            streamed_error = streamed_error or ev.type == "error"
             try:
                 await self.write_message(json.dumps(card, ensure_ascii=False))
             except tornado.websocket.WebSocketClosedError:
                 return
         try:
             await recorder.wait()
-            await self.write_message(json.dumps({"type": "done", "trace_id": recorder.trace_id}))
         except RuntimeError as e:
-            await self.write_message(json.dumps({"type": "error", "content": str(e)}))
+            if not streamed_error:
+                await self.write_message(
+                    json.dumps({"type": "error", "content": str(e)}, ensure_ascii=False)
+                )
+        # always terminate with done — clients reset their awaiting state
+        # on it (same contract as the SSE route)
+        try:
+            await self.write_message(
+                json.dumps({"type": "done", "trace_id": getattr(recorder, "trace_id", None)})
+            )
+        except tornado.websocket.WebSocketClosedError:
+            pass
 
 
 class TrajectoriesHandler(BaseHandler):

@@ -22,7 +22,7 @@ from ..agents.config import AgentConfig
 from ..core.config import RAGConfig
 from ..db.service import DBService
 from ..memory.toolkit import VectorMemoryToolkit
-from ..retrieval.kb import KBRegistry, KnowledgeBase
+from ..retrieval.kb import GLOBAL_KB_REGISTRY, KBRegistry, KnowledgeBase
 from ..retrieval.monitoring import UnifiedStorageMonitor
 from ..utils.hashing import content_etag
 from ..utils.log import get_logger
@@ -175,6 +175,13 @@ class ApiState:
                         _db.add(TrajectoryRecord.from_recorder_dict(record))
 
                     kwargs["trajectory_sink"] = sink
+                if self.memory_enabled and self.agent_config.type == "simple":
+                    # the runtime memory toggle (POST /api/memory/config):
+                    # the toolkit must reach the agent or the toggle is a
+                    # no-op while /health reports memory on
+                    if self.memory_toolkit is None:
+                        self.memory_toolkit = VectorMemoryToolkit({})
+                    kwargs["memory_toolkit"] = self.memory_toolkit
                 self.agent = get_agent(self.agent_config, **kwargs)
                 if hasattr(self.agent, "build"):
                     await self.agent.build()
@@ -194,7 +201,20 @@ class ApiState:
         if kb is None:
             kb = self.kbs.get_or_create(name, config or self.rag_config.model_copy(update={"name": name}))
             self.monitor.register(name, kb.store)
+            # agent KB toolkits (kb_search et al.) resolve names through
+            # the GLOBAL registry — without this, chat over an API-built
+            # KB fails with "knowledge base not registered"
+            GLOBAL_KB_REGISTRY.register(kb)
         return kb
+
+    def remove_kb(self, name: str) -> bool:
+        """Remove a KB everywhere it was registered: the API registry, the
+        global toolkit registry, and the storage monitor (a stale monitor
+        row keeps the cleared index alive and reports a deleted backend)."""
+        removed = self.kbs.remove(name)
+        GLOBAL_KB_REGISTRY.remove(name)
+        self.monitor.unregister(name)
+        return removed
 
     def new_upload(self, filename: str) -> UploadTask:
         task = UploadTask(task_id=f"up-{uuid.uuid4().hex[:12]}", filename=filename)

@@ -112,6 +112,11 @@ class UnifiedStorageMonitor:
         self.monitors[name] = mon
         return mon
 
+    def unregister(self, name: str) -> bool:
+        """Drop a backend's monitor (KB deletion — a stale entry keeps the
+        cleared store alive and forever reports a deleted backend)."""
+        return self.monitors.pop(name, None) is not None
+
     async def check_all_health(self) -> dict[str, HealthStatus]:
         return {name: await m.check_health() for name, m in self.monitors.items()}
 

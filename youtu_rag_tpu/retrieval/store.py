@@ -127,8 +127,8 @@ class TpuVectorStore(BaseVectorStore):
 
     async def update_metadata(self, chunk_ids: list[str], metadatas: list[dict]) -> int:
         """Metadata-only update (no re-embedding); see DeviceVectorIndex."""
-        if self._index is None:
-            return 0
+        if self._index is None or not hasattr(self._index, "update_metadata"):
+            return 0  # numpy test backend: no in-place metadata surface
         return self._index.update_metadata(chunk_ids, metadatas)
 
     async def delete_by_document_id(self, document_id: str) -> int:
@@ -153,9 +153,12 @@ class TpuVectorStore(BaseVectorStore):
 
     # -- extras used by toolkits/monitoring --------------------------------
 
-    async def get_by_filter(self, filters: dict[str, Any], limit: int = 1000) -> list[Chunk]:
+    async def get_by_filter(
+        self, filters: dict[str, Any], limit: int | None = 1000
+    ) -> list[Chunk]:
         """Host-side metadata scan (ref analog: chroma collection.get with
-        where-clauses). Used for summary-index listing and memory fetches."""
+        where-clauses). Used for summary-index listing and memory fetches.
+        ``limit=None`` scans everything (browsing with a post-filter)."""
         from ..index.filters import host_eval
 
         if self._index is None:
@@ -164,7 +167,7 @@ class TpuVectorStore(BaseVectorStore):
         for c in self._index.iter_live():
             if host_eval(filters, c.metadata):
                 out.append(c)
-                if len(out) >= limit:
+                if limit is not None and len(out) >= limit:
                     break
         return out
 
