@@ -126,6 +126,16 @@ class OrchestraAgent:
             await w.build()
         return self
 
+    async def cleanup(self) -> None:
+        """Release worker resources (env workspaces, containers) — the
+        same contract SimpleAgent.cleanup provides."""
+        for w in (self._workers or {}).values():
+            if hasattr(w, "cleanup"):
+                try:
+                    await w.cleanup()
+                except Exception:  # noqa: BLE001 - best-effort teardown
+                    logger.exception("worker cleanup failed")
+
     def _agents_info(self) -> str:
         infos = self.config.workers_info or [
             {"name": n, "desc": (w.config.agent.instructions or "")[:200]}
@@ -213,5 +223,7 @@ class OrchestraAgent:
                 recorder.emit(AgentEvent("error", text=str(e)))
                 recorder.finish(error=str(e))
 
-        asyncio.ensure_future(go())
+        # handle on the recorder: stream consumers cancel abandoned
+        # runs (client disconnect) via recorder.run_task
+        recorder.run_task = asyncio.ensure_future(go())
         return recorder

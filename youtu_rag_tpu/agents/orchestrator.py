@@ -107,6 +107,16 @@ class _BaseOrchestrator:
             await w.build()
         return self
 
+    async def cleanup(self) -> None:
+        """Release worker resources (env workspaces, containers) — the
+        same contract SimpleAgent.cleanup provides."""
+        for w in (self._workers or {}).values():
+            if hasattr(w, "cleanup"):
+                try:
+                    await w.cleanup()
+                except Exception:  # noqa: BLE001 - best-effort teardown
+                    logger.exception("worker cleanup failed")
+
     def _workers_info(self) -> str:
         infos = self.config.orchestrator_workers_info or [
             {"name": n, "description": (w.config.agent.instructions or "")[:200]}
@@ -135,7 +145,9 @@ class _BaseOrchestrator:
                 recorder.emit(AgentEvent("error", text=str(e)))
                 recorder.finish(error=str(e))
 
-        asyncio.ensure_future(go())
+        # handle on the recorder: stream consumers cancel abandoned
+        # runs (client disconnect) via recorder.run_task
+        recorder.run_task = asyncio.ensure_future(go())
         return recorder
 
     async def _execute(self, task: str, recorder: TaskRecorder) -> str:
@@ -207,12 +219,26 @@ class ParallelOrchestratorAgent(_BaseOrchestrator):
                     return
                 recorder.emit(AgentEvent("agent_switch", name=t.agent_name, text=t.task))
                 t.status = "running"
+                sub = worker.run_streamed(t.task)
+
+                async def drain(_sub=sub):
+                    async for _ in _sub.stream_events():
+                        pass
+                    return await _sub.wait()
+
                 try:
-                    rec = await asyncio.wait_for(worker.run(t.task), timeout=self.config.task_timeout)
+                    rec = await asyncio.wait_for(drain(), timeout=self.config.task_timeout)
                     t.result = rec.final_output or ""
                     t.status = "done"
                 except asyncio.TimeoutError:
                     t.status, t.result = "timeout", f"(timed out after {self.config.task_timeout}s)"
+                    # cancel the worker's BACKGROUND run, not just our
+                    # await — otherwise the zombie keeps burning model
+                    # turns (and writing memory) for a task already
+                    # reported as timed out
+                    run_task = getattr(sub, "run_task", None)
+                    if run_task is not None and not run_task.done():
+                        run_task.cancel()
                 except Exception as e:  # noqa: BLE001
                     t.status, t.result = "failed", f"(failed: {e})"
                 recorder.add_message(t.agent_name, t.result or "")

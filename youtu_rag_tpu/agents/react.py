@@ -44,9 +44,37 @@ Rules: exactly one Action per reply; Action Input must be valid JSON; never
 invent Observations."""
 
 _ACTION_RE = re.compile(
-    r"Action:\s*(?P<name>[\w.-]+)\s*\n\s*Action\s*Input:\s*(?P<args>\{.*?\})\s*(?:\n|$)",
+    r"Action:\s*(?P<name>[\w.-]+)\s*\n\s*Action\s*Input:\s*(?P<rest>\{.*)",
     re.DOTALL,
 )
+
+
+def _balanced_json(text: str) -> str | None:
+    """First balanced {...} object from the start of ``text`` — a lazy
+    regex truncated pretty-printed/nested JSON at the first '}' before a
+    newline, dropping the tool call entirely."""
+    depth = 0
+    in_str = False
+    esc = False
+    for i, ch in enumerate(text):
+        if esc:
+            esc = False
+            continue
+        if ch == "\\":
+            esc = True
+            continue
+        if ch == '"':
+            in_str = not in_str
+            continue
+        if in_str:
+            continue
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0:
+                return text[: i + 1]
+    return None
 _FINAL_RE = re.compile(r"Final\s*Answer:\s*(?P<answer>.*)", re.DOTALL)
 _THOUGHT_RE = re.compile(r"Thought:\s*(?P<t>.*?)(?=\n(?:Action|Final)|\Z)", re.DOTALL)
 
@@ -75,7 +103,10 @@ def parse_react(text: str) -> tuple[str | None, list[ToolCall], str | None]:
         return thought, [], m.group("answer").strip()
     m = _ACTION_RE.search(text or "")
     if m:
-        raw_args = m.group("args")
+        raw_args = _balanced_json(m.group("rest"))
+        if raw_args is None:
+            logger.warning("unterminated Action Input: %r", m.group("rest")[:200])
+            return thought, [], text  # degrade to plain answer
         try:
             json.loads(raw_args)
         except json.JSONDecodeError:

@@ -52,7 +52,15 @@ class SimpleAgent:
         from .context import get_context_manager
         from .hooks import HookRunner, get_run_hooks
 
-        self.context_manager = get_context_manager(self.config.context_manager)
+        # the compactify manager's LLM summarization path needs an agent;
+        # share this agent's client so compaction is real summarization
+        # rather than the head-truncation fallback
+        from .llm_agent import LLMAgent
+
+        self.context_manager = get_context_manager(
+            self.config.context_manager,
+            llm_agent=LLMAgent(client=self.client),
+        )
         self.hooks = HookRunner(hooks if hooks is not None else get_run_hooks(self.config))
         self.router: ToolRouter | None = None
         self._history: list[ChatMessage] = []
@@ -197,9 +205,19 @@ class SimpleAgent:
             if keep_history:
                 self._history = [m for m in messages if m.role != "system"]
 
-            await self._store_memory(task, final_text or "")
+            # the max-turns placeholder is a FAILED run for memory: skills
+            # must not earn success credit and the placeholder must not
+            # pollute episodic memory as an "answer"
+            answered = bool(final_text) and not final_text.startswith("(max turns")
+            await self._store_memory(task, final_text if answered else "")
             await self._persist_trajectory(recorder)
             recorder.finish()
+        except asyncio.CancelledError:
+            # client-disconnect cancellation (run_task.cancel()): the
+            # recorder must still finish or other consumers of wait()/
+            # stream_events() hang forever
+            recorder.finish(error="cancelled")
+            raise
         except Exception as e:  # noqa: BLE001
             logger.exception("agent run failed")
             await self._store_memory(task, "")  # skills used by a failed run count as failures

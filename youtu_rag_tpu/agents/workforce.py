@@ -97,6 +97,16 @@ class WorkforceAgent:
             await e.build()
         return self
 
+    async def cleanup(self) -> None:
+        """Release worker resources (env workspaces, containers) — the
+        same contract SimpleAgent.cleanup provides."""
+        for w in (self._executors or {}).values():
+            if hasattr(w, "cleanup"):
+                try:
+                    await w.cleanup()
+                except Exception:  # noqa: BLE001 - best-effort teardown
+                    logger.exception("worker cleanup failed")
+
     def _executors_info(self) -> str:
         infos = self.config.workforce_executor_infos or [
             {"name": n, "desc": (e.config.agent.instructions or "")[:150]}
@@ -160,7 +170,9 @@ class WorkforceAgent:
                 recorder.emit(AgentEvent("error", text=str(e)))
                 recorder.finish(error=str(e))
 
-        asyncio.ensure_future(go())
+        # handle on the recorder: stream consumers cancel abandoned
+        # runs (client disconnect) via recorder.run_task
+        recorder.run_task = asyncio.ensure_future(go())
         return recorder
 
     async def _loop(self, question: str, recorder: TaskRecorder) -> str:

@@ -111,13 +111,28 @@ class MemoryVectorStore:
         node = self._nodes.get(memory_id)
         if node is None:
             return False
+        content_changed = content is not None and content != node.content
         if content is not None:
             node.content = content
         if importance is not None:
             node.importance = max(0.0, min(1.0, importance))
         if metadata:
             node.metadata.update(metadata)
-        await self.add(node)  # same id → index tombstones the old row
+        if content_changed:
+            await self.add(node)  # same id → index tombstones the old row
+        else:
+            # importance/metadata-only edits: in-place device metadata
+            # update — no re-embed, no tombstone churn
+            meta = {
+                "user_id": node.user_id,
+                "memory_type": node.memory_type,
+                "session_id": node.session_id,
+                "importance": node.importance,
+                "created_at": int(node.created_at),
+            }
+            if node.metadata.get("category"):
+                meta["category"] = node.metadata["category"]
+            await self.store.update_metadata([memory_id], [meta])
         return True
 
     async def delete(self, memory_ids: list[str]) -> int:

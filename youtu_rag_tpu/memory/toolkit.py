@@ -42,6 +42,20 @@ class VectorMemoryToolkit(AsyncBaseToolkit):
         # success_rate gating actually moves (VERDICT r1 weak #6)
         self._pending_skill_ids: list[str] = []
 
+    async def build(self) -> None:
+        """Restore persisted memories: persist_path was previously
+        write-only (saved but never loaded), so every restart silently
+        started empty despite configured persistence."""
+        if self.persist_path:
+            from pathlib import Path
+
+            if Path(self.persist_path).exists():
+                try:
+                    n = await self.store.load(self.persist_path)
+                    logger.info("restored %d memories from %s", n, self.persist_path)
+                except Exception:  # noqa: BLE001 - a bad file must not break startup
+                    logger.exception("memory restore failed")
+
     # ------------------------------------------------------------------
     # memory tools
     # ------------------------------------------------------------------
@@ -68,6 +82,7 @@ class VectorMemoryToolkit(AsyncBaseToolkit):
             session_id=self.session_id,
         )
         await self.store.add(node)
+        self._persist()
         return f"Stored {memory_type} memory {node.id}"
 
     @register_tool
@@ -158,6 +173,7 @@ class VectorMemoryToolkit(AsyncBaseToolkit):
             metadata={"name": name, "steps": steps},
         )
         await self.store.add(node)
+        self._persist()
         return f"Stored skill {name} ({node.id})"
 
     @register_tool
@@ -388,6 +404,7 @@ class VectorMemoryToolkit(AsyncBaseToolkit):
                 importance=0.5,
             )
         )
+        self._persist()  # the agent-loop auto-capture path must persist too
 
     @register_tool
     async def memory_stats(self) -> str:
