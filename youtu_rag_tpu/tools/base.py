@@ -122,7 +122,11 @@ class ToolRouter:
     def __init__(self, toolkits: list[AsyncBaseToolkit]):
         self.toolkits = toolkits
         self._route: dict[str, AsyncBaseToolkit] = {}
-        for tk in toolkits:
+        self._rebuild_routes()
+
+    def _rebuild_routes(self) -> None:
+        self._route = {}
+        for tk in self.toolkits:
             for name in tk.get_tools_map_func():
                 if name in self._route:
                     raise ValueError(f"duplicate tool name {name!r} across toolkits")
@@ -139,6 +143,10 @@ class ToolRouter:
 
     async def build(self) -> None:
         await asyncio.gather(*(tk.build() for tk in self.toolkits))
+        # MCP toolkits only DISCOVER their remote tools in build(); the
+        # routes frozen at __init__ would advertise them in schemas()
+        # while call() reports "unknown tool" for every one
+        self._rebuild_routes()
 
     async def cleanup(self) -> None:
         await asyncio.gather(*(tk.cleanup() for tk in self.toolkits))

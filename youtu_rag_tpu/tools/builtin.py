@@ -73,6 +73,7 @@ class PythonExecutorToolkit(AsyncBaseToolkit):
             out, err = await asyncio.wait_for(proc.communicate(), timeout=self.timeout)
         except asyncio.TimeoutError:
             proc.kill()
+            await proc.wait()  # reap: kill() alone leaves a zombie when the loop closes
             return f"Error: execution timed out after {self.timeout}s"
         text = out.decode(errors="replace")
         if err:
@@ -108,6 +109,7 @@ class BashToolkit(AsyncBaseToolkit):
             out, _ = await asyncio.wait_for(proc.communicate(), timeout=self.timeout)
         except asyncio.TimeoutError:
             proc.kill()
+            await proc.wait()  # reap: kill() alone leaves a zombie when the loop closes
             return f"Error: command timed out after {self.timeout}s"
         return out.decode(errors="replace").strip() or "(no output)"
 
@@ -123,8 +125,11 @@ class FileToolkit(AsyncBaseToolkit):
         self.workspace = self.config.config.get("workspace") or tempfile.mkdtemp(prefix="yrt-fs-")
 
     def _resolve(self, path: str) -> Path:
-        p = (Path(self.workspace) / path).resolve()
-        if not str(p).startswith(str(Path(self.workspace).resolve())):
+        # is_relative_to, not a string-prefix check: '/srv/agent-secrets'
+        # shares the prefix of workspace '/srv/agent' but is outside it
+        base = Path(self.workspace).resolve()
+        p = (base / path).resolve()
+        if not p.is_relative_to(base):
             raise ValueError("path escapes workspace")
         return p
 

@@ -113,7 +113,10 @@ class FileEditToolkit(AsyncBaseToolkit):
         applied, missed = 0, []
         for search, replace in blocks:
             if search in content:
-                content = content.replace(search, replace)
+                # one occurrence per block: SEARCH/REPLACE targets a single
+                # site; replace-all silently rewrote every match (and later
+                # blocks could match text just produced by earlier ones)
+                content = content.replace(search, replace, 1)
                 applied += 1
             else:
                 missed.append(search[:60])

@@ -137,7 +137,12 @@ class HTMLToolkit(AsyncBaseToolkit):
             f"<body><h1>{html.escape(title)}</h1>\n{body}\n</body></html>"
         )
         self.output_dir.mkdir(parents=True, exist_ok=True)
-        path = self.output_dir / filename
+        # agent-controlled filename: contain it (an absolute filename
+        # replaces the base entirely with pathlib; '..' walks out)
+        base = self.output_dir.resolve()
+        path = (base / filename).resolve()
+        if not path.is_relative_to(base):
+            return f"Error: filename escapes the output directory: {filename!r}"
         path.write_text(doc, encoding="utf-8")
         return f"wrote HTML report to {path}"
 

@@ -36,6 +36,11 @@ def _format_results(results: list[RetrievalResult], max_chars: int = 6000) -> st
         src = meta.get("source", r.chunk.document_id)
         block = f"[{r.rank}] (score {r.score:.3f}, source {src})\n{r.chunk.content}"
         if used + len(block) > max_chars:
+            if not lines:
+                # the TOP hit alone exceeds the budget (big summary/table
+                # chunks): truncate it — an empty reply would read to the
+                # LLM as "the KB has nothing"
+                lines.append(block[:max_chars])
             break
         lines.append(block)
         used += len(block)

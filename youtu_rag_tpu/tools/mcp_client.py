@@ -23,6 +23,20 @@ from .base import AsyncBaseToolkit, ToolkitConfig
 
 logger = get_logger("tools.mcp")
 
+
+def _content_to_text(result: dict) -> str:
+    """tools/call result → text (shared by all three transports)."""
+    parts = []
+    for item in result.get("content", []):
+        if item.get("type") == "text":
+            parts.append(item.get("text", ""))
+        else:
+            parts.append(json.dumps(item, ensure_ascii=False))
+    if result.get("isError"):
+        return "Error: " + ("\n".join(parts) or "tool failed")
+    return "\n".join(parts)
+
+
 _PROTOCOL_VERSION = "2024-11-05"
 
 
@@ -103,15 +117,7 @@ class MCPStdioClient:
 
     async def call_tool(self, name: str, arguments: dict) -> str:
         result = await self._request("tools/call", {"name": name, "arguments": arguments})
-        parts = []
-        for item in result.get("content", []):
-            if item.get("type") == "text":
-                parts.append(item.get("text", ""))
-            else:
-                parts.append(json.dumps(item, ensure_ascii=False))
-        if result.get("isError"):
-            return "Error: " + ("\n".join(parts) or "tool failed")
-        return "\n".join(parts)
+        return _content_to_text(result)
 
 
 class MCPHttpClient:
@@ -195,15 +201,7 @@ class MCPHttpClient:
 
     async def call_tool(self, name: str, arguments: dict) -> str:
         result = await self._request("tools/call", {"name": name, "arguments": arguments})
-        parts = []
-        for item in result.get("content", []):
-            if item.get("type") == "text":
-                parts.append(item.get("text", ""))
-            else:
-                parts.append(json.dumps(item, ensure_ascii=False))
-        if result.get("isError"):
-            return "Error: " + ("\n".join(parts) or "tool failed")
-        return "\n".join(parts)
+        return _content_to_text(result)
 
 
 class MCPSseClient:
@@ -247,6 +245,12 @@ class MCPSseClient:
 
         if self._client is None:
             self._client = httpx.AsyncClient(timeout=httpx.Timeout(self.timeout, read=None))
+        # cancel any still-running previous reader BEFORE resetting the
+        # endpoint: a stale stream's late `endpoint` event would point
+        # subsequent POSTs at a dead session
+        prev = getattr(self, "_reader_task", None)
+        if prev is not None and not prev.done():
+            prev.cancel()
         self._endpoint = None
         loop = asyncio.get_running_loop()
         self._endpoint_ready = loop.create_future()
@@ -410,15 +414,7 @@ class MCPSseClient:
     async def call_tool(self, name: str, arguments: dict) -> str:
         await self._await_connected()
         result = await self._request("tools/call", {"name": name, "arguments": arguments})
-        parts = []
-        for item in result.get("content", []):
-            if item.get("type") == "text":
-                parts.append(item.get("text", ""))
-            else:
-                parts.append(json.dumps(item, ensure_ascii=False))
-        if result.get("isError"):
-            return "Error: " + ("\n".join(parts) or "tool failed")
-        return "\n".join(parts)
+        return _content_to_text(result)
 
 
 @register_toolkit("mcp")

@@ -126,6 +126,7 @@ class CodesnipToolkit(AsyncBaseToolkit):
             out, _ = await asyncio.wait_for(proc.communicate(), timeout=timeout)
         except asyncio.TimeoutError:
             proc.kill()
+            await proc.wait()  # reap: kill() alone leaves a zombie when the loop closes
             return "Error: snippet timed out"
         return out.decode(errors="replace").strip() or "(no output)"
 

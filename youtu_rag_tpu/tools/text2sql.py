@@ -96,6 +96,19 @@ class Text2SQLToolkit(BaseRAGToolkit):
 
         ranked = sorted(tables.items(), key=lambda kv: -kv[1]["score"])[:top_k]
         parts = []
+        if self.config.config.get("tables") is None and self.adapter is not None:
+            # external-database deployment (database_url, no TableStore):
+            # DDL/examples come from the adapter — the TableStore property
+            # would raise and kill the whole text2sql flow
+            for tname, info in ranked:
+                try:
+                    parts.append(
+                        f"-- table {tname} (relevance {info['score']:.3f})\n"
+                        + self.adapter.table_ddl(tname)
+                    )
+                except Exception:  # noqa: BLE001 - table may not exist remotely
+                    continue
+            return "\n\n".join(parts) or "No relevant tables found."
         for tname, info in ranked:
             ddl = self.tables.get_schema(tname)
             sample = self.tables.sample_rows(tname, 3)

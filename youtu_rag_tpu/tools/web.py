@@ -22,12 +22,11 @@ logger = get_logger("tools.web")
 
 
 async def _post_json(url: str, payload: dict, headers: dict | None = None, timeout: float = 30.0) -> dict:
-    import httpx
+    # the shared retry path (utils/http.py): transient 429/5xx from
+    # search providers retry with backoff like every other remote adapter
+    from ..utils.http import post_json_with_retry
 
-    async with httpx.AsyncClient(timeout=timeout) as client:
-        r = await client.post(url, json=payload, headers=headers or {})
-        r.raise_for_status()
-        return r.json()
+    return await post_json_with_retry(url, payload, headers=headers, timeout=timeout, log=logger)
 
 
 async def _get(url: str, params: dict | None = None, headers: dict | None = None, timeout: float = 30.0):
