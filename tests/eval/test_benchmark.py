@@ -42,7 +42,7 @@ def test_benchmark_full_pipeline(tmp_path):
     stats = asyncio.run(bench.main(_samples()))
     assert stats["accuracy"] == 1.0
     assert stats["judged"] == 2
-    assert bench.db.count(EvaluationSample) == 4  # rollout + judged rows
+    assert bench.db.count(EvaluationSample) == 2  # judge UPDATEs the rollout row (no dup)
 
 
 def test_benchmark_rollout_error_isolation():
@@ -235,4 +235,4 @@ def test_structured_judge_invalid_output():
         dataset="d", index=0, raw_question="q", correct_answer="a", response="Exact Answer: a"
     )
     s = asyncio.run(p.judge(s))
-    assert s.judged_response == "invalid" and s.correct is False
+    assert s.judged_response.startswith("invalid verdict") and s.correct is False

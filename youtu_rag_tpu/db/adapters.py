@@ -27,16 +27,33 @@ from ..utils.log import get_logger
 logger = get_logger("db.adapters")
 
 _READONLY_RE = re.compile(r"^\s*(select|with)\b", re.IGNORECASE)
+# write/DDL/escape keywords ANYWHERE in the statement: a prefix check
+# alone admits CTE-wrapped writes ("WITH x AS (SELECT 1) DELETE FROM t")
+# and MySQL's SELECT ... INTO OUTFILE. Word-boundary matching keeps
+# column names like "deleted_at" legal.
+_WRITE_RE = re.compile(
+    r"\b(insert|update|delete|drop|alter|create|replace|truncate|grant|revoke|"
+    r"attach|pragma|vacuum|reindex)\b|\binto\s+(outfile|dumpfile)\b",
+    re.IGNORECASE,
+)
 
 
 def check_readonly(sql: str) -> None:
-    """Reject anything but a single SELECT/CTE statement."""
+    """Reject anything but a single read-only SELECT/CTE statement.
+
+    LLM-generated text2sql is the caller: this is the sole write guard
+    for external customer databases, so it is deliberately strict —
+    statements merely MENTIONING a write keyword (e.g. in a string
+    literal) are rejected too; rephrase the query."""
     if not _READONLY_RE.match(sql):
         raise ValueError("only SELECT statements are allowed")
     # forbid piggybacked statements ("select 1; drop table x")
     body = sql.strip().rstrip(";")
     if ";" in body:
         raise ValueError("multiple statements are not allowed")
+    m = _WRITE_RE.search(body)
+    if m:
+        raise ValueError(f"write/DDL keyword {m.group(0)!r} is not allowed in read-only SQL")
 
 
 class DatabaseAdapter:

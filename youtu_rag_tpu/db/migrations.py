@@ -21,7 +21,7 @@ logger = get_logger("db.migrations")
 
 def column_type(field: dataclasses.Field) -> str:
     """Map a dataclass field annotation to a sqlite column type."""
-    if field.type in ("int", int):
+    if field.type in ("int", int, "int | None"):
         return "INTEGER"
     if field.type in ("float", float, "float | None"):
         return "REAL"

@@ -38,6 +38,9 @@ class BaseBenchmark:
     def load_samples(self) -> list[EvaluationSample]:
         src = self.config.data.source
         samples: list[EvaluationSample] = []
+        if src and not Path(src).exists():
+            # a typo'd source must not masquerade as a 0%-accuracy run
+            raise FileNotFoundError(f"benchmark data source not found: {src}")
         if src and Path(src).exists():
             for i, line in enumerate(Path(src).read_text().strip().split("\n")):
                 if not line.strip():
@@ -71,8 +74,10 @@ class BaseBenchmark:
                 try:
                     if hasattr(agent, "run"):
                         result = await agent.run(s.augmented_question)
+                        # never str(recorder): a run without final_output
+                        # must judge as empty, not as the object repr
                         s.response = getattr(result, "final_output", None) or (
-                            result if isinstance(result, str) else str(result)
+                            result if isinstance(result, str) else None
                         )
                     s.stage = "rollout"
                 except Exception as e:  # noqa: BLE001 - per-sample isolation
@@ -97,7 +102,23 @@ class BaseBenchmark:
                     logger.exception("judge failed for sample %d", s.index)
                     s.correct = False
                     s.stage = "judged"
-                self.db.add(s)
+                # UPDATE the rollout row (keyed by exp_id+index) — a second
+                # add() duplicated every sample per run, double-counting
+                # any DB-side consumer; fall back to add when the rollout
+                # stage skipped DB persistence
+                n = self.db.update(
+                    type(s),
+                    {"exp_id": s.exp_id, "index": s.index},
+                    {
+                        "stage": s.stage,
+                        "correct": s.correct,
+                        "reward": s.reward,
+                        "judged_response": s.judged_response,
+                        "confidence": s.confidence,
+                    },
+                )
+                if n == 0:
+                    self.db.add(s)
 
         await asyncio.gather(*(one(s) for s in samples))
         return samples

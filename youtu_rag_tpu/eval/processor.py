@@ -57,7 +57,12 @@ class ExactMatchProcessor(BaseProcessor):
     async def judge(self, sample: EvaluationSample) -> EvaluationSample:
         resp = _normalize(sample.response or "")
         gold = _normalize(sample.correct_answer)
-        sample.correct = bool(gold) and (resp == gold or gold in resp)
+        # word-boundary containment: a raw substring check scores gold
+        # 'no' correct inside "i dont know", inflating accuracy
+        contained = bool(gold) and bool(
+            re.search(rf"(?<![\w]){re.escape(gold)}(?![\w])", resp)
+        )
+        sample.correct = bool(gold) and (resp == gold or contained)
         sample.reward = 1.0 if sample.correct else 0.0
         sample.stage = "judged"
         return sample
@@ -114,7 +119,8 @@ class GaiaProcessor(BaseProcessor):
             file_path = sample.source
         try:
             meta = json.loads(sample.augmented_question) if sample.augmented_question else {}
-            file_path = meta.get("file_name") or file_path
+            if isinstance(meta, dict):  # '123'/'[1]' parse fine but aren't metadata
+                file_path = meta.get("file_name") or file_path
         except (json.JSONDecodeError, TypeError):
             pass
         if file_path:
@@ -140,8 +146,11 @@ class GaiaProcessor(BaseProcessor):
     async def judge(self, sample: EvaluationSample) -> EvaluationSample:
         resp = (sample.response or "").strip()
         gold = sample.correct_answer.strip()
-        # list answers: element-wise comparison
-        if "," in gold:
+        # numeric check FIRST: '1,000' is a thousands-separated number,
+        # not a two-element list (the reference GAIA scorer does the same)
+        if self._norm_number(gold) is not None:
+            ok = self._match_one(resp, gold)
+        elif "," in gold:
             golds = [g.strip() for g in gold.split(",")]
             resps = [r.strip() for r in resp.split(",")]
             ok = len(golds) == len(resps) and all(
@@ -296,11 +305,15 @@ class BrowseCompProcessor(LLMJudgeProcessor):
         )
         sample.judged_response = raw
         verdict = _parse_field(raw, "correct").lower()
-        if verdict not in ("yes", "no"):
-            sample.judged_response = "invalid"
+        # prefix match: judges elaborate ("yes, the answer matches") —
+        # exact equality scored every elaborated verdict as invalid/wrong
+        if verdict.startswith("yes"):
+            sample.correct = True
+        elif verdict.startswith("no"):
             sample.correct = False
         else:
-            sample.correct = verdict == "yes"
+            sample.judged_response = f"invalid verdict: {raw[:200]}"
+            sample.correct = False
         conf = re.search(r"(\d{1,3})\s*%", _parse_field(raw, "confidence") or (sample.response or ""))
         sample.confidence = min(int(conf.group(1)), 100) if conf else 100
         sample.reward = 1.0 if sample.correct else 0.0

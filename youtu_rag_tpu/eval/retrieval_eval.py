@@ -103,6 +103,8 @@ class RetrievalBenchmark:
             s.retrieved = _dedup([r.chunk.document_id for r in results])
 
         n = len(samples)
+        if n == 0:
+            return {"samples": 0, "top_k": self.top_k}
         report = {
             "samples": n,
             "top_k": self.top_k,
