@@ -86,3 +86,17 @@ def test_missing_values_never_match():
     mask = np.asarray(cf.mask(cols))
     # rows 3 and 4 have no "page" → excluded even under $ne
     assert mask.tolist() == [True, True, True, False, False]
+
+
+def test_empty_operator_dict_is_filter_error():
+    """{"k": {}} must fail at compile time (FilterError -> host fallback),
+    not IndexError mid-search from a zero-child AND node."""
+    import pytest as _pytest
+
+    from youtu_rag_tpu.index.filters import FilterError, compile_filter
+    from youtu_rag_tpu.index.metadata import MetadataSchema
+
+    schema = MetadataSchema(max_columns=4)
+    schema.encode_row({"category": "a"})
+    with _pytest.raises(FilterError):
+        compile_filter({"category": {}}, schema)

@@ -70,3 +70,34 @@ def tk_py(tk, text):
         return tk.tokenize(text)
     finally:
         m._USE_NATIVE = old
+
+
+@needs_native
+def test_hash_embed_unicode_whitespace_parity():
+    """NBSP/ideographic-space/NEL are Python \\s whitespace - the C
+    embedder must skip them too (they tokenized as symbols before)."""
+    from youtu_rag_tpu.models.embedder import HashEmbedder
+
+    e_native = HashEmbedder(dim=128, use_native=True)
+    e_py = HashEmbedder(dim=128, use_native=False)
+    cases = [
+        "a\u00a0b",   # NBSP
+        "x\u3000y",   # ideographic space
+        "p\u0085q",   # NEL
+        "m\u001cn",   # ASCII file separator (in \\s)
+    ]
+    got = e_native.embed_batch(cases)
+    want = e_py.embed_batch(cases)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@needs_native
+def test_hash_embed_tf_table_overflow_falls_back():
+    """>4096 distinct tokens: the C kernel reports failure and the
+    wrapper re-embeds via Python instead of silently dropping tokens."""
+    from youtu_rag_tpu.models.embedder import HashEmbedder
+
+    text = " ".join(f"tok{i}" for i in range(6000))
+    got = HashEmbedder(dim=256, use_native=True).embed_batch([text])[0]
+    want = HashEmbedder(dim=256, use_native=False).embed_batch([text])[0]
+    np.testing.assert_allclose(got, want, atol=1e-6)

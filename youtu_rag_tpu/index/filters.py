@@ -137,6 +137,11 @@ def _compile_node(f: dict, schema: MetadataSchema, consts: list[int], sig: list[
         if slot is None:
             raise FilterError(f"key {key!r} has no device column")
         if isinstance(value, dict):
+            if not value:
+                # {} would compile to a zero-child AND whose mask() later
+                # IndexErrors mid-search; fail at compile time so the
+                # host-eval fallback engages instead
+                raise FilterError(f"empty operator dict for key {key!r}")
             if len(value) != 1:
                 # {"k": {"$gte": a, "$lte": b}} → implicit and
                 subs = [{key: {op: v}} for op, v in value.items()]

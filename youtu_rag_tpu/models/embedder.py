@@ -85,6 +85,13 @@ class HashEmbedder(BaseEmbedder):
 
             out = hash_embed_batch_native(texts, self._dim)
             if out is not None:
+                # rows the C kernel zeroed (tf-table overflow on texts
+                # with >4096 distinct tokens) re-embed via the unbounded
+                # Python path; any tokenized text has a nonzero vector,
+                # so zero+nonblank reliably marks the failure
+                for i, t in enumerate(texts):
+                    if t.strip() and not out[i].any():
+                        out[i] = self.embed_one(t)
                 return out
         return np.stack([self.embed_one(t) for t in texts]) if texts else np.zeros((0, self._dim), np.float32)
 

@@ -58,17 +58,18 @@ def get_fasthash():
             src,
             extra_compile_args=["-O3", "-fno-math-errno"],
         )
-        ffi.compile(tmpdir=str(build), verbose=False)
+        # use the path ffi.compile returns — a glob could pick a stale .so
+        # from another Python ABI in the persistent cache dir and disable
+        # the native kernels for the whole process
+        so = ffi.compile(tmpdir=str(build), verbose=False)
         import importlib.util
         import sys
-
-        so = next(build.glob("_yrt_fasthash*.so"))
         spec = importlib.util.spec_from_file_location("_yrt_fasthash", so)
         mod = importlib.util.module_from_spec(spec)
         sys.modules["_yrt_fasthash"] = mod
         spec.loader.exec_module(mod)
         _ffi, _lib = mod.ffi, mod.lib
-        logger.info("native fasthash kernel loaded (%s)", so.name)
+        logger.info("native fasthash kernel loaded (%s)", Path(so).name)
     except Exception:  # noqa: BLE001 - fall back to python paths
         logger.exception("native fasthash unavailable; using python fallback")
         _ffi, _lib = None, None

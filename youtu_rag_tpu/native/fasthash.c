@@ -64,6 +64,8 @@ static int utf8_decode(const unsigned char *s, size_t n, uint32_t *cp) {
 #define TABLE_BITS 12 /* 4096-entry open-addressing tf table per text */
 #define TABLE_SIZE (1 << TABLE_BITS)
 
+static int is_uspace(uint32_t cp); /* defined with the tokenizer below */
+
 typedef struct {
     uint64_t hash;
     int count;
@@ -92,7 +94,8 @@ int hash_embed_one(const char *text, int len, float *out, int dim) {
                 i++;
             }
         } else if (c < 0x80) {
-            if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\v') {
+            /* full Python \s ASCII subset incl. 0x1C-0x1F file separators */
+            if (is_uspace((uint32_t)c)) {
                 i++;
                 continue;
             }
@@ -101,29 +104,43 @@ int hash_embed_one(const char *text, int len, float *out, int dim) {
         } else {
             uint32_t cp;
             int used = utf8_decode(s + i, n - i, &cp);
+            i += used;
+            /* Python's \s is the UNICODE whitespace set: NBSP/ideographic
+             * space/NEL must be skipped here too or native and Python
+             * embeddings diverge on ordinary web/PDF text */
+            if (is_uspace(cp)) continue;
             /* CJK or any non-ASCII codepoint: single-codepoint token,
              * mirroring the Python tokenizer's per-char handling */
             size_t copy = (size_t)used < MAX_TOKEN ? (size_t)used : MAX_TOKEN;
-            memcpy(tok, s + i, copy);
+            memcpy(tok, s + i - (size_t)used, copy);
             tlen = copy;
-            i += used;
         }
         if (tlen == 0) continue;
         uint64_t h = feat_hash(tok, tlen);
         /* open addressing */
         uint64_t slot = h & (TABLE_SIZE - 1);
+        int inserted = 0;
         for (int probe = 0; probe < TABLE_SIZE; probe++) {
             TfEntry *e = &table[slot];
             if (e->count == 0) {
                 e->hash = h;
                 e->count = 1;
+                inserted = 1;
                 break;
             }
             if (e->hash == h) {
                 e->count++;
+                inserted = 1;
                 break;
             }
             slot = (slot + 1) & (TABLE_SIZE - 1);
+        }
+        if (!inserted) {
+            /* tf table full (>4096 distinct tokens): zero the output and
+             * report failure so the caller re-embeds via the (unbounded)
+             * Python path instead of silently dropping tokens */
+            for (int d = 0; d < dim; d++) out[d] = 0.0f;
+            return -1;
         }
         total++;
     }

@@ -70,8 +70,11 @@ def blockwise_attention(
     qf = q.reshape(bh, t, hd)
     kf = k.reshape(bh, t, hd)
     vf = v.reshape(bh, t, hd)
-    # bias per (b,h) row: repeat across heads without materializing [B,H,T]
-    bias_f = jnp.repeat(bias.astype(jnp.float32), h, axis=0).reshape(bh, 1, t)
+    # bias stays [B, 1, T]: the BlockSpec index map reads row i // h,
+    # so no [B*H, T] repeat materializes.
+    # clamp: literal -inf padding bias NaN-poisons the online softmax
+    # (exp(-inf - -inf)); -1e30 is indistinguishable after exp
+    bias_b = jnp.maximum(bias.astype(jnp.float32), -1e30).reshape(b, 1, t)
 
     grid = (bh, t // block_q)
     out = pl.pallas_call(
@@ -81,12 +84,12 @@ def blockwise_attention(
             pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t), lambda i, j: (i // h, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, t, hd), q.dtype),
         interpret=interpret,
-    )(qf, kf, vf, bias_f)
+    )(qf, kf, vf, bias_b)
     return out.reshape(b, h, t, hd)
 
 
@@ -112,7 +115,7 @@ def _flash_kernel(
 
     @pl.when(kb == 0)
     def _init():
-        m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+        m_scr[...] = jnp.full(m_scr.shape, -1e30, jnp.float32)  # finite: -inf NaNs the rescale
         l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
         acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
@@ -178,7 +181,10 @@ def flash_attention(
     qf = q.reshape(bh, t, hd)
     kf = k.reshape(bh, t, hd)
     vf = v.reshape(bh, t, hd)
-    bias_f = jnp.repeat(bias.astype(jnp.float32), h, axis=0).reshape(bh, 1, t)
+    # clamp -inf (see blockwise_attention) + keep bias at [B, 1, T]:
+    # the index map below reads row i // h, so the [B*H, T] repeat never
+    # materializes (b=128,h=12,T=4096 saved ~25 MB of HBM traffic/layer)
+    bias_b = jnp.maximum(bias.astype(jnp.float32), -1e30).reshape(b, 1, t)
 
     n_kv = t // block_k
     grid = (bh, t // block_q, n_kv)
@@ -189,7 +195,7 @@ def flash_attention(
             pl.BlockSpec((1, block_q, hd), lambda i, j, kb: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, hd), lambda i, j, kb: (i, kb, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, hd), lambda i, j, kb: (i, kb, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k), lambda i, j, kb: (i, 0, kb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k), lambda i, j, kb: (i // h, 0, kb), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, block_q, hd), lambda i, j, kb: (i, j, 0), memory_space=pltpu.VMEM
@@ -201,5 +207,5 @@ def flash_attention(
             pltpu.VMEM((block_q, hd), jnp.float32),
         ],
         interpret=interpret,
-    )(qf, kf, vf, bias_f)
+    )(qf, kf, vf, bias_b)
     return out.reshape(b, h, t, hd)

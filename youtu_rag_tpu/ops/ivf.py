@@ -227,7 +227,6 @@ def _ivf_dma_kernel(
     *,
     k: int,
     block_rows: int,
-    max_blocks: int,
 ):
     from .topk import NEG_INF, _select_topk, _select_topk_with_payload
 
@@ -422,7 +421,6 @@ def pallas_ivf_topk_dma(
     qn, d = queries.shape
     n = database.shape[0]
     assert n % block_rows == 0 and d % _LANE == 0
-    max_blocks = block_ids.shape[0]
 
     q_pad = _round_up(max(qn, _SUBLANE), _SUBLANE)
     k_pad = _round_up(k, _LANE)
@@ -491,7 +489,7 @@ def pallas_ivf_topk_int8_dma(
     b = bias.astype(jnp.float32).reshape(1, n)
 
     kernel = functools.partial(
-        _ivf_dma_kernel, k=k, block_rows=block_rows, max_blocks=max_blocks
+        _ivf_dma_kernel, k=k, block_rows=block_rows
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
