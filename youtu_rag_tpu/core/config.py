@@ -56,7 +56,7 @@ class EmbeddingConfig(ConfigBase):
     ``openai``/``service`` call remote HTTP endpoints like the reference."""
 
     model: str = "tpu-encoder-base"
-    provider: Literal["tpu", "hash", "openai", "service"] = "hash"
+    provider: Literal["auto", "tpu", "hash", "openai", "service"] = "hash"
     api_key: str | None = None
     base_url: str | None = None
     batch_size: int = Field(default=128, ge=1, le=4096)

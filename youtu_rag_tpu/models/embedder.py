@@ -201,18 +201,26 @@ class TpuEmbedder(BaseEmbedder):
         return out
 
     def _embed_long(self, texts: list[str]) -> np.ndarray:
-        """Ring-attention embed of over-length texts, one pow2 T bucket
-        per call batch (T padded to a multiple of the ring size)."""
-        seqs = [self.tokenizer.encode(t, self._long_max) for t in texts]
-        t_need = max(len(s) for s in seqs)
-        t_b = self._bucket(t_need, max(16 * self._sp_size, 16))
-        ids = np.zeros((len(seqs), t_b), np.int32)
-        mask = np.zeros((len(seqs), t_b), np.float32)
-        for j, s in enumerate(seqs):
-            ids[j, : len(s)] = s
-            mask[j, : len(s)] = 1.0
-        emb, _ = self._sp_fwd(self.params, ids, mask)
-        return np.asarray(emb)
+        """Ring-attention embed of over-length texts: pow2 T buckets AND
+        pow2 batch buckets (CLAUDE.md static-shape invariant — raw counts
+        would mint a fresh ring-attention executable per distinct count),
+        chunked by batch_size so huge long-doc waves can't OOM."""
+        out = np.zeros((len(texts), self.cfg.out_dim), np.float32)
+        step = max(self.batch_size // 8, 1)  # long seqs: smaller waves
+        for i in range(0, len(texts), step):
+            chunk = texts[i : i + step]
+            seqs = [self.tokenizer.encode(t, self._long_max) for t in chunk]
+            t_need = max(len(s) for s in seqs)
+            t_b = self._bucket(t_need, max(16 * self._sp_size, 16))
+            n_b = self._bucket(len(chunk), 4)
+            ids = np.zeros((n_b, t_b), np.int32)
+            mask = np.zeros((n_b, t_b), np.float32)
+            for j, s in enumerate(seqs):
+                ids[j, : len(s)] = s
+                mask[j, : len(s)] = 1.0
+            emb, _ = self._sp_fwd(self.params, ids, mask)
+            out[i : i + len(chunk)] = np.asarray(emb)[: len(chunk)]
+        return out
 
     def _embed_short(self, batch: list[str]) -> np.ndarray:
         ids, mask = self.tokenizer.batch(batch)
@@ -397,15 +405,22 @@ class EmbedderFactory:
         if provider == "tpu":
             return TpuEmbedder(batch_size=config.batch_size, **kwargs)
         if provider in ("openai", "service"):
+            # env fallbacks apply INDEPENDENTLY: a configured base_url
+            # with a secret passed via env must still send the key
+            config = config.model_copy(
+                update={
+                    "base_url": config.base_url
+                    or os.environ.get("YRT_EMBEDDING_URL")
+                    or os.environ.get("UTU_EMBEDDING_URL"),
+                    "api_key": config.api_key
+                    or os.environ.get("YRT_EMBEDDING_API_KEY")
+                    or os.environ.get("UTU_EMBEDDING_API_KEY"),
+                }
+            )
             if not config.base_url:
-                config = config.model_copy(
-                    update={
-                        "base_url": os.environ.get("YRT_EMBEDDING_URL")
-                        or os.environ.get("UTU_EMBEDDING_URL"),
-                        "api_key": config.api_key
-                        or os.environ.get("YRT_EMBEDDING_API_KEY")
-                        or os.environ.get("UTU_EMBEDDING_API_KEY"),
-                    }
+                raise ValueError(
+                    f"embedding provider {provider!r} needs base_url (config) or "
+                    "YRT_EMBEDDING_URL / UTU_EMBEDDING_URL in the environment"
                 )
             return RemoteEmbedder(config)
         raise ValueError(f"unknown embedding provider {provider!r}")

@@ -145,7 +145,13 @@ class RemoteReranker(BaseReranker):
         )
         scores = [0.0] * len(results)
         for item in data.get("results", []):
-            scores[item["index"]] = item.get("relevance_score", 0.0)
+            idx = item.get("index")
+            # remote responses are untrusted: an out-of-range index must
+            # not crash the rerank (or mis-assign via negative indexing)
+            if isinstance(idx, int) and 0 <= idx < len(results):
+                scores[idx] = item.get("relevance_score", 0.0)
+            else:
+                logger.warning("reranker returned invalid index %r; ignored", idx)
         return _reranked(results, scores, top_k)
 
 
@@ -163,15 +169,22 @@ class RerankerFactory:
         if p == "tpu":
             return TpuReranker(**kwargs)
         if p in ("openai", "service", "jina", "tione"):
+            # env fallbacks apply INDEPENDENTLY: a configured base_url
+            # with a secret passed via env must still send the key
+            config = config.model_copy(
+                update={
+                    "base_url": config.base_url
+                    or os.environ.get("YRT_RERANKER_URL")
+                    or os.environ.get("UTU_RERANKER_URL"),
+                    "api_key": config.api_key
+                    or os.environ.get("YRT_RERANKER_API_KEY")
+                    or os.environ.get("UTU_RERANKER_API_KEY"),
+                }
+            )
             if not config.base_url:
-                config = config.model_copy(
-                    update={
-                        "base_url": os.environ.get("YRT_RERANKER_URL")
-                        or os.environ.get("UTU_RERANKER_URL"),
-                        "api_key": config.api_key
-                        or os.environ.get("YRT_RERANKER_API_KEY")
-                        or os.environ.get("UTU_RERANKER_API_KEY"),
-                    }
+                raise ValueError(
+                    f"reranker provider {p!r} needs base_url (config) or "
+                    "YRT_RERANKER_URL / UTU_RERANKER_URL in the environment"
                 )
             return RemoteReranker(config, top_field="top_k" if p == "tione" else "top_n")
         raise ValueError(f"unknown reranker provider {p!r}")

@@ -85,7 +85,12 @@ def tokenize_ids_native(text: str, max_out: int, n_buckets: int, n_special: int)
     ffi, lib = get_fasthash()
     if lib is None:
         return None
-    enc = text.lower().encode("utf-8")
+    lowered = text.lower()
+    enc = lowered.encode("utf-8")
+    # lowercasing can EXPAND codepoints ('İ' → 'i' + combining dot), so
+    # the caller's pre-lowercase length hint can undercount — size the
+    # buffer on the lowered string or tokens silently truncate
+    max_out = max(max_out, len(lowered), 1)
     out = np.empty(max_out, np.int32)
     n = lib.tokenize_ids(
         ffi.from_buffer(enc) if enc else ffi.NULL,

@@ -113,7 +113,7 @@ def _otlp_value(v: Any) -> dict[str, Any]:
 def span_to_otlp(span: Span) -> dict[str, Any]:
     """One tracer Span → OTLP JSON span object."""
     attrs = openinference_attributes(span)
-    return {
+    out = {
         "traceId": _hex_id(span.trace_id, 16),
         "spanId": _hex_id(span.span_id, 8),
         "name": span.name,
@@ -123,6 +123,11 @@ def span_to_otlp(span: Span) -> dict[str, Any]:
         "attributes": [{"key": k, "value": _otlp_value(v)} for k, v in attrs.items()],
         "status": {"code": 2, "message": span.error} if span.error else {"code": 1},
     }
+    # nesting: without parentSpanId every span renders as a root and the
+    # agent → tool → generation hierarchy is lost in Phoenix/Jaeger
+    if getattr(span, "parent_span_id", None):
+        out["parentSpanId"] = _hex_id(span.parent_span_id, 8)
+    return out
 
 
 class OTLPJsonExporter:
@@ -180,7 +185,16 @@ class OTLPJsonExporter:
         import httpx
 
         resp = httpx.post(url, content=body, headers=self.headers, timeout=self.timeout)
-        return resp.status_code // 100 == 2
+        ok = resp.status_code // 100 == 2
+        if not ok and not self._warned:
+            # a live collector with a wrong path/auth must warn like an
+            # unreachable one — silent drops are undiagnosable
+            logger.warning(
+                "OTLP collector %s answered HTTP %d; spans are being dropped "
+                "(further failures silenced)", self.endpoint, resp.status_code,
+            )
+            self._warned = True
+        return ok
 
 
 class OTLPProcessor:
@@ -192,6 +206,11 @@ class OTLPProcessor:
         self.batch_size = batch_size
         self._buf: list[Span] = []
         self._lock = threading.Lock()
+        # short runs (< batch_size spans) previously exported NOTHING:
+        # flush had no callers, so the trailing partial batch was lost
+        import atexit
+
+        atexit.register(self.flush)
 
     def on_span_end(self, span: Span) -> None:
         with self._lock:

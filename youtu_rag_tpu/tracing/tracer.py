@@ -24,6 +24,9 @@ logger = get_logger("tracing")
 _current_trace: contextvars.ContextVar[str | None] = contextvars.ContextVar(
     "yrt_trace_id", default=None
 )
+_current_span: contextvars.ContextVar[str | None] = contextvars.ContextVar(
+    "yrt_span_id", default=None
+)
 
 
 @dataclass
@@ -36,6 +39,7 @@ class Span:
     end_time: float | None = None
     attributes: dict[str, Any] = field(default_factory=dict)
     error: str | None = None
+    parent_span_id: str | None = None  # nesting (agent -> tool -> gen)
 
     @property
     def duration_ms(self) -> float:
@@ -109,7 +113,9 @@ class Tracer:
             name=name,
             start_time=time.time(),
             attributes=dict(attributes),
+            parent_span_id=_current_span.get(),
         )
+        span_token = _current_span.set(s.span_id)
         try:
             yield s
         except Exception as e:
@@ -117,6 +123,7 @@ class Tracer:
             raise
         finally:
             s.end_time = time.time()
+            _current_span.reset(span_token)
             _current_trace.reset(token)
             self.spans.append(s)
             if len(self.spans) > self.max_kept:

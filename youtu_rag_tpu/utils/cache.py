@@ -52,11 +52,20 @@ def async_file_cache(
     from the key). Disable globally with YRT_NO_RESULT_CACHE=1."""
 
     def deco(fn: Callable):
+        import inspect
+
+        # exclude the bound instance from the key ONLY when the first
+        # parameter is literally named self/cls — hasattr(args[0],
+        # '__dict__') dropped the first REAL argument of free functions
+        # whose first arg is any ordinary object (silent cross-arg hits)
+        params = list(inspect.signature(fn).parameters)
+        skip_first = bool(params) and params[0] in ("self", "cls")
+
         @functools.wraps(fn)
         async def wrapper(*args, **kwargs):
             if not enabled or os.environ.get("YRT_NO_RESULT_CACHE"):
                 return await fn(*args, **kwargs)
-            key_args = args[1:] if args and hasattr(args[0], "__dict__") else args
+            key_args = args[1:] if skip_first and args else args
             key = _key(fn.__qualname__, key_args, kwargs)
             d = Path(cache_dir) if cache_dir else _default_cache_dir()
             path = d / f"{key}.json"

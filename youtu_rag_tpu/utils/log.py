@@ -32,7 +32,9 @@ def setup_logging(level: str | None = None) -> None:
     global _CONFIGURED
     if _CONFIGURED:
         return
-    level = level or os.environ.get("YRT_LOG_LEVEL", "INFO")
+    # upper(): logging rejects lowercase names, and this runs at import
+    # time in every entry point — YRT_LOG_LEVEL=debug must not crash
+    level = (level or os.environ.get("YRT_LOG_LEVEL", "INFO")).upper()
     handler = logging.StreamHandler(sys.stderr)
     handler.setFormatter(
         _ColorFormatter("%(asctime)s | %(levelname)-7s | %(name)s | %(message)s", "%H:%M:%S")
