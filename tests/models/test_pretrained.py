@@ -1,0 +1,209 @@
+"""Pretrained-weight import parity: safetensors → param tree → JAX forward
+must match the torch ``transformers.BertModel`` forward to 1e-4 (f32), and
+the WordPiece tokenizer must match ``transformers.BertTokenizer``.
+
+This is the quality-parity gate VERDICT r2 item 1 asks for: it proves a
+production BERT-family embedding/rerank checkpoint (bge/gte/e5 layouts)
+runs natively on the TPU encoder (ref slot:
+``utu/rag/embeddings/service_embedder.py:16-177``)."""
+
+import json
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp
+
+from youtu_rag_tpu.models.encoder import encode_tokens, rerank_scores
+from youtu_rag_tpu.models.pretrained import (
+    convert_bert_params,
+    load_pretrained_encoder,
+)
+from youtu_rag_tpu.models.wordpiece import WordPieceTokenizer
+
+VOCAB = (
+    "[PAD] [UNK] [CLS] [SEP] [MASK] the quick brown fox jump ##s over lazy dog "
+    "un ##want ##ed run ##ning hello world , . ! ? ' \" 中 国 人 a b c d e f "
+    "##a ##b ##c 1 2 3 ##1 ##2 want"
+).split()
+
+
+def _write_vocab(path):
+    path.write_text("\n".join(VOCAB) + "\n", encoding="utf-8")
+
+
+def _tiny_bert_dir(tmp_path, num_labels: int | None = None, seed: int = 0):
+    """Save a tiny random HF BERT checkpoint (safetensors) + vocab.txt."""
+    torch.manual_seed(seed)
+    cfg = transformers.BertConfig(
+        vocab_size=len(VOCAB),
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=64,
+        type_vocab_size=2,
+        hidden_act="gelu",
+        layer_norm_eps=1e-12,
+    )
+    if num_labels is None:
+        model = transformers.BertModel(cfg)
+    else:
+        cfg.num_labels = num_labels
+        model = transformers.BertForSequenceClassification(cfg)
+    model.eval()
+    d = tmp_path / ("reranker" if num_labels else "encoder")
+    model.save_pretrained(str(d), safe_serialization=True)
+    _write_vocab(d / "vocab.txt")
+    return d, model
+
+
+def test_forward_parity_vs_torch(tmp_path):
+    d, model = _tiny_bert_dir(tmp_path)
+    params, cfg, _ = load_pretrained_encoder(d, dtype=jnp.float32)
+    assert cfg.n_layers == 2 and cfg.d_model == 32 and cfg.pooling == "cls"
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(5, len(VOCAB), size=(3, 10)).astype(np.int32)
+    mask = np.ones((3, 10), np.float32)
+    mask[1, 7:] = 0.0  # padding on one row
+    ids[1, 7:] = 0
+
+    with torch.no_grad():
+        out = model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+        )
+    ref_hidden = out.last_hidden_state.numpy()
+
+    emb, cls = encode_tokens(params, jnp.asarray(ids), jnp.asarray(mask), cfg)
+    np.testing.assert_allclose(np.asarray(cls), ref_hidden[:, 0, :], atol=1e-4)
+
+    # cls pooling + L2 normalize
+    want = ref_hidden[:, 0, :]
+    want = want / np.linalg.norm(want, axis=1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(emb), want, atol=1e-4)
+
+
+def test_forward_parity_mean_pooling_and_types(tmp_path):
+    d, model = _tiny_bert_dir(tmp_path, seed=1)
+    # sentence-transformers style pooling config → mean pooling detected
+    pool_dir = d / "1_Pooling"
+    pool_dir.mkdir()
+    (pool_dir / "config.json").write_text(
+        json.dumps({"pooling_mode_mean_tokens": True, "pooling_mode_cls_token": False})
+    )
+    params, cfg, _ = load_pretrained_encoder(d, dtype=jnp.float32)
+    assert cfg.pooling == "mean"
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(5, len(VOCAB), size=(2, 8)).astype(np.int32)
+    mask = np.ones((2, 8), np.float32)
+    types = np.zeros((2, 8), np.int32)
+    types[:, 4:] = 1
+
+    with torch.no_grad():
+        out = model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+            token_type_ids=torch.tensor(types, dtype=torch.long),
+        )
+    ref_hidden = out.last_hidden_state.numpy()
+    pooled = ref_hidden.mean(axis=1)  # full mask → plain mean
+    want = pooled / np.linalg.norm(pooled, axis=1, keepdims=True)
+
+    emb, _ = encode_tokens(
+        params, jnp.asarray(ids), jnp.asarray(mask), cfg, type_ids=jnp.asarray(types)
+    )
+    np.testing.assert_allclose(np.asarray(emb), want, atol=1e-4)
+
+
+def test_reranker_head_parity(tmp_path):
+    d, model = _tiny_bert_dir(tmp_path, num_labels=1, seed=2)
+    params, cfg, _ = load_pretrained_encoder(d, dtype=jnp.float32)
+    assert "score_head" in params and "pooler_w" in params
+
+    rng = np.random.default_rng(2)
+    ids = rng.integers(5, len(VOCAB), size=(4, 12)).astype(np.int32)
+    mask = np.ones((4, 12), np.float32)
+
+    with torch.no_grad():
+        logits = model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+        ).logits.numpy()[:, 0]
+    got = np.asarray(rerank_scores(params, jnp.asarray(ids), jnp.asarray(mask), cfg))
+    np.testing.assert_allclose(got, logits, atol=1e-4)
+
+
+def test_wordpiece_matches_bert_tokenizer(tmp_path):
+    _write_vocab(tmp_path / "vocab.txt")
+    ours = WordPieceTokenizer(tmp_path / "vocab.txt", lowercase=True)
+    theirs = transformers.BertTokenizer(str(tmp_path / "vocab.txt"), do_lower_case=True)
+
+    cases = [
+        "The quick brown fox jumps over the lazy dog",
+        "UNwanted, running!",
+        "hello   world...",
+        "中国人 hello",
+        "zyzzyva unknowable",  # all-unk pieces
+        "abc 123 a1b2",
+        "naïve café",  # accent stripping
+        "",
+    ]
+    for text in cases:
+        assert ours.tokenize_words(text) == theirs.tokenize(text), text
+        want_ids = theirs.encode(text) if text.strip() else None
+        if want_ids is not None:
+            assert ours.encode(text) == want_ids, text
+
+    # pair encoding: ids + token types match HF's sequence-pair layout
+    enc = theirs("quick fox", "lazy dog")
+    ids, mask, types = ours.batch_pairs([("quick fox", "lazy dog")])
+    n = int(mask[0].sum())
+    assert ids[0, :n].tolist() == enc["input_ids"]
+    assert types[0, :n].tolist() == enc["token_type_ids"]
+
+
+def test_wordpiece_as_embedder_tokenizer(tmp_path):
+    """WordPiece slots into TpuEmbedder via the HashTokenizer interface."""
+    d, _ = _tiny_bert_dir(tmp_path, seed=3)
+    from youtu_rag_tpu.models.embedder import TpuEmbedder
+
+    emb = TpuEmbedder.from_pretrained(d, dtype=jnp.float32, batch_size=8)
+    out = emb.embed_batch(["the quick brown fox", "hello world", "中国人"])
+    assert out.shape == (3, 32)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-4)
+    # deterministic
+    out2 = emb.embed_batch(["the quick brown fox", "hello world", "中国人"])
+    np.testing.assert_allclose(out, out2, atol=1e-6)
+
+
+def test_reranker_from_pretrained_end_to_end(tmp_path):
+    d, _ = _tiny_bert_dir(tmp_path, num_labels=1, seed=4)
+    from youtu_rag_tpu.models.reranker import TpuReranker
+
+    rr = TpuReranker.from_pretrained(d, dtype=jnp.float32)
+    scores = rr.score("quick fox", ["the quick brown fox", "lazy dog", "hello"])
+    assert len(scores) == 3 and all(np.isfinite(scores))
+
+
+def test_convert_rejects_non_bert():
+    with pytest.raises((KeyError, ValueError)):
+        convert_bert_params({"transformer.h.0.attn.weight": np.zeros((4, 4))})
+
+
+def test_bf16_checkpoint_loads(tmp_path):
+    """bf16-saved safetensors load via the torch fallback path."""
+    d, model = _tiny_bert_dir(tmp_path, seed=5)
+    model = model.to(torch.bfloat16)
+    model.save_pretrained(str(d), safe_serialization=True)
+    params, cfg, _ = load_pretrained_encoder(d, dtype=jnp.float32)
+    assert params["tok_emb"].dtype == np.float32
+    ids = np.array([[2, 5, 6, 3]], np.int32)
+    mask = np.ones((1, 4), np.float32)
+    emb, _ = encode_tokens(params, jnp.asarray(ids), jnp.asarray(mask), cfg)
+    assert np.isfinite(np.asarray(emb)).all()

@@ -375,17 +375,11 @@ class KBChunksHandler(BaseHandler):
             filters["index_type"] = index_type
         if document_id:
             filters["source"] = document_id
-        if filters:
-            # no pre-cap: the text query filters AFTER this, so capping at
-            # offset+limit here would hide deeper matches and undercount
-            chunks = await kb.store.get_by_filter(filters, limit=None)
-        else:
-            idx = kb.store._index
-            chunks = list(idx.iter_live()) if idx is not None else []
-        if text_q:
-            chunks = [c for c in chunks if text_q in c.content.lower()]
-        matched = len(chunks)
-        chunks = chunks[offset : offset + limit]
+        # filter + text + offset push down into one streaming store pass:
+        # the page view materializes O(limit) chunks, not every match
+        chunks, matched = await kb.store.scan_page(
+            filters or None, limit=limit, offset=offset, text=text_q or None
+        )
         self.write_json(
             {
                 "kb": name,

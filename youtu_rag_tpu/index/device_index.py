@@ -123,6 +123,7 @@ class DeviceVectorIndex:
         # recompile at growth time is a persistent-cache hit instead of a
         # 20-40s stall (ROADMAP "capacity-growth stalls")
         self._seen_sigs: set[tuple] = set()  # (q_rows, k, backend)
+        self._seen_buckets: set[int] = set()  # append bucket sizes seen
         self._warmed_tier = 0
         self._warm_stats = {"tiers": 0, "kernels": 0}
         # closed-loop nprobe tuner state (IndexConfig.ivf_recall_target)
@@ -178,18 +179,39 @@ class DeviceVectorIndex:
         if self.size * 4 < self.capacity * 3:
             return
         next_cap = self.capacity * 2
-        if self._warmed_tier >= next_cap or not self._seen_sigs:
+        if self._warmed_tier >= next_cap or not (self._seen_sigs or self._seen_buckets):
             return
         self._warmed_tier = next_cap
         sigs = list(self._seen_sigs)
+        buckets = list(self._seen_buckets)
         threading.Thread(
-            target=self._warm_tier, args=(next_cap, sigs), daemon=True,
+            target=self._warm_tier, args=(next_cap, sigs, buckets), daemon=True,
             name=f"yrt-warm-{next_cap}",
         ).start()
 
-    def _warm_tier(self, cap: int, sigs: list[tuple]) -> None:
+    def _warm_tier(self, cap: int, sigs: list[tuple], buckets: list[int] = ()) -> None:
         try:
             S = jax.ShapeDtypeStruct
+            ncols = self.schema.max_columns
+            for bucket in buckets:
+                # append kernels at the next capacity: without this the
+                # first post-growth add compiles synchronously under the
+                # index lock and every queued query eats the stall
+                _append_kernel.lower(
+                    S((cap, self.d_pad), self._store_dtype),
+                    S((cap, ncols), jnp.int32),
+                    S((cap,), jnp.float32),
+                    S((bucket, self.d_pad), self._store_dtype),
+                    S((bucket, ncols), jnp.int32),
+                    S((bucket,), jnp.float32),
+                    S((), jnp.int32),
+                ).compile()
+                if self._int8:
+                    _append_scales_kernel.lower(
+                        S((cap,), jnp.float32), S((bucket,), jnp.float32),
+                        S((), jnp.int32),
+                    ).compile()
+                self._warm_stats["kernels"] += 1
             for qn, k, raw_backend in sigs:
                 backend = self._backend(raw_backend, cap=cap)
                 q = S((qn, self.d_pad), jnp.float32)
@@ -220,74 +242,89 @@ class DeviceVectorIndex:
         """Append chunks with their embeddings; returns assigned rows.
 
         Re-adding an existing chunk id tombstones the old row first
-        (delete-then-reinsert idempotency, ref ``processors.py:363-369``)."""
+        (delete-then-reinsert idempotency, ref ``processors.py:363-369``).
+
+        Concurrency: all host-side prep (normalize, quantize, pad) and the
+        host→device transfers run OUTSIDE the index lock; the lock only
+        covers the commit (stale delete, growth, the async append dispatch,
+        host-map update). Before this split a 16k-row batch held the lock
+        through ~50 MB of numpy work plus the device transfer, and
+        concurrent queries stalled behind it for the whole add
+        (bench_streaming during-build p95 was 23× idle; SURVEY §7
+        "Concurrent build + query")."""
         n = len(chunks)
         if n == 0:
             return []
         embeddings = np.asarray(embeddings, np.float32)
         assert embeddings.shape == (n, self.dim), (embeddings.shape, n, self.dim)
+
+        # -- host prep (no lock) --------------------------------------------
+        # pad the batch to a pow2 bucket so jit specializations stay few
+        bucket = _pow2_at_least(n, 64)
+        vpad = np.zeros((bucket, self.d_pad), np.float32)
+        vpad[:n, : self.dim] = embeddings
+        if self.metric == "cosine":
+            norms = np.linalg.norm(vpad[:n], axis=1, keepdims=True)
+            vpad[:n] /= np.maximum(norms, 1e-12)
+        bpad = np.full(bucket, NEG_INF, np.float32)
+        bpad[:n] = (
+            -np.sum(vpad[:n] * vpad[:n], axis=1) if self.metric == "l2" else 0.0
+        )
+        # schema slot assignment mutates shared host state → brief lock
+        with self._lock:
+            cols = np.asarray(
+                [self.schema.encode_row(c.metadata) for c in chunks], np.int32
+            )
+        cpad = np.full((bucket, self.schema.max_columns), -(2**31), np.int32)
+        cpad[:n] = cols
+        if self._int8:
+            amax = np.maximum(np.abs(vpad).max(axis=1), 1e-12)
+            spad = (amax / 127.0).astype(np.float32)
+            qpad = np.clip(np.round(vpad / spad[:, None]), -127, 127).astype(np.int8)
+            dev_vec = self._put(jnp.asarray(qpad))
+            dev_scales = self._put(jnp.asarray(spad))
+        else:
+            dev_vec = self._put(jnp.asarray(vpad, self._store_dtype))
+            dev_scales = None
+        dev_cols = self._put(jnp.asarray(cpad))
+        dev_bias = self._put(jnp.asarray(bpad))
+        new_chunks = [
+            Chunk(c.id, c.document_id, c.content, c.chunk_index, c.metadata)
+            for c in chunks
+        ]
+        # finish the host→device copies BEFORE committing: the append
+        # kernel consumes these buffers, so an unfinished transfer would
+        # stall every query dispatched after the commit (device-stream
+        # data dependency), not just the writer
+        jax.block_until_ready((dev_vec, dev_cols, dev_bias))
+        if dev_scales is not None:
+            jax.block_until_ready(dev_scales)
+
+        # -- commit (lock): dispatches are async, so the hold is short ------
         with self._lock:
             stale = [c.id for c in chunks if c.id in self._id_to_row]
             if stale:
                 self.delete(stale)
-
-            # pad the batch to a pow2 bucket so jit specializations stay few
-            bucket = _pow2_at_least(n, 64)
             self._grow(self.size + bucket)
             start = self.size
-
-            vec = np.zeros((n, self.d_pad), np.float32)
-            vec[:, : self.dim] = embeddings
-            if self.metric == "cosine":
-                norms = np.linalg.norm(vec, axis=1, keepdims=True)
-                vec = vec / np.maximum(norms, 1e-12)
-            rows_bias = np.zeros(n, np.float32)
-            if self.metric == "l2":
-                rows_bias = -np.sum(vec * vec, axis=1)
-
-            cols = np.asarray([self.schema.encode_row(c.metadata) for c in chunks], np.int32)
-
-            vpad = np.zeros((bucket, self.d_pad), np.float32)
-            vpad[:n] = vec
-            cpad = np.full((bucket, self.schema.max_columns), -(2**31), np.int32)
-            cpad[:n] = cols
-            bpad = np.full(bucket, NEG_INF, np.float32)
-            bpad[:n] = rows_bias
+            self._vectors, self._cols, self._bias = _append_kernel(
+                self._vectors, self._cols, self._bias,
+                dev_vec, dev_cols, dev_bias, jnp.int32(start),
+            )
             if self._int8:
-                amax = np.maximum(np.abs(vpad).max(axis=1), 1e-12)
-                spad = (amax / 127.0).astype(np.float32)
-                qpad = np.clip(np.round(vpad / spad[:, None]), -127, 127).astype(np.int8)
-                self._vectors, self._cols, self._bias = _append_kernel(
-                    self._vectors,
-                    self._cols,
-                    self._bias,
-                    self._put(jnp.asarray(qpad)),
-                    self._put(jnp.asarray(cpad)),
-                    self._put(jnp.asarray(bpad)),
-                    jnp.int32(start),
-                )
                 self._scales = _append_scales_kernel(
-                    self._scales, jnp.asarray(spad), jnp.int32(start)
+                    self._scales, dev_scales, jnp.int32(start)
                 )
-            else:
-                self._vectors, self._cols, self._bias = _append_kernel(
-                    self._vectors,
-                    self._cols,
-                    self._bias,
-                    self._put(jnp.asarray(vpad, self._store_dtype)),
-                    self._put(jnp.asarray(cpad)),
-                    self._put(jnp.asarray(bpad)),
-                    jnp.int32(start),
-                )
-
             rows = list(range(start, start + n))
-            for i, c in enumerate(chunks):
+            for i, c in enumerate(new_chunks):
                 row = start + i
-                self._chunks.append(Chunk(c.id, c.document_id, c.content, c.chunk_index, c.metadata))
+                self._chunks.append(c)
                 self._id_to_row[c.id] = row
                 self._doc_rows.setdefault(c.document_id, []).append(row)
             self.size += n
             self.live_count += n
+            if len(self._seen_buckets) < 16:
+                self._seen_buckets.add(bucket)
             self._maybe_warm_next_tier()
             return rows
 

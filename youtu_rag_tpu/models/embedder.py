@@ -118,6 +118,7 @@ class TpuEmbedder(BaseEmbedder):
         sp_mesh=None,
         long_max_len: int | None = None,
         seed: int = 0,
+        tokenizer=None,
     ):
         import jax
 
@@ -130,7 +131,7 @@ class TpuEmbedder(BaseEmbedder):
             config = EncoderConfig(attention_impl="pallas" if on_tpu else "xla")
         self.cfg = config
         self.params = params if params is not None else init_encoder_params(self.cfg, seed)
-        self.tokenizer = HashTokenizer(self.cfg.vocab_size, self.cfg.max_len)
+        self.tokenizer = tokenizer or HashTokenizer(self.cfg.vocab_size, self.cfg.max_len)
         self.batch_size = batch_size
         self._mesh = mesh
 
@@ -163,6 +164,33 @@ class TpuEmbedder(BaseEmbedder):
             self._sp_fwd = make_sp_encoder(self.cfg, sp_mesh, sp_axis="sp")
             self._sp_size = int(sp_mesh.shape["sp"])
             self._long_max = long_max_len or 8 * self.cfg.max_len
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        model_dir,
+        pooling: str | None = None,
+        dtype=None,
+        attention_impl: str | None = None,
+        max_len: int | None = None,
+        **kwargs,
+    ) -> "TpuEmbedder":
+        """Serve a pretrained BERT-family checkpoint (bge/gte/e5 layouts)
+        on TPU — the quality slot of the reference's remote embedding
+        service (``service_embedder.py:16-177``). ``model_dir`` is an HF
+        export: config.json + model.safetensors + vocab.txt."""
+        import jax
+
+        from .pretrained import load_pretrained_encoder
+
+        if attention_impl is None:
+            on_tpu = jax.devices()[0].platform == "tpu"
+            attention_impl = "pallas" if on_tpu else "xla"
+        params, cfg, tokenizer = load_pretrained_encoder(
+            model_dir, pooling=pooling, dtype=dtype,
+            attention_impl=attention_impl, max_len=max_len,
+        )
+        return cls(config=cfg, params=params, tokenizer=tokenizer, **kwargs)
 
     @property
     def dimension(self) -> int:

@@ -46,6 +46,18 @@ class EncoderConfig:
     # attention path: "xla" (training + CPU), "pallas" (inference on TPU —
     # blockwise kernel, no HBM score materialization), "pallas_interpret"
     attention_impl: str = "xla"
+    # architecture family:
+    #   "preln_rope" — this repo's native trunk (pre-LN, RoPE, no attn
+    #                  biases, mean-pool + out_proj);
+    #   "bert"       — HF BERT-family layout (post-LN, learned absolute
+    #                  positions + token types, attention biases, erf GELU)
+    #                  so pretrained bge/gte/e5-style safetensors weights
+    #                  run natively (models/pretrained.py loads them).
+    arch: str = "preln_rope"
+    pooling: str = "mean"  # "mean" | "cls" (bert embedding models vary)
+    ln_eps: float = 1e-6  # bert checkpoints use 1e-12
+    type_vocab_size: int = 2  # bert token-type (segment) vocabulary
+    gelu_approximate: bool = True  # HF "gelu" is the exact erf form
 
 
     @property
@@ -65,6 +77,33 @@ def init_encoder_params(cfg: EncoderConfig, seed: int = 0) -> dict:
     def init(key, shape, scale):
         return (jax.random.normal(key, shape, jnp.float32) * scale).astype(jnp.float32)
 
+    if cfg.arch == "bert":
+        return {
+            "tok_emb": init(ks[0], (V, D), 0.02),
+            "pos_emb": init(ks[9], (cfg.max_len, D), 0.02),
+            "type_emb": init(ks[10], (cfg.type_vocab_size, D), 0.02),
+            "emb_ln_scale": jnp.ones((D,), jnp.float32),
+            "emb_ln_bias": jnp.zeros((D,), jnp.float32),
+            "layers": {
+                "wq": init(ks[1], (L, D, D), s_attn),
+                "bq": jnp.zeros((L, D), jnp.float32),
+                "wk": init(ks[2], (L, D, D), s_attn),
+                "bk": jnp.zeros((L, D), jnp.float32),
+                "wv": init(ks[3], (L, D, D), s_attn),
+                "bv": jnp.zeros((L, D), jnp.float32),
+                "wo": init(ks[4], (L, D, D), s_attn),
+                "bo": jnp.zeros((L, D), jnp.float32),
+                "ln1_scale": jnp.ones((L, D), jnp.float32),
+                "ln1_bias": jnp.zeros((L, D), jnp.float32),
+                "w1": init(ks[5], (L, D, F), s_attn),
+                "b1": jnp.zeros((L, F), jnp.float32),
+                "w2": init(ks[6], (L, F, D), s_ff),
+                "b2": jnp.zeros((L, D), jnp.float32),
+                "ln2_scale": jnp.ones((L, D), jnp.float32),
+                "ln2_bias": jnp.zeros((L, D), jnp.float32),
+            },
+            "score_head": init(ks[8], (D, 1), s_attn),
+        }
     return {
         "tok_emb": init(ks[0], (V, D), 0.02),
         "layers": {
@@ -128,6 +167,25 @@ def param_sharding_spec(cfg: EncoderConfig) -> dict:
 
     wq/wk/wv and w1 column-parallel (output dim over 'tp'); wo and w2
     row-parallel (input dim over 'tp'); embeddings sharded on vocab."""
+    if cfg.arch == "bert":
+        return {
+            "tok_emb": P("tp", None),
+            "pos_emb": P(None, None),
+            "type_emb": P(None, None),
+            "emb_ln_scale": P(None),
+            "emb_ln_bias": P(None),
+            "layers": {
+                "wq": P(None, None, "tp"), "bq": P(None, "tp"),
+                "wk": P(None, None, "tp"), "bk": P(None, "tp"),
+                "wv": P(None, None, "tp"), "bv": P(None, "tp"),
+                "wo": P(None, "tp", None), "bo": P(None, None),
+                "ln1_scale": P(None, None), "ln1_bias": P(None, None),
+                "w1": P(None, None, "tp"), "b1": P(None, "tp"),
+                "w2": P(None, "tp", None), "b2": P(None, None),
+                "ln2_scale": P(None, None), "ln2_bias": P(None, None),
+            },
+            "score_head": P(None, None),
+        }
     return {
         "tok_emb": P("tp", None),
         "layers": {
@@ -175,11 +233,12 @@ def _rope(x, base: float, pos_offset=0):
     return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
 
 
-def _ffn(h, lp, dt):
+def _ffn(h, lp, dt, approximate: bool = True):
     """Position-wise FFN block (shared by the dense, pipeline and
-    sequence-parallel layer bodies — keep in sync in ONE place)."""
+    sequence-parallel layer bodies — keep in sync in ONE place).
+    ``approximate=False`` selects the exact erf GELU (HF BERT parity)."""
     h = jnp.einsum("btd,df->btf", h, lp["w1"].astype(dt)) + lp["b1"].astype(dt)
-    h = jax.nn.gelu(h)
+    h = jax.nn.gelu(h, approximate=approximate)
     return jnp.einsum("btf,fd->btd", h, lp["w2"].astype(dt)) + lp["b2"].astype(dt)
 
 
@@ -199,6 +258,37 @@ def pool_project(params, summed, count):
     return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
 
 
+def _attention_core(q, k, v, mask, cfg: EncoderConfig):
+    """Scaled-dot-product attention from projected heads [B, H, T, hd].
+
+    Kernel dispatch shared by every arch/parallelism variant:
+    measured on v5e (b4·h12·hd64 bf16): XLA 3.6/14.4 ms at T=2k/4k,
+    blockwise 0.94/3.1 ms; blockwise fails to compile at T≥8k (the
+    [block_q, T] f32 score row outgrows VMEM) where flash runs 6.0 ms
+    (8k) / 24.1 ms (16k). So: XLA < 256 ≤ blockwise ≤ 4k < flash."""
+    _, _, t, hd = q.shape
+    if cfg.attention_impl != "xla" and t >= 256 and t % 128 == 0 and hd % 64 == 0:
+        interpret = cfg.attention_impl == "pallas_interpret"
+        bias2d = (1.0 - mask.astype(jnp.float32)) * -1e9  # [B, T]
+        use_flash = cfg.attention_impl == "flash" or (
+            cfg.attention_impl == "pallas" and t > 4096
+        )
+        if use_flash:
+            from ..ops.attention import flash_attention
+
+            return flash_attention(q, k, v, bias2d, interpret=interpret)
+        from ..ops.attention import blockwise_attention
+
+        return blockwise_attention(
+            q, k, v, bias2d, block_q=min(256, t), interpret=interpret
+        )
+    mask_bias = (1.0 - mask[:, None, None, :].astype(jnp.float32)) * -1e9
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores / np.sqrt(hd) + mask_bias  # [B, 1, 1, T] bias broadcast
+    attn = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+
+
 def _attention(x, mask, wq, wk, wv, wo, cfg: EncoderConfig):
     b, t, d = x.shape
     h, hd = cfg.n_heads, cfg.head_dim
@@ -210,47 +300,47 @@ def _attention(x, mask, wq, wk, wv, wo, cfg: EncoderConfig):
     q = _rope(proj(wq), cfg.rope_base)
     k = _rope(proj(wk), cfg.rope_base)
     v = proj(wv)
-    # measured on v5e (b4·h12·hd64 bf16): XLA 3.6/14.4 ms at T=2k/4k,
-    # blockwise 0.94/3.1 ms; blockwise fails to compile at T≥8k (the
-    # [block_q, T] f32 score row outgrows VMEM) where flash runs 6.0 ms
-    # (8k) / 24.1 ms (16k). So: XLA < 256 ≤ blockwise ≤ 4k < flash.
-    if cfg.attention_impl != "xla" and t >= 256 and t % 128 == 0 and hd % 64 == 0:
-        interpret = cfg.attention_impl == "pallas_interpret"
-        bias2d = (1.0 - mask.astype(jnp.float32)) * -1e9  # [B, T]
-        use_flash = cfg.attention_impl == "flash" or (
-            cfg.attention_impl == "pallas" and t > 4096
-        )
-        if use_flash:
-            from ..ops.attention import flash_attention
-
-            y = flash_attention(q, k, v, bias2d, interpret=interpret)
-        else:
-            from ..ops.attention import blockwise_attention
-
-            y = blockwise_attention(
-                q, k, v, bias2d, block_q=min(256, t), interpret=interpret
-            )
-    else:
-        mask_bias = (1.0 - mask[:, None, None, :].astype(jnp.float32)) * -1e9
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-        scores = scores / np.sqrt(hd) + mask_bias  # [B, 1, 1, T] bias broadcast
-        attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        y = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    y = _attention_core(q, k, v, mask, cfg)
     y = y.transpose(0, 2, 1, 3).reshape(b, t, d)
     return jnp.einsum("btd,de->bte", y, wo.astype(x.dtype))
 
 
+def _bert_attention(x, mask, lp, cfg: EncoderConfig):
+    """BERT-family attention: biased q/k/v/o projections, no RoPE
+    (positions are learned absolute embeddings added at the input)."""
+    b, t, d = x.shape
+    h, hd = cfg.n_heads, cfg.head_dim
+
+    def proj(w, bias):
+        y = jnp.einsum("btd,de->bte", x, w.astype(x.dtype)) + bias.astype(x.dtype)
+        return y.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+
+    q = proj(lp["wq"], lp["bq"])
+    k = proj(lp["wk"], lp["bk"])
+    v = proj(lp["wv"], lp["bv"])
+    y = _attention_core(q, k, v, mask, cfg)
+    y = y.transpose(0, 2, 1, 3).reshape(b, t, d)
+    return jnp.einsum("btd,de->bte", y, lp["wo"].astype(x.dtype)) + lp["bo"].astype(x.dtype)
+
+
 def encode_tokens(
-    params: dict, token_ids: jax.Array, mask: jax.Array, cfg: EncoderConfig
+    params: dict,
+    token_ids: jax.Array,
+    mask: jax.Array,
+    cfg: EncoderConfig,
+    type_ids: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Forward pass.
 
     Args:
       token_ids: [B, T] int32
       mask:      [B, T] float (1 = real token)
+      type_ids:  [B, T] int32 segment ids (bert arch only; None = all 0)
     Returns:
       (embeddings [B, out_dim] f32 L2-normalized, cls_state [B, d_model] f32)
     """
+    if cfg.arch == "bert":
+        return _bert_encode(params, token_ids, mask, cfg, type_ids)
     dt = cfg.dtype
     x = params["tok_emb"].astype(dt)[token_ids]  # [B, T, D]
 
@@ -269,7 +359,62 @@ def encode_tokens(
     return emb, cls
 
 
-def rerank_scores(params: dict, token_ids: jax.Array, mask: jax.Array, cfg: EncoderConfig) -> jax.Array:
-    """Cross-encoder relevance scores [B] from the CLS state."""
-    _, cls = encode_tokens(params, token_ids, mask, cfg)
-    return (cls @ params["score_head"])[:, 0]
+def _bert_encode(params, token_ids, mask, cfg: EncoderConfig, type_ids=None):
+    """BERT-family forward (post-LN residuals, learned positions).
+
+    Matches ``transformers.BertModel`` math to f32 precision so pretrained
+    bge/gte/e5-style weights (models/pretrained.py) produce the same
+    embeddings on TPU that the reference got from its remote embedding
+    service (``utu/rag/embeddings/service_embedder.py:16-177``)."""
+    dt = cfg.dtype
+    b, t = token_ids.shape
+    x32 = params["tok_emb"][token_ids].astype(jnp.float32)
+    x32 = x32 + params["pos_emb"][:t][None].astype(jnp.float32)
+    if type_ids is None:
+        x32 = x32 + params["type_emb"][0][None, None].astype(jnp.float32)
+    else:
+        x32 = x32 + params["type_emb"][type_ids].astype(jnp.float32)
+    x = _layer_norm(
+        x32, params["emb_ln_scale"], params["emb_ln_bias"], eps=cfg.ln_eps
+    ).astype(dt)
+
+    def layer(x, lp):
+        a = _bert_attention(x, mask, lp, cfg)
+        x = _layer_norm(x + a, lp["ln1_scale"], lp["ln1_bias"], eps=cfg.ln_eps)
+        f = _ffn(x, lp, dt, approximate=cfg.gelu_approximate)
+        x = _layer_norm(x + f, lp["ln2_scale"], lp["ln2_bias"], eps=cfg.ln_eps)
+        return x, None
+
+    x, _ = jax.lax.scan(layer, x, params["layers"])
+
+    if cfg.pooling == "cls":
+        pooled = x[:, 0, :].astype(jnp.float32)
+        cnt = None
+    else:
+        summed, cnt = masked_pool_sums(x, mask)
+        pooled = summed / jnp.maximum(cnt, 1.0)
+    if "out_proj" in params:
+        pooled = pooled @ params["out_proj"]
+    emb = pooled / jnp.maximum(jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12)
+    cls = x[:, 0, :].astype(jnp.float32)
+    return emb, cls
+
+
+def rerank_scores(
+    params: dict,
+    token_ids: jax.Array,
+    mask: jax.Array,
+    cfg: EncoderConfig,
+    type_ids: jax.Array | None = None,
+) -> jax.Array:
+    """Cross-encoder relevance scores [B] from the CLS state.
+
+    Pretrained sequence-classification rerankers (bge-reranker layout) add
+    a tanh pooler before the classifier head; both are optional keys."""
+    _, cls = encode_tokens(params, token_ids, mask, cfg, type_ids=type_ids)
+    if "pooler_w" in params:
+        cls = jnp.tanh(cls @ params["pooler_w"] + params["pooler_b"])
+    s = (cls @ params["score_head"])[:, 0]
+    if "score_bias" in params:
+        s = s + params["score_bias"][0]
+    return s

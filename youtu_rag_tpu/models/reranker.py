@@ -77,16 +77,44 @@ class LexicalReranker(BaseReranker):
 class TpuReranker(BaseReranker):
     """Cross-encoder forward on TPU; pairs padded to pow2 buckets."""
 
-    def __init__(self, config=None, params: dict | None = None, batch_size: int = 64, seed: int = 0):
+    def __init__(
+        self,
+        config=None,
+        params: dict | None = None,
+        batch_size: int = 64,
+        seed: int = 0,
+        tokenizer=None,
+    ):
         import jax
 
         from .encoder import EncoderConfig, init_encoder_params, rerank_scores
 
         self.cfg = config or EncoderConfig()
         self.params = params if params is not None else init_encoder_params(self.cfg, seed)
-        self.tokenizer = HashTokenizer(self.cfg.vocab_size, self.cfg.max_len)
+        self.tokenizer = tokenizer or HashTokenizer(self.cfg.vocab_size, self.cfg.max_len)
         self.batch_size = batch_size
-        self._fwd = jax.jit(lambda p, ids, m: rerank_scores(p, ids, m, self.cfg))
+        self._fwd = jax.jit(
+            lambda p, ids, m, tt: rerank_scores(p, ids, m, self.cfg, type_ids=tt)
+        )
+
+    @classmethod
+    def from_pretrained(cls, model_dir, dtype=None, attention_impl: str | None = None,
+                        max_len: int | None = None, **kwargs) -> "TpuReranker":
+        """Serve a pretrained BERT-family cross-encoder (bge-reranker-style
+        BertForSequenceClassification export) on TPU — the quality slot of
+        the reference's Jina-style /rerank service
+        (``openai_reranker.py:20-214``)."""
+        from .pretrained import load_pretrained_encoder
+
+        params, cfg, tokenizer = load_pretrained_encoder(
+            model_dir, dtype=dtype, attention_impl=attention_impl, max_len=max_len
+        )
+        if "score_head" not in params:
+            raise ValueError(
+                f"{model_dir} has no classifier head — an embedding model, "
+                "not a reranker checkpoint?"
+            )
+        return cls(config=cfg, params=params, tokenizer=tokenizer, **kwargs)
 
     def score(self, query: str, docs: list[str]) -> list[float]:
         scores: list[float] = []
@@ -102,11 +130,16 @@ class TpuReranker(BaseReranker):
                 nb *= 2
             ids = np.zeros((nb, t), np.int32)
             mask = np.zeros((nb, t), np.float32)
+            types = np.zeros((nb, t), np.int32)
+            sep = getattr(self.tokenizer, "sep_id", None)
             for j, s in enumerate(seqs):
                 s = s[:t]
                 ids[j, : len(s)] = s
                 mask[j, : len(s)] = 1.0
-            out = np.asarray(self._fwd(self.params, ids, mask))
+                if sep is not None and sep in s:
+                    # segment 1 after the first [SEP] (bert token types)
+                    types[j, s.index(sep) + 1 : len(s)] = 1
+            out = np.asarray(self._fwd(self.params, ids, mask, types))
             scores.extend(out[: len(batch)].tolist())
         return scores
 

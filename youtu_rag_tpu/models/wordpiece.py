@@ -1,0 +1,223 @@
+"""WordPiece tokenizer (BERT-family) — offline, vocab.txt-driven.
+
+The real-vocabulary counterpart of ``models/tokenizer.py``'s hashing
+tokenizer: pretrained bge/gte/e5-style encoders (models/pretrained.py)
+need the exact token ids their checkpoints were trained with. Implements
+the standard BERT pipeline — text cleanup, CJK isolation, lowercase +
+accent stripping, punctuation splitting, then greedy longest-match-first
+WordPiece — matching ``transformers.BertTokenizer`` output (parity-tested
+in tests/models/test_pretrained.py).
+
+Interface-compatible with ``HashTokenizer`` (tokenize/encode/encode_pair/
+batch) so ``TpuEmbedder``/``TpuReranker`` take either; adds
+``batch_pairs`` returning token-type ids for the cross-encoder path.
+
+Reference slot: the reference never tokenizes (embeddings are remote HTTP,
+``utu/rag/embeddings/service_embedder.py:16-177``); this is what makes
+production-quality embedding models run in-process on TPU.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import numpy as np
+
+
+def _is_whitespace(ch: str) -> bool:
+    if ch in (" ", "\t", "\n", "\r"):
+        return True
+    return unicodedata.category(ch) == "Zs"
+
+
+def _is_control(ch: str) -> bool:
+    if ch in ("\t", "\n", "\r"):
+        return False
+    return unicodedata.category(ch).startswith("C")
+
+
+def _is_punctuation(ch: str) -> bool:
+    cp = ord(ch)
+    # ASCII punctuation ranges (treat like BERT: includes ^ _ ` $ etc.)
+    if 33 <= cp <= 47 or 58 <= cp <= 64 or 91 <= cp <= 96 or 123 <= cp <= 126:
+        return True
+    return unicodedata.category(ch).startswith("P")
+
+
+def _is_cjk(cp: int) -> bool:
+    return (
+        0x4E00 <= cp <= 0x9FFF
+        or 0x3400 <= cp <= 0x4DBF
+        or 0x20000 <= cp <= 0x2A6DF
+        or 0x2A700 <= cp <= 0x2B73F
+        or 0x2B740 <= cp <= 0x2B81F
+        or 0x2B820 <= cp <= 0x2CEAF
+        or 0xF900 <= cp <= 0xFAFF
+        or 0x2F800 <= cp <= 0x2FA1F
+    )
+
+
+def load_vocab(path) -> dict[str, int]:
+    """vocab.txt → {token: id} (id = line number, BERT convention)."""
+    vocab: dict[str, int] = {}
+    with open(path, encoding="utf-8") as f:
+        for i, line in enumerate(f):
+            tok = line.rstrip("\n")
+            if tok and tok not in vocab:
+                vocab[tok] = i
+    return vocab
+
+
+class WordPieceTokenizer:
+    """BERT basic + WordPiece tokenization over a fixed vocabulary."""
+
+    def __init__(
+        self,
+        vocab: dict[str, int] | str,
+        lowercase: bool = True,
+        max_length: int = 512,
+        unk_token: str = "[UNK]",
+        cls_token: str = "[CLS]",
+        sep_token: str = "[SEP]",
+        pad_token: str = "[PAD]",
+        max_chars_per_word: int = 100,
+    ):
+        if isinstance(vocab, (str, bytes)) or hasattr(vocab, "__fspath__"):
+            vocab = load_vocab(vocab)
+        self.vocab = vocab
+        self.lowercase = lowercase
+        self.max_length = max_length
+        self.max_chars_per_word = max_chars_per_word
+        self.unk_id = vocab[unk_token]
+        self.cls_id = vocab[cls_token]
+        self.sep_id = vocab[sep_token]
+        self.pad_id = vocab.get(pad_token, 0)
+        self.vocab_size = max(vocab.values()) + 1
+
+    # -- basic tokenization -------------------------------------------------
+
+    def _clean(self, text: str) -> str:
+        out = []
+        for ch in text:
+            cp = ord(ch)
+            if cp == 0 or cp == 0xFFFD or _is_control(ch):
+                continue
+            if _is_cjk(cp):
+                out.append(f" {ch} ")
+            elif _is_whitespace(ch):
+                out.append(" ")
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    @staticmethod
+    def _strip_accents(token: str) -> str:
+        return "".join(
+            ch for ch in unicodedata.normalize("NFD", token)
+            if unicodedata.category(ch) != "Mn"
+        )
+
+    def basic_tokenize(self, text: str) -> list[str]:
+        tokens: list[str] = []
+        for word in self._clean(text).split():
+            if self.lowercase:
+                word = self._strip_accents(word.lower())
+            # split each punctuation char into its own token
+            cur: list[str] = []
+            for ch in word:
+                if _is_punctuation(ch):
+                    if cur:
+                        tokens.append("".join(cur))
+                        cur = []
+                    tokens.append(ch)
+                else:
+                    cur.append(ch)
+            if cur:
+                tokens.append("".join(cur))
+        return tokens
+
+    # -- wordpiece ----------------------------------------------------------
+
+    def wordpiece(self, word: str) -> list[str]:
+        """Greedy longest-match-first subword split; [UNK] on failure."""
+        if len(word) > self.max_chars_per_word:
+            return ["[UNK]"]
+        pieces: list[str] = []
+        start = 0
+        while start < len(word):
+            end = len(word)
+            piece = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    piece = sub
+                    break
+                end -= 1
+            if piece is None:
+                return ["[UNK]"]
+            pieces.append(piece)
+            start = end
+        return pieces
+
+    def tokenize_words(self, text: str) -> list[str]:
+        """Full pipeline → wordpiece strings (BertTokenizer.tokenize parity)."""
+        out: list[str] = []
+        for word in self.basic_tokenize(text):
+            out.extend(self.wordpiece(word))
+        return out
+
+    # -- HashTokenizer-compatible interface ---------------------------------
+
+    def tokenize(self, text: str) -> list[int]:
+        return [self.vocab.get(p, self.unk_id) for p in self.tokenize_words(text)]
+
+    def encode(self, text: str, max_length: int | None = None) -> list[int]:
+        """[CLS] tokens [SEP], truncated to max_length."""
+        max_length = max_length or self.max_length
+        toks = self.tokenize(text)[: max_length - 2]
+        return [self.cls_id] + toks + [self.sep_id]
+
+    def encode_pair(self, a: str, b: str, max_length: int | None = None) -> list[int]:
+        """[CLS] a [SEP] b [SEP] — cross-encoder input (query gets ≤1/3)."""
+        max_length = max_length or self.max_length
+        ta = self.tokenize(a)
+        tb = self.tokenize(b)
+        budget = max_length - 3
+        ta = ta[: budget // 3]
+        tb = tb[: budget - len(ta)]
+        return [self.cls_id] + ta + [self.sep_id] + tb + [self.sep_id]
+
+    def batch(
+        self, texts: list[str], max_length: int | None = None, pad_to: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Encode + pad a batch → (ids [B, T] int32, mask [B, T] f32)."""
+        max_length = max_length or self.max_length
+        seqs = [self.encode(t, max_length) for t in texts]
+        t = pad_to or max(len(s) for s in seqs)
+        ids = np.full((len(seqs), t), self.pad_id, np.int32)
+        mask = np.zeros((len(seqs), t), np.float32)
+        for i, s in enumerate(seqs):
+            ids[i, : len(s)] = s
+            mask[i, : len(s)] = 1.0
+        return ids, mask
+
+    def batch_pairs(
+        self, pairs: list[tuple[str, str]], max_length: int | None = None,
+        pad_to: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Encode (a, b) pairs → (ids, mask, type_ids): segment 1 starts
+        after the first [SEP] (BERT token-type convention)."""
+        max_length = max_length or self.max_length
+        seqs = [self.encode_pair(a, b, max_length) for a, b in pairs]
+        t = pad_to or max(len(s) for s in seqs)
+        ids = np.full((len(seqs), t), self.pad_id, np.int32)
+        mask = np.zeros((len(seqs), t), np.float32)
+        types = np.zeros((len(seqs), t), np.int32)
+        for i, s in enumerate(seqs):
+            ids[i, : len(s)] = s
+            mask[i, : len(s)] = 1.0
+            first_sep = s.index(self.sep_id)
+            types[i, first_sep + 1 : len(s)] = 1
+        return ids, mask, types

@@ -154,22 +154,59 @@ class TpuVectorStore(BaseVectorStore):
     # -- extras used by toolkits/monitoring --------------------------------
 
     async def get_by_filter(
-        self, filters: dict[str, Any], limit: int | None = 1000
+        self,
+        filters: dict[str, Any],
+        limit: int | None = 1000,
+        offset: int = 0,
+        text: str | None = None,
     ) -> list[Chunk]:
         """Host-side metadata scan (ref analog: chroma collection.get with
         where-clauses). Used for summary-index listing and memory fetches.
-        ``limit=None`` scans everything (browsing with a post-filter)."""
+
+        Pagination pushdown: ``offset``/``text`` evaluate in the streaming
+        pass, so a page view materializes at most ``limit`` chunks and the
+        scan stops as soon as the page fills (a 10M-chunk KB no longer
+        pulls every match to serve one SPA page). ``limit=None`` keeps the
+        scan-everything behavior."""
+        chunks, _ = await self.scan_page(
+            filters, limit=limit, offset=offset, text=text, with_count=False
+        )
+        return chunks
+
+    async def scan_page(
+        self,
+        filters: dict[str, Any] | None,
+        limit: int | None = 50,
+        offset: int = 0,
+        text: str | None = None,
+        with_count: bool = True,
+    ) -> tuple[list[Chunk], int]:
+        """One streaming pass → (page, matched). With ``with_count`` the
+        scan continues past the page to report the exact match count (the
+        SPA pagination header); without it the iteration stops the moment
+        the page fills — O(limit) materialization either way."""
         from ..index.filters import host_eval
 
         if self._index is None:
-            return []
-        out = []
+            return [], 0
+        text_l = text.lower() if text else None
+        out: list[Chunk] = []
+        matched = 0
         for c in self._index.iter_live():
-            if host_eval(filters, c.metadata):
+            if filters and not host_eval(filters, c.metadata):
+                continue
+            if text_l is not None and text_l not in c.content.lower():
+                continue
+            if matched >= offset and (limit is None or len(out) < limit):
                 out.append(c)
-                if limit is not None and len(out) >= limit:
-                    break
-        return out
+            matched += 1
+            if (
+                not with_count
+                and limit is not None
+                and len(out) >= limit
+            ):
+                break
+        return out, matched
 
     async def health(self) -> HealthStatus:
         n = await self.count()
