@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""Adversarial recall harness (VERDICT r2 item 3).
+
+The old recall evidence came from well-separated synthetic clusters
+(bench_scale --spread 0.7, queries at the sampled centers) where IVF
+recall 1.0 is near-guaranteed. This harness measures recall@k on three
+datasets built to make IVF fail:
+
+  overlap   — clusters at spread 1.5 (heavily overlapping shells);
+  offcenter — spread 0.9 but queries sit BETWEEN clusters (midpoints of
+              random cross-cluster db pairs) — the pruning worst case;
+  text      — this repo's own files chunked and embedded (hash embedder
+              by default, --provider tpu for the encoder): real-text
+              geometry, not gaussian.
+
+Ground truth = exact f32 cosine on the original vectors (numpy). Each
+dataset reports recall@k and latency for: device brute force, IVF at the
+default probe plan, IVF + adaptive margin, and IVF + residual re-rank
+(the tuned config — target >= 0.95 where the plain config scores < 1).
+
+Run:  python scripts/bench_recall.py [--n-rows 262144 --provider hash]
+Writes benchmarks/recall_report.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _normalize(x):
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+
+def gen_overlap(rng, n, d, n_clusters=64, spread=1.5, n_q=32):
+    centers = _normalize(rng.standard_normal((n_clusters, d), dtype=np.float32))
+    cid = rng.integers(0, n_clusters, n)
+    x = centers[cid] + (spread / np.sqrt(d)) * rng.standard_normal((n, d), dtype=np.float32)
+    x = _normalize(x)
+    # queries: perturbed db points, off-center by construction
+    q = x[rng.integers(0, n, n_q)] + (1.0 / np.sqrt(d)) * rng.standard_normal(
+        (n_q, d), dtype=np.float32
+    )
+    return x, _normalize(q)
+
+
+def gen_offcenter(rng, n, d, n_clusters=64, spread=0.9, n_q=32):
+    centers = _normalize(rng.standard_normal((n_clusters, d), dtype=np.float32))
+    cid = rng.integers(0, n_clusters, n)
+    x = centers[cid] + (spread / np.sqrt(d)) * rng.standard_normal((n, d), dtype=np.float32)
+    x = _normalize(x)
+    a = x[rng.integers(0, n, n_q)]
+    b = x[rng.integers(0, n, n_q)]
+    q = (a + b) / 2 + (0.3 / np.sqrt(d)) * rng.standard_normal((n_q, d), dtype=np.float32)
+    return x, _normalize(q)
+
+
+def gen_text(rng, n, d, provider="hash", n_q=32):
+    """Chunk this repo's own files and embed them — real-text geometry."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    texts: list[str] = []
+    for pattern in ("youtu_rag_tpu/**/*.py", "docs/**/*.md", "*.md", "tests/**/*.py"):
+        for f in sorted(root.glob(pattern)):
+            try:
+                body = f.read_text(encoding="utf-8", errors="ignore")
+            except OSError:
+                continue
+            for i in range(0, len(body), 400):
+                piece = body[i : i + 500]
+                if len(piece.strip()) > 80:
+                    texts.append(piece)
+    rng.shuffle(texts)
+    # tile with suffix-perturbation if the corpus is smaller than n
+    base = list(texts)
+    j = 0
+    while len(texts) < n:
+        texts.append(base[j % len(base)] + f" v{j}")
+        j += 1
+    texts = texts[:n]
+
+    if provider == "tpu":
+        from youtu_rag_tpu.models.embedder import TpuEmbedder
+
+        emb = TpuEmbedder(batch_size=256)
+        x = emb.embed_batch(texts).astype(np.float32)
+        if x.shape[1] != d:
+            x = x[:, :d]
+    else:
+        from youtu_rag_tpu.models.embedder import HashEmbedder
+
+        x = HashEmbedder(dim=d).embed_batch(texts)
+    x = _normalize(x)
+    # queries: short extracts of random chunks (realistic partial match)
+    qi = rng.integers(0, n, n_q)
+    q_texts = [texts[i][40:200] for i in qi]
+    if provider == "tpu":
+        q = emb.embed_batch(q_texts).astype(np.float32)[:, :d]
+    else:
+        q = HashEmbedder(dim=d).embed_batch(q_texts)
+    return x, _normalize(q)
+
+
+def ground_truth(x, q, k):
+    s = q.astype(np.float32) @ x.T.astype(np.float32)
+    return np.argsort(-s, axis=1)[:, :k]
+
+
+def measure(idx, queries, truth, k, label, reps=3):
+    from youtu_rag_tpu.index.device_index import DeviceVectorIndex  # noqa: F401
+
+    t_best = 1e9
+    res = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        res = idx.search(queries, top_k=k)
+        t_best = min(t_best, (time.perf_counter() - t0) * 1e3)
+    hits = 0
+    for qi, hits_q in enumerate(res):
+        rows = {int(idx._id_to_row[c.id]) for c, _ in hits_q}
+        hits += len(rows & set(truth[qi].tolist()))
+    rec = hits / (len(res) * k)
+    print(f"  {label:28s} recall@{k} {rec:.3f}   {t_best:7.2f} ms", file=sys.stderr)
+    return {"recall": round(rec, 4), "ms": round(t_best, 2)}
+
+
+def run_dataset(name, x, q, k, n_lists, args):
+    from youtu_rag_tpu.core.config import IndexConfig
+    from youtu_rag_tpu.core.types import Chunk
+    from youtu_rag_tpu.index.device_index import DeviceVectorIndex
+
+    print(f"[{name}] n={len(x)} d={x.shape[1]}", file=sys.stderr)
+    truth = ground_truth(x, q, k)
+    chunks = [Chunk(f"c{i}", f"d{i // 64}", "", 0) for i in range(len(x))]
+    out = {}
+
+    def build(**kw):
+        cfg = IndexConfig(
+            storage_dtype=args.dtype, block_rows=args.block_rows,
+            min_capacity=len(x), n_lists=n_lists, **kw,
+        )
+        idx = DeviceVectorIndex(x.shape[1], cfg)
+        idx.add(chunks, x)
+        return idx
+
+    idx = build(n_probe=args.n_probe)
+    out["brute"] = measure(idx, q, truth, k, "brute")
+    idx.build_ivf()
+    out["ivf_plain"] = measure(idx, q, truth, k, f"ivf nprobe={args.n_probe}")
+    idx2 = build(n_probe=args.n_probe, ivf_adaptive_margin=0.1)
+    idx2.build_ivf()
+    out["ivf_adaptive"] = measure(idx2, q, truth, k, "ivf adaptive m=0.1")
+    idx3 = build(n_probe=args.n_probe * 2, ivf_rerank_multiplier=4.0)
+    idx3.build_ivf()
+    out["ivf_tuned"] = measure(
+        idx3, q, truth, k, f"ivf nprobe={args.n_probe * 2} + rerank x4 (tuned)"
+    )
+    return out
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-rows", type=int, default=262144)
+    p.add_argument("--dim", type=int, default=256)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--n-lists", type=int, default=256)
+    p.add_argument("--n-probe", type=int, default=8)
+    p.add_argument("--block-rows", type=int, default=1024)
+    p.add_argument("--dtype", default="int8")
+    p.add_argument("--provider", default="hash", choices=["hash", "tpu"])
+    p.add_argument("--datasets", default="overlap,offcenter,text")
+    args = p.parse_args()
+
+    rng = np.random.default_rng(0)
+    report = {
+        "n_rows": args.n_rows, "dim": args.dim, "k": args.k,
+        "n_lists": args.n_lists, "n_probe": args.n_probe,
+        "storage_dtype": args.dtype, "text_provider": args.provider,
+        "datasets": {},
+    }
+    gens = {
+        "overlap": lambda: gen_overlap(rng, args.n_rows, args.dim),
+        "offcenter": lambda: gen_offcenter(rng, args.n_rows, args.dim),
+        "text": lambda: gen_text(rng, args.n_rows, args.dim, args.provider),
+    }
+    for name in args.datasets.split(","):
+        x, q = gens[name]()
+        report["datasets"][name] = run_dataset(
+            name, x, q, args.k, args.n_lists, args
+        )
+
+    print(json.dumps(report))
+    os.makedirs("benchmarks", exist_ok=True)
+    with open("benchmarks/recall_report.json", "w") as f:
+        f.write(json.dumps(report, indent=1) + "\n")
+
+
+if __name__ == "__main__":
+    main()

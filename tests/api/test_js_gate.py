@@ -1,0 +1,57 @@
+"""SPA runtime smoke without a browser (VERDICT r2 item 10): every shipped
+JS file passes the lexical gate, every view file is referenced from the
+app shell, and deliberately broken fixtures fail the gate."""
+
+import pathlib
+
+from youtu_rag_tpu.utils.jscheck import check_file, check_js
+
+STATIC = pathlib.Path(__file__).resolve().parents[2] / "youtu_rag_tpu" / "api" / "static"
+
+
+def test_all_shipped_js_passes_gate():
+    js_files = sorted(STATIC.rglob("*.js"))
+    assert js_files, "SPA js files missing"
+    for f in js_files:
+        errs = check_file(f)
+        assert not errs, f"{f.name}: {[str(e) for e in errs]}"
+
+
+def test_views_are_referenced_and_served():
+    index = (STATIC / "index.html").read_text(encoding="utf-8")
+    app_js = (STATIC / "app.js").read_text(encoding="utf-8")
+    assert "app.js" in index
+    for view in sorted((STATIC / "views").glob("*.js")):
+        name = f"views/{view.name}"
+        assert name in index or name in app_js or view.stem in app_js, (
+            f"{name} shipped but never referenced from the app shell"
+        )
+
+
+def test_gate_catches_broken_js():
+    bad = [
+        "function f() { if (x) { return 1; }\n",  # unclosed brace
+        "const s = 'oops\nconst t = 1;",  # unterminated '
+        "const t = `hello ${name}",  # unterminated template
+        "let a = (1 + [2, 3)];",  # mismatched brackets
+        "/* comment never ends",  # unterminated comment
+        "const r = /abc;",  # unterminated regex
+        "}",  # stray close
+    ]
+    for src in bad:
+        assert check_js(src), f"gate missed: {src!r}"
+
+
+def test_gate_accepts_tricky_valid_js():
+    good = [
+        "const r = /[a-z)]+/g; const d = a / b / c;",  # regex w/ bracket
+        'const s = "a\\"b" + \'c\\\'d\';',  # escaped quotes
+        "const t = `x ${ {a: `${y}`} } z`;",  # nested template
+        "// comment with ( unbalanced\nlet x = 1;",
+        "if (a) /re/.test(b);",
+        "const obj = {a: [1, 2, {b: (3)}]};",
+        "return /x/.test(s) ? 1 : 2;",
+    ]
+    for src in good:
+        errs = check_js(src)
+        assert not errs, f"false positive on {src!r}: {[str(e) for e in errs]}"

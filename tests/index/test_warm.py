@@ -19,12 +19,12 @@ def test_warm_triggers_and_growth_correct(rng):
     idx.search(q, top_k=5)  # records the signature
     assert idx._seen_sigs
     _add(idx, 40, 64, rng, d)  # 104/128 > 75% -> warm kicks off
-    assert idx._warmed_tier == 256
+    assert any(cap == 256 for cap, _ in idx._warmed)
     for _ in range(100):
         if idx._warm_stats["tiers"] >= 1:
             break
         time.sleep(0.05)
-    assert idx._warm_stats["tiers"] == 1 and idx._warm_stats["kernels"] >= 1
+    assert idx._warm_stats["tiers"] >= 1 and idx._warm_stats["kernels"] >= 1
     # growth then search still correct
     _add(idx, 64, 104, rng, d)
     assert idx.capacity == 256
@@ -32,11 +32,13 @@ def test_warm_triggers_and_growth_correct(rng):
     assert len(hits[0]) == 5
 
 
-def test_warm_noop_without_searches(rng):
+def test_warm_without_searches_covers_appends_only(rng):
     d = 32
     idx = DeviceVectorIndex(d, IndexConfig(min_capacity=128, block_rows=64))
-    _add(idx, 120, 0, rng, d)  # >75% but no recorded search signatures
-    assert idx._warmed_tier == 0
+    _add(idx, 120, 0, rng, d)  # >75%, no search signatures recorded yet
+    # append-bucket kernels warm (post-growth adds must not compile under
+    # the lock); no search kernels without a recorded signature
+    assert all(kind == "bucket" for _, (kind, _it) in idx._warmed)
 
 
 def test_warm_int8(rng):

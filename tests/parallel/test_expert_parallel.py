@@ -80,8 +80,12 @@ def test_a2a_dispatch_matches_unsharded_when_dropless(params, ep):
     ids, mask = _batch(rng, b=b, t=t)
     mesh = get_mesh({"ep": ep})
     # worst case: every local token routed to ONE destination chip →
-    # cap must reach local_tokens; cf = ep guarantees droplessness
-    fn = make_ep_encoder_a2a(CFG, mesh, n_experts=E, capacity_factor=float(ep))
+    # cap must reach local_tokens (cf = ep), and every arrival routed to
+    # ONE local expert → cap_e must reach the arrival buffer (ecf = E)
+    fn = make_ep_encoder_a2a(
+        CFG, mesh, n_experts=E, capacity_factor=float(ep),
+        expert_capacity_factor=float(E),
+    )
     emb_a2a, cls_a2a = fn(shard_params_ep(params, mesh), ids, mask)
     emb, cls = moe_encode_tokens(params, jnp.asarray(ids), jnp.asarray(mask), CFG, E)
     np.testing.assert_allclose(np.asarray(emb_a2a), np.asarray(emb), atol=2e-5)
@@ -103,6 +107,36 @@ def test_a2a_capacity_overflow_drops_gracefully(params):
     fn_full = make_ep_encoder_a2a(CFG, mesh, n_experts=E, capacity_factor=4.0)
     full = np.asarray(fn_full(shard_params_ep(params, mesh), ids, mask)[0])
     assert np.abs(emb - full).max() > 1e-6
+
+
+def test_a2a_block_matmul_flops_below_psum(params):
+    """The a2a receiver runs ONE batched matmul over per-expert blocks —
+    per-chip FFN FLOPs scale with routed tokens, ~ep× below the
+    psum-combine variant that evaluates local experts over ALL tokens
+    (VERDICT r2 item 7)."""
+    import jax
+
+    rng = np.random.default_rng(30)
+    ep = 8
+    b, t = ep * 2, 16
+    ids, mask = _batch(rng, b=b, t=t)
+    mesh = get_mesh({"ep": ep})
+    sharded = shard_params_ep(params, mesh)
+
+    fn_psum = make_ep_encoder(CFG, mesh, n_experts=E)
+    fn_a2a = make_ep_encoder_a2a(
+        CFG, mesh, n_experts=E, capacity_factor=1.0, expert_capacity_factor=1.0
+    )
+    c_psum = fn_psum.lower(sharded, ids, mask).compile().cost_analysis()
+    c_a2a = fn_a2a.lower(sharded, ids, mask).compile().cost_analysis()
+    if not c_psum or "flops" not in c_psum or not c_a2a:
+        pytest.skip("backend reports no cost analysis")
+    # psum chip: n_local experts × ALL b·t tokens; a2a chip: ~b·t/ep
+    # routed tokens through one blocked matmul. Attention flops are
+    # common to both, so demand a conservative 2× total-flop gap.
+    assert c_a2a["flops"] < 0.5 * c_psum["flops"], (
+        c_a2a["flops"], c_psum["flops"],
+    )
 
 
 def test_load_balancing_loss(params):

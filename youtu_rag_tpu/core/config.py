@@ -130,6 +130,12 @@ class IndexConfig(ConfigBase):
     ivf_recall_target: float = Field(default=0.0, ge=0.0, le=1.0)
     ivf_tune_interval: int = Field(default=64, ge=1)
     ivf_probe_step: float = Field(default=1.5, gt=1.0)
+    # residual re-ranking: probe for k x this many candidates, then
+    # re-score them exactly (f32 gather + dot) and keep the true top-k.
+    # Recovers order lost to quantized/pruned approximate scoring —
+    # recall@k insurance for adversarial (overlapping-cluster) data.
+    # <= 1 disables (default).
+    ivf_rerank_multiplier: float = Field(default=0.0, ge=0.0)
     # maintenance
     auto_compact_ratio: float = Field(
         default=0.5,

@@ -124,7 +124,10 @@ class DeviceVectorIndex:
         # 20-40s stall (ROADMAP "capacity-growth stalls")
         self._seen_sigs: set[tuple] = set()  # (q_rows, k, backend)
         self._seen_buckets: set[int] = set()  # append bucket sizes seen
-        self._warmed_tier = 0
+        # (capacity, item) pairs whose executables are compiled (or being
+        # compiled by the background warmer); items are ("sig", sig) /
+        # ("bucket", n)
+        self._warmed: set[tuple] = set()
         self._warm_stats = {"tiers": 0, "kernels": 0}
         # closed-loop nprobe tuner state (IndexConfig.ivf_recall_target)
         self._ivf_tune_counter = 0
@@ -170,73 +173,96 @@ class DeviceVectorIndex:
     # -- next-tier warming ---------------------------------------------------
 
     def _maybe_warm_next_tier(self) -> None:
-        """Called under the lock after an append. When the index crosses 75%
-        full, AOT-lower+compile the brute search kernels at double capacity
-        in a daemon thread. The compiled executables are discarded — the
-        point is populating the persistent XLA compile cache (utils/
-        jax_cache) so the growth-time jit is a fast deserialize. IVF-path
-        shapes depend on the probe plan, so only the brute kernels warm."""
+        """Called under the lock after an append OR a new search signature.
+        When the index crosses 75% full, AOT-lower+compile the brute search
+        + append kernels at double capacity in a daemon thread. The
+        compiled executables are discarded — the point is populating the
+        in-process jit cache and the persistent XLA compile cache (utils/
+        jax_cache) so the growth-time jit is a hit. IVF-path shapes depend
+        on the probe plan, so only the brute kernels warm. Signatures seen
+        AFTER a tier was first warmed still warm (each (tier, item) pair
+        tracks independently)."""
         if self.size * 4 < self.capacity * 3:
             return
-        next_cap = self.capacity * 2
-        if self._warmed_tier >= next_cap or not (self._seen_sigs or self._seen_buckets):
+        self._schedule_warm(self.capacity * 2)
+
+    def _schedule_warm(self, cap: int) -> None:
+        items = [("sig", s) for s in self._seen_sigs] + [
+            ("bucket", b) for b in self._seen_buckets
+        ]
+        todo = [it for it in items if (cap, it) not in self._warmed]
+        if not todo:
             return
-        self._warmed_tier = next_cap
-        sigs = list(self._seen_sigs)
-        buckets = list(self._seen_buckets)
+        self._warmed.update((cap, it) for it in todo)
         threading.Thread(
-            target=self._warm_tier, args=(next_cap, sigs, buckets), daemon=True,
-            name=f"yrt-warm-{next_cap}",
+            target=self._warm_tier, args=(cap, todo), daemon=True,
+            name=f"yrt-warm-{cap}",
         ).start()
 
-    def _warm_tier(self, cap: int, sigs: list[tuple], buckets: list[int] = ()) -> None:
+    def ensure_tier_ready(self, cap: int) -> None:
+        """Synchronously compile this index's known kernel shapes at
+        capacity ``cap`` (no lock held — call BEFORE growing). ``add``
+        calls this when a batch will trigger growth, so the post-growth
+        executables exist before the swap and no query ever waits on a
+        compile (cold-cache compiles of the big pruned kernel run minutes
+        through a remote-compile tunnel; they belong on the writer)."""
+        items = [("sig", s) for s in self._seen_sigs] + [
+            ("bucket", b) for b in self._seen_buckets
+        ]
+        self._warm_tier(cap, items, quiet=True)
+
+    def _warm_tier(self, cap: int, items: list[tuple], quiet: bool = False) -> None:
         try:
             S = jax.ShapeDtypeStruct
             ncols = self.schema.max_columns
-            for bucket in buckets:
-                # append kernels at the next capacity: without this the
-                # first post-growth add compiles synchronously under the
-                # index lock and every queued query eats the stall
-                _append_kernel.lower(
-                    S((cap, self.d_pad), self._store_dtype),
-                    S((cap, ncols), jnp.int32),
-                    S((cap,), jnp.float32),
-                    S((bucket, self.d_pad), self._store_dtype),
-                    S((bucket, ncols), jnp.int32),
-                    S((bucket,), jnp.float32),
-                    S((), jnp.int32),
-                ).compile()
-                if self._int8:
-                    _append_scales_kernel.lower(
-                        S((cap,), jnp.float32), S((bucket,), jnp.float32),
+            for kind, item in items:
+                if kind == "bucket":
+                    bucket = item
+                    # append kernels at the next capacity: without this
+                    # the first post-growth add compiles synchronously
+                    # under the index lock and every queued query stalls
+                    _append_kernel.lower(
+                        S((cap, self.d_pad), self._store_dtype),
+                        S((cap, ncols), jnp.int32),
+                        S((cap,), jnp.float32),
+                        S((bucket, self.d_pad), self._store_dtype),
+                        S((bucket, ncols), jnp.int32),
+                        S((bucket,), jnp.float32),
                         S((), jnp.int32),
                     ).compile()
-                self._warm_stats["kernels"] += 1
-            for qn, k, raw_backend in sigs:
-                backend = self._backend(raw_backend, cap=cap)
-                q = S((qn, self.d_pad), jnp.float32)
-                b = S((cap,), jnp.float32)
-                if self._int8:
-                    v = S((cap, self.d_pad), jnp.int8)
-                    sc = S((cap,), jnp.float32)
-                    if backend == "pallas":
-                        pallas_topk_int8_pruned.lower(
-                            q, v, sc, b, k=k,
-                            block_rows=self._kernel_block_rows(int8=True, rows=cap),
+                    if self._int8:
+                        _append_scales_kernel.lower(
+                            S((cap,), jnp.float32), S((bucket,), jnp.float32),
+                            S((), jnp.int32),
                         ).compile()
-                    else:
-                        xla_topk_int8.lower(q, v, sc, b, k=k).compile()
                 else:
-                    v = S((cap, self.d_pad), self._store_dtype)
-                    _search_plain.lower(
-                        q, v, b, k=k, backend=backend,
-                        block_rows=self._kernel_block_rows(int8=False, rows=cap),
-                    ).compile()
+                    qn, k, raw_backend = item
+                    backend = self._backend(raw_backend, cap=cap)
+                    q = S((qn, self.d_pad), jnp.float32)
+                    b = S((cap,), jnp.float32)
+                    if self._int8:
+                        v = S((cap, self.d_pad), jnp.int8)
+                        sc = S((cap,), jnp.float32)
+                        if backend == "pallas":
+                            pallas_topk_int8_pruned.lower(
+                                q, v, sc, b, k=k,
+                                block_rows=self._kernel_block_rows(int8=True, rows=cap),
+                            ).compile()
+                        else:
+                            xla_topk_int8.lower(q, v, sc, b, k=k).compile()
+                    else:
+                        v = S((cap, self.d_pad), self._store_dtype)
+                        _search_plain.lower(
+                            q, v, b, k=k, backend=backend,
+                            block_rows=self._kernel_block_rows(int8=False, rows=cap),
+                        ).compile()
+                self._warmed.add((cap, (kind, item)))
                 self._warm_stats["kernels"] += 1
             self._warm_stats["tiers"] += 1
-            logger.info("warmed next tier %d (%d kernels)", cap, len(sigs))
+            if not quiet:
+                logger.info("warmed tier %d (%d kernels)", cap, len(items))
         except Exception:  # noqa: BLE001 - warming must never break serving
-            logger.exception("next-tier warm failed (capacity %d)", cap)
+            logger.exception("tier warm failed (capacity %d)", cap)
 
     def add(self, chunks: list[Chunk], embeddings: np.ndarray) -> list[int]:
         """Append chunks with their embeddings; returns assigned rows.
@@ -300,6 +326,20 @@ class DeviceVectorIndex:
         if dev_scales is not None:
             jax.block_until_ready(dev_scales)
 
+        # growth ahead? compile the next tier's executables NOW, on this
+        # writer thread with no lock held — queries keep running against
+        # the current arrays and never wait on a compile (cold-cache
+        # pruned-kernel compiles run minutes through a remote tunnel)
+        with self._lock:
+            projected = self.size + bucket
+            new_cap = self.capacity
+            while new_cap < projected:
+                new_cap *= 2
+            if len(self._seen_buckets) < 16:
+                self._seen_buckets.add(bucket)
+        if new_cap > self.capacity:
+            self.ensure_tier_ready(new_cap)
+
         # -- commit (lock): dispatches are async, so the hold is short ------
         with self._lock:
             stale = [c.id for c in chunks if c.id in self._id_to_row]
@@ -323,8 +363,6 @@ class DeviceVectorIndex:
                 self._doc_rows.setdefault(c.document_id, []).append(row)
             self.size += n
             self.live_count += n
-            if len(self._seen_buckets) < 16:
-                self._seen_buckets.add(bucket)
             self._maybe_warm_next_tier()
             return rows
 
@@ -613,7 +651,12 @@ class DeviceVectorIndex:
             if resolved != "pallas_interpret" and len(self._seen_sigs) < 8:
                 # raw backend recorded; re-resolved at warm time for the
                 # bigger capacity (auto can flip xla -> pallas on growth)
-                self._seen_sigs.add((queries.shape[0], k_eff, backend))
+                sig = (queries.shape[0], k_eff, backend)
+                if sig not in self._seen_sigs:
+                    self._seen_sigs.add(sig)
+                    # a sig first seen after the 75% warm trigger still
+                    # needs its next-tier executable
+                    self._maybe_warm_next_tier()
             scores, rows = self._run_search(queries, vectors, bias, k_eff, resolved)
             chunks_snapshot = list(self._chunks)
 
@@ -699,6 +742,20 @@ class DeviceVectorIndex:
         """Overridable search dispatch (ShardedVectorIndex swaps in the
         shard_map per-shard + all-gather merge path)."""
         if self._ivf is not None:
+            mult = self.config.ivf_rerank_multiplier
+            if mult > 1.0:
+                # probe deeper, then exact re-score (residual re-rank):
+                # k2 pow2-bucketed so the rerank jit cache stays bounded
+                k2 = min(
+                    _pow2_at_least(max(int(np.ceil(k * mult)), k), 16),
+                    max(self.live_count, 1),
+                )
+                if k2 > k:
+                    s2, r2 = self._run_ivf_search(queries, vectors, bias, k2, backend)
+                    return _residual_rerank(
+                        queries, self.dequantize_take(r2.reshape(-1)),
+                        bias, s2, r2, k,
+                    )
             return self._run_ivf_search(queries, vectors, bias, k, backend)
         return self._run_brute(queries, vectors, bias, k, backend)
 
@@ -919,6 +976,23 @@ def _search_plain(queries, vectors, bias, k: int, backend: str, block_rows: int)
     if backend == "pallas_interpret":
         return pallas_topk_pruned(queries, vectors, bias, k, block_rows=block_rows, interpret=True)
     return xla_topk(queries, vectors, bias, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _residual_rerank(queries, cand_flat, bias, approx_scores, rows, k: int):
+    """Exact f32 re-score of IVF candidates → true top-k of the k2 pool.
+
+    queries [Q, d_pad] (metric-prescaled), cand_flat [Q*k2, d_pad] f32
+    (dequantized gather), bias [capacity] (live/norm/filter bias),
+    approx_scores/rows [Q, k2] from the probe pass. Padding candidates
+    (approx ≤ NEG_INF/2) stay NEG_INF so they can't duplicate real rows."""
+    q_n, k2 = rows.shape
+    cand = cand_flat.reshape(q_n, k2, -1)
+    s = jnp.einsum("qd,qkd->qk", queries, cand, preferred_element_type=jnp.float32)
+    s = s + jnp.take(bias, rows)
+    s = jnp.where(approx_scores > NEG_INF / 2, s, NEG_INF)
+    top_s, top_i = jax.lax.top_k(s, k)
+    return top_s, jnp.take_along_axis(rows, top_i, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("sig", "filt"))

@@ -242,16 +242,50 @@ async def synthesize_answer(
     llm_chat,
     state: dict[str, Any] | None = None,
     machine=None,
+    chart_dir: str | None = None,
 ) -> str:
     """LLM synthesis with the evidence block; intent-matched style (terse
     for lookup/aggregation), number cleaning, one strict retry on format
-    errors, deterministic fallback when ``llm_chat`` is None or fails."""
+    errors, deterministic fallback when ``llm_chat`` is None or fails.
+
+    Visualization questions (ref answer_generator.py:426-470: the
+    "Visualization" question type must yield an executed chart) route
+    through viz.generate_chart — LLM matplotlib code when available,
+    schema-driven ChartSpec otherwise — and return a full markdown report
+    (answer + chart + result table + step trail)."""
     intent = analyze_question_intent(question)
     table = None
     if machine is not None:
         name = _final_frame(nodes)
         if name is not None:
             table = await render_frame(machine, name)
+
+    from .viz import compose_report, generate_chart, is_visualization_question
+
+    if machine is not None and is_visualization_question(question):
+        import os
+        import tempfile
+
+        out_dir = chart_dir or tempfile.mkdtemp(prefix="dtr_chart_")
+        chart_path = os.path.join(out_dir, "chart.png")
+        path, code = await generate_chart(machine, question, llm_chat, chart_path)
+        body = fallback_answer(question, nodes, None) if llm_chat is None else None
+        if body is None:
+            try:
+                body = clean_number_format(
+                    (await llm_chat(
+                        ANSWER_PROMPT.format(
+                            question=question,
+                            evidence=build_evidence(nodes),
+                            frames=", ".join(state or {}) or "(none)",
+                        )
+                    )).strip()
+                )
+            except Exception:  # noqa: BLE001
+                body = fallback_answer(question, nodes, None)
+        return compose_report(
+            question, body, nodes, table=table, chart_path=path, chart_code=code or None
+        )
 
     if llm_chat is None:
         return fallback_answer(question, nodes, table)

@@ -29,7 +29,8 @@ from ...utils.log import get_logger
 from .answer import synthesize_answer
 from .loader import load_sheets, profile_workbook, workbook_brief
 from .reward import evaluate_plan, evaluate_step
-from .smg import SMGNode, SheetStateMachine, link_sheets
+from .schema_link import link_sheets_element
+from .smg import SMGNode, SheetStateMachine, link_sheets  # noqa: F401 - lexical baseline kept exported
 
 logger = get_logger("dtr.excel")
 
@@ -206,7 +207,11 @@ class ExcelAgent:
         order = list(sheets)
         linked: dict[str, list[str]] = {}
         if question and len(sheets) > 4:
-            ranked = link_sheets(question, sheets, top_n=4)
+            # element-index linking (idf-weighted sheet/column/value
+            # elements) — replaces the lexical-overlap heuristic, which
+            # mis-ranks sheets sharing only ubiquitous column words
+            # (ref: DTR schema_linking.py:38-542; VERDICT r2 item 4)
+            ranked = link_sheets_element(question, sheets, top_n=4)
             order = [name for name, _, _ in ranked]
             linked = {name: cols for name, _, cols in ranked}
         profiles = profile_workbook({name: sheets[name] for name in order})
@@ -490,6 +495,21 @@ class ExcelAgent:
                 node.reward = evaluate_step(node).total
                 recorder.emit(AgentEvent("tool_output", name="pandas_exec", text=out[:800]))
                 history.append(f"[turn {it + 1} CODE]\n{code}\n→ {out[:400]}")
+                # structured feedback (ref smg_autonomous._build_success_
+                # feedback:887 / _build_error_feedback:961): tell the
+                # model what frames appeared/changed, or why it failed and
+                # what IS live — this is what lets a wrong-column join be
+                # corrected next turn instead of repeated
+                if node.success:
+                    delta = ", ".join(node.new_frames + node.changed_frames) or "no frame changes"
+                    history.append(
+                        f"[feedback] ok — frames now: {delta}. Build on them by name."
+                    )
+                else:
+                    history.append(
+                        "[feedback] FAILED. Fix the error using only live "
+                        f"frames/columns.\n{smg.state_summary()[:400]}"
+                    )
             else:
                 recorder.emit(AgentEvent("reasoning_delta", text=content[:500]))
                 history.append(f"[turn {it + 1} THINK] {content[:400]}")
@@ -503,12 +523,12 @@ class ExcelAgent:
         schema = self.load_schema(path, question, sheets=sheets)
         smg = SheetStateMachine(path, exec_timeout=self.exec_timeout)
         recorder.emit(AgentEvent("reasoning_delta", text=f"loaded sheets:\n{schema[:500]}"))
-        if self.planner == "autonomous":
-            return await self._autonomous_analyze(question, smg, schema, recorder)
 
         # ADO stage (ref ado_module): decompose the question into its
-        # operator set before planning — constrains the plan prompt and
-        # scores plan validity in the MCTS reward
+        # operator set before planning — constrains the plan prompt,
+        # scores plan validity in the MCTS reward, and serves as the
+        # advisory operator reference of the autonomous loop (ref
+        # smg_autonomous._build_operator_reference:591)
         from .operators import decompose
 
         try:
@@ -517,6 +537,12 @@ class ExcelAgent:
         except Exception:  # noqa: BLE001 - decomposition is advisory
             logger.exception("operator decomposition failed")
             ado = None
+
+        if self.planner == "autonomous":
+            return await self._autonomous_analyze(
+                question, smg, schema, recorder,
+                reference_plan=list(ado.names) if ado is not None else None,
+            )
 
         experience = ""
         if self.memory is not None:

@@ -83,10 +83,28 @@ def _first_row_is_data(df) -> bool:
 
 
 def load_sheets(path: str) -> dict[str, Any]:
-    """Load every sheet with header detection. csv/tsv → one sheet."""
+    """Load every sheet with header detection. csv/tsv → one sheet; a
+    DIRECTORY of csv files → one sheet per file (named by stem) — the
+    offline multi-sheet workbook format (the image has no openpyxl, and
+    multi-sheet joins need more than one frame)."""
+    import os
+
     import pandas as pd
 
-    if path.endswith((".csv", ".tsv")):
+    if os.path.isdir(path):
+        sheets = {}
+        raw = {}
+        for fn in sorted(os.listdir(path)):
+            if not fn.endswith((".csv", ".tsv")):
+                continue
+            full = os.path.join(path, fn)
+            sep = "\t" if fn.endswith(".tsv") else ","
+            stem = os.path.splitext(fn)[0]
+            sheets[stem] = pd.read_csv(full, sep=sep)
+            raw[stem] = (lambda f=full, s=sep: pd.read_csv(f, sep=s, header=None))
+        if not sheets:
+            raise RuntimeError(f"workbook directory {path!r} holds no csv/tsv files")
+    elif path.endswith((".csv", ".tsv")):
         sep = "\t" if path.endswith(".tsv") else ","
         sheets = {"Sheet1": pd.read_csv(path, sep=sep)}
         raw = {"Sheet1": (lambda: pd.read_csv(path, sep=sep, header=None))}

@@ -121,10 +121,16 @@ class SheetStateMachine:
     def _loader(self) -> str:
         p = self.path
         return (
+            "import os as _os\n"
             "import pandas as pd\n"
             f"_p = {p!r}\n"
-            "dfs = {'Sheet1': pd.read_csv(_p)} if _p.endswith('.csv') "
-            "else pd.read_excel(_p, sheet_name=None)\n"
+            "if _os.path.isdir(_p):\n"
+            "    dfs = {_os.path.splitext(_f)[0]: pd.read_csv(_os.path.join(_p, _f))\n"
+            "           for _f in sorted(_os.listdir(_p)) if _f.endswith('.csv')}\n"
+            "elif _p.endswith('.csv'):\n"
+            "    dfs = {'Sheet1': pd.read_csv(_p)}\n"
+            "else:\n"
+            "    dfs = pd.read_excel(_p, sheet_name=None)\n"
         )
 
     def _successful_prefix_code(self) -> str:

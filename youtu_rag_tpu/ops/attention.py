@@ -143,6 +143,118 @@ def _flash_kernel(
         o_ref[0] = (acc_scr[...] / l_scr[:, :1]).astype(o_ref.dtype)
 
 
+def _flash_stats_kernel(
+    q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref,
+    m_scr, l_scr, acc_scr, *, scale: float, n_kv: int,
+):
+    """_flash_kernel variant that emits the UNnormalized accumulator plus
+    the online-softmax stats (running max m, denominator l) instead of
+    dividing — the inner step of ring attention, where hops combine
+    (m, l, acc) triples across the ppermute ring before one final divide."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scr[...] = jnp.full(m_scr.shape, -1e30, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale + bias_ref[0]
+
+    m_prev = m_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+    acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(kb == n_kv - 1)
+    def _finish():
+        o_ref[0] = acc_scr[...]
+        m_ref[0] = m_scr[...]
+        l_ref[0] = l_scr[...]
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def flash_attention_stats(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array,
+    *,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Flash attention returning (acc, m, l) — no final divide.
+
+    acc [B, H, T, hd] f32 = Σ_k exp(s − m)·v over THIS k/v block set;
+    m, l [B, H, T] f32 are the running max / denominator. Ring attention
+    (parallel/sequence_parallel.py) calls this per ppermute hop and
+    merges hops with the standard online-softmax combine, so the per-hop
+    score matrix never materializes even for multi-k local blocks —
+    VERDICT r2 item 8. Stats ride out of the kernel lane-broadcast at
+    width 128 (the same layout jax.experimental.pallas.ops.tpu.flash_attention
+    uses for its residuals) and are sliced to lane 0 here."""
+    b, h, t, hd = q.shape
+    assert k.shape == v.shape == (b, h, t, hd)
+    block_q = _fit_block(block_q, t)
+    block_k = _fit_block(block_k, t)
+    assert t % block_q == 0 and t % block_k == 0, (t, block_q, block_k)
+    scale = 1.0 / (hd**0.5)
+
+    bh = b * h
+    qf = q.reshape(bh, t, hd)
+    kf = k.reshape(bh, t, hd)
+    vf = v.reshape(bh, t, hd)
+    bias_b = jnp.maximum(bias.astype(jnp.float32), -1e30).reshape(b, 1, t)
+
+    n_kv = t // block_k
+    grid = (bh, t // block_q, n_kv)
+    lane = 128
+    acc, m, l = pl.pallas_call(
+        functools.partial(_flash_stats_kernel, scale=scale, n_kv=n_kv),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda i, j, kb: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, hd), lambda i, j, kb: (i, kb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, hd), lambda i, j, kb: (i, kb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k), lambda i, j, kb: (i // h, 0, kb), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda i, j, kb: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, lane), lambda i, j, kb: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, lane), lambda i, j, kb: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, t, hd), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t, lane), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t, lane), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, lane), jnp.float32),
+            pltpu.VMEM((block_q, lane), jnp.float32),
+            pltpu.VMEM((block_q, hd), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, bias_b)
+    return (
+        acc.reshape(b, h, t, hd),
+        m[:, :, 0].reshape(b, h, t),
+        l[:, :, 0].reshape(b, h, t),
+    )
+
+
 def _fit_block(block: int, t: int) -> int:
     b = min(block, t)
     while t % b:

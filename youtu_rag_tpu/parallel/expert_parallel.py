@@ -13,10 +13,11 @@ and one ``psum`` combines chip contributions. Compared to
 all-to-all token dispatch this trades perfectly uniform MXU matmuls and
 zero layout churn for computing masked tokens; at E == ep chips it
 matches a dense FFN's per-chip FLOPs exactly while holding E-fold
-parameters. (An a2a dispatch drops the masked compute and is the
-follow-on optimization; the psum-combine here is the correctness
-anchor.) Routing is deterministic argmax — the sharded and unsharded
-paths agree exactly, and tests assert it.
+parameters. (``make_ep_encoder_a2a`` is the scaling form: all-to-all
+token dispatch + per-expert block matmuls drop the masked compute; the
+psum-combine here is the correctness anchor.) Routing is deterministic
+argmax — the sharded and unsharded paths agree exactly, and tests
+assert it.
 
 Training hook: ``load_balancing_loss`` is the standard switch-style
 aux loss (mean fraction-routed x mean router prob, scaled by E).
@@ -185,27 +186,32 @@ def make_ep_encoder_a2a(
     n_experts: int,
     ep_axis: str = "ep",
     capacity_factor: float = 2.0,
+    expert_capacity_factor: float = 2.0,
 ):
     """Expert parallelism with **all-to-all token dispatch** (Switch /
     Mesh-TensorFlow style) — the scaling form of ``make_ep_encoder``.
 
     Tokens shard over ``ep`` alongside the experts (the batch dimension
     is data-parallel on the same axis). Each chip routes its local
-    tokens: a one-hot dispatch tensor scatters them into per-destination
-    capacity slots, one ``all_to_all`` moves ~N·capacity_factor/ep
-    activations per chip over ICI, the receiving chip runs only its
-    local experts over what arrived, and a second ``all_to_all`` +
-    combine einsum returns outputs to their source rows. Per-chip FFN
-    compute is ~ep× lower than the psum-combine variant (which
-    evaluates local experts over ALL tokens).
+    tokens into per-destination capacity slots via a **scatter** (no
+    [N, ep, cap] one-hot matmul — dispatch costs O(N·D) data movement),
+    one ``all_to_all`` moves ~N·capacity_factor/ep activations per chip
+    over ICI, and the receiving chip packs arrivals into per-expert
+    blocks ``[n_local, cap_e, D]`` so the whole local FFN is **one
+    batched MXU matmul per weight** (``ecd,edf->ecf``) — per-chip FFN
+    FLOPs scale with tokens actually routed, ~ep× below the
+    psum-combine variant which evaluates local experts over ALL tokens.
+    A second ``all_to_all`` + gather returns outputs to source rows.
 
     ``capacity_factor`` bounds per-(source→destination) traffic at
-    ``ceil(local_tokens / ep · cf)``; tokens past a destination's
-    capacity are dropped for that layer (their FFN delta is zero — the
-    residual stream carries them), the standard MoE overflow semantics.
-    With balanced routing and cf ≥ 1 drops are rare; parity tests use a
-    cf that guarantees droplessness and match ``moe_encode_tokens``
-    exactly. Requires the global batch divisible by the ``ep`` size."""
+    ``ceil(local_tokens / ep · cf)``; ``expert_capacity_factor`` bounds
+    each local expert's block at ``ceil(arrivals / n_local · ecf)``.
+    Tokens past either capacity are dropped for that layer (their FFN
+    delta is zero — the residual stream carries them), the standard MoE
+    overflow semantics. With balanced routing and factors ≥ 1 drops are
+    rare; parity tests use factors that guarantee droplessness and match
+    ``moe_encode_tokens`` exactly. Requires the global batch divisible
+    by the ``ep`` size."""
     ep = int(mesh.shape[ep_axis])
     assert n_experts % ep == 0, (n_experts, ep)
     n_local = n_experts // ep
@@ -217,49 +223,65 @@ def make_ep_encoder_a2a(
         bl, t = ids.shape  # local batch slice
         n_tok = bl * t
         cap = max(int(np.ceil(n_tok / ep * capacity_factor)), 1)
+        n_arr = ep * cap  # arrival buffer rows per chip
+        cap_e = min(n_arr, max(int(np.ceil(n_arr / n_local * expert_capacity_factor)), 1))
         x = params["tok_emb"].astype(dt)[ids]
 
         def moe_ffn(h, lp):
-            hf = h.reshape(n_tok, cfg.d_model)
+            hf = h.reshape(n_tok, cfg.d_model).astype(jnp.float32)
             idx, p, _ = _route(h, lp["router"])
             idx_f = idx.reshape(n_tok)
             p_f = p.reshape(n_tok).astype(jnp.float32)
             dest = idx_f // n_local  # [N] destination chip
             eid = (idx_f % n_local).astype(jnp.float32)
 
+            # hop 1 (scatter): rank within destination → capacity slot
             oh = jax.nn.one_hot(dest, ep, dtype=jnp.float32)  # [N, ep]
-            slot = (jnp.cumsum(oh, axis=0) * oh).sum(axis=1) - 1.0  # rank in dest
+            slot = (jnp.cumsum(oh, axis=0) * oh).sum(axis=1) - 1.0
             keep = slot < cap
-            slot_oh = jax.nn.one_hot(
-                jnp.clip(slot, 0, cap - 1).astype(jnp.int32), cap, dtype=jnp.float32
+            slot_c = jnp.clip(slot, 0, cap - 1).astype(jnp.int32)
+            kf = keep.astype(jnp.float32)
+            send_x = jnp.zeros((ep, cap, cfg.d_model), jnp.float32).at[
+                dest, slot_c
+            ].add(hf * kf[:, None])
+            # pack eid+1 so 0 marks an empty slot after the exchange
+            send_e = jnp.zeros((ep, cap), jnp.float32).at[dest, slot_c].add(
+                (eid + 1.0) * kf
             )
-            # dispatch tensor [N, ep, cap]: one-hot (dest, slot) per kept token
-            disp = oh[:, :, None] * slot_oh[:, None, :] * keep[:, None, None]
-
-            send_x = jnp.einsum("nec,nd->ecd", disp, hf.astype(jnp.float32))
-            send_e = jnp.einsum("nec,n->ec", disp, eid)
             recv_x = jax.lax.all_to_all(send_x, ep_axis, 0, 0, tiled=True)
             recv_e = jax.lax.all_to_all(send_e, ep_axis, 0, 0, tiled=True)
 
-            xin = recv_x.reshape(ep * cap, cfg.d_model).astype(dt)
-            eids = jnp.round(recv_e.reshape(ep * cap)).astype(jnp.int32)
+            xin = recv_x.reshape(n_arr, cfg.d_model)
+            e_in = jnp.round(recv_e.reshape(n_arr))
+            valid = e_in >= 0.5
+            eids = jnp.clip(e_in - 1.0, 0, n_local - 1).astype(jnp.int32)
 
-            def one(e_local, acc):
-                w1 = jax.lax.dynamic_index_in_dim(lp["ew1"], e_local, keepdims=False)
-                b1 = jax.lax.dynamic_index_in_dim(lp["eb1"], e_local, keepdims=False)
-                w2 = jax.lax.dynamic_index_in_dim(lp["ew2"], e_local, keepdims=False)
-                b2 = jax.lax.dynamic_index_in_dim(lp["eb2"], e_local, keepdims=False)
-                hh = jnp.einsum("nd,df->nf", xin, w1.astype(dt)) + b1.astype(dt)
-                hh = jax.nn.gelu(hh)
-                yy = jnp.einsum("nf,fd->nd", hh, w2.astype(dt)) + b2.astype(dt)
-                sel = (eids == e_local).astype(dt)
-                return acc + yy * sel[:, None]
+            # hop 2 (local scatter): arrivals → per-expert blocks
+            oh_e = jax.nn.one_hot(eids, n_local, dtype=jnp.float32)
+            oh_e = oh_e * valid[:, None].astype(jnp.float32)
+            slot_e = (jnp.cumsum(oh_e, axis=0) * oh_e).sum(axis=1) - 1.0
+            keep_e = valid & (slot_e >= 0) & (slot_e < cap_e)
+            slot_ec = jnp.clip(slot_e, 0, cap_e - 1).astype(jnp.int32)
+            kef = keep_e.astype(jnp.float32)
+            xbuf = jnp.zeros((n_local, cap_e, cfg.d_model), jnp.float32).at[
+                eids, slot_ec
+            ].add(xin * kef[:, None])
 
-            y = jax.lax.fori_loop(0, n_local, one, jnp.zeros_like(xin))
+            # one batched matmul over all local expert blocks (MXU form)
+            hh = jnp.einsum(
+                "ecd,edf->ecf", xbuf.astype(dt), lp["ew1"].astype(dt)
+            ) + lp["eb1"][:, None, :].astype(dt)
+            hh = jax.nn.gelu(hh)
+            y_e = jnp.einsum(
+                "ecf,efd->ecd", hh, lp["ew2"].astype(dt)
+            ) + lp["eb2"][:, None, :].astype(dt)
+
+            # gather back along both hops (junk rows zeroed by the masks)
+            y_tok = y_e.astype(jnp.float32)[eids, slot_ec] * kef[:, None]
             y_back = jax.lax.all_to_all(
-                y.reshape(ep, cap, cfg.d_model).astype(jnp.float32), ep_axis, 0, 0, tiled=True
+                y_tok.reshape(ep, cap, cfg.d_model), ep_axis, 0, 0, tiled=True
             )
-            out = jnp.einsum("nec,ecd->nd", disp, y_back)  # gather own rows
+            out = y_back[dest, slot_c] * kf[:, None]
             out = out * p_f[:, None]  # router-probability weighting
             return out.reshape(bl, t, cfg.d_model).astype(dt)
 

@@ -46,36 +46,77 @@ from ..models.encoder import (
 shard_map = jax.shard_map
 
 
-def _ring_attention(q, k, v, bias, axis: str, sp_size: int, scale: float):
+def _ring_attention(
+    q, k, v, bias, axis: str, sp_size: int, scale: float, impl: str = "xla"
+):
     """Full (non-causal) ring attention.
 
     Args:
       q, k, v: [B, H, Tl, hd] local blocks (RoPE already applied).
       bias:    [B, Tl] additive mask bias for the LOCAL key block
                (0 live, -1e9 padding); travels the ring with k/v.
+      impl:    "xla" materializes the per-hop [Tl, Tl] score block;
+               "pallas"/"flash" run the flash kernel inside each hop
+               (``ops.attention.flash_attention_stats``), so even long
+               local blocks (the exact case SP exists for) never hold a
+               score matrix — the hop emits (acc, m, l) and hops merge
+               with the same online-softmax recurrence the kernel uses
+               internally. "pallas_interpret" = flash in interpret mode.
     Returns: [B, H, Tl, hd] attention output (q's dtype).
     """
     b, h, tl, hd = q.shape
     perm = [(i, (i + 1) % sp_size) for i in range(sp_size)]
-    qf = q.astype(jnp.float32)
+    use_flash = (
+        impl in ("pallas", "flash", "pallas_interpret")
+        and tl >= 256 and tl % 128 == 0 and hd % 64 == 0
+    )
 
-    def step(carry, _):
-        k_cur, v_cur, b_cur, m, l, acc = carry
-        s = jnp.einsum("bhqd,bhkd->bhqk", qf, k_cur.astype(jnp.float32)) * scale
-        s = s + b_cur[:, None, None, :]  # [B, 1, 1, Tl] padding bias
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1))  # [B, H, Tl]
-        p = jnp.exp(s - m_new[..., None])  # [B, H, Tl, Tl]
-        corr = jnp.exp(m - m_new)
-        l = l * corr + jnp.sum(p, axis=-1)
-        acc = acc * corr[..., None] + jnp.einsum(
-            "bhqk,bhkd->bhqd", p, v_cur.astype(jnp.float32)
-        )
-        k_nxt = jax.lax.ppermute(k_cur, axis, perm)
-        v_nxt = jax.lax.ppermute(v_cur, axis, perm)
-        b_nxt = jax.lax.ppermute(b_cur, axis, perm)
-        return (k_nxt, v_nxt, b_nxt, m_new, l, acc), None
+    if use_flash:
+        from ..ops.attention import flash_attention_stats
 
-    m0 = jnp.full((b, h, tl), -jnp.inf, jnp.float32)
+        interpret = impl == "pallas_interpret"
+
+        def step(carry, _):
+            k_cur, v_cur, b_cur, m, l, acc = carry
+            # kernel scale is 1/sqrt(hd) — identical to `scale` by
+            # construction; the bias rides the ring as [B, Tl]
+            acc_h, m_h, l_h = flash_attention_stats(
+                q, k_cur, v_cur, b_cur, interpret=interpret
+            )
+            m_new = jnp.maximum(m, m_h)
+            a_old = jnp.exp(m - m_new)
+            a_hop = jnp.exp(m_h - m_new)
+            l = l * a_old + l_h * a_hop
+            acc = acc * a_old[..., None] + acc_h * a_hop[..., None]
+            k_nxt = jax.lax.ppermute(k_cur, axis, perm)
+            v_nxt = jax.lax.ppermute(v_cur, axis, perm)
+            b_nxt = jax.lax.ppermute(b_cur, axis, perm)
+            return (k_nxt, v_nxt, b_nxt, m_new, l, acc), None
+
+        # -1e30, not -inf: the cross-hop combine computes exp(m − m_new)
+        # and exp(-inf − -inf) is NaN (matches the kernel's own init)
+        m0 = jnp.full((b, h, tl), -1e30, jnp.float32)
+    else:
+        qf = q.astype(jnp.float32)
+
+        def step(carry, _):
+            k_cur, v_cur, b_cur, m, l, acc = carry
+            s = jnp.einsum("bhqd,bhkd->bhqk", qf, k_cur.astype(jnp.float32)) * scale
+            s = s + b_cur[:, None, None, :]  # [B, 1, 1, Tl] padding bias
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1))  # [B, H, Tl]
+            p = jnp.exp(s - m_new[..., None])  # [B, H, Tl, Tl]
+            corr = jnp.exp(m - m_new)
+            l = l * corr + jnp.sum(p, axis=-1)
+            acc = acc * corr[..., None] + jnp.einsum(
+                "bhqk,bhkd->bhqd", p, v_cur.astype(jnp.float32)
+            )
+            k_nxt = jax.lax.ppermute(k_cur, axis, perm)
+            v_nxt = jax.lax.ppermute(v_cur, axis, perm)
+            b_nxt = jax.lax.ppermute(b_cur, axis, perm)
+            return (k_nxt, v_nxt, b_nxt, m_new, l, acc), None
+
+        m0 = jnp.full((b, h, tl), -jnp.inf, jnp.float32)
+
     l0 = jnp.zeros((b, h, tl), jnp.float32)
     acc0 = jnp.zeros((b, h, tl, hd), jnp.float32)
     (k, v, bias, m, l, acc), _ = jax.lax.scan(
@@ -133,7 +174,9 @@ def make_sp_encoder(
             q = _rope(proj(hn, lp["wq"]), cfg.rope_base, pos_offset=pos0)
             k = _rope(proj(hn, lp["wk"]), cfg.rope_base, pos_offset=pos0)
             v = proj(hn, lp["wv"])
-            y = _ring_attention(q, k, v, kv_bias, sp_axis, sp_size, scale)
+            y = _ring_attention(
+                q, k, v, kv_bias, sp_axis, sp_size, scale, impl=cfg.attention_impl
+            )
             y = y.transpose(0, 2, 1, 3).reshape(b, tl, h_local * hd)
             attn_out = jnp.einsum("btd,de->bte", y, lp["wo"].astype(x.dtype))
             if tp_axis:  # row-parallel wo: partial sums combine over tp
