@@ -1,0 +1,277 @@
+#!/usr/bin/env python
+"""Quality benchmarks on committed fixture datasets (VERDICT r2 item 5).
+
+The reference's quality tables (``/root/reference/README.md:748-882``) are
+Sequential-NIAH / FactGuard (long-document needle retrieval) and metadata
+timeliness/popularity retrieval. This harness reproduces both at fixture
+scale with deterministic, committed datasets:
+
+  niah        — long synthetic documents with 1-3 unique needle facts
+                inserted at varied depths; queries ask for a needle;
+                configs: naive dense top-15 (the ref baseline), two-stage
+                recall→rerank KB search (the ref "KB Search" row), hybrid
+                dense+BM25 RRF.
+  timeliness  — versioned reports across years with publish_ts metadata;
+                temporal queries where only the asked-for window is
+                relevant; configs: plain dense vs dense + compiled
+                time-range filters (the meta-retrieval path).
+
+Embeddings default to the deterministic hash embedder (hermetic); pass
+``--provider tpu`` to run the in-repo encoder (optionally with pretrained
+weights via --pretrained DIR — models/pretrained.py layouts).
+
+Run:  python scripts/bench_quality.py [--provider hash]
+Writes benchmarks/data/*.jsonl (fixtures) + benchmarks/quality_report.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATA_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchmarks", "data"
+)
+
+_TOPICS = [
+    "glacier hydrology", "submarine cables", "wheat genetics", "urban transit",
+    "volcano monitoring", "archival microfilm", "battery chemistry", "coral reefs",
+    "radio astronomy", "supply logistics", "fermentation science", "textile dyes",
+    "bridge engineering", "plankton ecology", "desert irrigation", "museum curation",
+]
+
+_FILLER = [
+    "The committee reviewed the quarterly findings on {t} without major objections.",
+    "Several field teams reported routine observations about {t} during the survey.",
+    "Methodology for {t} followed the standard protocol established years earlier.",
+    "Funding for the {t} program remained stable across the reporting period.",
+    "The appendix lists calibration details for the {t} instruments in use.",
+    "Researchers noted that {t} trends matched the long-term historical average.",
+    "A workshop on {t} was scheduled to consolidate the preliminary results.",
+    "Data retention policies for {t} records were reaffirmed by the council.",
+]
+
+
+def gen_niah(rng, n_docs=120, needles_total=60, sents_per_doc=60):
+    """Documents of filler prose; `needles_total` unique facts inserted at
+    varied depths. Multi-needle queries (Sequential-NIAH style) reference
+    2-3 needles spread across documents."""
+    docs = []
+    for i in range(n_docs):
+        t = _TOPICS[i % len(_TOPICS)]
+        sents = [_FILLER[rng.integers(0, len(_FILLER))].format(t=t) for _ in range(sents_per_doc)]
+        docs.append({"id": f"niah_doc_{i}", "sents": sents, "topic": t})
+
+    needles = []
+    for j in range(needles_total):
+        code = int(rng.integers(10000, 99999))
+        token = f"artifact-{chr(65 + j % 26)}{j}"
+        fact = f"The registry number assigned to {token} is {code}."
+        d = docs[int(rng.integers(0, n_docs))]
+        depth = int(rng.integers(0, len(d["sents"])))
+        d["sents"].insert(depth, fact)
+        needles.append({"token": token, "code": code, "doc": d["id"]})
+
+    qrels = []
+    for nd in needles:
+        qrels.append(
+            {
+                "query": f"What is the registry number assigned to {nd['token']}?",
+                "relevant": [nd["doc"]],
+            }
+        )
+    # sequential multi-needle queries: 2-3 needles at once
+    for s in range(0, needles_total - 3, 4):
+        group = needles[s : s + 3]
+        qrels.append(
+            {
+                "query": "List the registry numbers assigned to "
+                + ", ".join(nd["token"] for nd in group) + ".",
+                "relevant": sorted({nd["doc"] for nd in group}),
+            }
+        )
+    out_docs = [{"id": d["id"], "content": " ".join(d["sents"]), "metadata": {"topic": d["topic"]}} for d in docs]
+    return out_docs, qrels
+
+
+def gen_timeliness(rng, n_topics=40, years=(2019, 2025)):
+    """Per topic, one report per year with publish_ts metadata. Queries ask
+    for a specific year or 'latest'; only that window is relevant. Report
+    text is near-identical across years (the adversarial part: dense
+    similarity cannot separate years — the metadata filter must)."""
+    import calendar
+
+    docs = []
+    qrels = []
+    for i in range(n_topics):
+        t = _TOPICS[i % len(_TOPICS)] + f" region {i}"
+        year_docs = {}
+        for y in range(years[0], years[1] + 1):
+            month = int(rng.integers(1, 13))
+            ts = int(
+                __import__("datetime").datetime(y, month, 15).timestamp()
+            )
+            did = f"time_doc_{i}_{y}"
+            year_docs[y] = did
+            docs.append(
+                {
+                    "id": did,
+                    "content": (
+                        f"Annual report on {t}. This document summarizes field "
+                        f"operations, instrumentation status and budget usage for {t}. "
+                        f"Published {calendar.month_name[month]} {y}."
+                    ),
+                    "metadata": {"topic_id": i, "publish_ts": ts, "year": y},
+                }
+            )
+        # year-pinned query
+        y = int(rng.integers(years[0], years[1] + 1))
+        t0 = int(__import__("datetime").datetime(y, 1, 1).timestamp())
+        t1 = int(__import__("datetime").datetime(y + 1, 1, 1).timestamp())
+        qrels.append(
+            {
+                "query": f"the {y} annual report on {t}",
+                "relevant": [year_docs[y]],
+                "filters": {"$and": [
+                    {"publish_ts": {"$gte": t0}}, {"publish_ts": {"$lt": t1}},
+                ]},
+            }
+        )
+        # 'latest' query → most recent year
+        t_latest = int(__import__("datetime").datetime(years[1], 1, 1).timestamp())
+        qrels.append(
+            {
+                "query": f"the latest annual report on {t}",
+                "relevant": [year_docs[years[1]]],
+                "filters": {"publish_ts": {"$gte": t_latest}},
+            }
+        )
+    return docs, qrels
+
+
+def write_fixtures(regen: bool = False) -> dict[str, tuple[str, str]]:
+    import numpy as np
+
+    os.makedirs(DATA_DIR, exist_ok=True)
+    out = {}
+    for name, gen in (("niah", gen_niah), ("timeliness", gen_timeliness)):
+        docs_p = os.path.join(DATA_DIR, f"{name}_docs.jsonl")
+        qrels_p = os.path.join(DATA_DIR, f"{name}_qrels.jsonl")
+        if regen or not (os.path.exists(docs_p) and os.path.exists(qrels_p)):
+            rng = np.random.default_rng(7)
+            docs, qrels = gen(rng)
+            with open(docs_p, "w") as f:
+                for d in docs:
+                    f.write(json.dumps(d, ensure_ascii=False) + "\n")
+            with open(qrels_p, "w") as f:
+                for q in qrels:
+                    f.write(json.dumps(q, ensure_ascii=False) + "\n")
+        out[name] = (docs_p, qrels_p)
+    return out
+
+
+async def build_kb(name, docs_path, provider, pretrained, reranker="none"):
+    from youtu_rag_tpu.core.config import (
+        EmbeddingConfig, KnowledgeBuilderConfig, RAGConfig, RerankerConfig,
+        RetrieverConfig,
+    )
+    from youtu_rag_tpu.core.types import Document
+    from youtu_rag_tpu.retrieval.kb import KnowledgeBase
+
+    cfg = RAGConfig(
+        knowledge_builder=KnowledgeBuilderConfig(
+            embedding=EmbeddingConfig(provider=provider, pretrained_dir=pretrained)
+        ),
+        retriever=RetrieverConfig(
+            top_k=15,
+            enable_reranking=reranker != "none",
+            recall_multiplier=3,
+            reranker_top_k=15,
+        ),
+        reranker=RerankerConfig(provider=reranker),
+    )
+    kb = KnowledgeBase(name, cfg)
+    docs = []
+    with open(docs_path) as f:
+        for line in f:
+            r = json.loads(line)
+            docs.append(Document(id=r["id"], content=r["content"], metadata=r.get("metadata") or {}))
+    await kb.build_documents(docs)
+    return kb
+
+
+async def run_all(args) -> dict:
+    from youtu_rag_tpu.eval.retrieval_eval import RetrievalBenchmark
+
+    fixtures = write_fixtures(args.regen)
+    report: dict = {"provider": args.provider, "datasets": {}}
+
+    # --- NIAH ---
+    docs_p, qrels_p = fixtures["niah"]
+    samples = RetrievalBenchmark.load_qrels(qrels_p)
+    niah = {}
+    kb = await build_kb("niah_naive", docs_p, args.provider, args.pretrained)
+    niah["naive_top15"] = await RetrievalBenchmark(kb, top_k=15).run(
+        RetrievalBenchmark.load_qrels(qrels_p)
+    )
+    kb2 = await build_kb(
+        "niah_rerank", docs_p, args.provider, args.pretrained, reranker="lexical"
+    )
+    niah["kb_search_rerank"] = await RetrievalBenchmark(kb2, top_k=15).run(
+        RetrievalBenchmark.load_qrels(qrels_p)
+    )
+    niah["hybrid_rrf"] = await RetrievalBenchmark(kb, top_k=15, use_hybrid=True).run(
+        RetrievalBenchmark.load_qrels(qrels_p)
+    )
+    report["datasets"]["niah"] = {"queries": len(samples), **{k: _trim(v) for k, v in niah.items()}}
+
+    # --- timeliness ---
+    docs_p, qrels_p = fixtures["timeliness"]
+    kb3 = await build_kb("timeliness", docs_p, args.provider, args.pretrained)
+    plain = [
+        {"query": s.query, "relevant": sorted(s.relevant)}
+        for s in RetrievalBenchmark.load_qrels(qrels_p)
+    ]
+    t = {}
+    t["dense_no_filters"] = await RetrievalBenchmark(kb3, top_k=15).run(
+        RetrievalBenchmark.load_qrels(plain)
+    )
+    t["dense_time_filters"] = await RetrievalBenchmark(kb3, top_k=15).run(
+        RetrievalBenchmark.load_qrels(qrels_p)
+    )
+    report["datasets"]["timeliness"] = {
+        "queries": len(plain), **{k: _trim(v) for k, v in t.items()}
+    }
+    return report
+
+
+def _trim(m: dict) -> dict:
+    return {
+        k: (round(v, 4) if isinstance(v, float) else v)
+        for k, v in m.items()
+        if k not in ("samples", "top_k")
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--provider", default="hash", choices=["hash", "tpu"])
+    p.add_argument("--pretrained", default=None, help="pretrained checkpoint dir for --provider tpu")
+    p.add_argument("--regen", action="store_true", help="regenerate fixture data")
+    args = p.parse_args()
+
+    report = asyncio.run(run_all(args))
+    print(json.dumps(report))
+    out = os.path.join(os.path.dirname(DATA_DIR), "quality_report.json")
+    with open(out, "w") as f:
+        f.write(json.dumps(report, indent=1) + "\n")
+    print(f"wrote {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import asyncio
 import json
+import re
+import time
 import traceback
 from typing import Any
 
@@ -468,6 +470,194 @@ class KBQAPairsHandler(BaseHandler):
             self.write_json({"deleted": n})
         else:
             raise tornado.web.HTTPError(400, reason="need ?id= or ?source_id=")
+
+
+# QA execute: per-pair agent selection + execution + persisted results
+# (ref: utu/rag/api/routes/knowledge_base.py:759-818 —
+#  select_agents_for_qa / execute_agent_for_qa; VERDICT r2 item 6)
+
+QA_AGENT_CATALOG = [
+    {
+        "name": "kb_search",
+        "type": "simple",
+        "description": "Knowledge-base retrieval agent: searches the KB index, "
+        "reranks, answers from retrieved context. Best for factual questions "
+        "answerable from indexed documents.",
+    },
+    {
+        "name": "orchestra",
+        "type": "orchestra",
+        "description": "Plan→work→report multi-step agent for questions that "
+        "need decomposition into several retrieval/analysis steps.",
+    },
+    {
+        "name": "text2sql",
+        "type": "orchestra_react_sql",
+        "description": "SQL analysis over structured/tabular KB data (counts, "
+        "aggregates, filters over imported tables).",
+    },
+]
+
+_QA_SELECT_PROMPT = """Select the best agent(s) to answer this stored QA pair.
+
+Question: {question}
+How to find (hint, may be empty): {howtofind}
+
+Available agents:
+{agents_desc}
+
+Reply with ONLY a JSON array of agent names, most suitable first,
+e.g. ["kb_search"]."""
+
+
+async def select_agents_for_qa(question: str, howtofind: str, chat) -> list[str]:
+    """LLM agent choice with a deterministic kb_search fallback (ref:
+    select_agents_for_qa, knowledge_base.py:759-816)."""
+    valid = {a["name"] for a in QA_AGENT_CATALOG}
+    try:
+        desc = "\n".join(f"- {a['name']}: {a['description']}" for a in QA_AGENT_CATALOG)
+        raw = await chat(
+            _QA_SELECT_PROMPT.format(
+                question=question, howtofind=howtofind or "(none)", agents_desc=desc
+            )
+        )
+        m = re.search(r"\[.*?\]", raw, re.DOTALL)
+        names = [str(n) for n in json.loads(m.group(0))] if m else []
+        picked = [n for n in names if n in valid]
+        if picked:
+            return picked
+    except Exception:  # noqa: BLE001 - selection is advisory
+        logger.exception("QA agent selection failed; falling back to kb_search")
+    return ["kb_search"]
+
+
+class KBQAExecuteHandler(BaseHandler):
+    """POST /{kb}/qa/execute {"id": chunk_id} — select agent(s) for the
+    stored pair, run them against the KB, persist the executed answers in
+    the pair's metadata, and (when memory is on) store the exchange to
+    episodic memory (ref knowledge_base.py:560-680)."""
+
+    def _qa_chunk(self, kb, cid: str):
+        chunk = kb.store.index.get_by_id(cid) if kb.store._index is not None else None
+        if chunk is None or (chunk.metadata or {}).get("element_type") != "qa":
+            raise tornado.web.HTTPError(404, reason=f"QA pair {cid!r} not found")
+        return chunk
+
+    async def _execute_one(self, name: str, kb, cid: str) -> dict:
+        chunk = self._qa_chunk(kb, cid)
+        meta = dict(chunk.metadata or {})
+        question = chunk.content.split("\n")[0].removeprefix("Q: ")
+        howtofind = meta.get("howtofind", "")
+
+        agent = await self.state.get_agent()
+        chat = getattr(agent, "_chat", None)
+        if chat is None:
+            client = getattr(agent, "client", None)
+            if client is not None:
+                from ..agents.llm import ChatMessage
+
+                async def chat(prompt, _c=client):
+                    resp = await _c.chat([ChatMessage("user", prompt)])
+                    return resp.message.content or ""
+
+        selected = (
+            await select_agents_for_qa(question, howtofind, chat)
+            if chat is not None
+            else ["kb_search"]
+        )
+
+        from ..agents.factory import get_agent as build_agent
+
+        query_aug, _ = _modify_query(self.state, question, name, None)
+        results = []
+        for agent_name in selected:
+            spec = next(a for a in QA_AGENT_CATALOG if a["name"] == agent_name)
+            try:
+                if spec["type"] == self.state.agent_config.type:
+                    # the live configured agent already matches (and holds
+                    # the session's LLM client); reuse it
+                    runner = agent
+                else:
+                    cfg = self.state.agent_config.model_copy(update={"type": spec["type"]})
+                    runner = build_agent(cfg)
+                    if hasattr(runner, "build"):
+                        await runner.build()
+                rec = await runner.run(query_aug)
+                results.append(
+                    {"agent": agent_name, "success": True, "answer": rec.final_output or ""}
+                )
+            except Exception as e:  # noqa: BLE001 - per-agent failures recorded
+                logger.exception("QA execution via %s failed", agent_name)
+                results.append({"agent": agent_name, "success": False, "error": str(e)})
+
+        status = "completed" if any(r.get("success") for r in results) else "failed"
+        meta.update(
+            {
+                "learning_status": status,
+                "executed_agents": ",".join(selected),
+                "executed_results": json.dumps(results, ensure_ascii=False)[:8000],
+                "executed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            }
+        )
+        if self.state.memory_enabled and meta.get("answer"):
+            try:
+                if self.state.memory_toolkit is None:
+                    from ..memory.toolkit import VectorMemoryToolkit
+
+                    self.state.memory_toolkit = VectorMemoryToolkit({})
+                body = f"answer: {meta['answer']}"
+                if howtofind:
+                    body += f"\nhowtofind: {howtofind}"
+                await self.state.memory_toolkit.store_conversation(question, body)
+                meta["memory_status"] = "memorized"
+            except Exception:  # noqa: BLE001
+                logger.exception("QA memory save failed")
+                meta["memory_status"] = "failed"
+        await kb.store.update_metadata([cid], [meta])
+        return {
+            "qa_id": cid,
+            "question": question,
+            "selected_agents": selected,
+            "execution_results": results,
+            "final_status": status,
+        }
+
+    async def post(self, name: str):
+        kb = self.state.kbs.get(name)
+        if kb is None:
+            raise tornado.web.HTTPError(404, reason=f"knowledge base {name!r} not found")
+        body = self.json_body()
+        cid = body.get("id")
+        if not cid:
+            raise tornado.web.HTTPError(400, reason="need 'id' (QA chunk id)")
+        self.write_json(await self._execute_one(name, kb, cid))
+
+
+class KBQABatchExecuteHandler(KBQAExecuteHandler):
+    """POST /{kb}/qa/batch-execute {"ids": [...]} (ref knowledge_base.py:
+    703-754): execute each pair, tolerate per-pair failures."""
+
+    async def post(self, name: str):
+        kb = self.state.kbs.get(name)
+        if kb is None:
+            raise tornado.web.HTTPError(404, reason=f"knowledge base {name!r} not found")
+        ids = self.json_body().get("ids") or []
+        if not ids:
+            raise tornado.web.HTTPError(400, reason="need 'ids'")
+        results = []
+        for cid in ids:
+            try:
+                r = await self._execute_one(name, kb, cid)
+                results.append({"qa_id": cid, "success": r["final_status"] == "completed", "result": r})
+            except tornado.web.HTTPError as e:
+                results.append({"qa_id": cid, "success": False, "error": e.reason})
+            except Exception as e:  # noqa: BLE001
+                logger.exception("batch QA execute failed for %s", cid)
+                results.append({"qa_id": cid, "success": False, "error": str(e)})
+        ok = sum(1 for r in results if r["success"])
+        self.write_json(
+            {"total": len(ids), "success": ok, "failed": len(ids) - ok, "results": results}
+        )
 
 
 class KBMetadataHandler(BaseHandler):
@@ -1099,6 +1289,8 @@ def create_app(state: ApiState | None = None) -> tornado.web.Application:
             (r"/api/knowledge-bases/([^/]+)/query", KBQueryHandler),
             (r"/api/knowledge-bases/([^/]+)/qa", KBQAHandler),
             (r"/api/knowledge-bases/([^/]+)/qa-pairs", KBQAPairsHandler),
+            (r"/api/knowledge-bases/([^/]+)/qa/execute", KBQAExecuteHandler),
+            (r"/api/knowledge-bases/([^/]+)/qa/batch-execute", KBQABatchExecuteHandler),
             (r"/api/knowledge-bases/([^/]+)/metadata", KBMetadataHandler),
             (r"/api/knowledge-bases/([^/]+)/index", KBIndexHandler),
             (r"/api/knowledge-bases/([^/]+)/chunks", KBChunksHandler),

@@ -26,6 +26,7 @@ const I18N = {
     "build.run": "Run build", "build.logs": "Build logs",
     "chunks.search": "search chunks…", "qa.question": "question", "qa.answer": "answer",
     "qa.add": "Add pair", "qa.ask": "Ask", "qa.threshold": "threshold",
+    "qa.execute": "Execute with agent", "qa.executed": "Execution result",
     "files.upload": "Upload", "files.upload.progress": "Upload with stages",
     "files.name": "name", "files.size": "size", "files.actions": "actions",
     "files.ocr": "OCR", "files.download": "Download", "files.delete": "Delete",
@@ -46,6 +47,7 @@ const I18N = {
     "build.rebuild": "全量重建", "build.run": "开始构建", "build.logs": "构建日志",
     "chunks.search": "搜索分块…", "qa.question": "问题", "qa.answer": "答案",
     "qa.add": "添加问答对", "qa.ask": "提问", "qa.threshold": "阈值",
+    "qa.execute": "执行（代理）", "qa.executed": "执行结果",
     "files.upload": "上传", "files.upload.progress": "分阶段上传",
     "files.name": "名称", "files.size": "大小", "files.actions": "操作",
     "files.ocr": "OCR", "files.download": "下载", "files.delete": "删除",

@@ -226,11 +226,33 @@ async function renderQaTab(root, name) {
         await api(`/api/knowledge-bases/${name}/qa-pairs?id=${encodeURIComponent(p.id)}`, { method: "DELETE" });
         await load();
       }));
+      // execute: agent selection + run + persisted result (qa/execute)
+      const exec = h("button", { class: "ghost", title: t("qa.execute") }, "▶");
+      exec.addEventListener("click", guard(async () => {
+        exec.disabled = true; exec.textContent = "…";
+        try {
+          const r = await api(`/api/knowledge-bases/${name}/qa/execute`, {
+            method: "POST", body: JSON.stringify({ id: p.id }),
+          });
+          const results = (r.execution_results || []).map((x) =>
+            h("div", {},
+              h("span", { class: x.success ? "badge ok" : "badge err" }, x.agent),
+              h("pre", {}, x.success ? (x.answer || "(empty)") : (x.error || "failed"))));
+          openModal(h("div", {},
+            h("h2", {}, t("qa.executed")),
+            h("div", { class: "dim" }, `agents: ${(r.selected_agents || []).join(", ")} · ${r.final_status}`),
+            ...results,
+            h("button", { onclick: closeModal }, "close")));
+        } finally {
+          exec.disabled = false; exec.textContent = "▶";
+          await load();
+        }
+      }));
       const tr = h("tr", { class: "clickable" },
         h("td", {}, p.question), h("td", { class: "dim" }, (p.answer || "").slice(0, 100)),
-        h("td", { class: "dim" }, p.source_id), h("td", {}, del));
+        h("td", { class: "dim" }, p.source_id), h("td", {}, exec, del));
       tr.addEventListener("click", (ev) => {
-        if (ev.target === del) return;
+        if (ev.target === del || ev.target === exec) return;
         openModal(h("div", {},
           h("h2", {}, "QA pair"),
           h("h3", {}, "question"), h("pre", {}, p.question),

@@ -62,6 +62,10 @@ class EmbeddingConfig(ConfigBase):
     batch_size: int = Field(default=128, ge=1, le=4096)
     dimensions: int | None = None
     batch_delay: float = Field(default=0.0, ge=0.0, le=60.0)
+    # provider "tpu": serve a pretrained BERT-family checkpoint directory
+    # (config.json + model.safetensors + vocab.txt — models/pretrained.py)
+    # instead of the repo's own encoder weights
+    pretrained_dir: str | None = None
     # >0 enables request coalescing: concurrent embed calls inside the
     # window batch into one device dispatch (serving-throughput knob)
     coalesce_window_ms: float = Field(default=0.0, ge=0.0, le=100.0)

@@ -205,11 +205,92 @@ class DeviceVectorIndex:
         calls this when a batch will trigger growth, so the post-growth
         executables exist before the swap and no query ever waits on a
         compile (cold-cache compiles of the big pruned kernel run minutes
-        through a remote-compile tunnel; they belong on the writer)."""
+        through a remote-compile tunnel; they belong on the writer).
+
+        Two layers: AOT lower+compile fills the persistent disk cache;
+        then (memory permitting) a dummy-array dispatch of the REAL jit
+        functions fills the in-process jit cache, so the first
+        post-growth search is a pure cache hit rather than a disk
+        deserialize under the index lock."""
         items = [("sig", s) for s in self._seen_sigs] + [
             ("bucket", b) for b in self._seen_buckets
         ]
         self._warm_tier(cap, items, quiet=True)
+        self._jit_warm(cap)
+
+    def _warm_memory_ok(self, cap: int) -> bool:
+        """Can a dummy index copy at ``cap`` rows coexist with the live
+        arrays? (The growth concat itself needs the same headroom, so
+        passing this gate does not add to the growth peak.)"""
+        dev = self._device
+        if dev is None:
+            try:
+                dev = jax.devices()[0]
+            except Exception:  # noqa: BLE001 - no backend
+                return False
+        itemsize = 1 if self._int8 else (2 if self._store_dtype == jnp.bfloat16 else 4)
+        need = cap * (self.d_pad * itemsize + self.schema.max_columns * 4 + 8)
+        try:
+            stats = dev.memory_stats() or {}
+        except Exception:  # noqa: BLE001 - PJRT plugins may raise
+            stats = {}
+        limit = stats.get("bytes_limit")
+        in_use = stats.get("bytes_in_use")
+        if not limit and dev.platform == "tpu":
+            import os as _os
+
+            try:
+                limit = int(_os.environ.get("YRT_HBM_BYTES", 16 * 1024**3))
+            except ValueError:
+                limit = 16 * 1024**3
+        if not limit:
+            return True  # CPU tests: allocator is host RAM
+        if in_use is not None:
+            return 1.2 * need < limit - in_use
+        return 1.2 * (need + self.nbytes()) < limit
+
+    def _jit_warm(self, cap: int) -> None:
+        """Dispatch the search/append jit functions once with dummy
+        arrays at capacity ``cap`` (compile happens at dispatch; the
+        result is discarded). Never raises — warming is an optimization."""
+        try:
+            if not self._warm_memory_ok(cap):
+                logger.info("jit warm skipped at %d rows (memory headroom)", cap)
+                return
+            v = self._put(jnp.zeros((cap, self.d_pad), self._store_dtype))
+            b = self._put(jnp.full((cap,), NEG_INF, jnp.float32))
+            sc = self._put(jnp.zeros((cap,), jnp.float32)) if self._int8 else None
+            for qn, k, raw_backend in list(self._seen_sigs):
+                backend = self._backend(raw_backend, cap=cap)
+                if backend == "pallas_interpret":
+                    continue
+                q = jnp.zeros((qn, self.d_pad), jnp.float32)
+                br = self._kernel_block_rows(int8=self._int8, rows=cap)
+                if self._int8:
+                    if backend == "pallas":
+                        pallas_topk_int8_pruned(q, v, sc, b, k, block_rows=br)
+                    else:
+                        xla_topk_int8(q, v, sc, b, k)
+                else:
+                    _search_plain(q, v, b, k, backend, br)
+            c = self._put(
+                jnp.full((cap, self.schema.max_columns), -(2**31), jnp.int32)
+            )
+            for bucket in list(self._seen_buckets):
+                nv = self._put(jnp.zeros((bucket, self.d_pad), self._store_dtype))
+                nc = self._put(
+                    jnp.full((bucket, self.schema.max_columns), -(2**31), jnp.int32)
+                )
+                nb = self._put(jnp.full((bucket,), NEG_INF, jnp.float32))
+                # donation consumes the dummies; reuse the outputs for the
+                # next bucket so one allocation serves all warms
+                v, c, b = _append_kernel(v, c, b, nv, nc, nb, jnp.int32(0))
+                if self._int8:
+                    sc = _append_scales_kernel(
+                        sc, self._put(jnp.zeros((bucket,), jnp.float32)), jnp.int32(0)
+                    )
+        except Exception:  # noqa: BLE001 - warming must never break ingest
+            logger.exception("jit warm failed at capacity %d", cap)
 
     def _warm_tier(self, cap: int, items: list[tuple], quiet: bool = False) -> None:
         try:

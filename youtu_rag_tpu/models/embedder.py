@@ -431,6 +431,10 @@ class EmbedderFactory:
         if provider == "hash":
             return HashEmbedder(dim=config.dimensions or 256)
         if provider == "tpu":
+            if config.pretrained_dir:
+                return TpuEmbedder.from_pretrained(
+                    config.pretrained_dir, batch_size=config.batch_size, **kwargs
+                )
             return TpuEmbedder(batch_size=config.batch_size, **kwargs)
         if provider in ("openai", "service"):
             # env fallbacks apply INDEPENDENTLY: a configured base_url
