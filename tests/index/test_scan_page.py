@@ -25,12 +25,12 @@ def store():
                 embedding=rng.normal(size=8).astype(np.float32).tolist(),
             )
         )
-    asyncio.get_event_loop().run_until_complete(s.add_chunks(chunks))
+    asyncio.run(s.add_chunks(chunks))
     return s
 
 
 def run(coro):
-    return asyncio.get_event_loop().run_until_complete(coro)
+    return asyncio.run(coro)
 
 
 def test_scan_page_offset_and_count(store):

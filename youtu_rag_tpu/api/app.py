@@ -426,13 +426,20 @@ class KBQAPairsHandler(BaseHandler):
                 continue
             if q and q not in c.content.lower():
                 continue
+            meta = c.metadata or {}
             pairs.append(
                 {
                     "id": c.id,
                     "source_id": c.document_id,
                     "question": c.content.split("\n")[0].removeprefix("Q: "),
-                    "answer": (c.metadata or {}).get("answer", ""),
-                    "related_file": (c.metadata or {}).get("related_file", ""),
+                    "answer": meta.get("answer", ""),
+                    "related_file": meta.get("related_file", ""),
+                    # execution state (qa/execute): surfaced in the SPA QA tab
+                    "learning_status": meta.get("learning_status", "pending"),
+                    "executed_agents": meta.get("executed_agents", ""),
+                    "executed_results": meta.get("executed_results", ""),
+                    "executed_at": meta.get("executed_at", ""),
+                    "memory_status": meta.get("memory_status", ""),
                 }
             )
         self.write_json(

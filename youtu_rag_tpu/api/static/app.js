@@ -5,6 +5,7 @@ import { renderChat } from "./views/chat.js";
 import { renderKb } from "./views/kb.js";
 import { renderFiles } from "./views/files.js";
 import { renderMonitor } from "./views/monitor.js";
+import { renderTrajectories } from "./views/trajectories.js";
 
 export const state = {
   lang: localStorage.getItem("yrt-lang") || "en",
@@ -15,7 +16,9 @@ export const state = {
 const I18N = {
   en: {
     "tab.chat": "Chat", "tab.kb": "Knowledge Bases", "tab.files": "Files",
-    "tab.monitor": "Monitor",
+    "tab.monitor": "Monitor", "tab.trajectories": "Runs",
+    "traj.detail": "Run detail", "traj.input": "input", "traj.output": "output",
+    "traj.tools": "tool calls", "traj.refresh": "Refresh",
     "kb.create": "Create", "kb.name": "new knowledge base name",
     "kb.none": "No knowledge bases yet — create one.",
     "kb.delete": "Delete", "kb.chunks": "chunks", "kb.backend": "backend",
@@ -39,6 +42,8 @@ const I18N = {
   },
   zh: {
     "tab.chat": "对话", "tab.kb": "知识库", "tab.files": "文件", "tab.monitor": "监控",
+    "tab.trajectories": "运行记录", "traj.detail": "运行详情", "traj.input": "输入",
+    "traj.output": "输出", "traj.tools": "工具调用", "traj.refresh": "刷新",
     "kb.create": "创建", "kb.name": "新知识库名称", "kb.none": "暂无知识库 — 创建一个。",
     "kb.delete": "删除", "kb.chunks": "分块", "kb.backend": "后端",
     "kb.build": "构建", "kb.browse": "分块", "kb.qa": "问答", "kb.index": "索引",
@@ -138,6 +143,7 @@ const routes = [
   [/^#\/kb/, renderKb, "kb"],
   [/^#\/files/, renderFiles, "files"],
   [/^#\/monitor/, renderMonitor, "monitor"],
+  [/^#\/runs/, renderTrajectories, "trajectories"],
 ];
 
 async function route() {

@@ -248,15 +248,32 @@ async function renderQaTab(root, name) {
           await load();
         }
       }));
+      const statusCls = { completed: "ok", failed: "err" }[p.learning_status] || "";
       const tr = h("tr", { class: "clickable" },
         h("td", {}, p.question), h("td", { class: "dim" }, (p.answer || "").slice(0, 100)),
+        h("td", {}, h("span", { class: `badge ${statusCls}` }, p.learning_status || "pending")),
         h("td", { class: "dim" }, p.source_id), h("td", {}, exec, del));
       tr.addEventListener("click", (ev) => {
         if (ev.target === del || ev.target === exec) return;
+        // qa-detail flow: pair + execution history (ref qa-detail.js)
+        let execBlock = null;
+        if (p.executed_results) {
+          let parsed = [];
+          try { parsed = JSON.parse(p.executed_results); } catch { /* legacy */ }
+          execBlock = h("div", {},
+            h("h3", {}, t("qa.executed")),
+            h("div", { class: "dim" },
+              `${p.executed_agents || "?"} · ${p.learning_status} · ${p.executed_at || ""}` +
+              (p.memory_status ? ` · memory: ${p.memory_status}` : "")),
+            ...parsed.map((x) => h("div", {},
+              h("span", { class: x.success ? "badge ok" : "badge err" }, x.agent),
+              h("pre", {}, x.success ? (x.answer || "(empty)") : (x.error || "failed")))));
+        }
         openModal(h("div", {},
           h("h2", {}, "QA pair"),
           h("h3", {}, "question"), h("pre", {}, p.question),
           h("h3", {}, "answer"), h("pre", {}, p.answer || "(empty)"),
+          execBlock,
           p.related_file ? h("div", { class: "dim" }, `related file: ${p.related_file}`) : null,
           h("div", { class: "dim" }, `id: ${p.id} · source: ${p.source_id}`),
           h("button", { onclick: closeModal }, "close")));
@@ -264,7 +281,8 @@ async function renderQaTab(root, name) {
       return tr;
     });
     listBox.appendChild(h("table", {},
-      h("tr", {}, h("th", {}, "question"), h("th", {}, "answer"), h("th", {}, "source"), h("th", {}, "")),
+      h("tr", {}, h("th", {}, "question"), h("th", {}, "answer"), h("th", {}, "status"),
+        h("th", {}, "source"), h("th", {}, "")),
       rows));
   }
 

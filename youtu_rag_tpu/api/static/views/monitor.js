@@ -1,12 +1,38 @@
-// Monitor view: storage health + metrics dashboard, embedding/reranker
-// testers, recent trajectory runs. Counterpart of rag_webui's monitor
-// screens + monitor_service HTML dashboard.
+// Monitor view: storage health + metrics dashboard (stat tiles + bar
+// charts), embedding/reranker testers, recent trajectory runs.
+// Counterpart of rag_webui's monitor screens + monitor_service HTML
+// dashboard. Charts: single-measure horizontal bars (one hue — the
+// accent — identity carried by row labels; values direct-labeled at the
+// bar end in text ink; 2px gaps; no legend for a single series).
 
-import { api, guard, h, t } from "../app.js";
+import { api, closeModal, fmtBytes, guard, h, openModal, t } from "../app.js";
+
+// horizontal bar chart: rows = [{label, value, hint?}], one measure.
+export function barChart(rows, { unit = "", max = null } = {}) {
+  const m = max || Math.max(...rows.map((r) => r.value), 1);
+  const box = h("div", { class: "chart" });
+  for (const r of rows) {
+    const pct = Math.max((r.value / m) * 100, 0.5);
+    box.appendChild(h("div", { class: "chart-row", title: r.hint || `${r.label}: ${r.value}${unit}` },
+      h("span", { class: "chart-label" }, r.label),
+      h("div", { class: "chart-track" },
+        h("div", { class: "chart-bar", style: `width:${pct}%` })),
+      h("span", { class: "chart-value" },
+        `${typeof r.value === "number" && r.value % 1 ? r.value.toFixed(1) : r.value}${unit}`)));
+  }
+  return box;
+}
+
+function statTile(label, value, sub = "") {
+  return h("div", { class: "tile" },
+    h("div", { class: "tile-value" }, String(value)),
+    h("div", { class: "tile-label" }, label),
+    sub ? h("div", { class: "dim" }, sub) : null);
+}
 
 export async function renderMonitor(view) {
   const healthBox = h("div", { class: "grid" });
-  const metricsBox = h("pre", {});
+  const metricsBox = h("div", {});
   const runsBox = h("div", {});
 
   // embedding tester
@@ -67,7 +93,44 @@ export async function renderMonitor(view) {
   if (!Object.keys(health.backends || {}).length) {
     healthBox.appendChild(h("div", { class: "dim" }, "(no storage backends yet)"));
   }
-  metricsBox.textContent = JSON.stringify(metrics, null, 2);
+
+  // metrics: aggregate tiles + per-KB bar charts (+ raw JSON in a modal)
+  metricsBox.innerHTML = "";
+  const perKb = Object.entries(metrics.metrics || {});
+  if (!perKb.length) {
+    metricsBox.appendChild(h("div", { class: "dim" }, "(no metrics yet — build a knowledge base)"));
+  } else {
+    const totChunks = perKb.reduce((a, [, m]) => a + (m.total_chunks || 0), 0);
+    const totBytes = perKb.reduce((a, [, m]) => a + (m.index_size_bytes || 0), 0);
+    const totQueries = perKb.reduce((a, [, m]) => a + (m.query_count || 0), 0);
+    const totErrors = perKb.reduce((a, [, m]) => a + (m.error_count || 0), 0);
+    metricsBox.appendChild(h("div", { class: "row tiles" },
+      statTile("chunks", totChunks),
+      statTile("index size", fmtBytes(totBytes)),
+      statTile("queries (24h)", totQueries),
+      statTile("errors", totErrors)));
+    metricsBox.appendChild(h("h3", {}, "chunks per knowledge base"));
+    metricsBox.appendChild(barChart(
+      perKb.map(([name, m]) => ({ label: name, value: m.total_chunks || 0 }))));
+    const withLatency = perKb.filter(([, m]) => (m.query_count || 0) > 0);
+    if (withLatency.length) {
+      metricsBox.appendChild(h("h3", {}, "query latency p95 (ms)"));
+      metricsBox.appendChild(barChart(
+        withLatency.map(([name, m]) => ({
+          label: name,
+          value: Math.round((m.p95_latency_ms || 0) * 10) / 10,
+          hint: `${name}: p50 ${Math.round(m.p50_latency_ms || 0)} ms · p95 ${Math.round(m.p95_latency_ms || 0)} ms · ${m.query_count} queries`,
+        })), { unit: " ms" }));
+    }
+    const rawBtn = h("button", { class: "ghost" }, "raw JSON");
+    rawBtn.addEventListener("click", () => {
+      openModal(h("div", {},
+        h("h2", {}, "metrics"),
+        h("pre", {}, JSON.stringify(metrics, null, 2)),
+        h("button", { onclick: closeModal }, "close")));
+    });
+    metricsBox.appendChild(rawBtn);
+  }
 
   try {
     const runs = await api("/api/trajectories?limit=10");
