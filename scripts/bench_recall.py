@@ -79,12 +79,10 @@ def gen_text(rng, n, d, provider="hash", n_q=32):
                 if len(piece.strip()) > 80:
                     texts.append(piece)
     rng.shuffle(texts)
-    # tile with suffix-perturbation if the corpus is smaller than n
-    base = list(texts)
-    j = 0
-    while len(texts) < n:
-        texts.append(base[j % len(base)] + f" v{j}")
-        j += 1
+    # cap at the REAL corpus size: tiling with perturbed duplicates would
+    # fill the index with near-identical vectors whose f32-vs-quantized
+    # tie-breaking noise masquerades as recall loss
+    n = min(n, len(texts))
     texts = texts[:n]
 
     if provider == "tpu":
@@ -114,19 +112,26 @@ def ground_truth(x, q, k):
     return np.argsort(-s, axis=1)[:, :k]
 
 
-def measure(idx, queries, truth, k, label, reps=3):
-    from youtu_rag_tpu.index.device_index import DeviceVectorIndex  # noqa: F401
-
+def measure(idx, queries, truth, k, label, reps=3, query_batch=4):
+    """Searches run in small query batches: the probed-block plan is the
+    UNION over the batch (ops/ivf probe list is shared), so a big batch
+    over a small index covers every block and degenerates IVF to brute —
+    which is exactly what this harness must not silently do."""
     t_best = 1e9
     res = None
     for _ in range(reps):
         t0 = time.perf_counter()
-        res = idx.search(queries, top_k=k)
+        out = []
+        for i in range(0, len(queries), query_batch):
+            out.extend(idx.search(queries[i : i + query_batch], top_k=k))
+        res = out
         t_best = min(t_best, (time.perf_counter() - t0) * 1e3)
     hits = 0
     for qi, hits_q in enumerate(res):
-        rows = {int(idx._id_to_row[c.id]) for c, _ in hits_q}
-        hits += len(rows & set(truth[qi].tolist()))
+        # compare by chunk id — build_ivf cluster-sorts rows, so device
+        # rows and insertion indices diverge
+        ids = {c.id for c, _ in hits_q}
+        hits += len(ids & {f"c{j}" for j in truth[qi].tolist()})
     rec = hits / (len(res) * k)
     print(f"  {label:28s} recall@{k} {rec:.3f}   {t_best:7.2f} ms", file=sys.stderr)
     return {"recall": round(rec, 4), "ms": round(t_best, 2)}
@@ -152,7 +157,7 @@ def run_dataset(name, x, q, k, n_lists, args):
         return idx
 
     idx = build(n_probe=args.n_probe)
-    out["brute"] = measure(idx, q, truth, k, "brute")
+    out["brute"] = measure(idx, q, truth, k, f"brute {args.dtype}")
     idx.build_ivf()
     out["ivf_plain"] = measure(idx, q, truth, k, f"ivf nprobe={args.n_probe}")
     idx2 = build(n_probe=args.n_probe, ivf_adaptive_margin=0.1)
@@ -160,9 +165,39 @@ def run_dataset(name, x, q, k, n_lists, args):
     out["ivf_adaptive"] = measure(idx2, q, truth, k, "ivf adaptive m=0.1")
     idx3 = build(n_probe=args.n_probe * 2, ivf_rerank_multiplier=4.0)
     idx3.build_ivf()
-    out["ivf_tuned"] = measure(
-        idx3, q, truth, k, f"ivf nprobe={args.n_probe * 2} + rerank x4 (tuned)"
+    out["ivf_rerank"] = measure(
+        idx3, q, truth, k, f"ivf nprobe={args.n_probe * 2} + rerank x4"
     )
+    # the fully tuned config: bf16 storage (removes the int8 quantization
+    # recall floor the re-rank cannot recover — candidates re-score from
+    # the STORED values) + residual re-rank + the CLOSED-LOOP nprobe
+    # auto-tuner converging on the recall target (shadow brute checks
+    # drive n_probe up until recall@k >= target — the engine's designed
+    # answer to hard-to-cluster data, not a hand-picked constant)
+    from youtu_rag_tpu.core.config import IndexConfig as _IC
+
+    cfg4 = _IC(
+        storage_dtype="bfloat16", block_rows=args.block_rows,
+        min_capacity=len(x), n_lists=n_lists,
+        # self-consistency target 0.98: the tuner measures IVF against
+        # brute on the SAME storage, so ~2% headroom covers the residual
+        # storage-rounding gap to the f32 ground truth
+        n_probe=args.n_probe * 2, ivf_rerank_multiplier=4.0,
+        ivf_recall_target=0.98, ivf_tune_interval=1,
+    )
+    idx4 = DeviceVectorIndex(x.shape[1], cfg4)
+    idx4.add(chunks, x)
+    idx4.build_ivf()
+    for _ in range(12):  # let the tuner converge before measuring
+        for i in range(0, len(q), 4):
+            idx4.search(q[i : i + 4], top_k=k)
+        if (idx4._ivf_recall_est or 0.0) >= 0.98:
+            break
+    out["ivf_tuned_bf16"] = measure(
+        idx4, q, truth, k,
+        f"ivf bf16 auto-nprobe={idx4._ivf.n_probe} + rerank x4 (tuned)",
+    )
+    out["ivf_tuned_bf16"]["n_probe_final"] = int(idx4._ivf.n_probe)
     return out
 
 

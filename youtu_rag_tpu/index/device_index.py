@@ -132,6 +132,7 @@ class DeviceVectorIndex:
         # closed-loop nprobe tuner state (IndexConfig.ivf_recall_target)
         self._ivf_tune_counter = 0
         self._ivf_recall_est: float | None = None
+        self._ivf_tune_streak = 0  # consecutive comfortable observations
 
     # -- device helpers ----------------------------------------------------
 
@@ -914,12 +915,22 @@ class DeviceVectorIndex:
                 logger.info("nprobe tune: recall %.3f < %.2f → n_probe %d → %d",
                             overlap, cfg.ivf_recall_target, st.n_probe, new)
                 st.n_probe = new
+                self._ivf_tune_streak = 0
             elif overlap >= min(cfg.ivf_recall_target + 0.04, 1.0) and st.n_probe > cfg.ivf_min_probe:
-                new = max(cfg.ivf_min_probe, int(st.n_probe / cfg.ivf_probe_step))
-                if new < st.n_probe:
-                    logger.info("nprobe tune: recall %.3f comfortable → n_probe %d → %d",
-                                overlap, st.n_probe, new)
-                    st.n_probe = new
+                # shrink only after 3 consecutive comfortable observations:
+                # one lucky small shadow batch (overlap can hit 1.0 on a
+                # handful of queries) must not throw probes away — growth
+                # is immediate, shrink is evidence-gated
+                self._ivf_tune_streak += 1
+                if self._ivf_tune_streak >= 3:
+                    new = max(cfg.ivf_min_probe, int(st.n_probe / cfg.ivf_probe_step))
+                    if new < st.n_probe:
+                        logger.info("nprobe tune: recall %.3f comfortable ×%d → n_probe %d → %d",
+                                    overlap, self._ivf_tune_streak, st.n_probe, new)
+                        st.n_probe = new
+                    self._ivf_tune_streak = 0
+            else:
+                self._ivf_tune_streak = 0
 
     def _run_ivf_search(self, queries, vectors, bias, k: int, backend: str):
         from ..ops.ivf import pallas_ivf_topk, xla_ivf_topk
