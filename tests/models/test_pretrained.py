@@ -168,6 +168,29 @@ def test_wordpiece_matches_bert_tokenizer(tmp_path):
     assert types[0, :n].tolist() == enc["token_type_ids"]
 
 
+def test_wordpiece_fast_backend_parity(tmp_path):
+    """The Rust `tokenizers` fast path must match the pure-Python
+    reference pipeline id-for-id (and both match BertTokenizer)."""
+    _write_vocab(tmp_path / "vocab.txt")
+    fast = WordPieceTokenizer(tmp_path / "vocab.txt", lowercase=True, use_fast=True)
+    slow = WordPieceTokenizer(tmp_path / "vocab.txt", lowercase=True, use_fast=False)
+    if fast._fast is None:
+        pytest.skip("tokenizers wheel not available")
+    cases = [
+        "The quick brown fox jumps over the lazy dog",
+        "UNwanted, running!",
+        "中国人 hello",
+        "naïve café",
+        "zyzzyva 123 a1b2 !!!",
+    ]
+    for text in cases:
+        assert fast.tokenize(text) == slow.tokenize(text), text
+    ids_f, mask_f = fast.batch(cases)
+    ids_s, mask_s = slow.batch(cases)
+    np.testing.assert_array_equal(ids_f, ids_s)
+    np.testing.assert_array_equal(mask_f, mask_s)
+
+
 def test_wordpiece_as_embedder_tokenizer(tmp_path):
     """WordPiece slots into TpuEmbedder via the HashTokenizer interface."""
     d, _ = _tiny_bert_dir(tmp_path, seed=3)

@@ -244,3 +244,34 @@ def test_autonomous_budget_forces_synthesis(orders_workbook):
     agent = ExcelAgent(client=FakeChatClient(rule_fn=rule), planner="autonomous")
     rec = asyncio.run(agent.run("question?", orders_workbook))
     assert rec.final_output  # synthesized despite never reaching an answer
+
+
+def test_validate_code_structure_gate():
+    """Pre-exec gate (ref smg_module._validate_code_structure:1611)."""
+    from youtu_rag_tpu.integrations.dtr.smg import validate_code_structure
+
+    ok, _ = validate_code_structure("x = dfs['Sheet1'].head()\nprint(x)")
+    assert ok
+    for bad, frag in [
+        ("", "empty"),
+        ("def broken(:", "syntax"),
+        ("import subprocess\nsubprocess.run(['ls'])", "forbidden"),
+        ("os.system('rm -rf /')", "forbidden"),
+        ("eval('1+1')", "forbidden"),
+    ]:
+        ok, reason = validate_code_structure(bad)
+        assert not ok and frag in reason, (bad, reason)
+
+
+def test_execute_step_rejects_broken_code(tmp_path):
+    import asyncio
+
+    import pandas as pd
+
+    from youtu_rag_tpu.integrations.dtr.smg import SheetStateMachine
+
+    p = tmp_path / "t.csv"
+    pd.DataFrame({"a": [1]}).to_csv(p, index=False)
+    smg = SheetStateMachine(str(p))
+    out, state = asyncio.run(smg.execute_step("print(1 +"))
+    assert out.startswith("Error: rejected before execution") and state == {}

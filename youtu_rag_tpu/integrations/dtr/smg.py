@@ -100,6 +100,30 @@ class SMGNode:
         ]
 
 
+_FORBIDDEN_CODE = re.compile(
+    r"\b(os\.system|subprocess|shutil\.rmtree|__import__|eval\s*\(|exec\s*\()"
+)
+
+
+def validate_code_structure(code: str) -> tuple[bool, str]:
+    """Pre-execution gate (ref ``smg_module._validate_code_structure``
+    :1611): reject empty, syntactically broken, or obviously dangerous
+    step code before paying a sandbox subprocess round-trip. The sandbox
+    remains the real isolation boundary — this is a fast-fail that turns
+    a ~100ms subprocess error into an immediate, precise message the
+    code-repair loop can act on."""
+    if not code.strip():
+        return False, "empty code"
+    try:
+        compile(code, "<step>", "exec")
+    except SyntaxError as e:
+        return False, f"syntax error at line {e.lineno}: {e.msg}"
+    m = _FORBIDDEN_CODE.search(code)
+    if m:
+        return False, f"forbidden construct: {m.group(1)}"
+    return True, ""
+
+
 class SheetStateMachine:
     """Tracks every sheet + derived frame through the analysis and executes
     step code with accumulated state."""
@@ -140,6 +164,9 @@ class SheetStateMachine:
         """Run loader + successful-prefix + step code; returns (step output,
         post-state). Prefix prints are suppressed so the output belongs to
         this step alone."""
+        ok, reason = validate_code_structure(code)
+        if not ok:
+            return f"Error: rejected before execution — {reason}", {}
         prefix = self._successful_prefix_code()
         script = self._loader()
         if prefix:

@@ -81,6 +81,7 @@ class WordPieceTokenizer:
         sep_token: str = "[SEP]",
         pad_token: str = "[PAD]",
         max_chars_per_word: int = 100,
+        use_fast: bool = True,
     ):
         if isinstance(vocab, (str, bytes)) or hasattr(vocab, "__fspath__"):
             vocab = load_vocab(vocab)
@@ -93,6 +94,29 @@ class WordPieceTokenizer:
         self.sep_id = vocab[sep_token]
         self.pad_id = vocab.get(pad_token, 0)
         self.vocab_size = max(vocab.values()) + 1
+        # fast path: the Rust `tokenizers` WordPiece when available — the
+        # host-side throughput floor for pretrained-model ingest (the C
+        # fasthash kernel covers only the hashing tokenizer). The pure-
+        # Python pipeline below stays the reference implementation;
+        # parity is asserted in tests/models/test_pretrained.py.
+        self._fast = None
+        if use_fast:
+            try:
+                from tokenizers import Tokenizer
+                from tokenizers.models import WordPiece as _WP
+                from tokenizers.normalizers import BertNormalizer
+                from tokenizers.pre_tokenizers import BertPreTokenizer
+
+                tk = Tokenizer(_WP(vocab, unk_token=unk_token,
+                                   max_input_chars_per_word=max_chars_per_word))
+                tk.normalizer = BertNormalizer(
+                    lowercase=lowercase, strip_accents=lowercase,
+                    handle_chinese_chars=True, clean_text=True,
+                )
+                tk.pre_tokenizer = BertPreTokenizer()
+                self._fast = tk
+            except Exception:  # noqa: BLE001 - optional acceleration only
+                self._fast = None
 
     # -- basic tokenization -------------------------------------------------
 
@@ -171,6 +195,8 @@ class WordPieceTokenizer:
     # -- HashTokenizer-compatible interface ---------------------------------
 
     def tokenize(self, text: str) -> list[int]:
+        if self._fast is not None:
+            return list(self._fast.encode(text).ids)
         return [self.vocab.get(p, self.unk_id) for p in self.tokenize_words(text)]
 
     def encode(self, text: str, max_length: int | None = None) -> list[int]:
@@ -192,9 +218,17 @@ class WordPieceTokenizer:
     def batch(
         self, texts: list[str], max_length: int | None = None, pad_to: int | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Encode + pad a batch → (ids [B, T] int32, mask [B, T] f32)."""
+        """Encode + pad a batch → (ids [B, T] int32, mask [B, T] f32).
+        One Rust encode_batch call when the fast backend is active."""
         max_length = max_length or self.max_length
-        seqs = [self.encode(t, max_length) for t in texts]
+        if self._fast is not None:
+            encs = self._fast.encode_batch(texts)
+            seqs = [
+                [self.cls_id] + list(e.ids[: max_length - 2]) + [self.sep_id]
+                for e in encs
+            ]
+        else:
+            seqs = [self.encode(t, max_length) for t in texts]
         t = pad_to or max(len(s) for s in seqs)
         ids = np.full((len(seqs), t), self.pad_id, np.int32)
         mask = np.zeros((len(seqs), t), np.float32)
