@@ -126,11 +126,11 @@ def make_batches(pairs, tokenizer, batch: int, seqlen: int, steps: int, seed: in
 # -- eval ---------------------------------------------------------------
 
 
-def eval_recall(params, cfg, holdout, batch_size: int = 64) -> dict:
+def eval_recall(params, cfg, holdout, batch_size: int = 64, tokenizer=None) -> dict:
     """recall@1/@5 of query -> its positive among all holdout positives."""
     from youtu_rag_tpu.models.embedder import TpuEmbedder
 
-    emb = TpuEmbedder(config=cfg, params=params, batch_size=batch_size)
+    emb = TpuEmbedder(config=cfg, params=params, batch_size=batch_size, tokenizer=tokenizer)
     q_vecs = np.asarray(emb.embed_batch([q for q, _ in holdout]), np.float32)
     d_vecs = np.asarray(emb.embed_batch([p for _, p in holdout]), np.float32)
     scores = q_vecs @ d_vecs.T
@@ -158,6 +158,12 @@ def main() -> None:
     p.add_argument("--dp", type=int, default=0, help="data-parallel shards (0 = all devices)")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel shards")
     p.add_argument("--preset", choices=["tiny", "small", "base"], default="base")
+    p.add_argument(
+        "--pretrained", type=Path, default=None,
+        help="HF BERT-family checkpoint dir (models/pretrained.py) to "
+        "fine-tune instead of random init; overrides --preset and "
+        "switches to the WordPiece tokenizer",
+    )
     p.add_argument("--holdout", type=int, default=128)
     p.add_argument("--ckpt-every", type=int, default=100)
     p.add_argument("--resume", action="store_true")
@@ -181,7 +187,18 @@ def main() -> None:
         "small": dict(d_model=384, n_layers=6, n_heads=6, d_ff=1536, out_dim=384),
         "base": dict(d_model=768, n_layers=12, n_heads=12, d_ff=3072, out_dim=768),
     }
-    cfg = EncoderConfig(max_len=max(args.seqlen, 16), **sizes[args.preset])
+    pre_params = None
+    if args.pretrained:
+        from youtu_rag_tpu.models.pretrained import load_pretrained_encoder
+
+        import jax.numpy as jnp
+
+        pre_params, cfg, pre_tokenizer = load_pretrained_encoder(
+            args.pretrained, dtype=jnp.float32, max_len=max(args.seqlen, 16)
+        )
+        print(f"fine-tuning pretrained checkpoint {args.pretrained}")
+    else:
+        cfg = EncoderConfig(max_len=max(args.seqlen, 16), **sizes[args.preset])
     tc = TrainConfig(
         learning_rate=args.lr,
         warmup_steps=min(args.warmup, max(args.steps // 2, 1)),
@@ -207,16 +224,18 @@ def main() -> None:
         from youtu_rag_tpu.parallel.mesh import get_mesh
 
         mesh = get_mesh({"dp": dp, "tp": args.tp})
-        params, opt_state, step_fn = make_sharded_train_step(cfg, tc, mesh, seed=args.seed)
+        params, opt_state, step_fn = make_sharded_train_step(
+            cfg, tc, mesh, seed=args.seed, init_params=pre_params
+        )
         print(f"mesh: dp={dp} tp={args.tp} over {n_dev} devices")
     else:
         optimizer = make_optimizer(tc)
-        params = init_encoder_params(cfg, args.seed)
+        params = pre_params if pre_params is not None else init_encoder_params(cfg, args.seed)
         opt_state = optimizer.init(params)
         step_fn = jax.jit(make_train_step(cfg, tc, optimizer))
     print(f"encoder: {count_params(params) / 1e6:.1f}M params")
 
-    tokenizer = HashTokenizer(cfg.vocab_size, cfg.max_len)
+    tokenizer = pre_tokenizer if args.pretrained else HashTokenizer(cfg.vocab_size, cfg.max_len)
     args.out.mkdir(parents=True, exist_ok=True)
     ckpt = TrainCheckpointer(args.out / "ckpt")
     start = 0
@@ -225,7 +244,7 @@ def main() -> None:
         params, opt_state, _ = ckpt.restore(start, params_like=params, opt_state_like=opt_state)
         print(f"resumed from step {start}")
 
-    before = eval_recall(params, cfg, holdout) if holdout else {}
+    before = eval_recall(params, cfg, holdout, tokenizer=tokenizer) if holdout else {}
     if before:
         print(f"recall before: {before}")
 
@@ -246,7 +265,7 @@ def main() -> None:
     ckpt.save(args.steps, params, opt_state, metadata={"final": True})
     ckpt.close()
 
-    after = eval_recall(params, cfg, holdout) if holdout else {}
+    after = eval_recall(params, cfg, holdout, tokenizer=tokenizer) if holdout else {}
     out_npz = args.out / "encoder_params.npz"
     save_params_npz(jax.device_get(params), out_npz)
     report = {

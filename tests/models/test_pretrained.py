@@ -230,3 +230,35 @@ def test_bf16_checkpoint_loads(tmp_path):
     mask = np.ones((1, 4), np.float32)
     emb, _ = encode_tokens(params, jnp.asarray(ids), jnp.asarray(mask), cfg)
     assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_finetune_from_pretrained(tmp_path):
+    """Pretrained import → sharded contrastive fine-tune step (dp×tp):
+    the quality path the reference gets from its model services, owned
+    end-to-end here."""
+    d, _ = _tiny_bert_dir(tmp_path, seed=6)
+    from youtu_rag_tpu.models.pretrained import load_pretrained_encoder
+    from youtu_rag_tpu.models.train import TrainConfig, make_sharded_train_step
+    from youtu_rag_tpu.parallel.mesh import get_mesh
+
+    params0, cfg, tok = load_pretrained_encoder(d, dtype=jnp.float32)
+    mesh = get_mesh({"dp": 2, "tp": 2})
+    tc = TrainConfig(warmup_steps=1, total_steps=4, remat=False)
+    params, opt_state, step = make_sharded_train_step(
+        cfg, tc, mesh, init_params=params0
+    )
+    rng = np.random.default_rng(0)
+    ids = rng.integers(5, len(VOCAB), size=(4, 8)).astype(np.int32)
+    batch = {
+        "q_ids": ids, "q_mask": np.ones((4, 8), np.float32),
+        "d_ids": ids, "d_mask": np.ones((4, 8), np.float32),
+    }
+    before = np.asarray(params["layers"]["wq"])
+    # two steps: the cosine schedule warms up from lr=0 at step 0
+    params, opt_state, metrics = step(params, opt_state, batch)
+    params, opt_state, metrics = step(params, opt_state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    after = np.asarray(params["layers"]["wq"])
+    assert np.abs(after - before).max() > 0  # weights actually moved
+    # optional head keys survive the round-trip (replicated placement)
+    assert "pooler_w" in params

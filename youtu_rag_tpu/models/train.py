@@ -78,24 +78,76 @@ def make_train_step(cfg: EncoderConfig, tc: TrainConfig, optimizer):
     return train_step
 
 
-def make_sharded_train_step(cfg: EncoderConfig, tc: TrainConfig, mesh: Mesh, seed: int = 0):
+def sharding_spec_for(params: dict, cfg: EncoderConfig, mesh: Mesh) -> dict:
+    """PartitionSpec tree shaped exactly like ``params``.
+
+    Pretrained imports (models/pretrained.py) carry optional extra keys —
+    pooler_w/score_head/score_bias — beyond ``param_sharding_spec``'s
+    canonical tree; those replicate. Keys the spec knows keep their
+    Megatron placement unless a sharded dimension does not divide over
+    the mesh (e.g. an arbitrary pretrained vocab over 'tp'), in which
+    case that leaf replicates — correctness first, placement second."""
+    base = param_sharding_spec(cfg)
+
+    def divides(v, spec) -> bool:
+        for i, axes in enumerate(spec):
+            if axes is None:
+                continue
+            names = axes if isinstance(axes, tuple) else (axes,)
+            size = 1
+            for a in names:
+                size *= int(mesh.shape[a])
+            if v.shape[i] % size != 0:
+                return False
+        return True
+
+    def walk(p, b):
+        out = {}
+        for k, v in p.items():
+            if isinstance(v, dict):
+                out[k] = walk(v, b.get(k, {}) if isinstance(b, dict) else {})
+            else:
+                s = b.get(k) if isinstance(b, dict) else None
+                if s is None or not divides(v, s):
+                    s = P(*([None] * v.ndim))
+                out[k] = s
+        return out
+
+    return walk(params, base)
+
+
+def make_sharded_train_step(
+    cfg: EncoderConfig,
+    tc: TrainConfig,
+    mesh: Mesh,
+    seed: int = 0,
+    init_params: dict | None = None,
+):
     """Initialize sharded params/opt-state and a jitted dp×tp train step.
 
     Returns (params, opt_state, step_fn) with:
       params/opt state sharded per ``param_sharding_spec`` over 'tp',
       batch expected sharded on 'dp' (leading axis).
-    """
+
+    ``init_params`` starts from existing weights (e.g. a pretrained
+    BERT-family import) instead of random init — the fine-tune path."""
     optimizer = make_optimizer(tc)
-    pspec = param_sharding_spec(cfg)
-    param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspec)
+    if init_params is not None:
+        pspec = sharding_spec_for(init_params, cfg, mesh)
+        param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspec)
+        params = jax.tree.map(
+            lambda x, sh: jax.device_put(jnp.asarray(x), sh), init_params, param_sh
+        )
+    else:
+        pspec = param_sharding_spec(cfg)
+        param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspec)
+        init = jax.jit(
+            lambda: init_encoder_params(cfg, seed),
+            out_shardings=param_sh,
+        )
+        params = init()
     batch_sh = NamedSharding(mesh, P("dp", None))
     repl = NamedSharding(mesh, P())
-
-    init = jax.jit(
-        lambda: init_encoder_params(cfg, seed),
-        out_shardings=param_sh,
-    )
-    params = init()
     opt_state = jax.jit(optimizer.init, out_shardings=None)(params)
 
     step = jax.jit(
