@@ -262,3 +262,43 @@ def test_finetune_from_pretrained(tmp_path):
     assert np.abs(after - before).max() > 0  # weights actually moved
     # optional head keys survive the round-trip (replicated placement)
     assert "pooler_w" in params
+
+
+def test_bert_arch_pallas_attention_parity(tmp_path):
+    """Imported BERT weights through the blockwise Pallas attention path
+    (interpret mode on CPU, hd=64 so the kernel genuinely engages) must
+    match the XLA path — the serving configuration on TPU."""
+    import dataclasses
+
+    torch.manual_seed(8)
+    hf_cfg = transformers.BertConfig(
+        vocab_size=len(VOCAB), hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=1, intermediate_size=128,
+        max_position_embeddings=256,
+    )
+    model = transformers.BertModel(hf_cfg)
+    d = tmp_path / "wide"
+    model.save_pretrained(str(d), safe_serialization=True)
+    _write_vocab(d / "vocab.txt")
+    from youtu_rag_tpu.models.pretrained import load_pretrained_encoder
+
+    params, cfg, _ = load_pretrained_encoder(d, dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    ids = rng.integers(5, len(VOCAB), size=(2, 256)).astype(np.int32)
+    mask = np.ones((2, 256), np.float32)
+    mask[1, 180:] = 0.0
+    ids[1, 180:] = 0
+    cfg_p = dataclasses.replace(cfg, attention_impl="pallas_interpret")
+    a, _ = encode_tokens(params, jnp.asarray(ids), jnp.asarray(mask), cfg_p)
+    b, _ = encode_tokens(params, jnp.asarray(ids), jnp.asarray(mask), cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_bert_overlength_raises_clearly(tmp_path):
+    d, _ = _tiny_bert_dir(tmp_path, seed=9)
+    from youtu_rag_tpu.models.pretrained import load_pretrained_encoder
+
+    params, cfg, _ = load_pretrained_encoder(d, dtype=jnp.float32)
+    ids = np.zeros((1, 100), np.int32)  # max_position_embeddings = 64
+    with pytest.raises(ValueError, match="position table"):
+        encode_tokens(params, jnp.asarray(ids), jnp.ones((1, 100), jnp.float32), cfg)

@@ -83,3 +83,43 @@ def test_flash_matches_blockwise(rng):
     a = blockwise_attention(q, k, v, bias, block_q=128, interpret=True)
     f = flash_attention(q, k, v, bias, block_q=128, block_k=128, interpret=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(f), atol=2e-4)
+
+
+def test_flash_stats_reconstructs_flash(rng):
+    """flash_attention_stats returns (acc, m, l) whose normalized form
+    equals flash_attention, and two half-sequence stat calls merged with
+    the online-softmax combine equal the full-sequence result — the exact
+    recurrence the ring-attention hops use (VERDICT r2 item 8)."""
+    import jax.numpy as jnp
+
+    from youtu_rag_tpu.ops.attention import flash_attention, flash_attention_stats
+
+    b, h, t, hd = 1, 2, 512, 64
+    q = jnp.asarray(rng.normal(size=(b, h, t, hd)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, t, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, t, hd)).astype(np.float32))
+    mask = np.ones((b, t), np.float32)
+    mask[0, 400:] = 0.0
+    bias = jnp.asarray((1.0 - mask) * -1e9)
+
+    acc, m, l = flash_attention_stats(q, k, v, bias, block_q=256, block_k=256, interpret=True)
+    full = flash_attention(q, k, v, bias, block_q=256, block_k=256, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(acc) / np.maximum(np.asarray(l)[..., None], 1e-30),
+        np.asarray(full), atol=2e-4,
+    )
+
+    # split K/V in two hops and merge — the ring recurrence
+    h1 = flash_attention_stats(q, k[:, :, :256], v[:, :, :256], bias[:, :256],
+                               block_q=256, block_k=256, interpret=True)
+    h2 = flash_attention_stats(q, k[:, :, 256:], v[:, :, 256:], bias[:, 256:],
+                               block_q=256, block_k=256, interpret=True)
+    a1, m1, l1 = (np.asarray(x) for x in h1)
+    a2, m2, l2 = (np.asarray(x) for x in h2)
+    m_new = np.maximum(m1, m2)
+    w1 = np.exp(m1 - m_new)
+    w2 = np.exp(m2 - m_new)
+    merged = (a1 * w1[..., None] + a2 * w2[..., None]) / np.maximum(
+        (l1 * w1 + l2 * w2)[..., None], 1e-30
+    )
+    np.testing.assert_allclose(merged, np.asarray(full), atol=2e-4)

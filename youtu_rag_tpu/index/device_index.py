@@ -403,10 +403,16 @@ class DeviceVectorIndex:
         # finish the host→device copies BEFORE committing: the append
         # kernel consumes these buffers, so an unfinished transfer would
         # stall every query dispatched after the commit (device-stream
-        # data dependency), not just the writer
-        jax.block_until_ready((dev_vec, dev_cols, dev_bias))
+        # data dependency), not just the writer. Materialize a one-element
+        # slice of each buffer as the barrier — block_until_ready is
+        # unreliable through the remote-TPU tunnel (CLAUDE.md; observed
+        # wedging multi-minute on large transfers), while a tiny readback
+        # is the same np.asarray barrier the benches use
+        np.asarray(dev_vec[:1, :1])
+        np.asarray(dev_cols[:1, :1])
+        np.asarray(dev_bias[:1])
         if dev_scales is not None:
-            jax.block_until_ready(dev_scales)
+            np.asarray(dev_scales[:1])
 
         # growth ahead? compile the next tier's executables NOW, on this
         # writer thread with no lock held — queries keep running against

@@ -368,6 +368,12 @@ def _bert_encode(params, token_ids, mask, cfg: EncoderConfig, type_ids=None):
     service (``utu/rag/embeddings/service_embedder.py:16-177``)."""
     dt = cfg.dtype
     b, t = token_ids.shape
+    if t > params["pos_emb"].shape[0]:
+        raise ValueError(
+            f"sequence length {t} exceeds the checkpoint's learned position "
+            f"table ({params['pos_emb'].shape[0]}); BERT-family models cannot "
+            "extrapolate positions — truncate or chunk the input"
+        )
     x32 = params["tok_emb"][token_ids].astype(jnp.float32)
     x32 = x32 + params["pos_emb"][:t][None].astype(jnp.float32)
     if type_ids is None:
