@@ -746,7 +746,14 @@ class DeviceVectorIndex:
                     # needs its next-tier executable
                     self._maybe_warm_next_tier()
             scores, rows = self._run_search(queries, vectors, bias, k_eff, resolved)
-            chunks_snapshot = list(self._chunks)
+            # reference capture, not a copy (list(...) of a multi-million
+            # entry list cost ~ms per query under the lock). Safe because
+            # every structural mutation REPLACES the list object
+            # (_reset/compact/reorder build new lists) while in-place ops
+            # are benign: add() appends (rows beyond our snapshot size are
+            # never returned by this search), delete() writes None (the
+            # materialization loop already skips None rows).
+            chunks_snapshot = self._chunks
 
             # closed-loop nprobe tuning: every Nth IVF batch also runs the
             # brute kernel on the same snapshot (shadow check); observed

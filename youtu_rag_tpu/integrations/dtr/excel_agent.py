@@ -539,9 +539,19 @@ class ExcelAgent:
             ado = None
 
         if self.planner == "autonomous":
+            reference_plan = list(ado.names) if ado is not None else []
+            # experience priming (ref experience_manager): past successful
+            # plans join the advisory reference, same as the linear path
+            if self.memory is not None:
+                try:
+                    skills = await self.memory.search_skills(question, top_k=1)
+                    if skills and not skills.startswith("No skills"):
+                        reference_plan.append(f"(past approach) {skills[:300]}")
+                except Exception:  # noqa: BLE001
+                    logger.exception("experience retrieval failed")
             return await self._autonomous_analyze(
                 question, smg, schema, recorder,
-                reference_plan=list(ado.names) if ado is not None else None,
+                reference_plan=reference_plan or None,
             )
 
         experience = ""
