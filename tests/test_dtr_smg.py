@@ -275,3 +275,50 @@ def test_execute_step_rejects_broken_code(tmp_path):
     smg = SheetStateMachine(str(p))
     out, state = asyncio.run(smg.execute_step("print(1 +"))
     assert out.startswith("Error: rejected before execution") and state == {}
+
+
+def test_mcts_parallel_rollouts_run_concurrently():
+    """parallel=3 overlaps rollouts (virtual loss keeps selections
+    distinct) and still returns the best plan."""
+    import asyncio
+
+    from youtu_rag_tpu.integrations.dtr.mcts_planner import MCTSPlanner
+
+    active = {"now": 0, "max": 0}
+    rewards = {"a": 0.3, "b": 0.9, "c": 0.5}
+
+    async def propose(parent, feedback):
+        return parent + ["refined"]
+
+    async def rollout(plan):
+        active["now"] += 1
+        active["max"] = max(active["max"], active["now"])
+        await asyncio.sleep(0.05)
+        active["now"] -= 1
+        return rewards.get(plan[0], 0.1), list(plan)
+
+    planner = MCTSPlanner(propose, rollout, iterations=3, parallel=3, early_stop=2.0)
+    best = asyncio.run(planner.search([["a"], ["b"], ["c"]]))
+    assert best.plan == ["b"] and best.reward == 0.9
+    assert active["max"] >= 2, "rollouts never overlapped"
+
+
+def test_mcts_parallel_matches_serial_best():
+    import asyncio
+
+    from youtu_rag_tpu.integrations.dtr.mcts_planner import MCTSPlanner
+
+    async def propose(parent, feedback):
+        return parent + ["x"]
+
+    async def rollout(plan):
+        return 0.1 * len(plan), list(plan)
+
+    serial = asyncio.run(
+        MCTSPlanner(propose, rollout, iterations=4, parallel=1, early_stop=2.0).search([["s"]])
+    )
+    par = asyncio.run(
+        MCTSPlanner(propose, rollout, iterations=4, parallel=2, early_stop=2.0).search([["s"]])
+    )
+    # both explore refinements and the parallel run is not worse
+    assert (par.reward or 0) >= (serial.reward or 0) - 1e-9

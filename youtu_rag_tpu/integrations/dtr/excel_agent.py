@@ -172,8 +172,9 @@ class ExcelAgent:
         max_code_retries: int = 2,
         exec_timeout: float = 30.0,
         memory_toolkit=None,
-        planner: str = "linear",  # "linear" | "mcts" (ref: mcts_planner.py)
+        planner: str = "linear",  # "linear" | "mcts" | "autonomous"
         mcts_iterations: int = 4,
+        mcts_parallel: int = 1,  # concurrent rollouts (ref execute_paths)
         code_mode: str = "direct",  # "direct" | "staged" (ref: enable_multi_stage)
     ):
         self.config = config or AgentConfig()
@@ -184,6 +185,7 @@ class ExcelAgent:
         self.exec_timeout = exec_timeout
         self.planner = planner
         self.mcts_iterations = mcts_iterations
+        self.mcts_parallel = max(mcts_parallel, 1)
         self.code_mode = code_mode
         # experience manager (ref: DTR experience_manager): successful
         # analysis plans persist as procedural skills and prime the planner
@@ -417,7 +419,18 @@ class ExcelAgent:
             return refined[: self.max_steps] or parent_plan
 
         async def rollout(p: list[str]) -> tuple[float, list[SMGNode]]:
-            steps = await self._run_plan(p, smg, schema, recorder)
+            # parallel rollouts get isolated machines (reset_to/execute
+            # mutate machine state) pooling one prefix cache; serial
+            # search keeps the caller's machine for in-place reuse
+            machine = (
+                smg
+                if self.mcts_parallel <= 1
+                else SheetStateMachine(
+                    smg.path, exec_timeout=self.exec_timeout,
+                    prefix_cache=smg._prefix_cache,
+                )
+            )
+            steps = await self._run_plan(p, machine, schema, recorder)
             # graded plan reward (ref: reward evaluator): mean step reward
             # + completion bonus — gives UCT a gradient between rollouts
             # that binary success fractions collapse together
@@ -428,7 +441,10 @@ class ExcelAgent:
                 r = round(min(r + 0.05 * ado.plan_coverage(p), 1.0), 4)
             return r, steps
 
-        planner = MCTSPlanner(propose, rollout, iterations=self.mcts_iterations)
+        planner = MCTSPlanner(
+            propose, rollout, iterations=self.mcts_iterations,
+            parallel=self.mcts_parallel,
+        )
         best = await planner.search([plan])
         # rewind the state machine to the winning rollout: answer-time frame
         # rendering must see the BEST plan's frames, not whichever refinement

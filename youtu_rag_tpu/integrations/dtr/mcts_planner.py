@@ -65,6 +65,7 @@ class MCTSPlanner:
         c_uct: float = 1.2,
         max_children: int = 2,
         early_stop: float = 0.999,
+        parallel: int = 1,
     ):
         self.propose = propose
         self.rollout = rollout
@@ -72,25 +73,50 @@ class MCTSPlanner:
         self.c_uct = c_uct
         self.max_children = max_children
         self.early_stop = early_stop
+        self.parallel = max(parallel, 1)
 
     async def search(self, initial_plans: list[list[str]]) -> PlanNode:
-        """Run the budgeted search; returns the best rolled-out node."""
+        """Run the budgeted search; returns the best rolled-out node.
+
+        With ``parallel > 1``, each round selects up to that many DISTINCT
+        nodes (virtual-loss marking keeps UCT from handing back the same
+        node) and rolls them out concurrently via ``asyncio.gather`` — the
+        multi-path execution form of the reference
+        (``smg_module.execute_paths``). Callers must supply a rollout
+        that is safe to run concurrently (the ExcelAgent gives each
+        rollout its own SheetStateMachine sharing one prefix cache)."""
+        import asyncio
+
         root = PlanNode(plan=[])
         root.children = [PlanNode(plan=p, parent=root) for p in initial_plans if p]
         if not root.children:
             raise ValueError("MCTS needs at least one initial plan")
 
         best: PlanNode | None = None
-        for it in range(self.iterations):
-            node = await self._select_or_expand(root)
-            reward, payload = await self.rollout(node.plan)
-            node.reward, node.payload = reward, payload
-            node.feedback = f"reward={reward:.2f}"
-            self._backprop(node, reward)
-            if best is None or reward > (best.reward or -1.0):
-                best = node
-            logger.info("mcts iter %d: reward %.2f (plan %d steps)", it, reward, len(node.plan))
-            if reward >= self.early_stop:
+        done = 0
+        while done < self.iterations:
+            k = min(self.parallel, self.iterations - done)
+            batch: list[PlanNode] = []
+            for _ in range(k):
+                node = await self._select_or_expand(root)
+                node.visits += 1  # virtual loss: steer later picks away
+                batch.append(node)
+            results = await asyncio.gather(*(self.rollout(n.plan) for n in batch))
+            stop = False
+            for node, (reward, payload) in zip(batch, results):
+                node.visits -= 1  # revert the virtual loss
+                node.reward, node.payload = reward, payload
+                node.feedback = f"reward={reward:.2f}"
+                self._backprop(node, reward)
+                if best is None or reward > (best.reward or -1.0):
+                    best = node
+                logger.info(
+                    "mcts iter %d: reward %.2f (plan %d steps)",
+                    done, reward, len(node.plan),
+                )
+                done += 1
+                stop = stop or reward >= self.early_stop
+            if stop:
                 break
         assert best is not None
         return best

@@ -128,15 +128,24 @@ class SheetStateMachine:
     """Tracks every sheet + derived frame through the analysis and executes
     step code with accumulated state."""
 
-    def __init__(self, path: str, exec_timeout: float = 30.0):
+    def __init__(
+        self,
+        path: str,
+        exec_timeout: float = 30.0,
+        prefix_cache: dict | None = None,
+    ):
         self.path = path
         self.exec_timeout = exec_timeout
         self.nodes: list[SMGNode] = []
         self.state: dict[str, TableState] = {}
         # (step-description prefix) → executed nodes; lets the MCTS planner
         # reuse unchanged plan prefixes instead of re-running every step
-        # (r1 weak #7: rollouts re-executed full plans each iteration)
-        self._prefix_cache: dict[tuple[str, ...], list[SMGNode]] = {}
+        # (r1 weak #7: rollouts re-executed full plans each iteration).
+        # Pass a shared dict so PARALLEL rollouts (one machine each)
+        # still pool their executed prefixes.
+        self._prefix_cache: dict[tuple[str, ...], list[SMGNode]] = (
+            prefix_cache if prefix_cache is not None else {}
+        )
         # operator-outcome stats keyed by a coarse step signature
         self.op_stats: dict[str, dict[str, int]] = {}
 
