@@ -116,6 +116,11 @@ class IndexConfig(ConfigBase):
     metric: Literal["cosine", "l2", "ip"] = "cosine"
     storage_dtype: Literal["bfloat16", "float32", "int8"] = "bfloat16"
     block_rows: int = Field(default=1024, description="DB rows per kernel block")
+    # big appends commit in slices of this many rows so concurrent
+    # queries interleave between sub-appends instead of waiting behind
+    # one monolithic host→device transfer (the during-build p95 lever;
+    # 0 = single-shot commit). Must be a power of two.
+    append_slice_rows: int = Field(default=8192, ge=0)
     min_capacity: int = Field(default=4096)
     max_metadata_columns: int = Field(default=16)
     # IVF

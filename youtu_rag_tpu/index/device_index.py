@@ -354,12 +354,12 @@ class DeviceVectorIndex:
 
         Concurrency: all host-side prep (normalize, quantize, pad) and the
         host→device transfers run OUTSIDE the index lock; the lock only
-        covers the commit (stale delete, growth, the async append dispatch,
-        host-map update). Before this split a 16k-row batch held the lock
-        through ~50 MB of numpy work plus the device transfer, and
-        concurrent queries stalled behind it for the whole add
-        (bench_streaming during-build p95 was 23× idle; SURVEY §7
-        "Concurrent build + query")."""
+        covers per-slice commits (growth, the async append dispatch,
+        host-map update). Big batches commit in ``append_slice_rows``
+        slices, so a concurrent query waits at most one small transfer +
+        one tiny append kernel, never a monolithic 100+ MB copy
+        (bench_streaming during-build p95 was 23× idle before this;
+        SURVEY §7 "Concurrent build + query")."""
         n = len(chunks)
         if n == 0:
             return []
@@ -389,70 +389,74 @@ class DeviceVectorIndex:
             amax = np.maximum(np.abs(vpad).max(axis=1), 1e-12)
             spad = (amax / 127.0).astype(np.float32)
             qpad = np.clip(np.round(vpad / spad[:, None]), -127, 127).astype(np.int8)
-            dev_vec = self._put(jnp.asarray(qpad))
-            dev_scales = self._put(jnp.asarray(spad))
+            host_vec = qpad
         else:
-            dev_vec = self._put(jnp.asarray(vpad, self._store_dtype))
-            dev_scales = None
-        dev_cols = self._put(jnp.asarray(cpad))
-        dev_bias = self._put(jnp.asarray(bpad))
+            host_vec = vpad  # converts to the store dtype per slice below
+            spad = None
         new_chunks = [
             Chunk(c.id, c.document_id, c.content, c.chunk_index, c.metadata)
             for c in chunks
         ]
-        # finish the host→device copies BEFORE committing: the append
-        # kernel consumes these buffers, so an unfinished transfer would
-        # stall every query dispatched after the commit (device-stream
-        # data dependency), not just the writer. Materialize a one-element
-        # slice of each buffer as the barrier — block_until_ready is
-        # unreliable through the remote-TPU tunnel (CLAUDE.md; observed
-        # wedging multi-minute on large transfers), while a tiny readback
-        # is the same np.asarray barrier the benches use
-        np.asarray(dev_vec[:1, :1])
-        np.asarray(dev_cols[:1, :1])
-        np.asarray(dev_bias[:1])
-        if dev_scales is not None:
-            np.asarray(dev_scales[:1])
 
         # growth ahead? compile the next tier's executables NOW, on this
         # writer thread with no lock held — queries keep running against
         # the current arrays and never wait on a compile (cold-cache
         # pruned-kernel compiles run minutes through a remote tunnel)
+        slice_rows = self.config.append_slice_rows or bucket
         with self._lock:
             projected = self.size + bucket
             new_cap = self.capacity
             while new_cap < projected:
                 new_cap *= 2
             if len(self._seen_buckets) < 16:
-                self._seen_buckets.add(bucket)
-        if new_cap > self.capacity:
-            self.ensure_tier_ready(new_cap)
-
-        # -- commit (lock): dispatches are async, so the hold is short ------
-        with self._lock:
+                self._seen_buckets.add(min(bucket, slice_rows))
             stale = [c.id for c in chunks if c.id in self._id_to_row]
             if stale:
                 self.delete(stale)
-            self._grow(self.size + bucket)
-            start = self.size
-            self._vectors, self._cols, self._bias = _append_kernel(
-                self._vectors, self._cols, self._bias,
-                dev_vec, dev_cols, dev_bias, jnp.int32(start),
-            )
-            if self._int8:
-                self._scales = _append_scales_kernel(
-                    self._scales, dev_scales, jnp.int32(start)
+        if new_cap > self.capacity:
+            self.ensure_tier_ready(new_cap)
+            with self._lock:
+                # one jump to the final tier: per-slice grows would pass
+                # through intermediate capacities whose kernels were
+                # never warmed
+                self._grow(new_cap)
+
+        # -- sliced commits: transfer + dispatch one slice at a time --------
+        rows: list[int] = []
+        offset = 0
+        while offset < n:
+            s_n = min(slice_rows, bucket - offset)  # pow2 (both are pow2)
+            sl = slice(offset, offset + s_n)
+            dev_vec = self._put(jnp.asarray(host_vec[sl], self._store_dtype))
+            dev_cols = self._put(jnp.asarray(cpad[sl]))
+            dev_bias = self._put(jnp.asarray(bpad[sl]))
+            dev_scales = self._put(jnp.asarray(spad[sl])) if self._int8 else None
+            real = min(n - offset, s_n)  # live rows in this slice
+            with self._lock:
+                self._grow(self.size + s_n)
+                start = self.size
+                self._vectors, self._cols, self._bias = _append_kernel(
+                    self._vectors, self._cols, self._bias,
+                    dev_vec, dev_cols, dev_bias, jnp.int32(start),
                 )
-            rows = list(range(start, start + n))
-            for i, c in enumerate(new_chunks):
-                row = start + i
-                self._chunks.append(c)
-                self._id_to_row[c.id] = row
-                self._doc_rows.setdefault(c.document_id, []).append(row)
-            self.size += n
-            self.live_count += n
-            self._maybe_warm_next_tier()
-            return rows
+                if self._int8:
+                    self._scales = _append_scales_kernel(
+                        self._scales, dev_scales, jnp.int32(start)
+                    )
+                for i in range(real):
+                    c = new_chunks[offset + i]
+                    row = start + i
+                    self._chunks.append(c)
+                    self._id_to_row[c.id] = row
+                    self._doc_rows.setdefault(c.document_id, []).append(row)
+                    rows.append(row)
+                # slice padding rows (final slice only) carry NEG_INF bias
+                # and no chunk; the NEXT append's start overwrites them
+                self.size += real
+                self.live_count += real
+                self._maybe_warm_next_tier()
+            offset += s_n
+        return rows
 
     def update_metadata(self, chunk_ids: list[str], metadatas: list[dict]) -> int:
         """In-place metadata update (no re-embedding): host chunk records
