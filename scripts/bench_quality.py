@@ -196,6 +196,23 @@ async def build_kb(name, docs_path, provider, pretrained, reranker="none"):
         reranker=RerankerConfig(provider=reranker),
     )
     kb = KnowledgeBase(name, cfg)
+    if provider == "tpu" and getattr(build_kb, "_npz", None):
+        # trained-weight serving: rebind one TpuEmbedder(npz) into the
+        # builder + both retrievers (they hold the reference by attr)
+        from youtu_rag_tpu.models.embedder import TpuEmbedder
+        from youtu_rag_tpu.models.encoder import EncoderConfig, load_params_npz
+
+        sizes = {
+            "tiny": dict(d_model=128, n_layers=2, n_heads=2, d_ff=512, out_dim=128),
+            "small": dict(d_model=384, n_layers=6, n_heads=6, d_ff=1536, out_dim=384),
+            "base": dict(d_model=768, n_layers=12, n_heads=12, d_ff=3072, out_dim=768),
+        }
+        ecfg = EncoderConfig(**sizes[build_kb._preset])
+        emb = TpuEmbedder(config=ecfg, params=load_params_npz(build_kb._npz), batch_size=128)
+        kb.embedder = emb
+        kb.builder.embedder = emb
+        kb.retriever.embedder = emb
+        kb.hybrid_retriever.embedder = emb
     docs = []
     with open(docs_path) as f:
         for line in f:
@@ -262,12 +279,23 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--provider", default="hash", choices=["hash", "tpu"])
     p.add_argument("--pretrained", default=None, help="pretrained checkpoint dir for --provider tpu")
+    p.add_argument(
+        "--npz", default=None,
+        help="trained encoder weights (train_embedder output) for --provider tpu",
+    )
+    p.add_argument("--encoder-preset", default="tiny", choices=["tiny", "small", "base"],
+                   help="EncoderConfig preset matching the --npz weights")
     p.add_argument("--regen", action="store_true", help="regenerate fixture data")
     args = p.parse_args()
 
+    build_kb._npz = args.npz  # bench-local plumbing (see build_kb)
+    build_kb._preset = args.encoder_preset
     report = asyncio.run(run_all(args))
+    if args.npz:
+        report["encoder_npz"] = args.npz
     print(json.dumps(report))
-    out = os.path.join(os.path.dirname(DATA_DIR), "quality_report.json")
+    suffix = "" if args.provider == "hash" else f"_{args.provider}"
+    out = os.path.join(os.path.dirname(DATA_DIR), f"quality_report{suffix}.json")
     with open(out, "w") as f:
         f.write(json.dumps(report, indent=1) + "\n")
     print(f"wrote {out}", file=sys.stderr)
