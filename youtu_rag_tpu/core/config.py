@@ -120,7 +120,7 @@ class IndexConfig(ConfigBase):
     # queries interleave between sub-appends instead of waiting behind
     # one monolithic host→device transfer (the during-build p95 lever;
     # 0 = single-shot commit). Must be a power of two.
-    append_slice_rows: int = Field(default=8192, ge=0)
+    append_slice_rows: int = Field(default=4096, ge=0)
     min_capacity: int = Field(default=4096)
     max_metadata_columns: int = Field(default=16)
     # IVF

@@ -455,6 +455,18 @@ class DeviceVectorIndex:
                 self.size += real
                 self.live_count += real
                 self._maybe_warm_next_tier()
+                pace_bias = self._bias
+            # writer pacing (no lock): materialize one element of the
+            # slice just written, so the next slice's transfer does not
+            # enqueue until this one executed — a concurrent query then
+            # waits behind at most ONE in-flight slice, not a convoy.
+            # (Skipped multi-process: a global array's single element is
+            # not host-addressable everywhere.)
+            if not getattr(self, "_multi_process", False):
+                try:
+                    np.asarray(_probe_row(pace_bias, jnp.int32(start)))
+                except Exception:  # noqa: BLE001 - pacing is best-effort
+                    logger.exception("append pacing probe failed")
             offset += s_n
         return rows
 
@@ -1036,6 +1048,13 @@ class DeviceVectorIndex:
 @jax.jit
 def _add_bias(bias, extra):
     return bias + extra
+
+
+@jax.jit
+def _probe_row(bias, i):
+    """One-element readback probe (append pacing): traced start index so
+    every capacity shares one executable per capacity shape."""
+    return jax.lax.dynamic_slice(bias, (i,), (1,))
 
 
 @functools.partial(jax.jit, static_argnames=("count",))
