@@ -302,3 +302,27 @@ def test_bert_overlength_raises_clearly(tmp_path):
     ids = np.zeros((1, 100), np.int32)  # max_position_embeddings = 64
     with pytest.raises(ValueError, match="position table"):
         encode_tokens(params, jnp.asarray(ids), jnp.ones((1, 100), jnp.float32), cfg)
+
+
+def test_two_label_classifier_head_uses_relevance_direction(tmp_path):
+    """2-label relevance heads score by logit(1) − logit(0) — taking the
+    label-0 column alone ranks by the IRRELEVANT logit (review finding)."""
+    d, model = _tiny_bert_dir(tmp_path, num_labels=2, seed=11)
+    params, cfg, _ = load_pretrained_encoder(d, dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    ids = rng.integers(5, len(VOCAB), size=(4, 12)).astype(np.int32)
+    mask = np.ones((4, 12), np.float32)
+    with torch.no_grad():
+        logits = model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+        ).logits.numpy()
+    want = logits[:, 1] - logits[:, 0]
+    got = np.asarray(rerank_scores(params, jnp.asarray(ids), jnp.asarray(mask), cfg))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_many_label_classifier_rejected(tmp_path):
+    d, _ = _tiny_bert_dir(tmp_path, num_labels=5, seed=12)
+    with pytest.raises(ValueError, match="labels"):
+        load_pretrained_encoder(d, dtype=jnp.float32)

@@ -322,3 +322,32 @@ def test_mcts_parallel_matches_serial_best():
     )
     # both explore refinements and the parallel run is not worse
     assert (par.reward or 0) >= (serial.reward or 0) - 1e-9
+
+
+def test_smg_loader_handles_tsv_and_directories(tmp_path):
+    """The sandbox loader accepts the same formats load_sheets does
+    (review finding: .tsv fell through to pd.read_excel)."""
+    import asyncio
+
+    import pandas as pd
+
+    from youtu_rag_tpu.integrations.dtr.smg import SheetStateMachine
+
+    df = pd.DataFrame({"a": [1, 2], "b": [3, 4]})
+    tsv = tmp_path / "t.tsv"
+    df.to_csv(tsv, sep="\t", index=False)
+    out, _ = asyncio.run(
+        SheetStateMachine(str(tsv)).execute_step("print(dfs['Sheet1']['a'].sum())")
+    )
+    assert "3" in out and "Error" not in out
+
+    wb = tmp_path / "wb"
+    wb.mkdir()
+    df.to_csv(wb / "x.csv", index=False)
+    df.to_csv(wb / "y.tsv", sep="\t", index=False)
+    out, _ = asyncio.run(
+        SheetStateMachine(str(wb)).execute_step(
+            "print(sorted(dfs), dfs['y']['b'].sum())"
+        )
+    )
+    assert "['x', 'y']" in out and "7" in out

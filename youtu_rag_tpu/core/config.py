@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from typing import Any, Literal
 
-from pydantic import BaseModel, ConfigDict, Field
+from pydantic import BaseModel, ConfigDict, Field, field_validator
 
 
 class ConfigBase(BaseModel):
@@ -119,8 +119,16 @@ class IndexConfig(ConfigBase):
     # big appends commit in slices of this many rows so concurrent
     # queries interleave between sub-appends instead of waiting behind
     # one monolithic host→device transfer (the during-build p95 lever;
-    # 0 = single-shot commit). Must be a power of two.
+    # 0 = single-shot commit). Must be a power of two (static-shape
+    # invariant — validated below).
     append_slice_rows: int = Field(default=4096, ge=0)
+
+    @field_validator("append_slice_rows")
+    @classmethod
+    def _slice_rows_pow2(cls, v: int) -> int:
+        if v and v & (v - 1):
+            raise ValueError(f"append_slice_rows must be a power of two, got {v}")
+        return v
     min_capacity: int = Field(default=4096)
     max_metadata_columns: int = Field(default=16)
     # IVF

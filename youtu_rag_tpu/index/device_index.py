@@ -213,9 +213,10 @@ class DeviceVectorIndex:
         functions fills the in-process jit cache, so the first
         post-growth search is a pure cache hit rather than a disk
         deserialize under the index lock."""
-        items = [("sig", s) for s in self._seen_sigs] + [
-            ("bucket", b) for b in self._seen_buckets
-        ]
+        with self._lock:  # snapshot: queries add sigs concurrently
+            items = [("sig", s) for s in self._seen_sigs] + [
+                ("bucket", b) for b in self._seen_buckets
+            ]
         self._warm_tier(cap, items, quiet=True)
         self._jit_warm(cap)
 
@@ -261,7 +262,10 @@ class DeviceVectorIndex:
             v = self._put(jnp.zeros((cap, self.d_pad), self._store_dtype))
             b = self._put(jnp.full((cap,), NEG_INF, jnp.float32))
             sc = self._put(jnp.zeros((cap,), jnp.float32)) if self._int8 else None
-            for qn, k, raw_backend in list(self._seen_sigs):
+            with self._lock:
+                sigs = list(self._seen_sigs)
+                buckets = list(self._seen_buckets)
+            for qn, k, raw_backend in sigs:
                 backend = self._backend(raw_backend, cap=cap)
                 if backend == "pallas_interpret":
                     continue
@@ -277,7 +281,7 @@ class DeviceVectorIndex:
             c = self._put(
                 jnp.full((cap, self.schema.max_columns), -(2**31), jnp.int32)
             )
-            for bucket in list(self._seen_buckets):
+            for bucket in buckets:
                 nv = self._put(jnp.zeros((bucket, self.d_pad), self._store_dtype))
                 nc = self._put(
                     jnp.full((bucket, self.schema.max_columns), -(2**31), jnp.int32)
@@ -410,9 +414,6 @@ class DeviceVectorIndex:
                 new_cap *= 2
             if len(self._seen_buckets) < 16:
                 self._seen_buckets.add(min(bucket, slice_rows))
-            stale = [c.id for c in chunks if c.id in self._id_to_row]
-            if stale:
-                self.delete(stale)
         if new_cap > self.capacity:
             self.ensure_tier_ready(new_cap)
             with self._lock:
@@ -433,6 +434,18 @@ class DeviceVectorIndex:
             dev_scales = self._put(jnp.asarray(spad[sl])) if self._int8 else None
             real = min(n - offset, s_n)  # live rows in this slice
             with self._lock:
+                # delete-then-reinsert atomicity per slice: ids being
+                # re-added in THIS slice tombstone inside the same lock
+                # hold as their re-insert, so an updated chunk is never
+                # observably missing, and a failure before any commit
+                # leaves the old rows fully intact
+                stale = [
+                    c.id
+                    for c in new_chunks[offset : offset + real]
+                    if c.id in self._id_to_row
+                ]
+                if stale:
+                    self.delete(stale)
                 self._grow(self.size + s_n)
                 start = self.size
                 self._vectors, self._cols, self._bias = _append_kernel(
@@ -856,11 +869,13 @@ class DeviceVectorIndex:
             mult = self.config.ivf_rerank_multiplier
             if mult > 1.0:
                 # probe deeper, then exact re-score (residual re-rank):
-                # k2 pow2-bucketed so the rerank jit cache stays bounded
-                k2 = min(
-                    _pow2_at_least(max(int(np.ceil(k * mult)), k), 16),
-                    max(self.live_count, 1),
-                )
+                # k2 pow2-bucketed so the rerank jit cache stays bounded.
+                # On small indexes clamp to the largest pow2 <= live_count
+                # (a raw live_count would mint one executable per size as
+                # the KB streams in — the static-shape invariant)
+                k2 = _pow2_at_least(max(int(np.ceil(k * mult)), k), 16)
+                if self.live_count < k2:
+                    k2 = 1 << max(self.live_count.bit_length() - 1, 0)
                 if k2 > k:
                     s2, r2 = self._run_ivf_search(queries, vectors, bias, k2, backend)
                     return _residual_rerank(

@@ -152,16 +152,22 @@ class SheetStateMachine:
     # -- execution ----------------------------------------------------------
 
     def _loader(self) -> str:
+        # keep the accepted formats in lockstep with loader.load_sheets:
+        # csv/tsv files, csv/tsv directories, else excel
         p = self.path
         return (
             "import os as _os\n"
             "import pandas as pd\n"
             f"_p = {p!r}\n"
+            "def _sep(_f):\n"
+            "    return '\\t' if _f.endswith('.tsv') else ','\n"
             "if _os.path.isdir(_p):\n"
-            "    dfs = {_os.path.splitext(_f)[0]: pd.read_csv(_os.path.join(_p, _f))\n"
-            "           for _f in sorted(_os.listdir(_p)) if _f.endswith('.csv')}\n"
-            "elif _p.endswith('.csv'):\n"
-            "    dfs = {'Sheet1': pd.read_csv(_p)}\n"
+            "    dfs = {_os.path.splitext(_f)[0]:\n"
+            "           pd.read_csv(_os.path.join(_p, _f), sep=_sep(_f))\n"
+            "           for _f in sorted(_os.listdir(_p))\n"
+            "           if _f.endswith(('.csv', '.tsv'))}\n"
+            "elif _p.endswith(('.csv', '.tsv')):\n"
+            "    dfs = {'Sheet1': pd.read_csv(_p, sep=_sep(_p))}\n"
             "else:\n"
             "    dfs = pd.read_excel(_p, sheet_name=None)\n"
         )

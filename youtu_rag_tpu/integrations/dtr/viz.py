@@ -41,7 +41,9 @@ Rules (MANDATORY):
   CHART_PATH is predefined; do NOT call plt.show().
 """
 
-_FENCE = re.compile(r"```(?:python)?\n(.*?)```", re.DOTALL)
+# tolerant of inline / CRLF fences (same shape as excel_agent._FENCE —
+# a literal \n here would execute raw backticks on one-line replies)
+_FENCE = re.compile(r"```(?:python)?\s*(.*?)```", re.DOTALL)
 
 _VIZ_RE = re.compile(
     r"\b(chart|plot|graph|visuali[sz]e|draw|pie|bar chart|line chart|histogram|scatter)\b"
@@ -164,17 +166,22 @@ async def generate_chart(
         )
         m = _FENCE.search(raw)
         code = (m.group(1) if m else raw).strip()
-        for _ in range(2):
+        for attempt in range(2):
             hardened = _harden_llm_chart_code(code, chart_path)
             out, _state = await machine.execute_step(hardened)
-            if "Error" not in out and os.path.exists(chart_path):
+            # the PNG on disk is the authoritative success signal: savefig
+            # runs last, so an exception anywhere leaves no file (and
+            # legitimate stdout containing the word "Error" can't
+            # misclassify a good chart)
+            if os.path.exists(chart_path):
                 return chart_path, code
-            raw = await llm_chat(
-                "The chart code failed:\n```python\n" + code + "\n```\nOutput:\n"
-                + out[-500:] + "\nFix it. Output ONLY the corrected ```python block."
-            )
-            m = _FENCE.search(raw)
-            code = (m.group(1) if m else raw).strip()
+            if attempt == 0:  # only request a repair that will be executed
+                raw = await llm_chat(
+                    "The chart code failed:\n```python\n" + code + "\n```\nOutput:\n"
+                    + out[-500:] + "\nFix it. Output ONLY the corrected ```python block."
+                )
+                m = _FENCE.search(raw)
+                code = (m.group(1) if m else raw).strip()
 
     # deterministic fallback
     frame_expr = None

@@ -149,9 +149,22 @@ def convert_bert_params(raw: dict[str, np.ndarray]) -> dict:
         params["pooler_b"] = take("pooler.dense.bias")
     if "classifier.weight" in raw:  # sequence-classification reranker head
         w = take("classifier.weight")  # [num_labels, D]
-        params["score_head"] = w.T[:, :1]
-        if "classifier.bias" in raw:
-            params["score_bias"] = take("classifier.bias")[:1]
+        if w.shape[0] == 1:
+            params["score_head"] = w.T
+            if "classifier.bias" in raw:
+                params["score_bias"] = take("classifier.bias")[:1]
+        elif w.shape[0] == 2:
+            # binary relevance head: score = logit(relevant=1) − logit(0)
+            # (taking label 0 alone would rank by the IRRELEVANT logit)
+            params["score_head"] = (w[1] - w[0]).reshape(-1, 1)
+            if "classifier.bias" in raw:
+                b = take("classifier.bias")
+                params["score_bias"] = (b[1] - b[0]).reshape(1)
+        else:
+            raise ValueError(
+                f"classifier has {w.shape[0]} labels — not a relevance "
+                "reranker head (expected 1 or 2)"
+            )
     return params
 
 

@@ -353,25 +353,20 @@ class ShardedVectorIndex(DeviceVectorIndex):
         """S-round ring permutation: at round r, shard i holds shard
         (i−r) mod S's block; each destination selects the rows whose
         source shard matches and writes them into its output at their
-        destination-local positions. Host prep builds a [S, S, rows]
-        (take-index, select-mask) plan — ~4·capacity bytes per shard slice,
-        transient."""
+        destination-local positions. The plan is just the decomposition
+        of ``idx`` into (src_shard int32, src_local int32) per destination
+        row — O(capacity) total, ~8 bytes/row; round masks derive on
+        device from ``axis_index``, so plan memory stays flat in S."""
         S = self.n_shards
         rows = self.capacity // S
         idx = np.asarray(idx, np.int64)
-        src_shard = (idx // rows).reshape(S, rows)
+        src_shard = (idx // rows).astype(np.int32).reshape(S, rows)
         src_local = (idx % rows).astype(np.int32).reshape(S, rows)
-        take_idx = np.zeros((S, S, rows), np.int32)
-        sel = np.zeros((S, S, rows), np.float32)
-        for d in range(S):
-            for r in range(S):
-                m = src_shard[d] == (d - r) % S
-                take_idx[d, r][m] = src_local[d][m]
-                sel[d, r] = m.astype(np.float32)
         scales = self._scales_or_dummy()
-        ti = self._put_spec(take_idx, NamedSharding(self.mesh, P(self.axis, None, None)))
-        se = self._put_spec(sel, NamedSharding(self.mesh, P(self.axis, None, None)))
-        return self._ring_perm_fn(self._vectors, self._cols, self._bias, scales, ti, se)
+        sh = NamedSharding(self.mesh, P(self.axis, None))
+        ss = self._put_spec(src_shard, sh)
+        sl = self._put_spec(src_local, sh)
+        return self._ring_perm_fn(self._vectors, self._cols, self._bias, scales, ss, sl)
 
     @functools.cached_property
     def _ring_perm_fn(self):
@@ -379,19 +374,20 @@ class ShardedVectorIndex(DeviceVectorIndex):
         S = self.n_shards
         perm = [(i, (i + 1) % S) for i in range(S)]
 
-        def per_shard(v, c, b, s, tix, selm):
-            # local blocks [rows, ...]; tix/selm [1, S, rows]
-            tix = tix[0]
-            selm = selm[0]
+        def per_shard(v, c, b, s, src_shard, src_local):
+            # local blocks [rows, ...]; src_shard/src_local [1, rows]
+            src_shard = src_shard[0]
+            take = src_local[0]
+            me = jax.lax.axis_index(axis)
 
             def round_step(carry, r):
                 blk_v, blk_c, blk_b, blk_s, ov, oc, ob, os_ = carry
-                take = jnp.take(tix, r, axis=0)
-                m = jnp.take(selm, r, axis=0)
-                ov = jnp.where(m[:, None] > 0, jnp.take(blk_v, take, axis=0), ov)
-                oc = jnp.where(m[:, None] > 0, jnp.take(blk_c, take, axis=0), oc)
-                ob = jnp.where(m > 0, jnp.take(blk_b, take), ob)
-                os_ = jnp.where(m > 0, jnp.take(blk_s, take), os_)
+                # round r: this shard holds the block of shard (me − r)
+                m = src_shard == jnp.mod(me - r, S)
+                ov = jnp.where(m[:, None], jnp.take(blk_v, take, axis=0), ov)
+                oc = jnp.where(m[:, None], jnp.take(blk_c, take, axis=0), oc)
+                ob = jnp.where(m, jnp.take(blk_b, take), ob)
+                os_ = jnp.where(m, jnp.take(blk_s, take), os_)
                 blk_v = jax.lax.ppermute(blk_v, axis, perm)
                 blk_c = jax.lax.ppermute(blk_c, axis, perm)
                 blk_b = jax.lax.ppermute(blk_b, axis, perm)
@@ -414,7 +410,7 @@ class ShardedVectorIndex(DeviceVectorIndex):
                 mesh=self.mesh,
                 in_specs=(
                     P(axis, None), P(axis, None), P(axis), P(axis),
-                    P(axis, None, None), P(axis, None, None),
+                    P(axis, None), P(axis, None),
                 ),
                 out_specs=(P(axis, None), P(axis, None), P(axis), P(axis)),
             )
