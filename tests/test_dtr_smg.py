@@ -351,3 +351,37 @@ def test_smg_loader_handles_tsv_and_directories(tmp_path):
         )
     )
     assert "['x', 'y']" in out and "7" in out
+
+
+def test_context_conditioned_experience_and_persistence(tmp_path):
+    """Operator stats condition on the frame-context signature; memory
+    round-trips through save/load (ref smg_module:1771-2032)."""
+    from youtu_rag_tpu.integrations.dtr.smg import SheetStateMachine, SMGNode, TableState
+
+    smg = SheetStateMachine("/tmp/x.csv")
+    ctx_state = {"sales": TableState((10, 2), ["region", "revenue"], {})}
+    smg.state = dict(ctx_state)
+    sig = smg.context_signature()
+    assert sig.startswith("f1:") and "region" in sig
+
+    ok = SMGNode("merge the sheets", success=True)
+    smg.record(ok, dict(ctx_state))
+    bad = SMGNode("merge on id", success=False)
+    smg.record(bad, dict(ctx_state))
+    # context-conditioned rate (1 of 2) and a hint from the success
+    assert smg.success_rate("merge something") == 0.5
+    hints = smg.context_hints("merge whatever")
+    assert "merge the sheets" in hints and "50%" in hints
+
+    # different context → falls back to the global rate
+    smg.state = {"other": TableState((3, 1), ["zzz"], {})}
+    assert smg.success_rate("merge x") == 0.5  # global fallback
+
+    p = tmp_path / "mem.json"
+    smg.save_memory(p)
+    fresh = SheetStateMachine("/tmp/x.csv")
+    assert fresh.load_memory(p)
+    fresh.state = dict(ctx_state)
+    assert fresh.success_rate("merge q") == 0.5
+    assert "merge the sheets" in fresh.context_hints("merge q")
+    assert not fresh.load_memory(tmp_path / "missing.json")

@@ -349,14 +349,14 @@ class ExcelAgent:
                         prev_reason=last_reason,
                     )
                 else:
+                    hints = smg.context_hints(node.description)
                     code_raw = await self._chat(
                         CODE_PROMPT.format(
                             schema=schema,
                             state=smg.state_summary(),
-                            context="\n".join(
+                            context=("\n".join(
                                 f"- {s.description}: {s.output[:300]}" for s in completed
-                            )
-                            or "(none)",
+                            ) or "(none)") + (f"\n[experience] {hints}" if hints else ""),
                             step=node.description,
                             error_context=error_context,
                         )

@@ -146,8 +146,11 @@ class SheetStateMachine:
         self._prefix_cache: dict[tuple[str, ...], list[SMGNode]] = (
             prefix_cache if prefix_cache is not None else {}
         )
-        # operator-outcome stats keyed by a coarse step signature
+        # operator-outcome stats keyed by step signature, both global
+        # ("merge") and context-conditioned ("merge@f2:region,revenue")
         self.op_stats: dict[str, dict[str, int]] = {}
+        # successful step phrasings per (op @ context) — code-gen hints
+        self._suggestions: dict[str, list[str]] = {}
 
     # -- execution ----------------------------------------------------------
 
@@ -224,14 +227,38 @@ class SheetStateMachine:
 
     def record(self, node: SMGNode, state_after: dict[str, TableState]) -> None:
         node.state_before = dict(self.state)
+        ctx = self.context_signature()  # BEFORE adopting the new state
         node.state_after = state_after or dict(self.state)
         self.nodes.append(node)
         if node.success and state_after:
             self.state = state_after
         sig = _op_signature(node.description)
-        st = self.op_stats.setdefault(sig, {"uses": 0, "successes": 0})
-        st["uses"] += 1
-        st["successes"] += int(node.success)
+        for key in (sig, f"{sig}@{ctx}"):
+            st = self.op_stats.setdefault(key, {"uses": 0, "successes": 0})
+            st["uses"] += 1
+            st["successes"] += int(node.success)
+        if node.success:
+            sugg = self._suggestions.setdefault(f"{sig}@{ctx}", [])
+            if node.description not in sugg:
+                sugg.append(node.description)
+                del sugg[:-5]  # keep the 5 most recent per context
+
+    # -- context-conditioned experience (ref smg_module._get_table_
+    # signature:1771, get_context_suggestions:1806, get_success_rate:1820,
+    # save/load_memory_to_persistent:1672-1679) ---------------------------
+
+    def context_signature(self) -> str:
+        """Coarse signature of the live frame state: frame count bucket +
+        the most common column-name tokens. Two analyses over similarly
+        shaped data share a signature, so operator success rates learned
+        on one transfer to the other."""
+        tokens: dict[str, int] = {}
+        for st in self.state.values():
+            for c in st.columns[:20]:
+                for t in _OP_WORDS.findall(str(c).lower()):
+                    tokens[t] = tokens.get(t, 0) + 1
+        top = sorted(tokens, key=lambda t: (-tokens[t], t))[:4]
+        return f"f{min(len(self.state), 4)}:" + ",".join(top)
 
     # -- prefix cache (MCTS reuse) -------------------------------------------
 
@@ -263,11 +290,55 @@ class SheetStateMachine:
             lines.append(f"- {name}: {st.summary()}")
         return "\n".join(lines)
 
-    def success_rate(self, description: str) -> float | None:
-        st = self.op_stats.get(_op_signature(description))
+    def success_rate(self, description: str, use_context: bool = True) -> float | None:
+        """Success rate for this operator — context-conditioned when the
+        current frame signature has history, global otherwise."""
+        sig = _op_signature(description)
+        if use_context:
+            st = self.op_stats.get(f"{sig}@{self.context_signature()}")
+            if st and st["uses"]:
+                return st["successes"] / st["uses"]
+        st = self.op_stats.get(sig)
         if not st or not st["uses"]:
             return None
         return st["successes"] / st["uses"]
+
+    def context_hints(self, description: str) -> str:
+        """Past successful step phrasings for this operator in a similar
+        frame context — prepended to code-gen prompts (ref
+        get_code_generation_hints)."""
+        sig = _op_signature(description)
+        sugg = self._suggestions.get(f"{sig}@{self.context_signature()}", [])
+        rate = self.success_rate(description)
+        parts = []
+        if sugg:
+            parts.append("similar past steps that worked: " + "; ".join(sugg[-3:]))
+        if rate is not None:
+            parts.append(f"operator '{sig}' success rate here: {rate:.0%}")
+        return " | ".join(parts)
+
+    def save_memory(self, path) -> None:
+        """Persist operator experience across sessions (ref
+        save_memory_to_persistent)."""
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(
+                {"op_stats": self.op_stats, "suggestions": self._suggestions}, f
+            )
+
+    def load_memory(self, path) -> bool:
+        try:
+            with open(path, encoding="utf-8") as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return False
+        self.op_stats.update(data.get("op_stats", {}))
+        for k, v in data.get("suggestions", {}).items():
+            cur = self._suggestions.setdefault(k, [])
+            for s in v:
+                if s not in cur:
+                    cur.append(s)
+            del cur[:-5]
+        return True
 
     def memory_summary(self) -> dict[str, Any]:
         return {
