@@ -1,3 +1,4 @@
 from .excel_agent import ExcelAgent
+from .framework import DTRFramework
 
-__all__ = ["ExcelAgent"]
+__all__ = ["ExcelAgent", "DTRFramework"]

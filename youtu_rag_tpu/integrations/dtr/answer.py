@@ -129,6 +129,44 @@ def clean_number_format(text: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# answer-level error detection (ref dtr_framework._is_error_message:492-517)
+# ---------------------------------------------------------------------------
+
+_ERROR_INDICATORS = (
+    "no operators extracted",
+    "no execution paths generated",
+    "execution failed",
+    "no answer generated",
+    "no data available",
+    "analysis did not produce a result",
+    "error:",
+    "failed:",
+    "exception:",
+)
+
+
+def is_error_answer(answer: str | None) -> bool:
+    """True when the synthesized answer is an error/empty message rather
+    than an actual answer — the trigger for the framework's recovery
+    ladder (replan → direct LLM → extract-from-original)."""
+    if not answer or not answer.strip():
+        return True
+    low = answer.lower()
+    return any(ind in low for ind in _ERROR_INDICATORS)
+
+
+_POINT_ZERO = re.compile(r"(?<![\d.])([1-9]\d*)\.0(?![\d.])")
+
+
+def strip_point_zero(text: str) -> str:
+    """``158772.0`` → ``158772`` in prose/tables (ref
+    ``_clean_number_format``:1380-1408 — the reference strips the
+    float-cast artifact pandas leaves on integer answers; ``0.0`` and
+    real decimals like ``5.8`` are kept)."""
+    return _POINT_ZERO.sub(r"\1", text)
+
+
+# ---------------------------------------------------------------------------
 # format-error detection (ref answer_generator._has_format_errors:1325-1334)
 # ---------------------------------------------------------------------------
 
@@ -198,6 +236,131 @@ async def render_frame(machine, name: str, max_rows: int = 10) -> str | None:
     if not out or out.startswith("Error") or "\nError" in out:
         return None
     return out.strip()[:2400]
+
+
+async def render_tables(machine, max_rows: int = 60) -> str | None:
+    """Row-sampled markdown of every source sheet (head/tail with an
+    ellipsis row), via the state machine. The direct-LLM fallback's view
+    of the data (ref ``_format_dataframe(original_df, max_rows=200)``,
+    capped lower here — the fallback reads the table, it doesn't scan it)."""
+    h, t = (max_rows + 1) // 2, max_rows // 2
+    code = (
+        "for _name in dfs:\n"
+        "    _f = dfs[_name]\n"
+        "    print(f'## {_name} ({len(_f)} rows)')\n"
+        f"    if len(_f) > {max_rows}:\n"
+        f"        _top = _f.head({h}).astype(str)\n"
+        f"        _bot = _f.tail({t}).astype(str)\n"
+        "        _gap = _top.iloc[:1].map(lambda _x: '…')\n"
+        "        _f = pd.concat([_top, _gap, _bot])\n"
+        "    try:\n"
+        "        print(_f.to_markdown(index=False))\n"
+        "    except ImportError:\n"
+        "        print(_f.to_string(index=False))\n"
+        "    print()\n"
+    )
+    try:
+        out, _ = await machine.execute_step(code)
+    except Exception:  # noqa: BLE001 - rendering is best-effort
+        return None
+    if not out or out.startswith("Error") or "\nError" in out:
+        return None
+    return out.strip()[:8000]
+
+
+# ---------------------------------------------------------------------------
+# recovery ladder: direct LLM answer + extraction from the original table
+# (ref answer_generator._generate_direct_llm_answer:1055-1325,
+#  _try_extract_from_original:1336-1378)
+# ---------------------------------------------------------------------------
+
+DIRECT_ANSWER_PROMPT = """Answer the question directly from the table data
+below — read the tables, do not describe a procedure.
+
+# Tables
+{tables}
+
+# Question
+{question}
+
+{style}
+Output format: [Final Answer]: <your answer>"""
+
+_SHORT_STYLE = (
+    "This needs a SHORT answer: output ONLY the value/name/number asked "
+    "for (with its unit). No steps, no 'from the table', no explanation."
+)
+_LONG_STYLE = (
+    "Lead with the direct answer and its concrete numbers; keep it brief."
+)
+
+EXTRACT_PROMPT = """You must extract the best possible answer from the
+original table, even if the data seems incomplete.
+
+# Question
+{question}
+
+# Original tables
+{tables}
+
+- Match question keywords against column names and cell values.
+- For numerical questions find the relevant numbers.
+- For yes/no questions analyze the data and answer Yes or No.
+- Only reply "[Final Answer]: No data available" if truly nothing relates.
+
+Output format: [Final Answer]: <your answer>"""
+
+_FINAL_TAG = re.compile(r"\[\s*Final Answer\s*\]\s*:?", re.IGNORECASE)
+
+
+def _after_final_tag(raw: str) -> str:
+    m = _FINAL_TAG.search(raw)
+    return (raw[m.end():] if m else raw).strip()
+
+
+async def direct_llm_answer(
+    question: str, machine, llm_chat, max_rows: int = 60
+) -> str | None:
+    """Answer straight from the rendered source tables, bypassing code
+    execution — the framework's fallback when executed paths produced an
+    error answer (ref ``_generate_direct_llm_answer``). Short-answer
+    questions (lookup/aggregation) get the value-only style. Returns
+    None when no LLM, rendering fails, or the reply is still broken."""
+    if llm_chat is None:
+        return None
+    tables = await render_tables(machine, max_rows=max_rows)
+    if tables is None:
+        return None
+    style = _SHORT_STYLE if is_short_answer(analyze_question_intent(question)) else _LONG_STYLE
+    try:
+        raw = await llm_chat(
+            DIRECT_ANSWER_PROMPT.format(tables=tables, question=question, style=style)
+        )
+    except Exception:  # noqa: BLE001 - fallback of a fallback must not raise
+        return None
+    ans = clean_number_format(strip_point_zero(_after_final_tag(raw or "")))
+    if not ans or has_format_errors(ans) or is_error_answer(ans):
+        return None
+    return ans
+
+
+async def extract_from_original(question: str, machine, llm_chat) -> str | None:
+    """Last rung: permissive extraction from the original table (ref
+    ``_try_extract_from_original`` — 'even if the data seems incomplete').
+    Returns None when the model still reports no data."""
+    if llm_chat is None:
+        return None
+    tables = await render_tables(machine, max_rows=50)
+    if tables is None:
+        return None
+    try:
+        raw = await llm_chat(EXTRACT_PROMPT.format(question=question, tables=tables))
+    except Exception:  # noqa: BLE001
+        return None
+    ans = clean_number_format(strip_point_zero(_after_final_tag(raw or "")))
+    if not ans or "no data" in ans.lower() or has_format_errors(ans):
+        return None
+    return ans
 
 
 def _final_frame(nodes: list[SMGNode]) -> str | None:

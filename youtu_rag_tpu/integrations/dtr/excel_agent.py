@@ -24,9 +24,14 @@ from pathlib import Path
 
 from ...agents.config import AgentConfig
 from ...agents.events import AgentEvent, TaskRecorder
-from ...agents.llm import BaseChatClient, ChatMessage, get_chat_client
+from ...agents.llm import BaseChatClient, ChatMessage, Usage, get_chat_client
 from ...utils.log import get_logger
-from .answer import synthesize_answer
+from .answer import (
+    direct_llm_answer,
+    extract_from_original,
+    is_error_answer,
+    synthesize_answer,
+)
 from .loader import load_sheets, profile_workbook, workbook_brief
 from .reward import evaluate_plan, evaluate_step
 from .schema_link import link_sheets_element
@@ -69,6 +74,23 @@ Output:
 {output}
 
 Reply JSON only: {{"success": true|false, "reason": "..."}}"""
+
+RETRY_PLAN_PROMPT = """The previous analysis of this question failed — \
+replan with a DIFFERENT strategy.
+
+Sheets:
+{schema}
+
+Question: {question}
+
+Previous plan and outcomes:
+{trace}
+
+Failure reason: {reason}
+
+Plan again from a different angle (different grouping/joins/columns, or
+simpler direct reads), max {max_steps} steps.
+Reply JSON only: ["step 1", "step 2", ...]"""
 
 REFINE_PROMPT = """Improve this spreadsheet analysis plan.
 
@@ -176,6 +198,7 @@ class ExcelAgent:
         mcts_iterations: int = 4,
         mcts_parallel: int = 1,  # concurrent rollouts (ref execute_paths)
         code_mode: str = "direct",  # "direct" | "staged" (ref: enable_multi_stage)
+        experience_path: str | None = None,  # persisted SMG operator memory
     ):
         self.config = config or AgentConfig()
         self.client = client or get_chat_client(self.config.model.resolved())
@@ -190,6 +213,13 @@ class ExcelAgent:
         # experience manager (ref: DTR experience_manager): successful
         # analysis plans persist as procedural skills and prime the planner
         self.memory = memory_toolkit
+        # context-conditioned operator experience on disk (smg.save_memory)
+        self.experience_path = experience_path
+        # per-run telemetry (ref dtr_framework: llm_calls/token stats) —
+        # reset at _analyze entry so each run reports its own cost
+        self.llm_calls = 0
+        self.usage = Usage()
+        self.last_smg: SheetStateMachine | None = None
 
     # -- sheet loading (ref: multi-sheet loader) ---------------------------
 
@@ -226,6 +256,8 @@ class ExcelAgent:
 
     async def _chat(self, prompt: str) -> str:
         resp = await self.client.chat([ChatMessage("user", prompt)])
+        self.llm_calls += 1
+        self.usage.add(resp.usage)
         return resp.message.content or ""
 
     @staticmethod
@@ -532,12 +564,67 @@ class ExcelAgent:
         # iteration budget spent: synthesize from what executed
         return await synthesize_answer(question, smg.nodes, self._chat, smg.state, machine=smg)
 
+    async def _recover_answer(
+        self,
+        question: str,
+        answer: str,
+        smg: SheetStateMachine,
+        schema: str,
+        completed: list[SMGNode],
+        recorder: TaskRecorder,
+    ) -> str:
+        """Recovery ladder for error answers (ref dtr_framework step 4.5:
+        retry-with-replanning → direct-LLM answer → extraction from the
+        original table). Each rung only replaces the answer when its
+        result is a real answer; otherwise the previous one stands."""
+        reason = "error answer" if completed else "no steps executed"
+        recorder.emit(
+            AgentEvent("reasoning_delta", text=f"answer recovery: replanning ({reason})")
+        )
+        # rung 1: replan from a different angle with the failure trace
+        try:
+            trace = "\n".join(
+                f"- {n.description} -> {'ok' if n.success else 'FAILED'}: {n.output[:150]}"
+                for n in completed
+            ) or "(no steps ran)"
+            raw = await self._chat(
+                RETRY_PLAN_PROMPT.format(
+                    schema=schema, question=question, trace=trace,
+                    reason=reason, max_steps=self.max_steps,
+                )
+            )
+            m = _JSON_LIST.search(raw)
+            retry_plan = [str(s) for s in json.loads(m.group(0))][: self.max_steps] if m else []
+            if retry_plan:
+                recorder.emit(AgentEvent("plan", data={"retry_steps": retry_plan}))
+                redone = await self._run_plan(retry_plan, smg, schema, recorder)
+                retry_answer = await synthesize_answer(
+                    question, redone, self._chat, smg.state, machine=smg
+                )
+                if not is_error_answer(retry_answer):
+                    return retry_answer
+        except Exception:  # noqa: BLE001 - recovery must not raise past the run
+            logger.exception("replanning recovery failed")
+        # rung 2: answer straight from the rendered tables (no code)
+        recorder.emit(AgentEvent("reasoning_delta", text="answer recovery: direct LLM"))
+        direct = await direct_llm_answer(question, smg, self._chat)
+        if direct is not None:
+            return direct
+        # rung 3: permissive extraction from the original table
+        extracted = await extract_from_original(question, smg, self._chat)
+        return extracted if extracted is not None else answer
+
     async def _analyze(self, question: str, path: str | None, recorder: TaskRecorder) -> str:
         if not path or not Path(path).exists():
             raise FileNotFoundError(f"spreadsheet not found: {path}")
+        self.llm_calls = 0
+        self.usage = Usage()
         sheets = self.load_sheets(path)  # one read serves schema + ADO
         schema = self.load_schema(path, question, sheets=sheets)
         smg = SheetStateMachine(path, exec_timeout=self.exec_timeout)
+        if self.experience_path:
+            smg.load_memory(self.experience_path)
+        self.last_smg = smg
         recorder.emit(AgentEvent("reasoning_delta", text=f"loaded sheets:\n{schema[:500]}"))
 
         # ADO stage (ref ado_module): decompose the question into its
@@ -565,10 +652,20 @@ class ExcelAgent:
                         reference_plan.append(f"(past approach) {skills[:300]}")
                 except Exception:  # noqa: BLE001
                     logger.exception("experience retrieval failed")
-            return await self._autonomous_analyze(
+            answer = await self._autonomous_analyze(
                 question, smg, schema, recorder,
                 reference_plan=reference_plan or None,
             )
+            if is_error_answer(answer):
+                answer = await self._recover_answer(
+                    question, answer, smg, schema, list(smg.nodes), recorder
+                )
+            if self.experience_path:
+                try:
+                    smg.save_memory(self.experience_path)
+                except OSError:
+                    logger.exception("experience save failed")
+            return answer
 
         experience = ""
         if self.memory is not None:
@@ -601,6 +698,15 @@ class ExcelAgent:
 
         recorder.emit(AgentEvent("reasoning_delta", data={"smg": smg.memory_summary()}))
         answer = await synthesize_answer(question, completed, self._chat, smg.state, machine=smg)
+        if is_error_answer(answer) or not any(n.success for n in completed):
+            answer = await self._recover_answer(
+                question, answer, smg, schema, completed, recorder
+            )
+        if self.experience_path:
+            try:
+                smg.save_memory(self.experience_path)
+            except OSError:
+                logger.exception("experience save failed")
         if self.memory is not None and completed and all(s.success for s in completed):
             try:
                 await self.memory.store_skill(
