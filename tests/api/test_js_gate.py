@@ -18,14 +18,21 @@ def test_all_shipped_js_passes_gate():
 
 
 def test_views_are_referenced_and_served():
+    """No orphan modules: every shipped view file is reachable from the app
+    shell directly or via an import from another shipped JS file."""
     index = (STATIC / "index.html").read_text(encoding="utf-8")
     app_js = (STATIC / "app.js").read_text(encoding="utf-8")
     assert "app.js" in index
     for view in sorted((STATIC / "views").glob("*.js")):
         name = f"views/{view.name}"
-        assert name in index or name in app_js or view.stem in app_js, (
-            f"{name} shipped but never referenced from the app shell"
-        )
+        referenced = name in index or name in app_js or view.stem in app_js
+        if not referenced:  # shared modules are imported by sibling views
+            referenced = any(
+                f"./{view.name}" in other.read_text(encoding="utf-8")
+                for other in (STATIC / "views").glob("*.js")
+                if other != view
+            )
+        assert referenced, f"{name} shipped but never referenced from the app shell"
 
 
 def test_gate_catches_broken_js():

@@ -49,12 +49,13 @@ def test_js_api_paths_match_routes():
 
 
 def test_js_brace_balance_and_modules():
+    # bracket balance via the real lexer (utils/jscheck.py) — a regex-level
+    # string stripper misreads regex literals like [^)\s] and [.)]
+    from youtu_rag_tpu.utils.jscheck import check_file
+
     for f in JS_FILES:
-        text = f.read_text()
-        for a, b in ("{}", "()", "[]"):
-            # strings/templates can unbalance this; strip them first
-            stripped = re.sub(r"`(?:[^`\\]|\\.)*`|\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*'|//[^\n]*", "", text)
-            assert stripped.count(a) == stripped.count(b), (f.name, a, stripped.count(a), stripped.count(b))
+        errs = check_file(f)
+        assert not errs, (f.name, [str(e) for e in errs])
     app_js = (STATIC / "app.js").read_text()
     for view in ("chat", "kb", "files", "monitor"):
         assert f"./views/{view}.js" in app_js, f"view {view} not wired into the router"

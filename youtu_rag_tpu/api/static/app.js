@@ -36,6 +36,10 @@ const I18N = {
     "ocr.save": "Save page", "ocr.edited": "edited", "ocr.none": "no OCR results for this file",
     "chat.placeholder": "Ask the knowledge base…", "chat.send": "Send",
     "chat.kb": "Knowledge base", "chat.agent": "Agent", "chat.memory": "Memory",
+    "chat.clear": "Clear conversation", "chat.retry": "Retry",
+    "chat.thinking": "thinking…", "chat.thought": "thought",
+    "qa.detail": "QA detail", "qa.edit": "Save edit", "qa.history": "Execution history",
+    "monitor.latency": "Query latency (live)",
     "monitor.health": "Storage health", "monitor.metrics": "Metrics",
     "monitor.embed": "Embedding tester", "monitor.rerank": "Reranker tester",
     "monitor.runs": "Recent runs",
@@ -59,6 +63,10 @@ const I18N = {
     "ocr.save": "保存本页", "ocr.edited": "已编辑", "ocr.none": "该文件没有 OCR 结果",
     "chat.placeholder": "向知识库提问…", "chat.send": "发送",
     "chat.kb": "知识库", "chat.agent": "智能体", "chat.memory": "记忆",
+    "chat.clear": "清空对话", "chat.retry": "重试",
+    "chat.thinking": "思考中…", "chat.thought": "思考完成",
+    "qa.detail": "问答详情", "qa.edit": "保存修改", "qa.history": "执行历史",
+    "monitor.latency": "检索延迟（实时）",
     "monitor.health": "存储健康", "monitor.metrics": "指标",
     "monitor.embed": "向量化测试", "monitor.rerank": "重排测试", "monitor.runs": "最近运行",
   },

@@ -1,8 +1,22 @@
 // Chat view: SSE card rendering for the full event vocabulary
 // (text_delta / reasoning_delta / tool_call / tool_output / plan / memory /
-//  report / final / error / done — ref: chat_service SSE card protocol).
+//  report / final / error / done — ref: chat_service SSE card protocol),
+// markdown answer rendering with retrieval-context source cards, message
+// actions (copy / retry), per-tab conversation persistence, thinking timer.
+// Counterpart of rag_webui's components/chat.js.
 
 import { api, guard, h, state, t, toast } from "../app.js";
+import { renderMarkdown } from "./utils.js";
+
+const HIST_KEY = "yrt-chat-history";
+
+function loadHistory() {
+  try { return JSON.parse(sessionStorage.getItem(HIST_KEY)) || []; } catch { return []; }
+}
+
+function saveHistory(hist) {
+  sessionStorage.setItem(HIST_KEY, JSON.stringify(hist.slice(-40)));
+}
 
 export async function renderChat(view) {
   const log = h("div", { id: "chat-log" });
@@ -11,6 +25,7 @@ export async function renderChat(view) {
   const memToggle = h("input", { type: "checkbox" });
   const input = h("input", { placeholder: t("chat.placeholder"), autocomplete: "off" });
   const sendBtn = h("button", { class: "primary", type: "submit" }, t("chat.send"));
+  const clearBtn = h("button", { class: "ghost" }, t("chat.clear"));
 
   const fileBox = h("div", { class: "col" });
   const side = h("div", { class: "chat-side col" },
@@ -20,8 +35,11 @@ export async function renderChat(view) {
       h("h3", {}, t("chat.memory")),
       h("label", { class: "dim" }, memToggle, " enabled"),
       h("h3", {}, "attach files"), fileBox,
+      clearBtn,
     ),
   );
+
+  const ctx = { log, kbSel, fileBox, hist: loadHistory() };
 
   const form = h("form", { id: "composer" }, input, sendBtn);
   form.addEventListener("submit", guard(async (ev) => {
@@ -29,12 +47,24 @@ export async function renderChat(view) {
     const q = input.value.trim();
     if (!q) return;
     input.value = "";
-    const fileIds = [...fileBox.querySelectorAll("input:checked")].map((c) => c.value);
-    await send(q, log, kbSel.value, fileIds);
+    await send(ctx, q);
   }));
+
+  clearBtn.addEventListener("click", () => {
+    ctx.hist = [];
+    saveHistory(ctx.hist);
+    log.innerHTML = "";
+  });
 
   view.appendChild(h("div", { class: "chat-wrap" },
     h("div", { class: "chat-main" }, log, form), side));
+
+  // restore the conversation (per browser tab — ref chat.js history restore)
+  for (const m of ctx.hist) {
+    if (m.role === "user") userBubble(ctx, m.text, { record: false });
+    else botBubble(ctx, m.text);
+  }
+  log.scrollTop = log.scrollHeight;
 
   // populate selectors
   const [kbs, agents, mem, files] = await Promise.all([
@@ -68,10 +98,58 @@ export async function renderChat(view) {
   input.focus();
 }
 
-function bubble(log, cls, text = "") {
-  const el = h("div", { class: `msg ${cls}` }, text);
-  log.appendChild(el);
-  log.scrollTop = log.scrollHeight;
+// ------------------------------------------------------------- bubbles
+
+function copyBtn(getText) {
+  const b = h("button", { class: "ghost", title: "copy" }, "⧉");
+  b.addEventListener("click", () => {
+    navigator.clipboard?.writeText(getText()).then(
+      () => toast("copied", "ok"), () => toast("copy failed", "err"));
+  });
+  return b;
+}
+
+function userBubble(ctx, text, { record = true } = {}) {
+  if (record) {
+    ctx.hist.push({ role: "user", text });
+    saveHistory(ctx.hist);
+  }
+  const retry = h("button", { class: "ghost", title: t("chat.retry") }, "↻");
+  retry.addEventListener("click", guard(() => send(ctx, text)));
+  const el = h("div", { class: "msg user" }, text,
+    h("div", { class: "actions" }, copyBtn(() => text), retry));
+  ctx.log.appendChild(el);
+  ctx.log.scrollTop = ctx.log.scrollHeight;
+  return el;
+}
+
+// Split "## Context N (Relevance: x)" retrieval blocks out of an answer
+// into collapsible source cards; the preamble stays the main answer body.
+const CTX_SPLIT = /^## Context \d+[^\n]*$/m;
+
+export function splitContexts(text) {
+  if (!CTX_SPLIT.test(text)) return { body: text, sources: [] };
+  const parts = text.split(/^(## Context \d+[^\n]*)$/m);
+  const body = parts[0].trim();
+  const sources = [];
+  for (let i = 1; i + 1 < parts.length; i += 2) {
+    sources.push({ title: parts[i].replace(/^## /, ""), content: parts[i + 1].trim() });
+  }
+  return { body, sources };
+}
+
+function botBubble(ctx, text) {
+  const { body, sources } = splitContexts(text);
+  const el = h("div", { class: "msg bot" });
+  el.appendChild(renderMarkdown(body || text));
+  for (const s of sources) {
+    el.appendChild(h("details", { class: "src-card" },
+      h("summary", {}, `📄 ${s.title}`),
+      renderMarkdown(s.content)));
+  }
+  el.appendChild(h("div", { class: "actions" }, copyBtn(() => text)));
+  ctx.log.appendChild(el);
+  ctx.log.scrollTop = ctx.log.scrollHeight;
   return el;
 }
 
@@ -85,8 +163,13 @@ function card(log, cls, title, body = null, open = false) {
   return el;
 }
 
-async function send(q, log, kb, fileIds = []) {
-  bubble(log, "user", q + (fileIds.length ? `\n📎 ${fileIds.join(", ")}` : ""));
+// ------------------------------------------------------------- streaming
+
+async function send(ctx, q) {
+  const { log, kbSel, fileBox } = ctx;
+  const kb = kbSel.value;
+  const fileIds = [...fileBox.querySelectorAll("input:checked")].map((c) => c.value);
+  userBubble(ctx, q + (fileIds.length ? `\n📎 ${fileIds.join(", ")}` : ""));
   const body = { query: q, stream: true };
   if (kb) body.kb_id = kb;
   if (fileIds.length) body.file_ids = fileIds;
@@ -94,7 +177,10 @@ async function send(q, log, kb, fileIds = []) {
   if (!resp.ok) { card(log, "error", `HTTP ${resp.status}`); return; }
   const reader = resp.body.getReader();
   const decoder = new TextDecoder();
-  let bot = null, reasoning = null, buf = "";
+  let stream = null;       // plain-text element while deltas stream
+  let streamText = "";
+  let reasoning = null, reasoningT0 = 0, reasoningTimer = null;
+  let buf = "";
   const toolCards = [];  // FIFO: tool_output pairs with the oldest open call
   for (;;) {
     const { done, value } = await reader.read();
@@ -109,17 +195,49 @@ async function send(q, log, kb, fileIds = []) {
       handleCard(ev);
     }
   }
+  finishStream();  // connection closed without a done card — still render
+
+  function stopReasoningTimer(final = true) {
+    if (reasoningTimer) { clearInterval(reasoningTimer); reasoningTimer = null; }
+    if (reasoning && final && reasoningT0) {
+      const secs = ((Date.now() - reasoningT0) / 1000).toFixed(1);
+      reasoning.querySelector("summary").textContent = `${t("chat.thought")} (${secs}s)`;
+    }
+  }
+
+  function finishStream() {
+    stopReasoningTimer();
+    if (stream && streamText) {
+      // streamed plain text → final markdown + source cards
+      stream.remove();
+      botBubble(ctx, streamText);
+      ctx.hist.push({ role: "bot", text: streamText });
+      saveHistory(ctx.hist);
+      stream = null; streamText = "";
+    }
+  }
 
   function handleCard(ev) {
     switch (ev.type) {
       case "text_delta":
-        if (!bot) bot = bubble(log, "bot");
-        bot.textContent += ev.content || "";
+        if (!stream) {
+          stream = h("div", { class: "msg bot" });
+          log.appendChild(stream);
+        }
+        streamText += ev.content || "";
+        stream.textContent = streamText;
         log.scrollTop = log.scrollHeight;
         break;
       case "reasoning_delta":
-        if (!reasoning) reasoning = card(log, "reasoning", "thinking…", "", false);
-        reasoning.querySelector("pre") || reasoning.querySelector("details").appendChild(h("pre"));
+        if (!reasoning) {
+          reasoning = card(log, "reasoning", `${t("chat.thinking")} (0.0s)`, "", false);
+          reasoningT0 = Date.now();
+          reasoningTimer = setInterval(() => {
+            const secs = ((Date.now() - reasoningT0) / 1000).toFixed(1);
+            reasoning.querySelector("summary").textContent = `${t("chat.thinking")} (${secs}s)`;
+          }, 250);
+        }
+        if (!reasoning.querySelector("pre")) reasoning.querySelector("details").appendChild(h("pre"));
         reasoning.querySelector("pre").textContent += ev.content || "";
         break;
       case "tool_call": {
@@ -145,15 +263,20 @@ async function send(q, log, kb, fileIds = []) {
         break;
       case "report":
       case "final":
-        if (!bot) bot = bubble(log, "bot", ev.content || "");
-        else if (!bot.textContent) bot.textContent = ev.content || "";
+        if (ev.content && !streamText) streamText = ev.content;
+        if (!stream && streamText) {
+          stream = h("div", { class: "msg bot" }, streamText);
+          log.appendChild(stream);
+        }
         break;
       case "error":
+        stopReasoningTimer(false);
         card(log, "error", "error", ev.content || "", true);
         break;
       case "done":
         if (ev.trace_id) card(log, "", `done · trace ${ev.trace_id}`);
-        bot = null; reasoning = null;
+        finishStream();
+        reasoning = null;
         break;
       default:
         break;

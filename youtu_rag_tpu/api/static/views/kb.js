@@ -4,8 +4,11 @@
 // Counterpart of rag_webui's knowledge-base{,-detail}.js + qa-detail.js.
 
 import { api, fmtBytes, guard, h, openModal, closeModal, state, t, toast } from "../app.js";
+import { renderMarkdown } from "./utils.js";
 
 export async function renderKb(view, hash) {
+  const qa = hash.match(/^#\/kb\/([^/]+)\/qa\/(.+)$/);
+  if (qa) return renderQaDetail(view, decodeURIComponent(qa[1]), decodeURIComponent(qa[2]));
   const m = hash.match(/^#\/kb\/([^/]+)/);
   if (m) return renderKbDetail(view, decodeURIComponent(m[1]));
   return renderKbList(view);
@@ -255,28 +258,8 @@ async function renderQaTab(root, name) {
         h("td", { class: "dim" }, p.source_id), h("td", {}, exec, del));
       tr.addEventListener("click", (ev) => {
         if (ev.target === del || ev.target === exec) return;
-        // qa-detail flow: pair + execution history (ref qa-detail.js)
-        let execBlock = null;
-        if (p.executed_results) {
-          let parsed = [];
-          try { parsed = JSON.parse(p.executed_results); } catch { /* legacy */ }
-          execBlock = h("div", {},
-            h("h3", {}, t("qa.executed")),
-            h("div", { class: "dim" },
-              `${p.executed_agents || "?"} · ${p.learning_status} · ${p.executed_at || ""}` +
-              (p.memory_status ? ` · memory: ${p.memory_status}` : "")),
-            ...parsed.map((x) => h("div", {},
-              h("span", { class: x.success ? "badge ok" : "badge err" }, x.agent),
-              h("pre", {}, x.success ? (x.answer || "(empty)") : (x.error || "failed")))));
-        }
-        openModal(h("div", {},
-          h("h2", {}, "QA pair"),
-          h("h3", {}, "question"), h("pre", {}, p.question),
-          h("h3", {}, "answer"), h("pre", {}, p.answer || "(empty)"),
-          execBlock,
-          p.related_file ? h("div", { class: "dim" }, `related file: ${p.related_file}`) : null,
-          h("div", { class: "dim" }, `id: ${p.id} · source: ${p.source_id}`),
-          h("button", { onclick: closeModal }, "close")));
+        // qa-detail page: deep-linkable pair + history + editing
+        location.hash = `#/kb/${encodeURIComponent(name)}/qa/${encodeURIComponent(p.id)}`;
       });
       return tr;
     });
@@ -318,6 +301,101 @@ async function renderQaTab(root, name) {
       h("h3", {}, "ask"), h("div", { class: "row" }, askIn, thIn, askBtn), askOut),
     h("div", { class: "card" }, listBox)));
   await load();
+}
+
+// ------------------------------------------------------------------ qa detail
+// Dedicated page per QA pair (deep-linkable: #/kb/<name>/qa/<id>) with
+// markdown rendering, inline editing, execution history, and re-execution.
+// Counterpart of rag_webui's qa-detail.js page flow.
+
+async function renderQaDetail(view, name, id) {
+  const data = await api(`/api/knowledge-bases/${name}/qa-pairs?limit=1000`);
+  const p = data.qa_pairs.find((x) => x.id === id);
+  const back = h("a", { href: `#/kb/${encodeURIComponent(name)}`, class: "dim" }, `← ${name}`);
+  if (!p) {
+    view.appendChild(h("div", {}, back, h("div", { class: "card" }, `QA pair ${id} not found`)));
+    return;
+  }
+
+  const qEdit = h("textarea", { rows: "2", style: "width:100%" }); qEdit.value = p.question;
+  const aEdit = h("textarea", { rows: "5", style: "width:100%" }); aEdit.value = p.answer || "";
+  const saveBtn = h("button", { class: "primary" }, t("qa.edit"));
+  saveBtn.addEventListener("click", guard(async () => {
+    // edit = delete-then-reinsert (the pair's question is its vector,
+    // so an edited question must re-embed — same semantics as chunks)
+    const newQ = qEdit.value.trim();
+    await api(`/api/knowledge-bases/${name}/qa-pairs`, {
+      method: "POST",
+      body: JSON.stringify({ pairs: [{ question: newQ, answer: aEdit.value.trim() }] }),
+    });
+    await api(`/api/knowledge-bases/${name}/qa-pairs?id=${encodeURIComponent(p.id)}`, { method: "DELETE" });
+    // find the re-inserted pair to deep-link it (POST returns a count)
+    const fresh = await api(`/api/knowledge-bases/${name}/qa-pairs?limit=1000`);
+    const np = fresh.qa_pairs.find((x) => x.question === newQ);
+    toast("QA pair updated", "ok");
+    location.hash = np
+      ? `#/kb/${encodeURIComponent(name)}/qa/${encodeURIComponent(np.id)}`
+      : `#/kb/${encodeURIComponent(name)}`;
+    if (np && location.hash === `#/kb/${encodeURIComponent(name)}/qa/${encodeURIComponent(np.id)}`) {
+      // same-route hash may not retrigger; force re-render
+      view.innerHTML = "";
+      await renderQaDetail(view, name, np.id);
+    }
+  }));
+
+  const execBtn = h("button", {}, `▶ ${t("qa.execute")}`);
+  const execOut = h("div", {});
+  execBtn.addEventListener("click", guard(async () => {
+    execBtn.disabled = true; execBtn.textContent = "…";
+    try {
+      const r = await api(`/api/knowledge-bases/${name}/qa/execute`, {
+        method: "POST", body: JSON.stringify({ id: p.id }),
+      });
+      execOut.innerHTML = "";
+      execOut.appendChild(h("div", { class: "dim" },
+        `agents: ${(r.selected_agents || []).join(", ")} · ${r.final_status}`));
+      for (const x of (r.execution_results || [])) {
+        execOut.appendChild(h("div", {},
+          h("span", { class: x.success ? "badge ok" : "badge err" }, x.agent),
+          x.success ? renderMarkdown(x.answer || "(empty)") : h("pre", {}, x.error || "failed")));
+      }
+    } finally {
+      execBtn.disabled = false; execBtn.textContent = `▶ ${t("qa.execute")}`;
+    }
+  }));
+
+  let history = null;
+  if (p.executed_results) {
+    let parsed = [];
+    try { parsed = JSON.parse(p.executed_results); } catch { /* legacy format */ }
+    history = h("div", { class: "card col" },
+      h("h3", {}, t("qa.history")),
+      h("div", { class: "dim" },
+        `${p.executed_agents || "?"} · ${p.learning_status || ""} · ${p.executed_at || ""}` +
+        (p.memory_status ? ` · memory: ${p.memory_status}` : "")),
+      ...parsed.map((x) => h("div", {},
+        h("span", { class: x.success ? "badge ok" : "badge err" }, x.agent),
+        x.success ? renderMarkdown(x.answer || "(empty)") : h("pre", {}, x.error || "failed"))));
+  }
+
+  const statusCls = { completed: "ok", failed: "err" }[p.learning_status] || "";
+  view.appendChild(h("div", { class: "col" },
+    h("div", { class: "row" }, back,
+      h("h2", { style: "margin:0 0 0 8px" }, t("qa.detail")),
+      h("span", { class: `badge ${statusCls}` }, p.learning_status || "pending")),
+    h("div", { class: "card col" },
+      h("h3", {}, t("qa.question")), qEdit,
+      h("h3", {}, t("qa.answer")), aEdit,
+      h("div", { class: "row" }, saveBtn, execBtn),
+      h("div", { class: "dim" },
+        `id: ${p.id} · source: ${p.source_id}` +
+        (p.related_file ? ` · file: ${p.related_file}` : "") +
+        (p.executed_at ? ` · ${t("qa.executed")}: ${p.executed_at}` : "")),
+      execOut),
+    history,
+    h("div", { class: "card col" },
+      h("h3", {}, "stored answer (rendered)"),
+      renderMarkdown(p.answer || "(empty)"))));
 }
 
 // ------------------------------------------------------------------ query tester

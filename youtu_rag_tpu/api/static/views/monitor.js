@@ -6,6 +6,7 @@
 // bar end in text ink; 2px gaps; no legend for a single series).
 
 import { api, closeModal, fmtBytes, guard, h, openModal, t } from "../app.js";
+import { lineChart } from "./utils.js";
 
 // horizontal bar chart: rows = [{label, value, hint?}], one measure.
 export function barChart(rows, { unit = "", max = null } = {}) {
@@ -34,6 +35,27 @@ export async function renderMonitor(view) {
   const healthBox = h("div", { class: "grid" });
   const metricsBox = h("div", {});
   const runsBox = h("div", {});
+  const liveBox = h("div", {});
+
+  // live latency time series: poll metrics, roll the last 60 samples of
+  // the query-weighted average latency across stores; the interval dies
+  // with the view (document.contains check) so route changes don't leak
+  const liveSeries = [];
+  async function sampleLatency() {
+    if (!document.contains(liveBox)) { clearInterval(liveTimer); return; }
+    try {
+      const m = await api("/api/monitor/metrics");
+      const entries = Object.values(m.metrics || {});
+      const q = entries.reduce((a, x) => a + (x.query_count || 0), 0);
+      if (!q) return;
+      const avg = entries.reduce((a, x) => a + (x.avg_latency_ms || 0) * (x.query_count || 0), 0) / q;
+      liveSeries.push({ value: Math.round(avg * 100) / 100, label: new Date().toLocaleTimeString() });
+      if (liveSeries.length > 60) liveSeries.shift();
+      liveBox.innerHTML = "";
+      liveBox.appendChild(lineChart(liveSeries, { unit: " ms" }));
+    } catch { /* server away — keep polling */ }
+  }
+  const liveTimer = setInterval(sampleLatency, 3000);
 
   // embedding tester
   const embIn = h("textarea", { rows: "2", style: "flex:1", placeholder: "text to embed (one per line)" });
@@ -70,6 +92,7 @@ export async function renderMonitor(view) {
   view.appendChild(h("div", { class: "col" },
     h("div", { class: "card" }, h("h3", {}, t("monitor.health")), healthBox),
     h("div", { class: "card" }, h("h3", {}, t("monitor.metrics")), metricsBox),
+    h("div", { class: "card" }, h("h3", {}, t("monitor.latency")), liveBox),
     h("div", { class: "card col" },
       h("h3", {}, t("monitor.embed")),
       h("div", { class: "row" }, embIn, embBtn), embOut,
