@@ -50,14 +50,16 @@ class SheetProfile:
     columns: list[ColumnProfile]
     synthetic_header: bool = False
     sample: list[dict] = field(default_factory=list)
+    structure: str = ""  # TableStructure.brief(): title/hierarchy/fill notes
 
     def brief(self, max_cols: int = 16) -> str:
         cols = "; ".join(c.brief() for c in self.columns[:max_cols])
         extra = f" (+{len(self.columns) - max_cols} more cols)" if len(self.columns) > max_cols else ""
         header_note = " [headerless: synthetic col names]" if self.synthetic_header else ""
+        structure_note = f"\n  structure: {self.structure}" if self.structure else ""
         return (
             f"- {self.name}: {self.shape[0]} rows x {self.shape[1]} cols{header_note}\n"
-            f"  columns: {cols}{extra}\n"
+            f"  columns: {cols}{extra}{structure_note}\n"
             f"  sample: {self.sample[:2]}"
         )
 
@@ -118,13 +120,21 @@ def load_sheets(path: str) -> dict[str, Any]:
             ) from e
         raw = {name: (lambda n=name: pd.read_excel(path, sheet_name=n, header=None)) for name in sheets}
 
+    from .table_structure import detect_header_end, structure_sheet
+
     out = {}
     for name, df in sheets.items():
-        if len(df) > 0 and _first_row_is_data(df):
-            df = raw[name]()
-            df.columns = [f"col_{i}" for i in range(df.shape[1])]
-            df.attrs["synthetic_header"] = True
-        out[name] = df
+        raw_df = raw[name]()
+        header_end = detect_header_end(raw_df)
+        if header_end == 1 and len(df) > 0 and not _first_row_is_data(df):
+            out[name] = df  # pandas' own parse is already right
+            continue
+        # headerless (0), multi-row/banner headers (≥2), or a parsed
+        # header that looks like data → full structuring pass
+        sdf, ts = structure_sheet(raw_df)
+        sdf.attrs["structure"] = ts
+        sdf.attrs["synthetic_header"] = header_end == 0
+        out[name] = sdf
     return out
 
 
@@ -190,6 +200,7 @@ def profile_workbook(sheets: dict[str, Any], sample_rows: int = 2) -> list[Sheet
                     row[k] = None
                 else:
                     row[k] = str(v)[:40] if not isinstance(v, (int, float, bool, type(None))) else v
+        ts = df.attrs.get("structure")
         profiles.append(
             SheetProfile(
                 name=name,
@@ -197,6 +208,7 @@ def profile_workbook(sheets: dict[str, Any], sample_rows: int = 2) -> list[Sheet
                 columns=cols,
                 synthetic_header=bool(df.attrs.get("synthetic_header")),
                 sample=sample,
+                structure=ts.brief() if ts is not None else "",
             )
         )
     return profiles
