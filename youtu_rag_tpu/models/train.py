@@ -157,3 +157,128 @@ def make_sharded_train_step(
         donate_argnums=(0, 1),
     )
     return params, opt_state, step
+
+
+# ------------------------------------------------------------------- MoE
+#
+# The MoE training recipe: same InfoNCE objective through the MoE forward,
+# plus the Switch load-balancing aux loss in the objective (top-1 argmax
+# routing gives unselected experts zero gradient — without the aux term
+# the router collapses onto one expert and capacity is wasted). Expert
+# stacks shard over an 'ep' mesh axis via GSPMD annotations; the
+# shard_map a2a dispatch path (parallel/expert_parallel.py) stays the
+# serving-scale forward.
+
+
+@dataclass(frozen=True)
+class MoETrainConfig(TrainConfig):
+    n_experts: int = 8
+    aux_loss_weight: float = 1e-2
+
+
+def moe_info_nce_loss(params, batch, cfg: EncoderConfig, tc: MoETrainConfig):
+    from ..parallel.expert_parallel import moe_encode_tokens_with_aux
+
+    enc = moe_encode_tokens_with_aux
+    if tc.remat:
+        enc = jax.checkpoint(moe_encode_tokens_with_aux, static_argnums=(3, 4))
+    q_emb, _, q_aux = enc(params, batch["q_ids"], batch["q_mask"], cfg, tc.n_experts)
+    d_emb, _, d_aux = enc(params, batch["d_ids"], batch["d_mask"], cfg, tc.n_experts)
+    logits = (q_emb @ d_emb.T) / tc.temperature
+    labels = jnp.arange(logits.shape[0])
+    l_qd = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+    l_dq = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels).mean()
+    contrastive = 0.5 * (l_qd + l_dq)
+    aux = 0.5 * (q_aux + d_aux)
+    loss = contrastive + tc.aux_loss_weight * aux
+    acc = jnp.mean(jnp.argmax(logits, axis=1) == labels)
+    return loss, {
+        "loss": loss,
+        "contrastive_loss": contrastive,
+        "aux_loss": aux,
+        "accuracy": acc,
+    }
+
+
+def make_moe_train_step(cfg: EncoderConfig, tc: MoETrainConfig, optimizer):
+    def train_step(params, opt_state, batch):
+        (loss, metrics), grads = jax.value_and_grad(moe_info_nce_loss, has_aux=True)(
+            params, batch, cfg, tc
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return train_step
+
+
+_MOE_EXPERT_LEAVES = frozenset({"ew1", "eb1", "ew2", "eb2"})
+
+
+def moe_sharding_spec(params: dict, mesh: Mesh, ep_axis: str = "ep") -> dict:
+    """PartitionSpec tree for an ``init_moe_params`` tree: expert stacks
+    ``[L, E, …]`` shard the expert axis (dim 1) over ``ep_axis`` when E
+    divides; everything else replicates (routers must be replicated so
+    routing is identical everywhere)."""
+    ep = int(mesh.shape[ep_axis])
+
+    def leaf(path_key, v):
+        if path_key in _MOE_EXPERT_LEAVES and v.ndim >= 2 and v.shape[1] % ep == 0:
+            return P(None, ep_axis)
+        return P(*([None] * v.ndim))
+
+    def walk(p):
+        out = {}
+        for k, v in p.items():
+            out[k] = walk(v) if isinstance(v, dict) else leaf(k, v)
+        return out
+
+    return walk(params)
+
+
+def make_sharded_moe_train_step(
+    cfg: EncoderConfig,
+    tc: MoETrainConfig,
+    mesh: Mesh,
+    seed: int = 0,
+    init_params: dict | None = None,
+    ep_axis: str = "ep",
+):
+    """Sharded MoE fine-tune step over a ('dp', 'ep') mesh.
+
+    Experts shard over 'ep', batch over 'dp'; routers and the dense trunk
+    replicate. GSPMD inserts the expert gathers and gradient reductions
+    from the sharding annotations alone — the idiomatic-pjit counterpart
+    of ``make_sharded_train_step``. Returns (params, opt_state, step_fn).
+    """
+    from ..parallel.expert_parallel import init_moe_params
+
+    optimizer = make_optimizer(tc)
+    if init_params is not None:
+        pspec = moe_sharding_spec(init_params, mesh, ep_axis)
+        param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspec)
+        params = jax.tree.map(
+            lambda x, sh: jax.device_put(jnp.asarray(x), sh), init_params, param_sh
+        )
+    else:
+        shapes = jax.eval_shape(lambda: init_moe_params(cfg, tc.n_experts, seed))
+        pspec = moe_sharding_spec(shapes, mesh, ep_axis)
+        param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspec)
+        params = jax.jit(
+            lambda: init_moe_params(cfg, tc.n_experts, seed), out_shardings=param_sh
+        )()
+    batch_sh = NamedSharding(mesh, P("dp", None))
+    repl = NamedSharding(mesh, P())
+    opt_state = jax.jit(optimizer.init, out_shardings=None)(params)
+
+    step = jax.jit(
+        make_moe_train_step(cfg, tc, optimizer),
+        in_shardings=(param_sh, None, {k: batch_sh for k in ("q_ids", "q_mask", "d_ids", "d_mask")}),
+        out_shardings=(
+            param_sh,
+            None,
+            {k: repl for k in ("loss", "contrastive_loss", "aux_loss", "accuracy")},
+        ),
+        donate_argnums=(0, 1),
+    )
+    return params, opt_state, step

@@ -119,6 +119,34 @@ def moe_encode_tokens(params, token_ids, mask, cfg: EncoderConfig, n_experts: in
     return emb, x[:, 0, :].astype(jnp.float32)
 
 
+def moe_encode_tokens_with_aux(params, token_ids, mask, cfg: EncoderConfig, n_experts: int):
+    """``moe_encode_tokens`` + the Switch load-balancing aux loss averaged
+    over layers (the training forward). Top-1 argmax routing passes no
+    gradient to unselected experts, so balance is learned *only* through
+    this term — it must ride the loss, not a metric (models/train.py
+    wires it with ``MoETrainConfig.aux_loss_weight``).
+
+    Returns (emb [B, E], cls [B, D], aux_loss scalar fp32).
+    """
+    dt = cfg.dtype
+    x = params["tok_emb"].astype(dt)[token_ids]
+
+    def layer(carry, lp):
+        x, aux = carry
+        h = _layer_norm(x, lp["ln1_scale"], lp["ln1_bias"])
+        x = x + _attention(h, mask, lp["wq"], lp["wk"], lp["wv"], lp["wo"], cfg)
+        h = _layer_norm(x, lp["ln2_scale"], lp["ln2_bias"])
+        idx, p, probs = _route(h, lp["router"])
+        aux = aux + load_balancing_loss(probs, idx, n_experts)
+        y = _expert_ffn(h, idx, p, lp, 0, n_experts, dt)
+        return (x + y, aux), None
+
+    (x, aux), _ = jax.lax.scan(layer, (x, jnp.zeros((), jnp.float32)), params["layers"])
+    x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"])
+    emb = pool_project(params, *masked_pool_sums(x, mask))
+    return emb, x[:, 0, :].astype(jnp.float32), aux / cfg.n_layers
+
+
 def make_ep_encoder(cfg: EncoderConfig, mesh: Mesh, n_experts: int, ep_axis: str = "ep"):
     """Build the jitted expert-parallel forward (see module docstring)."""
     ep = int(mesh.shape[ep_axis])
