@@ -35,6 +35,7 @@ from .answer import (
 from .loader import load_sheets, profile_workbook, workbook_brief
 from .reward import evaluate_plan, evaluate_step
 from .schema_link import link_sheets_element
+from .session_log import DTRSessionLog
 from .smg import SMGNode, SheetStateMachine, link_sheets  # noqa: F401 - lexical baseline kept exported
 
 logger = get_logger("dtr.excel")
@@ -220,6 +221,9 @@ class ExcelAgent:
         self.llm_calls = 0
         self.usage = Usage()
         self.last_smg: SheetStateMachine | None = None
+        # structured per-run trace (ref dtr_logger.DTRLogger) — rebuilt at
+        # every _analyze entry; framework saves it when session_dir is set
+        self.last_session: DTRSessionLog | None = None
 
     # -- sheet loading (ref: multi-sheet loader) ---------------------------
 
@@ -359,6 +363,8 @@ class ExcelAgent:
         earlier steps' derived frames/joins) → sandbox → reward evaluator,
         with error-driven retries. Unchanged plan prefixes resume from the
         SMG's prefix cache instead of re-executing (MCTS rollout reuse)."""
+        session = self.last_session
+        path_id = session.new_path_id() if session else ""
         cached = smg.cached_prefix(plan)
         smg.reset_to(cached)
         completed: list[SMGNode] = list(cached)
@@ -418,8 +424,17 @@ class ExcelAgent:
             node.reward = evaluate_step(node).total
             completed.append(node)
             smg.cache_prefix([n.description for n in completed], completed)
+            if session:
+                session.log_operator_execution(
+                    path_id, len(completed) - 1, node.description, node.code,
+                    node.output, node.success, node.reward, node.attempts,
+                )
             recorder.add_message(
                 "analyst", f"{node.description} -> {'ok' if node.success else 'failed'}"
+            )
+        if session:
+            session.log_path_completion(
+                path_id, plan, sum(n.reward for n in completed)
             )
         return completed
 
@@ -541,6 +556,11 @@ class ExcelAgent:
                 node.success = "Error" not in out
                 smg.record(node, state_after)
                 node.reward = evaluate_step(node).total
+                if self.last_session:
+                    self.last_session.log_operator_execution(
+                        "autonomous", it, node.description, code,
+                        out, node.success, node.reward, 1,
+                    )
                 recorder.emit(AgentEvent("tool_output", name="pandas_exec", text=out[:800]))
                 history.append(f"[turn {it + 1} CODE]\n{code}\n→ {out[:400]}")
                 # structured feedback (ref smg_autonomous._build_success_
@@ -577,6 +597,7 @@ class ExcelAgent:
         retry-with-replanning → direct-LLM answer → extraction from the
         original table). Each rung only replaces the answer when its
         result is a real answer; otherwise the previous one stands."""
+        session = self.last_session
         reason = "error answer" if completed else "no steps executed"
         recorder.emit(
             AgentEvent("reasoning_delta", text=f"answer recovery: replanning ({reason})")
@@ -602,6 +623,8 @@ class ExcelAgent:
                     question, redone, self._chat, smg.state, machine=smg
                 )
                 if not is_error_answer(retry_answer):
+                    if session:
+                        session.log_recovery("replan", reason, replaced=True)
                     return retry_answer
         except Exception:  # noqa: BLE001 - recovery must not raise past the run
             logger.exception("replanning recovery failed")
@@ -609,9 +632,13 @@ class ExcelAgent:
         recorder.emit(AgentEvent("reasoning_delta", text="answer recovery: direct LLM"))
         direct = await direct_llm_answer(question, smg, self._chat)
         if direct is not None:
+            if session:
+                session.log_recovery("direct_llm", reason, replaced=True)
             return direct
         # rung 3: permissive extraction from the original table
         extracted = await extract_from_original(question, smg, self._chat)
+        if session:
+            session.log_recovery("extract_original", reason, replaced=extracted is not None)
         return extracted if extracted is not None else answer
 
     async def _analyze(self, question: str, path: str | None, recorder: TaskRecorder) -> str:
@@ -619,6 +646,8 @@ class ExcelAgent:
             raise FileNotFoundError(f"spreadsheet not found: {path}")
         self.llm_calls = 0
         self.usage = Usage()
+        session = self.last_session = DTRSessionLog()
+        session.log_query(question, path, self.planner)
         sheets = self.load_sheets(path)  # one read serves schema + ADO
         schema = self.load_schema(path, question, sheets=sheets)
         smg = SheetStateMachine(path, exec_timeout=self.exec_timeout)
@@ -637,6 +666,7 @@ class ExcelAgent:
         try:
             ado = decompose(question, profile_workbook(sheets))
             recorder.emit(AgentEvent("plan", data={"operators": ado.names}))
+            session.log_operator_extraction(question, list(ado.names))
         except Exception:  # noqa: BLE001 - decomposition is advisory
             logger.exception("operator decomposition failed")
             ado = None
@@ -665,6 +695,10 @@ class ExcelAgent:
                     smg.save_memory(self.experience_path)
                 except OSError:
                     logger.exception("experience save failed")
+            session.log_answer(
+                answer, self.llm_calls,
+                self.usage.input_tokens + self.usage.output_tokens,
+            )
             return answer
 
         experience = ""
@@ -688,6 +722,7 @@ class ExcelAgent:
         step_texts = json.loads(m.group(0)) if m else [question]
         plan = [str(s) for s in step_texts[: self.max_steps]]
         recorder.emit(AgentEvent("plan", data={"steps": plan}))
+        session.log_plan(self.planner, plan)
 
         if self.planner == "mcts":
             completed = await self._mcts_analyze(
@@ -716,4 +751,7 @@ class ExcelAgent:
                 )
             except Exception:  # noqa: BLE001
                 logger.exception("experience store failed")
+        session.log_answer(
+            answer, self.llm_calls, self.usage.input_tokens + self.usage.output_tokens
+        )
         return answer

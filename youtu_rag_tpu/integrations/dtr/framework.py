@@ -66,6 +66,12 @@ class DTRFramework:
         """Run one question end-to-end and return the structured result
         (ref ``process_query`` return contract ``:469-490``)."""
         recorder = await self.agent.run(user_query, file_path)
+        # persist the structured run trace (ref dtr_logger session dumps)
+        if self.session_dir and self.agent.last_session is not None:
+            try:
+                self.agent.last_session.save(self.session_dir / "traces")
+            except OSError:
+                logger.exception("session trace save failed")
         smg = self.agent.last_smg
         nodes = list(smg.nodes) if smg is not None else []
         execution_trace = [
@@ -92,6 +98,11 @@ class DTRFramework:
             "input_tokens": usage.input_tokens,
             "output_tokens": usage.output_tokens,
             "total_tokens": usage.input_tokens + usage.output_tokens,
+            "session_summary": (
+                self.agent.last_session.summary()
+                if self.agent.last_session is not None
+                else {}
+            ),
         }
 
     # -- session persistence (ref save_session/load_session:686-695) -------
