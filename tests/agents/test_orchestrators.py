@@ -166,6 +166,115 @@ def test_parallel_orchestrator_timeout():
     assert any("timed out" in (t.get("content") or "") for t in rec.trajectory)
 
 
+def test_parse_parallel_plan_groups_and_flat():
+    from youtu_rag_tpu.agents.orchestrator import parse_parallel_plan
+
+    groups = parse_parallel_plan(
+        '{"groups": [[{"agent_name": "a", "task": "t1"}, {"agent_name": "b", "task": "t2"}],'
+        ' [{"agent_name": "c", "task": "t3"}]]}'
+    )
+    assert [len(g) for g in groups] == [2, 1]
+    assert groups[1][0].agent_name == "c"
+    # flat list → one group
+    flat = parse_parallel_plan('[{"agent_name": "a", "task": "t"}]')
+    assert len(flat) == 1 and len(flat[0]) == 1
+    assert parse_parallel_plan("garbage") == []
+    assert parse_parallel_plan('{"groups": []}') == []
+
+
+def test_parallel_orchestrator_grouped_streaming():
+    """Grouped execution: group 2 sees group 1 results, and the stream
+    carries the full window protocol (parallel_group / parallel_task /
+    tagged worker events / merge)."""
+    seen_prompts = []
+
+    def worker_rule(msgs, tools):
+        prompt = next(m.content for m in reversed(msgs) if m.role == "user")
+        seen_prompts.append(prompt)
+        return FakeChatClient.text_response(f"res[{prompt[:12]}]")
+
+    workers = {
+        "a": SimpleAgent(AgentConfig(), client=FakeChatClient(rule_fn=worker_rule)),
+        "b": SimpleAgent(AgentConfig(), client=FakeChatClient(rule_fn=worker_rule)),
+        "c": SimpleAgent(AgentConfig(), client=FakeChatClient(rule_fn=worker_rule)),
+    }
+
+    def router_rule(msgs, tools):
+        content = msgs[-1].content or ""
+        if "INDEPENDENT" in (msgs[0].content or ""):
+            return FakeChatClient.text_response(
+                '{"groups": [[{"agent_name": "a", "task": "part 1"},'
+                ' {"agent_name": "b", "task": "part 2"}],'
+                ' [{"agent_name": "c", "task": "combine"}]]}'
+            )
+        if content.startswith("Merge the results"):
+            return FakeChatClient.text_response("MERGED")
+        return FakeChatClient.text_response("?")
+
+    agent = ParallelOrchestratorAgent(
+        AgentConfig(type="parallel_orchestrator", max_parallel=2),
+        client=FakeChatClient(rule_fn=router_rule),
+        workers=workers,
+    )
+
+    async def collect():
+        rec = agent.run_streamed("big question")
+        evs = [e async for e in rec.stream_events()]
+        await rec.wait()
+        return rec, evs
+
+    rec, evs = asyncio.run(collect())
+    assert rec.final_output == "MERGED"
+    # the second group's worker saw the first group's results in context
+    assert any("Result of earlier task" in p and "Your task: combine" in p for p in seen_prompts)
+
+    types = [(e.type, e.data.get("status")) for e in evs if e.type in ("parallel_group", "parallel_task", "merge")]
+    assert types.count(("parallel_group", "start")) == 2
+    assert types.count(("parallel_group", "done")) == 2
+    assert types.count(("parallel_task", "start")) == 3
+    assert types.count(("parallel_task", "done")) == 3
+    assert ("merge", "start") in types and ("merge", "done") in types
+    # group 1's done precedes group 2's start (sequential groups)
+    g_evs = [e.data for e in evs if e.type == "parallel_group"]
+    assert [(d["group"], d["status"]) for d in g_evs] == [
+        (0, "start"), (0, "done"), (1, "start"), (1, "done")]
+    # worker sub-events are forwarded tagged for window routing
+    tagged = [e for e in evs if e.data.get("parallel_agent")]
+    assert tagged and all(e.type not in ("final", "error", "done") for e in tagged)
+    # task done cards carry the result + timing
+    dones = [e for e in evs if e.type == "parallel_task" and e.data["status"] == "done"]
+    assert all("res[" in d.data["result"] and "duration_ms" in d.data for d in dones)
+
+
+def test_parallel_orchestrator_timeout_emits_task_card():
+    class SlowClient(FakeChatClient):
+        async def chat(self, messages, tools=None, **kw):
+            await asyncio.sleep(1.0)
+            return FakeChatClient.text_response("late")
+
+    def router_rule(msgs, tools):
+        if "INDEPENDENT" in (msgs[0].content or ""):
+            return FakeChatClient.text_response('[{"agent_name": "slow", "task": "x"}]')
+        return FakeChatClient.text_response("merged anyway")
+
+    agent = ParallelOrchestratorAgent(
+        AgentConfig(type="parallel_orchestrator", task_timeout=0.05),
+        client=FakeChatClient(rule_fn=router_rule),
+        workers={"slow": SimpleAgent(AgentConfig(), client=SlowClient())},
+    )
+
+    async def collect():
+        rec = agent.run_streamed("q")
+        evs = [e async for e in rec.stream_events()]
+        await rec.wait()
+        return rec, evs
+
+    rec, evs = asyncio.run(collect())
+    assert rec.final_output == "merged anyway"
+    cards = [e.data for e in evs if e.type == "parallel_task"]
+    assert cards[-1]["status"] == "timeout" and "timed out" in cards[-1]["error"]
+
+
 def test_workforce_full_loop():
     calls = {"check": 0}
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 import asyncio
 import json
 import re
+import time
 from dataclasses import dataclass
 
 from ..utils.log import get_logger
@@ -60,10 +61,13 @@ into INDEPENDENT subtasks that can run in parallel.
 Workers:
 {workers_info}
 
-Produce a JSON list of independent tasks (no ordering dependencies):
-[{{"agent_name": "<worker>", "task": "<task description>"}}, ...]
+Produce a JSON object of task GROUPS: groups run in order (a later group
+sees every earlier group's results); tasks inside one group run in
+parallel and must be independent of each other:
+{{"groups": [[{{"agent_name": "<worker>", "task": "<task description>"}}, ...], ...]}}
 
-Reply with the JSON list only."""
+A single flat JSON list is also accepted and treated as one group.
+Reply with the JSON only."""
 
 
 MERGER_PROMPT = """Merge the results of parallel subtasks into one coherent \
@@ -77,6 +81,14 @@ Subtask results:
 Write the merged answer."""
 
 
+def _coerce_tasks(items: object) -> list[ChainTask]:
+    out = []
+    for it in items if isinstance(items, list) else []:
+        if isinstance(it, dict) and it.get("task"):
+            out.append(ChainTask(str(it.get("agent_name", "")), str(it["task"])))
+    return out
+
+
 def parse_task_list(text: str) -> list[ChainTask]:
     m = _JSON_RE.search(text or "")
     if not m:
@@ -85,11 +97,28 @@ def parse_task_list(text: str) -> list[ChainTask]:
         items = json.loads(m.group(0))
     except json.JSONDecodeError:
         return []
-    out = []
-    for it in items:
-        if isinstance(it, dict) and it.get("task"):
-            out.append(ChainTask(str(it.get("agent_name", "")), str(it["task"])))
-    return out
+    return _coerce_tasks(items)
+
+
+_GROUPS_RE = re.compile(r"\{.*\}", re.DOTALL)
+
+
+def parse_parallel_plan(text: str) -> list[list[ChainTask]]:
+    """Parse the planner reply into ordered groups of parallel tasks
+    (ref ``utu/agents/orchestrator/parallel.py:107-163`` ParallelGroup
+    structure). A flat task list becomes a single group."""
+    m = _GROUPS_RE.search(text or "")
+    if m:
+        try:
+            doc = json.loads(m.group(0))
+        except json.JSONDecodeError:
+            doc = None
+        if isinstance(doc, dict) and isinstance(doc.get("groups"), list):
+            groups = [g for g in (_coerce_tasks(x) for x in doc["groups"]) if g]
+            if groups:
+                return groups
+    flat = parse_task_list(text)
+    return [flat] if flat else []
 
 
 class _BaseOrchestrator:
@@ -194,6 +223,17 @@ class OrchestratorAgent(_BaseOrchestrator):
 
 
 class ParallelOrchestratorAgent(_BaseOrchestrator):
+    """Grouped parallel execution with per-task streaming.
+
+    Event protocol (ref ``utu/agents/parallel_orchestrator_agent.py:140-330``
+    ParallelOrchestratorEvent names, carried here in ``AgentEvent.data``):
+    ``plan`` → per group ``parallel_group{status:start}`` → per task
+    ``parallel_task{status:start|done|failed|timeout}`` with every worker
+    sub-event forwarded tagged ``data.parallel_agent`` (the frontend routes
+    those into that task's window) → ``parallel_group{status:done}`` →
+    ``merge{status:start|done}``. Groups run in order and later groups see
+    earlier results (ref ``_build_task_context``)."""
+
     async def _execute(self, task: str, recorder: TaskRecorder) -> str:
         resp = await self.client.chat(
             [
@@ -203,33 +243,66 @@ class ParallelOrchestratorAgent(_BaseOrchestrator):
                 ChatMessage("user", task),
             ]
         )
-        tasks = parse_task_list(resp.message.content or "")
-        if not tasks:
+        groups = parse_parallel_plan(resp.message.content or "")
+        if not groups:
             direct = await self.client.chat([ChatMessage("user", task)])
             return direct.message.content or ""
-        recorder.emit(AgentEvent("plan", data={"parallel": [vars(t) for t in tasks]}))
+        recorder.emit(
+            AgentEvent("plan", data={"parallel_groups": [[vars(t) for t in g] for g in groups]})
+        )
 
         sem = asyncio.Semaphore(self.config.max_parallel)
+        done_tasks: list[ChainTask] = []
 
-        async def run_one(t: ChainTask) -> None:
+        async def run_one(t: ChainTask, gi: int, ti: int, context: str) -> None:
+            base = {"group": gi, "task_idx": ti, "agent_name": t.agent_name}
             async with sem:
                 worker = self._workers.get(t.agent_name)
                 if worker is None:
                     t.status, t.result = "failed", f"(unknown worker {t.agent_name})"
+                    recorder.emit(
+                        AgentEvent(
+                            "parallel_task", name=t.agent_name,
+                            data={**base, "status": "failed", "error": t.result},
+                        )
+                    )
                     return
-                recorder.emit(AgentEvent("agent_switch", name=t.agent_name, text=t.task))
+                recorder.emit(
+                    AgentEvent(
+                        "parallel_task", name=t.agent_name,
+                        data={**base, "status": "start", "task": t.task},
+                    )
+                )
                 t.status = "running"
-                sub = worker.run_streamed(t.task)
+                prompt = f"{context}\n\nYour task: {t.task}" if context else t.task
+                sub = worker.run_streamed(prompt)
 
                 async def drain(_sub=sub):
-                    async for _ in _sub.stream_events():
-                        pass
+                    async for ev in _sub.stream_events():
+                        # forward live worker events tagged for window
+                        # routing; the worker's own final/error are
+                        # represented by the parallel_task done/failed
+                        # card instead of leaking into the main stream
+                        if ev.type in ("final", "error", "done"):
+                            continue
+                        ev.data = {**ev.data, "parallel_agent": t.agent_name, **base}
+                        recorder.emit(ev)
                     return await _sub.wait()
 
+                t0 = time.monotonic()
                 try:
                     rec = await asyncio.wait_for(drain(), timeout=self.config.task_timeout)
                     t.result = rec.final_output or ""
                     t.status = "done"
+                    recorder.emit(
+                        AgentEvent(
+                            "parallel_task", name=t.agent_name,
+                            data={
+                                **base, "status": "done", "result": t.result[:4000],
+                                "duration_ms": round((time.monotonic() - t0) * 1000, 1),
+                            },
+                        )
+                    )
                 except asyncio.TimeoutError:
                     t.status, t.result = "timeout", f"(timed out after {self.config.task_timeout}s)"
                     # cancel the worker's BACKGROUND run, not just our
@@ -239,16 +312,47 @@ class ParallelOrchestratorAgent(_BaseOrchestrator):
                     run_task = getattr(sub, "run_task", None)
                     if run_task is not None and not run_task.done():
                         run_task.cancel()
+                    recorder.emit(
+                        AgentEvent(
+                            "parallel_task", name=t.agent_name,
+                            data={**base, "status": "timeout", "error": t.result},
+                        )
+                    )
                 except Exception as e:  # noqa: BLE001
                     t.status, t.result = "failed", f"(failed: {e})"
+                    recorder.emit(
+                        AgentEvent(
+                            "parallel_task", name=t.agent_name,
+                            data={**base, "status": "failed", "error": str(e)},
+                        )
+                    )
                 recorder.add_message(t.agent_name, t.result or "")
 
-        await asyncio.gather(*(run_one(t) for t in tasks))
+        for gi, group in enumerate(groups):
+            recorder.emit(
+                AgentEvent(
+                    "parallel_group",
+                    data={
+                        "group": gi, "status": "start",
+                        "tasks": [{"agent_name": t.agent_name, "task": t.task} for t in group],
+                    },
+                )
+            )
+            context = "\n".join(
+                f"Result of earlier task ({t.agent_name}: {t.task}): {t.result}"
+                for t in done_tasks
+                if t.status == "done" and t.result
+            )
+            await asyncio.gather(*(run_one(t, gi, ti, context) for ti, t in enumerate(group)))
+            done_tasks.extend(group)
+            recorder.emit(AgentEvent("parallel_group", data={"group": gi, "status": "done"}))
 
         results_text = "\n\n".join(
-            f"[{t.agent_name} | {t.status}] {t.task}\n{t.result}" for t in tasks
+            f"[{t.agent_name} | {t.status}] {t.task}\n{t.result}" for t in done_tasks
         )
+        recorder.emit(AgentEvent("merge", data={"status": "start"}))
         merged = await self.client.chat(
             [ChatMessage("user", MERGER_PROMPT.format(question=task, results=results_text))]
         )
+        recorder.emit(AgentEvent("merge", data={"status": "done"}))
         return merged.message.content or ""

@@ -182,6 +182,10 @@ async function send(ctx, q) {
   let reasoning = null, reasoningT0 = 0, reasoningTimer = null;
   let buf = "";
   const toolCards = [];  // FIFO: tool_output pairs with the oldest open call
+  // parallel-orchestrator windows (ref chat.js parallel grid): one pane
+  // per task, live-updated from worker events tagged data.parallel_agent
+  const pwins = new Map();  // "group:task_idx" -> {el, body, status, tools}
+  let mergeCard = null;
   for (;;) {
     const { done, value } = await reader.read();
     if (done) break;
@@ -217,7 +221,99 @@ async function send(ctx, q) {
     }
   }
 
+  // ----------------------------------------------- parallel windows
+
+  function pwinKey(d) { return `${d.group ?? 0}:${d.task_idx ?? 0}`; }
+
+  function makeGroup(d) {
+    const grid = h("div", { class: "parallel-grid" });
+    const wrap = h("div", { class: "parallel-group" },
+      h("div", { class: "pgroup-head" },
+        `⫸ parallel group ${(d.group ?? 0) + 1} · ${(d.tasks || []).length} tasks`),
+      grid);
+    log.appendChild(wrap);
+    (d.tasks || []).forEach((task, i) => {
+      const status = h("span", { class: "pwin-status" }, "…");
+      const body = h("div", { class: "pwin-body" },
+        h("div", { class: "dim" }, task.task || ""));
+      const el = h("div", { class: "pwin" },
+        h("div", { class: "pwin-head" },
+          h("span", { class: "pwin-name" }, `🤖 ${task.agent_name}`), status),
+        body);
+      grid.appendChild(el);
+      pwins.set(`${d.group ?? 0}:${i}`, { el, body, status, tools: [] });
+    });
+    log.scrollTop = log.scrollHeight;
+  }
+
+  function pwinRoute(ev) {
+    const w = pwins.get(pwinKey(ev.data));
+    if (!w) return;
+    switch (ev.type) {
+      case "text_delta": {
+        let pre = w.body.querySelector(".pwin-stream");
+        if (!pre) { pre = h("pre", { class: "pwin-stream" }); w.body.appendChild(pre); }
+        pre.textContent += ev.content || "";
+        break;
+      }
+      case "reasoning_delta": {
+        let det = w.body.querySelector(".pwin-reasoning");
+        if (!det) {
+          det = h("details", { class: "pwin-reasoning" },
+            h("summary", {}, t("chat.thinking")), h("pre"));
+          w.body.appendChild(det);
+        }
+        det.querySelector("pre").textContent += ev.content || "";
+        break;
+      }
+      case "tool_call": {
+        const det = h("details", { class: "pwin-tool" },
+          h("summary", {}, `→ ${ev.name}`),
+          ev.arguments ? h("pre", {}, ev.arguments) : null);
+        w.body.appendChild(det);
+        w.tools.push(det);
+        break;
+      }
+      case "tool_output": {
+        const det = w.tools.shift();
+        const text = (ev.content || "").slice(0, 1200);
+        if (det) det.appendChild(h("pre", {}, text));
+        break;
+      }
+      default:
+        break;
+    }
+    w.body.scrollTop = w.body.scrollHeight;
+  }
+
+  function pwinStatus(ev) {
+    const d = ev.data || {};
+    const w = pwins.get(pwinKey(d));
+    if (!w) return;
+    if (d.status === "start") {
+      w.status.textContent = "⏳";
+      w.el.classList.add("running");
+    } else if (d.status === "done") {
+      w.status.textContent = d.duration_ms ? `✓ ${(d.duration_ms / 1000).toFixed(1)}s` : "✓";
+      w.el.classList.remove("running");
+      w.el.classList.add("done");
+      const pre = w.body.querySelector(".pwin-stream");
+      if (pre) pre.remove();
+      if (d.result) w.body.appendChild(h("div", { class: "pwin-result" },
+        renderMarkdown(d.result)));
+    } else {  // failed | timeout
+      w.status.textContent = "✗";
+      w.el.classList.remove("running");
+      w.el.classList.add("failed");
+      if (d.error) w.body.appendChild(h("div", { class: "pwin-error" }, d.error));
+    }
+    w.body.scrollTop = w.body.scrollHeight;
+  }
+
   function handleCard(ev) {
+    // worker events tagged by the parallel orchestrator route into the
+    // matching task window instead of the main stream
+    if (ev.data && ev.data.parallel_agent) { pwinRoute(ev); return; }
     switch (ev.type) {
       case "text_delta":
         if (!stream) {
@@ -254,6 +350,19 @@ async function send(ctx, q) {
       }
       case "plan":
         card(log, "", "plan", JSON.stringify(ev.data || ev.content || {}, null, 2));
+        break;
+      case "parallel_group":
+        if (ev.data?.status === "start") makeGroup(ev.data);
+        break;
+      case "parallel_task":
+        pwinStatus(ev);
+        break;
+      case "merge":
+        if (ev.data?.status === "start") {
+          mergeCard = card(log, "", "⧉ merging parallel results…");
+        } else if (mergeCard) {
+          mergeCard.querySelector("summary").textContent = "⧉ results merged";
+        }
         break;
       case "memory":
         card(log, "memory", "memory context", ev.content || "");
