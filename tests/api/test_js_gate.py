@@ -4,7 +4,7 @@ app shell, and deliberately broken fixtures fail the gate."""
 
 import pathlib
 
-from youtu_rag_tpu.utils.jscheck import check_file, check_js
+from youtu_rag_tpu.utils.jscheck import check_file, check_js, check_modules, module_exports
 
 STATIC = pathlib.Path(__file__).resolve().parents[2] / "youtu_rag_tpu" / "api" / "static"
 
@@ -33,6 +33,32 @@ def test_views_are_referenced_and_served():
                 if other != view
             )
         assert referenced, f"{name} shipped but never referenced from the app shell"
+
+
+def test_module_graph_resolves():
+    """Every relative named import across the SPA resolves to a real export
+    in the target module (catches typo'd imports the lexer can't)."""
+    errs = check_modules(STATIC)
+    assert not errs, [str(e) for e in errs]
+
+
+def test_module_exports_parsing():
+    src = (
+        "export function foo() {}\nexport async function bar() {}\n"
+        "export const baz = 1;\nexport class Qux {}\n"
+        "const hid = 2;\nexport { hid as vis, other };\nexport default foo;\n"
+    )
+    assert module_exports(src) == {"foo", "bar", "baz", "Qux", "vis", "other", "default"}
+
+
+def test_module_graph_catches_bad_import(tmp_path):
+    (tmp_path / "lib.js").write_text("export function real() {}\n")
+    (tmp_path / "a.js").write_text('import { real, fake } from "./lib.js";\nreal();\n')
+    (tmp_path / "b.js").write_text('import { x } from "./missing.js";\n')
+    msgs = [str(e) for e in check_modules(tmp_path)]
+    assert any("'fake' is not exported" in m for m in msgs)
+    assert any("missing module" in m for m in msgs)
+    assert not any("'real'" in m for m in msgs)
 
 
 def test_gate_catches_broken_js():

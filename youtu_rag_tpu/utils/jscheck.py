@@ -218,3 +218,88 @@ def check_js(src: str) -> list[JsError]:
 def check_file(path) -> list[JsError]:
     with open(path, encoding="utf-8") as f:
         return check_js(f.read())
+
+
+# ---------------------------------------------------------------------------
+# ES-module graph check: named imports must resolve to real exports
+# ---------------------------------------------------------------------------
+
+import re as _re
+from pathlib import Path as _Path
+
+_IMPORT_RE = _re.compile(
+    r"import\s*(?:\{(?P<names>[^}]*)\}|(?P<default>[A-Za-z_$][\w$]*))\s*"
+    r"from\s*[\"'](?P<path>[^\"']+)[\"']",
+    _re.DOTALL,
+)
+_EXPORT_DECL_RE = _re.compile(
+    r"export\s+(?:async\s+)?(?:function\s*\*?|const|let|var|class)\s+([A-Za-z_$][\w$]*)"
+)
+_EXPORT_LIST_RE = _re.compile(r"export\s*\{([^}]*)\}", _re.DOTALL)
+
+
+def _strip_comments(src: str) -> str:
+    src = _re.sub(r"/\*.*?\*/", "", src, flags=_re.DOTALL)
+    return _re.sub(r"^\s*//.*$", "", src, flags=_re.MULTILINE)
+
+
+def module_exports(src: str) -> set[str]:
+    """Named exports of one module (declarations + export lists)."""
+    src = _strip_comments(src)
+    names = set(_EXPORT_DECL_RE.findall(src))
+    for group in _EXPORT_LIST_RE.findall(src):
+        for item in group.split(","):
+            item = item.strip()
+            if not item:
+                continue
+            # "orig as alias" exports the alias
+            parts = item.split()
+            names.add(parts[-1])
+    if _re.search(r"export\s+default\b", src):
+        names.add("default")
+    return names
+
+
+def check_modules(root) -> list[JsError]:
+    """Cross-module gate over a directory of ES modules: every relative
+    named import must resolve to a file that actually exports that name.
+    Catches the breakage class the lexical gate can't — a typo'd import
+    silently killing a whole view at load time."""
+    root = _Path(root)
+    files = sorted(root.rglob("*.js"))
+    exports = {f: module_exports(f.read_text(encoding="utf-8")) for f in files}
+    errors: list[JsError] = []
+    for f in files:
+        src = _strip_comments(f.read_text(encoding="utf-8"))
+        for m in _IMPORT_RE.finditer(src):
+            spec = m.group("path")
+            if not spec.startswith("."):
+                continue  # bare/URL specifiers are out of scope
+            line = src.count("\n", 0, m.start()) + 1
+            target = (f.parent / spec).resolve()
+            if not target.is_file():
+                errors.append(
+                    JsError(line, f"{f.name}: import from missing module {spec!r}")
+                )
+                continue
+            avail = exports.get(target)
+            if avail is None:
+                avail = exports[target] = module_exports(target.read_text(encoding="utf-8"))
+            wanted: list[str] = []
+            if m.group("default"):
+                wanted.append("default")
+            for item in (m.group("names") or "").split(","):
+                item = item.strip()
+                if item:
+                    # "orig as alias" imports orig
+                    wanted.append(item.split()[0])
+            for name in wanted:
+                if name not in avail:
+                    errors.append(
+                        JsError(
+                            line,
+                            f"{f.name}: {name!r} is not exported by {spec!r} "
+                            f"(exports: {', '.join(sorted(avail)) or 'none'})",
+                        )
+                    )
+    return errors
