@@ -1,0 +1,161 @@
+"""API build route drives the STAGED knowledge builder (ingest agent):
+extension routing to table/database processors, table registry shared with
+text2sql, incremental skip on rebuild, and qa_pairs in the build body
+(ref: the reference's KB build route drives its knowledge-builder pipeline,
+utu/rag/api/routes/knowledge_base.py)."""
+
+import json
+import sqlite3
+import tempfile
+from pathlib import Path
+
+from tornado.testing import AsyncHTTPTestCase
+
+from youtu_rag_tpu.agents.config import AgentConfig
+from youtu_rag_tpu.agents.llm import FakeChatClient
+from youtu_rag_tpu.agents.simple_agent import SimpleAgent
+from youtu_rag_tpu.api.app import create_app
+from youtu_rag_tpu.api.state import ApiState
+from youtu_rag_tpu.core.config import IndexConfig, RAGConfig, VectorStoreConfig
+
+
+class StagedBuildTest(AsyncHTTPTestCase):
+    def get_app(self):
+        rag = RAGConfig(
+            vector_store=VectorStoreConfig(index=IndexConfig(min_capacity=256, block_rows=128))
+        )
+        self.state = ApiState(
+            data_dir=tempfile.mkdtemp(prefix="yrt-staged-"), rag_config=rag
+        )
+        self.state.agent = SimpleAgent(
+            AgentConfig(),
+            client=FakeChatClient(rule_fn=lambda m, t: FakeChatClient.text_response("a")),
+        )
+        return create_app(self.state)
+
+    def _json(self, resp):
+        return json.loads(resp.body)
+
+    def _multipart(self, filename, content: bytes):
+        boundary = "xyzboundary"
+        body = (
+            f"--{boundary}\r\n"
+            f'Content-Disposition: form-data; name="file"; filename="{filename}"\r\n'
+            f"Content-Type: application/octet-stream\r\n\r\n"
+        ).encode() + content + f"\r\n--{boundary}--\r\n".encode()
+        headers = {"Content-Type": f"multipart/form-data; boundary={boundary}"}
+        return body, headers
+
+    def _upload(self, filename, content: bytes):
+        body, headers = self._multipart(filename, content)
+        r = self.fetch("/api/files/upload", method="POST", body=body, headers=headers)
+        assert r.code == 201, r.body
+        return self._json(r)
+
+    # -- extension routing + table registry --------------------------------
+
+    def test_csv_build_registers_tables_for_text2sql(self):
+        self._upload(
+            "sales.csv",
+            b"region,revenue\nnorth,100\nsouth,80\neast,60\nwest,90\ncentral,70\n",
+        )
+        r = self.fetch(
+            "/api/knowledge-bases/kbt/build",
+            method="POST",
+            body=json.dumps({"files": ["sales.csv"]}),
+        )
+        data = self._json(r)
+        assert data["status"]["status"] == "completed", data
+        assert data["report"]["tables"], data["report"]
+        # the KB's own TableStore (the one text2sql reads) has the table
+        kb = self.state.get_or_create_kb("kbt")
+        tables = kb.tables.tables_for_kb("kbt")
+        assert tables and "revenue" in tables[0]["columns"]
+
+    def test_sqlite_db_build_routes_database_processor(self):
+        with tempfile.NamedTemporaryFile(suffix=".db", delete=False) as f:
+            db_path = f.name
+        conn = sqlite3.connect(db_path)
+        conn.execute("CREATE TABLE users (id INTEGER, name TEXT)")
+        conn.execute("INSERT INTO users VALUES (1, 'ada'), (2, 'alan')")
+        conn.commit()
+        conn.close()
+        self._upload("app.db", Path(db_path).read_bytes())
+        r = self.fetch(
+            "/api/knowledge-bases/kbd/build",
+            method="POST",
+            body=json.dumps({"files": ["app.db"]}),
+        )
+        data = self._json(r)
+        assert data["status"]["status"] == "completed", data
+        assert any("users" in t for t in data["report"]["tables"])
+        kb = self.state.get_or_create_kb("kbd")
+        assert any("users" in t["table_name"] for t in kb.tables.tables_for_kb("kbd"))
+
+    # -- incremental manifest ----------------------------------------------
+
+    def test_rebuild_skips_unchanged_sources(self):
+        self._upload("doc.md", b"# doc\nsome stable content here")
+        body = json.dumps({"files": ["doc.md"]})
+        r1 = self._json(
+            self.fetch("/api/knowledge-bases/kbi/build", method="POST", body=body)
+        )
+        assert r1["report"]["processed"] == 1 and r1["report"]["skipped"] == 0
+        r2 = self._json(
+            self.fetch("/api/knowledge-bases/kbi/build", method="POST", body=body)
+        )
+        assert r2["report"]["skipped"] == 1 and r2["report"]["processed"] == 0
+        # rebuild=true forces reprocessing
+        r3 = self._json(
+            self.fetch(
+                "/api/knowledge-bases/kbi/build",
+                method="POST",
+                body=json.dumps({"files": ["doc.md"], "rebuild": True}),
+            )
+        )
+        assert r3["report"]["processed"] == 1
+        # manifest persisted under the data dir
+        assert (Path(self.state.data_dir) / "kbs" / "kbi" / "manifest.json").exists()
+
+    # -- qa pairs through the build body ------------------------------------
+
+    def test_qa_pairs_in_build_body(self):
+        r = self._json(
+            self.fetch(
+                "/api/knowledge-bases/kbq/build",
+                method="POST",
+                body=json.dumps(
+                    {
+                        "documents": [{"id": "d1", "content": "context doc"}],
+                        "qa_pairs": [{"question": "what is x?", "answer": "42"}],
+                    }
+                ),
+            )
+        )
+        assert r["status"]["status"] == "completed"
+        # qa association is queryable through the qa route
+        qa = self._json(
+            self.fetch(
+                "/api/knowledge-bases/kbq/qa",
+                method="POST",
+                body=json.dumps({"question": "what is x?"}),
+            )
+        )
+        assert qa["matched"] and qa["matched"]["answer"] == "42", qa
+
+    # -- progress + error isolation -----------------------------------------
+
+    def test_progress_log_and_missing_file_error(self):
+        self._upload("ok.md", b"fine content")
+        r = self._json(
+            self.fetch(
+                "/api/knowledge-bases/kbe/build",
+                method="POST",
+                body=json.dumps({"files": ["ok.md", "ghost.md"]}),
+            )
+        )
+        assert r["status"]["status"] == "completed"  # one source still built
+        assert any("ghost.md" in e for e in r["status"]["errors"])
+        logs = self._json(self.fetch("/api/knowledge-bases/kbe/build-logs"))["logs"]
+        prog = logs[-1]["detail"]["progress"]
+        assert prog and prog[-1]["done"] == prog[-1]["total"]

@@ -37,7 +37,6 @@ import tornado.websocket
 
 from ..agents.config import AgentConfig
 from ..core.types import Document
-from ..ingest.loaders import DocumentLoaderRegistry
 from ..utils.log import get_logger
 from .state import ApiState
 
@@ -261,39 +260,75 @@ class KBItemHandler(BaseHandler):
 
 class KBBuildHandler(BaseHandler):
     async def post(self, name: str):
-        """Build from uploaded files and/or inline documents.
+        """Build from uploaded files and/or inline documents through the
+        STAGED knowledge builder (analyze → skip-unchanged → parallel
+        process → QA stage): file sources route by extension to the
+        text/table/database processors, registering spreadsheet and DB
+        tables for text2sql; inline documents take the text path; repeated
+        builds skip unchanged sources via the per-KB manifest
+        (ref: utu/rag/api/routes/knowledge_base.py build route driving the
+        knowledge builder pipeline).
 
-        body: {"files": ["name", ...], "documents": [{"id","content","metadata"}], "rebuild": bool}
+        body: {"files": ["name", ...], "documents": [{"id","content","metadata"}],
+               "qa_pairs": [{"question","answer"}], "rebuild": bool}
         """
+        from ..ingest.processors import SourceTask
+
         body = self.json_body()
         kb = self.state.get_or_create_kb(name)
-        docs: list[Document] = []
+        tasks: list[SourceTask] = []
         errors: list[str] = []
         for fname in body.get("files", []):
             if not self.state.files.exists("uploads", fname):
                 errors.append(f"file not found: {fname}")
                 continue
             path = self.state.files.local_path("uploads", fname)
-            try:
-                docs.extend(DocumentLoaderRegistry.load(str(path)))
-            except Exception as e:  # noqa: BLE001
-                errors.append(f"{fname}: {e}")
+            meta = (self.state.files.stat("uploads", fname) or {}).get("user_metadata", {})
+            tasks.append(SourceTask(fname, "text", path=str(path), metadata=dict(meta)))
         for d in body.get("documents", []):
-            docs.append(Document(d["id"], d["content"], d.get("metadata")))
+            tasks.append(
+                SourceTask(
+                    d["id"], "text",
+                    document=Document(d["id"], d["content"], d.get("metadata")),
+                    metadata=d.get("metadata") or {},
+                )
+            )
+        if body.get("qa_pairs"):
+            tasks.append(SourceTask(f"qa-{name}", "qa", qa_pairs=body["qa_pairs"]))
 
-        if not docs and not errors:
+        if not tasks and not errors:
             raise tornado.web.HTTPError(400, reason="nothing to build")
 
         log = self.state.add_build_log(name, "running")
-        status = await kb.build_documents(docs, rebuild=bool(body.get("rebuild")))
-        status.errors.extend(errors)
-        log["status"] = status.status
-        log["detail"] = {
-            "processed_documents": status.processed_documents,
-            "total_chunks": status.total_chunks,
-            "errors": status.errors,
+        progress = log["detail"].setdefault("progress", [])
+
+        def on_progress(source: str, status: str, done: int, total: int) -> None:
+            progress.append({"source": source, "status": status, "done": done, "total": total})
+
+        report = await kb.build_sources(
+            tasks, rebuild=bool(body.get("rebuild")), on_progress=on_progress
+        )
+        all_errors = report.errors + errors
+        log["status"] = "failed" if (report.processed == 0 and all_errors) else "completed"
+        log["detail"].update(
+            {
+                "processed_documents": report.processed,
+                "skipped_documents": report.skipped,
+                "total_chunks": report.total_chunks,
+                "tables": report.tables,
+                "errors": all_errors,
+            }
+        )
+        # response keeps the BuildStatus shape older clients consume, with
+        # the staged-builder report alongside
+        status = {
+            "status": log["status"],
+            "total_documents": report.total_sources,
+            "processed_documents": report.processed,
+            "total_chunks": report.total_chunks,
+            "errors": all_errors,
         }
-        self.write_json({"build": log, "status": status.model_dump()})
+        self.write_json({"build": log, "status": status, "report": report.summary()})
 
 
 class KBSnapshotHandler(BaseHandler):
@@ -450,7 +485,6 @@ class KBQAPairsHandler(BaseHandler):
         import uuid as _uuid
 
         from ..ingest.processors import ProcessorContext, QAProcessor, SourceTask
-        from ..ingest.tables import TableStore
 
         body = self.json_body()
         pairs = body.get("pairs") or []
@@ -459,7 +493,7 @@ class KBQAPairsHandler(BaseHandler):
         kb = self.state.get_or_create_kb(name)
         source_id = body.get("source_id") or f"qa-{_uuid.uuid4().hex[:8]}"
         ctx = ProcessorContext(
-            name, kb.store, kb.embedder, TableStore(), kb.config.knowledge_builder
+            name, kb.store, kb.embedder, kb.tables, kb.config.knowledge_builder
         )
         res = await QAProcessor(ctx).process(SourceTask(source_id, "qa", qa_pairs=pairs))
         await kb.warmup()

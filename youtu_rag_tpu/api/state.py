@@ -200,6 +200,9 @@ class ApiState:
         kb = self.kbs.get(name)
         if kb is None:
             kb = self.kbs.get_or_create(name, config or self.rag_config.model_copy(update={"name": name}))
+            # table registry + incremental manifest live under the data dir
+            # so text2sql tables and skip-unchanged survive restarts
+            kb.attach_persistence(self.data_dir / "kbs" / name)
             self.monitor.register(name, kb.store)
             # agent KB toolkits (kb_search et al.) resolve names through
             # the GLOBAL registry — without this, chat over an API-built

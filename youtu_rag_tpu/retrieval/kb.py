@@ -40,6 +40,92 @@ class KnowledgeBase:
             self.store, self.embedder, self.config.knowledge_builder
         )
         self.assembler = ContextAssembler()
+        # staged-builder state (created lazily; persisted when the API
+        # attaches a directory): one TableStore + incremental manifest per
+        # KB so table/database sources and text2sql share a registry
+        self._tables = None
+        self._manifest = None
+        self._builder_agent = None
+        self._persist_dir = None
+
+    # -- staged builder (ingest agent) -------------------------------------
+
+    @property
+    def tables(self):
+        if self._tables is None:
+            from ..ingest.tables import TableStore
+
+            path = ":memory:"
+            if self._persist_dir is not None:
+                path = str(self._persist_dir / "tables.sqlite")
+            self._tables = TableStore(path)
+        return self._tables
+
+    @property
+    def manifest(self):
+        if self._manifest is None:
+            from ..index.persistence import BuildManifest
+
+            mf = None
+            if self._persist_dir is not None:
+                p = self._persist_dir / "manifest.json"
+                if p.exists():
+                    try:
+                        mf = BuildManifest.load(p)
+                    except Exception:  # noqa: BLE001 - corrupt manifest → full rebuild
+                        logger.exception("manifest load failed; rebuilding from scratch")
+            self._manifest = mf or BuildManifest()
+        return self._manifest
+
+    def attach_persistence(self, directory) -> None:
+        """Give the staged-builder state a home on disk (API data dir):
+        the table registry becomes sqlite-backed and the incremental
+        manifest survives restarts. Call before the first build."""
+        from pathlib import Path
+
+        self._persist_dir = Path(directory)
+        self._persist_dir.mkdir(parents=True, exist_ok=True)
+
+    @property
+    def builder_agent(self):
+        """The full staged knowledge builder (analyze → group → parallel
+        process → QA stage) over this KB's store/embedder/tables
+        (ref: KnowledgeBuilderAgent wiring in the KB build routes,
+        utu/rag/api/routes/knowledge_base.py build path)."""
+        if self._builder_agent is None:
+            from ..ingest.agent import KnowledgeBuilderAgent
+
+            self._builder_agent = KnowledgeBuilderAgent(
+                self.name,
+                self.store,
+                self.embedder,
+                tables=self.tables,
+                config=self.config.knowledge_builder,
+                manifest=self.manifest,
+            )
+        return self._builder_agent
+
+    async def build_sources(self, tasks, rebuild: bool = False, on_progress=None):
+        """Build through the staged ingest agent: source tasks route to the
+        text/table/database/qa processors with incremental skip; the
+        manifest persists when a directory is attached."""
+        from ..ingest.agent import BuildRequest
+
+        agent = self.builder_agent
+        agent.on_progress = on_progress
+        try:
+            report = await agent.build(
+                BuildRequest(kb_name=self.name, tasks=list(tasks), rebuild=rebuild)
+            )
+        finally:
+            agent.on_progress = None
+        if self._persist_dir is not None:
+            try:
+                self.manifest.save(self._persist_dir / "manifest.json")
+            except OSError:
+                logger.exception("manifest save failed")
+        await self.warmup()
+        return report
 
     async def build_documents(self, documents: list[Document], rebuild: bool = False):
         status = await self.builder.build_from_documents(documents, rebuild=rebuild)
