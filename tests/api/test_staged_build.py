@@ -19,6 +19,12 @@ from youtu_rag_tpu.api.state import ApiState
 from youtu_rag_tpu.core.config import IndexConfig, RAGConfig, VectorStoreConfig
 
 
+def _task(source_id: str, path: str):
+    from youtu_rag_tpu.ingest.processors import SourceTask
+
+    return SourceTask(source_id, "text", path=path)
+
+
 class StagedBuildTest(AsyncHTTPTestCase):
     def get_app(self):
         rag = RAGConfig(
@@ -142,6 +148,102 @@ class StagedBuildTest(AsyncHTTPTestCase):
             )
         )
         assert qa["matched"] and qa["matched"]["answer"] == "42", qa
+
+    # -- tables route --------------------------------------------------------
+
+    def test_tables_list_preview_sql_drop(self):
+        self._upload(
+            "inv.csv",
+            b"item,qty\npen,10\nbook,4\nmug,7\ndesk,2\nlamp,5\n",
+        )
+        self.fetch(
+            "/api/knowledge-bases/kbs2/build",
+            method="POST",
+            body=json.dumps({"files": ["inv.csv"]}),
+        )
+        tables = self._json(self.fetch("/api/knowledge-bases/kbs2/tables"))["tables"]
+        assert tables and tables[0]["n_rows"] == 5
+        tname = tables[0]["table_name"]
+        # preview
+        r = self._json(
+            self.fetch(f"/api/knowledge-bases/kbs2/tables?table={tname}&limit=3")
+        )
+        assert r["columns"] == ["item", "qty"] and r["row_count"] == 3
+        # read-only SQL console
+        r = self._json(
+            self.fetch(
+                "/api/knowledge-bases/kbs2/tables",
+                method="POST",
+                body=json.dumps({"sql": f'SELECT SUM(qty) FROM "{tname}"'}),
+            )
+        )
+        assert r["rows"][0][0] == 28
+        # writes rejected
+        bad = self.fetch(
+            "/api/knowledge-bases/kbs2/tables",
+            method="POST",
+            body=json.dumps({"sql": f'DELETE FROM "{tname}"'}),
+        )
+        assert bad.code == 400
+        # drop
+        assert (
+            self.fetch(
+                f"/api/knowledge-bases/kbs2/tables?table={tname}", method="DELETE"
+            ).code
+            == 200
+        )
+        assert not self._json(self.fetch("/api/knowledge-bases/kbs2/tables"))["tables"]
+        # unknown table 404s
+        assert self.fetch("/api/knowledge-bases/kbs2/tables?table=nope").code == 404
+
+    # -- restart durability --------------------------------------------------
+
+    def test_kb_registry_survives_restart(self):
+        self._upload(
+            "facts.csv",
+            b"topic,value\nhbm,820\nici,1600\nmxu,8\nvmem,128\ncores,2\n",
+        )
+        r = self._json(
+            self.fetch(
+                "/api/knowledge-bases/kbr/build",
+                method="POST",
+                body=json.dumps({"files": ["facts.csv"]}),
+            )
+        )
+        assert r["status"]["status"] == "completed"
+        # snapshot to the default location so the index also survives
+        r = self.fetch(
+            "/api/knowledge-bases/kbr/snapshot",
+            method="POST",
+            body=json.dumps({"action": "save"}),
+        )
+        assert r.code == 200, r.body
+
+        # simulated restart: a fresh ApiState over the same data dir
+        from youtu_rag_tpu.retrieval.kb import GLOBAL_KB_REGISTRY
+
+        GLOBAL_KB_REGISTRY.remove("kbr")
+        state2 = ApiState(data_dir=self.state.data_dir, rag_config=self.state.rag_config)
+        assert "kbr" in state2.kbs.names()
+        kb2 = state2.kbs.get("kbr")
+        # table registry rehydrated
+        assert kb2.tables.tables_for_kb("kbr")
+        # index auto-restored from the default snapshot
+        import asyncio
+
+        assert asyncio.get_event_loop().run_until_complete(kb2.store.count()) > 0
+        # manifest rehydrated: rebuilding skips the unchanged source
+        report = asyncio.get_event_loop().run_until_complete(
+            kb2.build_sources(
+                [_task("facts.csv", str(Path(self.state.data_dir) / "files" / "uploads" / "facts.csv"))]
+            )
+        )
+        assert report.skipped == 1
+
+        # deleting the KB removes persisted state → no resurrection
+        assert self.fetch("/api/knowledge-bases/kbr", method="DELETE").code == 200
+        state3 = ApiState(data_dir=self.state.data_dir, rag_config=self.state.rag_config)
+        assert "kbr" not in state3.kbs.names()
 
     # -- progress + error isolation -----------------------------------------
 

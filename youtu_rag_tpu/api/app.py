@@ -437,6 +437,54 @@ class KBChunksHandler(BaseHandler):
         )
 
 
+class KBTablesHandler(BaseHandler):
+    """Structured-table registry of a KB: list, preview, read-only SQL,
+    drop (ref: the webui kb-detail DB tables panel + the reference's
+    table-management routes over its ExcelTableManager)."""
+
+    def _kb(self, name: str):
+        kb = self.state.kbs.get(name)
+        if kb is None:
+            raise tornado.web.HTTPError(404, reason=f"knowledge base {name!r} not found")
+        return kb
+
+    async def get(self, name: str):
+        kb = self._kb(name)
+        table = self.get_query_argument("table", None)
+        if table is None:
+            self.write_json({"kb": name, "tables": kb.tables.tables_for_kb(name)})
+            return
+        registered = {t["table_name"] for t in kb.tables.tables_for_kb(name)}
+        if table not in registered:
+            raise tornado.web.HTTPError(404, reason=f"table {table!r} not registered")
+        limit = min(int(self.get_query_argument("limit", "20")), 500)
+        preview = kb.tables.execute_sql(f'SELECT * FROM "{table}"', limit=limit)
+        self.write_json({"kb": name, "table": table, **preview})
+
+    async def post(self, name: str):
+        """Read-only SQL console over the KB's table store."""
+        kb = self._kb(name)
+        sql = self.json_body().get("sql", "").strip()
+        if not sql:
+            raise tornado.web.HTTPError(400, reason="missing 'sql'")
+        limit = min(int(self.json_body().get("limit", 200)), 1000)
+        result = kb.tables.execute_sql(sql, limit=limit)
+        if "error" in result:
+            self.write_json({"kb": name, "sql": sql, **result}, status=400)
+            return
+        self.write_json({"kb": name, "sql": sql, **result})
+
+    async def delete(self, name: str):
+        kb = self._kb(name)
+        table = self.get_query_argument("table", None)
+        if not table:
+            raise tornado.web.HTTPError(400, reason="missing 'table'")
+        dropped = kb.tables.drop_table(name, table)
+        if not dropped:
+            raise tornado.web.HTTPError(404, reason=f"table {table!r} not registered")
+        self.write_json({"kb": name, "dropped": table})
+
+
 class KBQAPairsHandler(BaseHandler):
     """QA-pair management: list / add / delete stored QA associations
     (ref: the QA management screens + routes, utu/rag/api/routes/
@@ -1329,6 +1377,7 @@ def create_app(state: ApiState | None = None) -> tornado.web.Application:
             (r"/api/knowledge-bases/([^/]+)/snapshot", KBSnapshotHandler),
             (r"/api/knowledge-bases/([^/]+)/query", KBQueryHandler),
             (r"/api/knowledge-bases/([^/]+)/qa", KBQAHandler),
+            (r"/api/knowledge-bases/([^/]+)/tables", KBTablesHandler),
             (r"/api/knowledge-bases/([^/]+)/qa-pairs", KBQAPairsHandler),
             (r"/api/knowledge-bases/([^/]+)/qa/execute", KBQAExecuteHandler),
             (r"/api/knowledge-bases/([^/]+)/qa/batch-execute", KBQABatchExecuteHandler),

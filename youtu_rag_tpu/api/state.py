@@ -159,6 +159,7 @@ class ApiState:
         self.uploads: dict[str, UploadTask] = {}
         self.build_logs: list[dict[str, Any]] = []
         self._lock = asyncio.Lock()
+        self._rehydrate_kbs()
 
     # -- agent lifecycle (ref: dependencies.py:37-202) ---------------------
 
@@ -199,10 +200,12 @@ class ApiState:
     def get_or_create_kb(self, name: str, config: RAGConfig | None = None) -> KnowledgeBase:
         kb = self.kbs.get(name)
         if kb is None:
-            kb = self.kbs.get_or_create(name, config or self.rag_config.model_copy(update={"name": name}))
+            cfg = config or self.rag_config.model_copy(update={"name": name})
+            kb = self.kbs.get_or_create(name, cfg)
             # table registry + incremental manifest live under the data dir
             # so text2sql tables and skip-unchanged survive restarts
             kb.attach_persistence(self.data_dir / "kbs" / name)
+            self._persist_kb_meta(name, kb.config)
             self.monitor.register(name, kb.store)
             # agent KB toolkits (kb_search et al.) resolve names through
             # the GLOBAL registry — without this, chat over an API-built
@@ -212,12 +215,66 @@ class ApiState:
 
     def remove_kb(self, name: str) -> bool:
         """Remove a KB everywhere it was registered: the API registry, the
-        global toolkit registry, and the storage monitor (a stale monitor
-        row keeps the cleared index alive and reports a deleted backend)."""
+        global toolkit registry, the storage monitor (a stale monitor
+        row keeps the cleared index alive and reports a deleted backend),
+        and its persisted state (else it resurrects on restart)."""
         removed = self.kbs.remove(name)
         GLOBAL_KB_REGISTRY.remove(name)
         self.monitor.unregister(name)
+        for d in (self.data_dir / "kbs" / name, self.data_dir / "snapshots" / name):
+            # only ever delete under our own data dir, and only kb dirs
+            if d.is_dir():
+                shutil.rmtree(d, ignore_errors=True)
         return removed
+
+    # -- KB durability across restarts -------------------------------------
+    # The reference's KB list survives service restarts (DB-backed configs,
+    # utu/rag/api persistent stores); here each KB writes kbs/<name>/kb.json
+    # at creation, the registry rehydrates from those at startup, and a
+    # default-location snapshot (snapshots/<name>) is auto-restored when
+    # present. Without a snapshot the KB comes back with its table registry
+    # + manifest; the next build's storage-state check reprocesses sources
+    # whose chunks are missing from the empty index.
+
+    def _persist_kb_meta(self, name: str, config: RAGConfig) -> None:
+        d = self.data_dir / "kbs" / name
+        d.mkdir(parents=True, exist_ok=True)
+        try:
+            (d / "kb.json").write_text(
+                json.dumps({"name": name, "config": config.model_dump(mode="json")}, ensure_ascii=False)
+            )
+        except OSError:
+            logger.exception("kb meta persist failed for %s", name)
+
+    def _rehydrate_kbs(self) -> None:
+        root = self.data_dir / "kbs"
+        if not root.is_dir():
+            return
+        for kb_dir in sorted(p for p in root.iterdir() if p.is_dir()):
+            meta = kb_dir / "kb.json"
+            name = kb_dir.name
+            cfg = self.rag_config.model_copy(update={"name": name})
+            if meta.exists():
+                try:
+                    doc = json.loads(meta.read_text())
+                    name = doc["name"]
+                    cfg = RAGConfig.model_validate(doc.get("config") or {})
+                except Exception:  # noqa: BLE001 - bad meta → default config
+                    logger.exception("corrupt kb meta %s; using defaults", meta)
+            if self.kbs.get(name) is not None:
+                continue
+            kb = self.kbs.get_or_create(name, cfg)
+            kb.attach_persistence(meta.parent)
+            self.monitor.register(name, kb.store)
+            GLOBAL_KB_REGISTRY.register(kb)
+            snap = self.data_dir / "snapshots" / name
+            if (snap / "index.json").exists():
+                try:
+                    kb.load(str(snap))
+                    logger.info("restored KB %s from snapshot", name)
+                except Exception:  # noqa: BLE001 - missing/stale snapshot → empty KB
+                    logger.exception("snapshot restore failed for %s", name)
+            logger.info("rehydrated KB %s", name)
 
     def new_upload(self, filename: str) -> UploadTask:
         task = UploadTask(task_id=f"up-{uuid.uuid4().hex[:12]}", filename=filename)

@@ -24,6 +24,7 @@ const I18N = {
     "kb.delete": "Delete", "kb.chunks": "chunks", "kb.backend": "backend",
     "kb.build": "Build", "kb.browse": "Chunks", "kb.qa": "QA", "kb.index": "Index",
     "kb.meta": "Metadata", "kb.snapshot": "Snapshot", "kb.query": "Query",
+    "kb.tables": "Tables", "tables.sql": "Run SQL", "tables.none": "No structured tables — build a spreadsheet or database source.",
     "build.files": "Files to build (from the file manager)",
     "build.inline": "Inline document (optional)", "build.rebuild": "full rebuild",
     "build.run": "Run build", "build.logs": "Build logs",
@@ -52,6 +53,7 @@ const I18N = {
     "kb.delete": "删除", "kb.chunks": "分块", "kb.backend": "后端",
     "kb.build": "构建", "kb.browse": "分块", "kb.qa": "问答", "kb.index": "索引",
     "kb.meta": "元数据", "kb.snapshot": "快照", "kb.query": "检索",
+    "kb.tables": "数据表", "tables.sql": "执行 SQL", "tables.none": "暂无结构化表 — 先构建表格或数据库数据源。",
     "build.files": "要构建的文件（来自文件管理）", "build.inline": "内联文档（可选）",
     "build.rebuild": "全量重建", "build.run": "开始构建", "build.logs": "构建日志",
     "chunks.search": "搜索分块…", "qa.question": "问题", "qa.answer": "答案",

@@ -60,6 +60,7 @@ async function renderKbDetail(view, name) {
     ["chunks", t("kb.browse"), renderChunksTab],
     ["qa", t("kb.qa"), renderQaTab],
     ["query", t("kb.query"), renderQueryTab],
+    ["tables", t("kb.tables"), renderTablesTab],
     ["index", t("kb.index"), renderIndexTab],
     ["meta", t("kb.meta"), renderMetaTab],
     ["snapshot", t("kb.snapshot"), renderSnapshotTab],
@@ -135,9 +136,12 @@ async function renderBuildTab(root, name) {
         body: JSON.stringify({ files: selected, documents: docs, rebuild: rebuild.checked }),
       });
       report.innerHTML = "";
+      const rep = r.report || {};
       report.appendChild(h("div", {},
         h("span", { class: `badge ${r.status.status === "completed" ? "ok" : "err"}` }, r.status.status),
-        ` ${r.status.processed_documents} docs → ${r.status.total_chunks} chunks`,
+        ` ${r.status.processed_documents} docs → ${r.status.total_chunks} chunks`
+        + (rep.skipped ? ` · ${rep.skipped} unchanged (skipped)` : "")
+        + (rep.tables && rep.tables.length ? ` · tables: ${rep.tables.join(", ")}` : ""),
         r.status.errors.length ? h("pre", {}, r.status.errors.join("\n")) : null));
       toast(`build ${r.status.status}`, r.status.errors.length ? "err" : "ok");
     } finally {
@@ -421,6 +425,83 @@ async function renderQueryTab(root, name) {
     }
   }));
   root.appendChild(h("div", { class: "card col" }, h("div", { class: "row" }, qIn, kIn, btn), out));
+}
+
+// ------------------------------------------------------------------ tables
+// Structured-table registry + read-only SQL console over the KB's table
+// store (counterpart of rag_webui kb-detail's DB tables management).
+
+function resultTable(r) {
+  if (!r.columns || !r.columns.length) return h("div", { class: "dim" }, "(no rows)");
+  return h("table", {},
+    h("tr", {}, ...r.columns.map((c) => h("th", {}, String(c)))),
+    ...r.rows.map((row) => h("tr", {}, ...row.map((v) => h("td", {}, v === null ? "" : String(v))))));
+}
+
+async function renderTablesTab(root, name) {
+  const listBox = h("div", {});
+  const sqlIn = h("textarea", { rows: "3", style: "width:100%", placeholder: "SELECT … (read-only)" });
+  const sqlBtn = h("button", { class: "primary" }, t("tables.sql"));
+  const sqlOut = h("div", {});
+
+  async function load() {
+    const data = await api(`/api/knowledge-bases/${name}/tables`);
+    listBox.innerHTML = "";
+    if (!data.tables.length) {
+      listBox.appendChild(h("div", { class: "dim" }, t("tables.none")));
+      return;
+    }
+    const rows = data.tables.map((tb) => {
+      const del = h("button", { class: "danger ghost" }, "✕");
+      del.addEventListener("click", guard(async (ev) => {
+        ev.stopPropagation();
+        if (!confirm(`drop table ${tb.table_name}?`)) return;
+        await api(`/api/knowledge-bases/${name}/tables?table=${encodeURIComponent(tb.table_name)}`, { method: "DELETE" });
+        await load();
+      }));
+      const tr = h("tr", { class: "clickable" },
+        h("td", {}, tb.table_name),
+        h("td", { class: "dim" }, tb.source),
+        h("td", {}, `${tb.n_rows}×${tb.n_cols}`),
+        h("td", { class: "dim" }, (tb.columns || "").slice(0, 80)),
+        h("td", {}, del));
+      tr.addEventListener("click", guard(async (ev) => {
+        if (ev.target === del) return;
+        const r = await api(`/api/knowledge-bases/${name}/tables?table=${encodeURIComponent(tb.table_name)}&limit=20`);
+        openModal(h("div", {},
+          h("h2", {}, tb.table_name),
+          h("div", { class: "dim" }, `${tb.n_rows} rows · source ${tb.source}`),
+          resultTable(r),
+          h("button", { onclick: closeModal }, "close")));
+      }));
+      return tr;
+    });
+    listBox.appendChild(h("table", {},
+      h("tr", {}, h("th", {}, "table"), h("th", {}, "source"), h("th", {}, "size"),
+        h("th", {}, "columns"), h("th", {}, "")),
+      rows));
+  }
+
+  sqlBtn.addEventListener("click", guard(async () => {
+    const sql = sqlIn.value.trim();
+    if (!sql) return;
+    sqlOut.innerHTML = "";
+    try {
+      const r = await api(`/api/knowledge-bases/${name}/tables`, {
+        method: "POST", body: JSON.stringify({ sql }),
+      });
+      sqlOut.appendChild(h("div", { class: "dim" }, `${r.row_count} rows`));
+      sqlOut.appendChild(resultTable(r));
+    } catch (e) {
+      sqlOut.appendChild(h("div", { class: "pwin-error" }, String(e.message || e)));
+    }
+  }));
+
+  root.appendChild(h("div", { class: "col" },
+    h("div", { class: "card" }, listBox),
+    h("div", { class: "card col" }, h("h3", {}, "SQL"), sqlIn,
+      h("div", { class: "row" }, h("div", { class: "spacer" }), sqlBtn), sqlOut)));
+  await load();
 }
 
 // ------------------------------------------------------------------ index
