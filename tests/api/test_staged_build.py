@@ -196,6 +196,88 @@ class StagedBuildTest(AsyncHTTPTestCase):
         # unknown table 404s
         assert self.fetch("/api/knowledge-bases/kbs2/tables?table=nope").code == 404
 
+    # -- source configuration + cleanup --------------------------------------
+
+    def test_config_put_cleans_removed_sources(self):
+        self._upload("a.md", b"alpha document content")
+        self._upload(
+            "b.csv", b"k,v\n1,a\n2,b\n3,c\n4,d\n5,e\n"
+        )
+        self.fetch(
+            "/api/knowledge-bases/kbc2/build",
+            method="POST",
+            body=json.dumps({"files": ["a.md", "b.csv"]}),
+        )
+        assert self._json(self.fetch("/api/knowledge-bases/kbc2/tables"))["tables"]
+        # declare a config WITHOUT b.csv → its vectors + table are cleaned
+        r = self._json(
+            self.fetch(
+                "/api/knowledge-bases/kbc2/config",
+                method="PUT",
+                body=json.dumps({"sources": {"files": ["a.md"]}}),
+            )
+        )
+        cleaned_ids = [c["source"] for c in r["cleaned"]]
+        assert "b.csv" in cleaned_ids and "a.md" not in cleaned_ids
+        assert not self._json(self.fetch("/api/knowledge-bases/kbc2/tables"))["tables"]
+        # config persisted and readable
+        g = self._json(self.fetch("/api/knowledge-bases/kbc2/config"))
+        assert g["sources"]["files"] == ["a.md"]
+        # removed source reprocesses if re-added (manifest forgot it)
+        r2 = self._json(
+            self.fetch(
+                "/api/knowledge-bases/kbc2/build",
+                method="POST",
+                body=json.dumps({"files": ["b.csv"]}),
+            )
+        )
+        assert r2["report"]["processed"] == 1
+
+    def test_build_from_config(self):
+        self._upload("c1.md", b"config driven content")
+        self.fetch(
+            "/api/knowledge-bases/kbc3/config",
+            method="PUT",
+            body=json.dumps(
+                {
+                    "sources": {
+                        "files": ["c1.md"],
+                        "qa_pairs": [{"question": "q1", "answer": "a1"}],
+                    }
+                }
+            ),
+        )
+        r = self._json(
+            self.fetch(
+                "/api/knowledge-bases/kbc3/build",
+                method="POST",
+                body=json.dumps({"from_config": True}),
+            )
+        )
+        assert r["status"]["status"] == "completed"
+        assert r["status"]["total_documents"] == 2  # file + qa task
+
+    def test_db_connection_test(self):
+        with tempfile.NamedTemporaryFile(suffix=".db", delete=False) as f:
+            db_path = f.name
+        conn = sqlite3.connect(db_path)
+        conn.execute("CREATE TABLE t1 (a INTEGER)")
+        conn.commit()
+        conn.close()
+        self._upload("probe.db", Path(db_path).read_bytes())
+        r = self._json(
+            self.fetch("/api/db/test", method="POST", body=json.dumps({"file": "probe.db"}))
+        )
+        assert r["ok"] and r["tables"][0]["table"] == "t1"
+        assert "CREATE TABLE" in r["tables"][0]["ddl"]
+        # gated mysql degrades with a clear error, not a crash
+        bad = self.fetch(
+            "/api/db/test",
+            method="POST",
+            body=json.dumps({"url": "mysql://u:p@nowhere:3306/db"}),
+        )
+        assert bad.code == 400 and "error" in self._json(bad)
+
     # -- restart durability --------------------------------------------------
 
     def test_kb_registry_survives_restart(self):

@@ -276,6 +276,17 @@ class KBBuildHandler(BaseHandler):
 
         body = self.json_body()
         kb = self.state.get_or_create_kb(name)
+        if body.get("from_config"):
+            # build from the declared source configuration (ref: the
+            # config-driven build in kb_config_routes.py:627-680)
+            cfg_sources = self.state.get_kb_sources(name)
+            body = {**body}
+            body.setdefault("files", list(cfg_sources.get("files") or []))
+            body.setdefault("documents", list(cfg_sources.get("documents") or []))
+            body.setdefault("qa_pairs", list(cfg_sources.get("qa_pairs") or []))
+            body["files"] = body["files"] + [
+                db["file"] for db in cfg_sources.get("databases") or [] if db.get("file")
+            ]
         tasks: list[SourceTask] = []
         errors: list[str] = []
         for fname in body.get("files", []):
@@ -435,6 +446,79 @@ class KBChunksHandler(BaseHandler):
                 ],
             }
         )
+
+
+class KBConfigHandler(BaseHandler):
+    """Declared source configuration of a KB with removed-source cleanup
+    on update (ref: the reference's KB configuration PUT — sources diff +
+    ``KBConfigService.cleanup_removed_sources``, kb_config_routes.py PUT +
+    services/kb_config_service.py:75).
+
+    sources shape: {"files": [name...], "documents": [{"id","content"}...],
+                    "databases": [{"url"} or {"file"}...],
+                    "qa_pairs": [{"question","answer"}...]}
+    """
+
+    @staticmethod
+    def _source_ids(sources: dict) -> list[str]:
+        ids = list(sources.get("files") or [])
+        ids += [d["id"] for d in sources.get("documents") or [] if d.get("id")]
+        ids += [db.get("file") or db.get("url", "") for db in sources.get("databases") or []]
+        return [i for i in ids if i]
+
+    async def get(self, name: str):
+        if self.state.kbs.get(name) is None:
+            raise tornado.web.HTTPError(404, reason=f"knowledge base {name!r} not found")
+        self.write_json({"kb": name, "sources": self.state.get_kb_sources(name)})
+
+    async def put(self, name: str):
+        from ..ingest.cleanup import KnowledgeCleanupManager
+
+        body = self.json_body()
+        sources = body.get("sources")
+        if not isinstance(sources, dict):
+            raise tornado.web.HTTPError(400, reason="missing 'sources' object")
+        kb = self.state.get_or_create_kb(name)
+        ids = self._source_ids(sources)
+        # qa source ids are minted per-build (qa-<kb>) — keep them configured
+        if sources.get("qa_pairs"):
+            ids.append(f"qa-{name}")
+        mgr = KnowledgeCleanupManager(name, kb.store, kb.tables, kb.manifest)
+        cleaned = await mgr.cleanup_removed_sources(ids)
+        self.state.set_kb_sources(name, sources)
+        self.write_json({"kb": name, "sources": sources, "cleaned": cleaned})
+
+
+class DBTestHandler(BaseHandler):
+    """Test a database connection and introspect its tables before wiring
+    it into a KB (ref: the DB connection test in kb_config_routes.py:873-1016).
+    body: {"url": "sqlite:///path | mysql://…"} or {"file": "<uploaded name>"}."""
+
+    async def post(self):
+        from ..db.adapters import adapter_from_url
+
+        body = self.json_body()
+        url = body.get("url")
+        if not url and body.get("file"):
+            fname = body["file"]
+            if not self.state.files.exists("uploads", fname):
+                raise tornado.web.HTTPError(400, reason=f"uploaded file not found: {fname}")
+            url = f"sqlite:///{self.state.files.local_path('uploads', fname)}"
+        if not url:
+            raise tornado.web.HTTPError(400, reason="need 'url' or 'file'")
+        try:
+            adapter = adapter_from_url(url)
+            try:
+                tables = adapter.list_tables()
+                info = [
+                    {"table": t, "ddl": adapter.table_ddl(t)[:500]} for t in tables[:50]
+                ]
+            finally:
+                adapter.close()
+        except Exception as e:  # noqa: BLE001 - connection errors → clear 400
+            self.write_json({"ok": False, "error": str(e)}, status=400)
+            return
+        self.write_json({"ok": True, "dialect": adapter.dialect, "tables": info})
 
 
 class KBTablesHandler(BaseHandler):
@@ -1378,6 +1462,8 @@ def create_app(state: ApiState | None = None) -> tornado.web.Application:
             (r"/api/knowledge-bases/([^/]+)/query", KBQueryHandler),
             (r"/api/knowledge-bases/([^/]+)/qa", KBQAHandler),
             (r"/api/knowledge-bases/([^/]+)/tables", KBTablesHandler),
+            (r"/api/knowledge-bases/([^/]+)/config", KBConfigHandler),
+            (r"/api/db/test", DBTestHandler),
             (r"/api/knowledge-bases/([^/]+)/qa-pairs", KBQAPairsHandler),
             (r"/api/knowledge-bases/([^/]+)/qa/execute", KBQAExecuteHandler),
             (r"/api/knowledge-bases/([^/]+)/qa/batch-execute", KBQABatchExecuteHandler),

@@ -239,12 +239,44 @@ class ApiState:
     def _persist_kb_meta(self, name: str, config: RAGConfig) -> None:
         d = self.data_dir / "kbs" / name
         d.mkdir(parents=True, exist_ok=True)
+        p = d / "kb.json"
+        doc: dict[str, Any] = {}
+        if p.exists():  # preserve declared sources across meta rewrites
+            try:
+                doc = json.loads(p.read_text())
+            except (OSError, json.JSONDecodeError):
+                doc = {}
+        doc.update({"name": name, "config": config.model_dump(mode="json")})
         try:
-            (d / "kb.json").write_text(
-                json.dumps({"name": name, "config": config.model_dump(mode="json")}, ensure_ascii=False)
-            )
+            p.write_text(json.dumps(doc, ensure_ascii=False))
         except OSError:
             logger.exception("kb meta persist failed for %s", name)
+
+    def _kb_meta_path(self, name: str):
+        return self.data_dir / "kbs" / name / "kb.json"
+
+    def get_kb_sources(self, name: str) -> dict[str, Any]:
+        """Declared source configuration of a KB (ref: kb_source_configs
+        rows behind the reference's KB configuration PUT)."""
+        p = self._kb_meta_path(name)
+        if p.exists():
+            try:
+                return json.loads(p.read_text()).get("sources") or {}
+            except (OSError, json.JSONDecodeError):
+                logger.exception("kb sources read failed for %s", name)
+        return {}
+
+    def set_kb_sources(self, name: str, sources: dict[str, Any]) -> None:
+        p = self._kb_meta_path(name)
+        doc: dict[str, Any] = {"name": name}
+        if p.exists():
+            try:
+                doc = json.loads(p.read_text())
+            except (OSError, json.JSONDecodeError):
+                logger.exception("kb meta read failed for %s; rewriting", name)
+        doc["sources"] = sources
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(json.dumps(doc, ensure_ascii=False))
 
     def _rehydrate_kbs(self) -> None:
         root = self.data_dir / "kbs"

@@ -28,6 +28,8 @@ const I18N = {
     "build.files": "Files to build (from the file manager)",
     "build.inline": "Inline document (optional)", "build.rebuild": "full rebuild",
     "build.run": "Run build", "build.logs": "Build logs",
+    "build.sources": "Source configuration", "build.saveConfig": "Save selection as config",
+    "build.fromConfig": "Build from config", "build.dbTest": "Test DB connection",
     "chunks.search": "search chunks…", "qa.question": "question", "qa.answer": "answer",
     "qa.add": "Add pair", "qa.ask": "Ask", "qa.threshold": "threshold",
     "qa.execute": "Execute with agent", "qa.executed": "Execution result",
@@ -56,6 +58,8 @@ const I18N = {
     "kb.tables": "数据表", "tables.sql": "执行 SQL", "tables.none": "暂无结构化表 — 先构建表格或数据库数据源。",
     "build.files": "要构建的文件（来自文件管理）", "build.inline": "内联文档（可选）",
     "build.rebuild": "全量重建", "build.run": "开始构建", "build.logs": "构建日志",
+    "build.sources": "数据源配置", "build.saveConfig": "保存所选为配置",
+    "build.fromConfig": "按配置构建", "build.dbTest": "测试数据库连接",
     "chunks.search": "搜索分块…", "qa.question": "问题", "qa.answer": "答案",
     "qa.add": "添加问答对", "qa.ask": "提问", "qa.threshold": "阈值",
     "qa.execute": "执行（代理）", "qa.executed": "执行结果",

@@ -151,6 +151,53 @@ async function renderBuildTab(root, name) {
     }
   }));
 
+  // source configuration: declared source list with removed-source
+  // cleanup on save + config-driven build (ref kb-detail configuration)
+  const cfgInfo = h("span", { class: "dim" });
+  const saveCfgBtn = h("button", {}, t("build.saveConfig"));
+  const fromCfgBtn = h("button", {}, t("build.fromConfig"));
+  saveCfgBtn.addEventListener("click", guard(async () => {
+    const selected = [...root.querySelectorAll("input[type=checkbox][value]")]
+      .filter((c) => c.checked).map((c) => c.value);
+    const r = await api(`/api/knowledge-bases/${name}/config`, {
+      method: "PUT", body: JSON.stringify({ sources: { files: selected } }),
+    });
+    const cleaned = r.cleaned.map((c) => c.source);
+    cfgInfo.textContent = `config: ${selected.length} files`
+      + (cleaned.length ? ` · cleaned removed: ${cleaned.join(", ")}` : "");
+    toast("source config saved", "ok");
+  }));
+  fromCfgBtn.addEventListener("click", guard(async () => {
+    const r = await api(`/api/knowledge-bases/${name}/build`, {
+      method: "POST", body: JSON.stringify({ from_config: true, rebuild: rebuild.checked }),
+    });
+    toast(`build ${r.status.status}: ${r.status.total_chunks} chunks`, "ok");
+    await refreshLogs();
+  }));
+  api(`/api/knowledge-bases/${name}/config`).then((c) => {
+    const n = (c.sources.files || []).length;
+    if (n) cfgInfo.textContent = `config: ${n} files declared`;
+  }).catch(() => {});
+
+  // DB connection tester (ref kb_config_routes DB connection test)
+  const dbUrl = h("input", { placeholder: "sqlite:///path.db or uploaded .db name", style: "flex:1" });
+  const dbBtn = h("button", {}, t("build.dbTest"));
+  const dbOut = h("div", {});
+  dbBtn.addEventListener("click", guard(async () => {
+    const v = dbUrl.value.trim();
+    if (!v) return;
+    const body = v.includes("://") ? { url: v } : { file: v };
+    dbOut.innerHTML = "";
+    try {
+      const r = await api("/api/db/test", { method: "POST", body: JSON.stringify(body) });
+      dbOut.appendChild(h("div", {},
+        h("span", { class: "badge ok" }, r.dialect),
+        ` ${r.tables.length} tables: ${r.tables.map((x) => x.table).join(", ")}`));
+    } catch (e) {
+      dbOut.appendChild(h("div", { class: "pwin-error" }, String(e.message || e)));
+    }
+  }));
+
   root.appendChild(h("div", { class: "col" },
     h("div", { class: "card" },
       h("h3", {}, t("build.files")),
@@ -163,6 +210,10 @@ async function renderBuildTab(root, name) {
         h("label", { class: "dim" }, rebuild, ` ${t("build.rebuild")}`),
         h("div", { class: "spacer" }), runBtn),
       report),
+    h("div", { class: "card col" },
+      h("h3", {}, t("build.sources")),
+      h("div", { class: "row" }, saveCfgBtn, fromCfgBtn, cfgInfo),
+      h("div", { class: "row" }, dbUrl, dbBtn), dbOut),
     h("div", { class: "card" }, h("h3", {}, t("build.logs")), logsBox)));
   await refreshLogs();
 }
