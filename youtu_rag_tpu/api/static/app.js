@@ -36,6 +36,8 @@ const I18N = {
     "files.upload": "Upload", "files.upload.progress": "Upload with stages",
     "files.name": "name", "files.size": "size", "files.actions": "actions",
     "files.ocr": "OCR", "files.download": "Download", "files.delete": "Delete",
+    "files.search": "search files\u2026", "files.batchDelete": "Delete selected",
+    "files.noPreview": "no preview for this file type",
     "ocr.save": "Save page", "ocr.edited": "edited", "ocr.none": "no OCR results for this file",
     "chat.placeholder": "Ask the knowledge base…", "chat.send": "Send",
     "chat.kb": "Knowledge base", "chat.agent": "Agent", "chat.memory": "Memory",
@@ -66,6 +68,8 @@ const I18N = {
     "files.upload": "上传", "files.upload.progress": "分阶段上传",
     "files.name": "名称", "files.size": "大小", "files.actions": "操作",
     "files.ocr": "OCR", "files.download": "下载", "files.delete": "删除",
+    "files.search": "搜索文件\u2026", "files.batchDelete": "删除所选",
+    "files.noPreview": "该文件类型不支持预览",
     "ocr.save": "保存本页", "ocr.edited": "已编辑", "ocr.none": "该文件没有 OCR 结果",
     "chat.placeholder": "向知识库提问…", "chat.send": "发送",
     "chat.kb": "知识库", "chat.agent": "智能体", "chat.memory": "记忆",

@@ -28,13 +28,31 @@ export async function renderChat(view) {
   const clearBtn = h("button", { class: "ghost" }, t("chat.clear"));
 
   const fileBox = h("div", { class: "col" });
+  // in-chat upload (ref chat.js handleFileUploadClick → associate flow):
+  // picked file uploads immediately and joins the attachable list checked
+  const chatUpload = h("input", { type: "file", style: "display:none" });
+  const chatUploadBtn = h("button", { class: "ghost" }, "+ upload");
+  chatUploadBtn.addEventListener("click", () => chatUpload.click());
+  chatUpload.addEventListener("change", guard(async () => {
+    const f = chatUpload.files[0];
+    if (!f) return;
+    const fd = new FormData();
+    fd.append("file", f);
+    const r = await fetch("/api/files/upload", { method: "POST", body: fd });
+    if (!r.ok) { toast(`upload failed: ${r.status}`, "err"); return; }
+    toast(`uploaded ${f.name}`, "ok");
+    const lbl = h("label", { class: "dim row", style: "gap:6px" },
+      h("input", { type: "checkbox", value: f.name, checked: "" }), f.name);
+    fileBox.appendChild(lbl);
+    chatUpload.value = "";
+  }));
   const side = h("div", { class: "chat-side col" },
     h("div", { class: "card col" },
       h("h3", {}, t("chat.kb")), kbSel,
       h("h3", {}, t("chat.agent")), agentSel,
       h("h3", {}, t("chat.memory")),
       h("label", { class: "dim" }, memToggle, " enabled"),
-      h("h3", {}, "attach files"), fileBox,
+      h("h3", {}, "attach files"), fileBox, chatUploadBtn, chatUpload,
       clearBtn,
     ),
   );

@@ -5,62 +5,132 @@
 // reference's OCR screens (minio_files.py:1500-1811).
 
 import { api, fmtBytes, guard, h, openModal, closeModal, t, toast } from "../app.js";
+import { renderMarkdown } from "./utils.js";
 
 const STAGES = ["PENDING", "UPLOADING", "OCR_PROCESSING", "METADATA_EXTRACTING",
   "UPLOADING_TO_MINIO", "CHUNK_PROCESSING", "COMPLETED"];
 
+const PREVIEW_EXTS = [".md", ".markdown", ".txt", ".csv", ".json", ".jsonl", ".py", ".html", ".log"];
+const PAGE_SIZE = 25;
+
 export async function renderFiles(view) {
-  const fileInput = h("input", { type: "file" });
+  const fileInput = h("input", { type: "file", multiple: "" });
   const upBtn = h("button", {}, t("files.upload"));
   const upProgBtn = h("button", { class: "primary" }, t("files.upload.progress"));
   const progWrap = h("div", { class: "col", style: "min-width:260px" });
   const tableBox = h("div", {});
+  const searchIn = h("input", { placeholder: t("files.search"), style: "flex:1" });
+  const summary = h("span", { class: "dim" });
+  const batchDel = h("button", { class: "danger ghost" }, t("files.batchDelete"));
+  const selAll = h("input", { type: "checkbox", title: "select all" });
+  const pager = h("span", { class: "dim" });
+  const prevBtn = h("button", {}, "‹");
+  const nextBtn = h("button", {}, "›");
+
+  // sort + filter + page state (ref file-manager's sorted/filtered views)
+  let sortKey = "uploaded_at", sortDir = -1, page = 0;
+  const selected = new Set();
+
+  function sortable(label, key) {
+    const th = h("th", { class: "clickable" },
+      `${label}${sortKey === key ? (sortDir > 0 ? " ▲" : " ▼") : ""}`);
+    th.addEventListener("click", guard(async () => {
+      if (sortKey === key) sortDir = -sortDir; else { sortKey = key; sortDir = 1; }
+      await load();
+    }));
+    return th;
+  }
 
   async function load() {
     const data = await api("/api/files");
     tableBox.innerHTML = "";
-    if (!data.files.length) {
-      tableBox.appendChild(h("div", { class: "dim" }, "(no files uploaded)"));
+    const q = searchIn.value.trim().toLowerCase();
+    let files = data.files.filter((f) => !f.name.startsWith(".meta"));
+    const totalBytes = files.reduce((a, f) => a + (f.size || 0), 0);
+    summary.textContent = `${files.length} files · ${fmtBytes(totalBytes)}`;
+    if (q) files = files.filter((f) => f.name.toLowerCase().includes(q));
+    files.sort((a, b) => {
+      const va = a[sortKey] ?? "", vb = b[sortKey] ?? "";
+      return (va < vb ? -1 : va > vb ? 1 : 0) * sortDir;
+    });
+    const pages = Math.max(1, Math.ceil(files.length / PAGE_SIZE));
+    page = Math.min(page, pages - 1);
+    pager.textContent = `${page + 1}/${pages}`;
+    const shown = files.slice(page * PAGE_SIZE, (page + 1) * PAGE_SIZE);
+    if (!shown.length) {
+      tableBox.appendChild(h("div", { class: "dim" }, "(no files)"));
       return;
     }
-    const rows = data.files
-      .filter((f) => !f.name.startsWith(".meta"))
-      .map((f) => {
-        const meta = f.user_metadata || {};
-        const ocrBtn = h("button", { class: "ghost" }, t("files.ocr"));
-        ocrBtn.addEventListener("click", guard(() => openOcrModal(f.name)));
-        const dlBtn = h("a", { href: `/api/files/${encodeURIComponent(f.name)}`, download: f.name },
-          h("button", { class: "ghost" }, t("files.download")));
-        const delBtn = h("button", { class: "danger ghost" }, t("files.delete"));
-        delBtn.addEventListener("click", guard(async () => {
-          if (!confirm(`delete ${f.name}?`)) return;
-          await api(`/api/files/${encodeURIComponent(f.name)}`, { method: "DELETE" });
-          await load();
-        }));
-        const badges = [];
-        if (meta.kind) badges.push(h("span", { class: "badge" }, meta.kind));
-        if (meta.is_manual_edited) badges.push(h("span", { class: "badge warn" }, t("ocr.edited")));
-        if (meta.publish_date) badges.push(h("span", { class: "badge" }, meta.publish_date));
-        return h("tr", {},
-          h("td", {}, f.name, " ", ...badges),
-          h("td", { class: "dim" }, fmtBytes(f.size)),
-          h("td", { class: "dim" }, f.uploaded_at ? new Date(f.uploaded_at * 1000).toLocaleString() : ""),
-          h("td", { class: "dim" }, (f.etag || "").slice(0, 10)),
-          h("td", {}, h("div", { class: "row" }, ocrBtn, dlBtn, delBtn)));
+    const rows = shown.map((f) => {
+      const meta = f.user_metadata || {};
+      const check = h("input", { type: "checkbox" });
+      check.checked = selected.has(f.name);
+      check.addEventListener("change", () => {
+        if (check.checked) selected.add(f.name); else selected.delete(f.name);
       });
+      const ocrBtn = h("button", { class: "ghost" }, t("files.ocr"));
+      ocrBtn.addEventListener("click", guard(() => openOcrModal(f.name)));
+      const dlBtn = h("a", { href: `/api/files/${encodeURIComponent(f.name)}`, download: f.name },
+        h("button", { class: "ghost" }, t("files.download")));
+      const delBtn = h("button", { class: "danger ghost" }, t("files.delete"));
+      delBtn.addEventListener("click", guard(async () => {
+        if (!confirm(`delete ${f.name}?`)) return;
+        await api(`/api/files/${encodeURIComponent(f.name)}`, { method: "DELETE" });
+        selected.delete(f.name);
+        await load();
+      }));
+      const badges = [];
+      if (meta.kind) badges.push(h("span", { class: "badge" }, meta.kind));
+      if (meta.is_manual_edited) badges.push(h("span", { class: "badge warn" }, t("ocr.edited")));
+      if (meta.publish_date) badges.push(h("span", { class: "badge" }, meta.publish_date));
+      const nameCell = h("td", { class: "clickable" }, f.name, " ", ...badges);
+      nameCell.addEventListener("click", guard(() => openPreview(f)));
+      return h("tr", {},
+        h("td", {}, check),
+        nameCell,
+        h("td", { class: "dim" }, fmtBytes(f.size)),
+        h("td", { class: "dim" }, f.uploaded_at ? new Date(f.uploaded_at * 1000).toLocaleString() : ""),
+        h("td", { class: "dim" }, (f.etag || "").slice(0, 10)),
+        h("td", {}, h("div", { class: "row" }, ocrBtn, dlBtn, delBtn)));
+    });
     tableBox.appendChild(h("table", {},
-      h("tr", {}, h("th", {}, t("files.name")), h("th", {}, t("files.size")),
-        h("th", {}, "uploaded"), h("th", {}, "etag"), h("th", {}, t("files.actions"))),
+      h("tr", {}, h("th", {}, selAll), sortable(t("files.name"), "name"),
+        sortable(t("files.size"), "size"), sortable("uploaded", "uploaded_at"),
+        h("th", {}, "etag"), h("th", {}, t("files.actions"))),
       rows));
   }
 
+  selAll.addEventListener("change", guard(async () => {
+    const data = await api("/api/files");
+    const names = data.files.filter((f) => !f.name.startsWith(".meta")).map((f) => f.name);
+    selected.clear();
+    if (selAll.checked) names.forEach((n) => selected.add(n));
+    await load();
+  }));
+
+  batchDel.addEventListener("click", guard(async () => {
+    if (!selected.size) { toast("nothing selected", "err"); return; }
+    if (!confirm(`delete ${selected.size} files?`)) return;
+    for (const name of [...selected]) {
+      await api(`/api/files/${encodeURIComponent(name)}`, { method: "DELETE" });
+      selected.delete(name);
+    }
+    toast("deleted", "ok");
+    await load();
+  }));
+
+  searchIn.addEventListener("input", guard(async () => { page = 0; await load(); }));
+  prevBtn.addEventListener("click", guard(async () => { page = Math.max(0, page - 1); await load(); }));
+  nextBtn.addEventListener("click", guard(async () => { page += 1; await load(); }));
+
   upBtn.addEventListener("click", guard(async () => {
-    const f = fileInput.files[0];
-    if (!f) return;
-    const fd = new FormData();
-    fd.append("file", f);
-    await fetch("/api/files/upload", { method: "POST", body: fd });
-    toast(`uploaded ${f.name}`, "ok");
+    if (!fileInput.files.length) return;
+    for (const f of fileInput.files) {
+      const fd = new FormData();
+      fd.append("file", f);
+      await fetch("/api/files/upload", { method: "POST", body: fd });
+    }
+    toast(`uploaded ${fileInput.files.length} file(s)`, "ok");
     await load();
   }));
 
@@ -96,8 +166,47 @@ export async function renderFiles(view) {
   view.appendChild(h("div", { class: "col" },
     h("div", { class: "card" },
       h("div", { class: "row" }, fileInput, upBtn, upProgBtn), progWrap),
-    h("div", { class: "card" }, tableBox)));
+    h("div", { class: "card col" },
+      h("div", { class: "row" }, searchIn, prevBtn, pager, nextBtn, batchDel, summary),
+      tableBox)));
   await load();
+}
+
+// ------------------------------------------------------------------ preview
+// Click a file name → content preview: markdown rendered, CSV as a table,
+// text/code in a <pre> (ref file-manager preview flows).
+
+async function openPreview(f) {
+  const name = f.name;
+  const ext = (name.match(/\.[^.]+$/) || [""])[0].toLowerCase();
+  if (!PREVIEW_EXTS.includes(ext)) {
+    toast(t("files.noPreview"), "err");
+    return;
+  }
+  const resp = await fetch(`/api/files/${encodeURIComponent(name)}`);
+  if (!resp.ok) { toast(`HTTP ${resp.status}`, "err"); return; }
+  const text = await resp.text();
+  const clipped = text.slice(0, 40000);
+  let body;
+  if (ext === ".md" || ext === ".markdown") {
+    body = renderMarkdown(clipped);
+  } else if (ext === ".csv") {
+    const lines = clipped.split("\n").filter((l) => l.trim()).slice(0, 200);
+    const cells = lines.map((l) => l.split(","));
+    body = h("table", {},
+      h("tr", {}, ...cells[0].map((c) => h("th", {}, c))),
+      ...cells.slice(1).map((r) => h("tr", {}, ...r.map((c) => h("td", {}, c)))));
+  } else {
+    body = h("pre", { style: "max-height:60vh;overflow:auto" }, clipped);
+  }
+  openModal(h("div", {},
+    h("div", { class: "row" },
+      h("h2", {}, name),
+      h("span", { class: "dim" }, fmtBytes(f.size)),
+      h("div", { class: "spacer" }),
+      h("button", { class: "ghost", onclick: closeModal }, "✕")),
+    text.length > clipped.length ? h("div", { class: "dim" }, "(truncated preview)") : null,
+    body));
 }
 
 // ------------------------------------------------------------------ OCR modal
