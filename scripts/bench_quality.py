@@ -154,12 +154,59 @@ def gen_timeliness(rng, n_topics=40, years=(2019, 2025)):
     return docs, qrels
 
 
+def gen_popularity(rng, n_topics=40, docs_per_topic=6):
+    """Per topic, several near-identical library/tool writeups with a
+    'downloads' popularity metric. Queries ask for 'the most popular …';
+    only the top-popularity doc is relevant. Dense similarity cannot
+    separate them — the popularity metadata must (ref: the Popularity
+    Preference axis of the metadata-retrieval table, README.md:816-882)."""
+    docs = []
+    qrels = []
+    for i in range(n_topics):
+        t = _TOPICS[i % len(_TOPICS)] + f" toolkit family {i}"
+        pops = rng.permutation(docs_per_topic)
+        best = None
+        for j in range(docs_per_topic):
+            downloads = int(1000 + 99000 * pops[j] / (docs_per_topic - 1))
+            did = f"pop_doc_{i}_{j}"
+            if pops[j] == docs_per_topic - 1:
+                best = did
+            docs.append(
+                {
+                    "id": did,
+                    "content": (
+                        f"Overview of implementation {chr(65 + j)} for {t}. This library "
+                        f"provides data ingestion, processing and reporting for {t}. "
+                        f"It is distributed under an open license."
+                    ),
+                    "metadata": {"topic_id": i, "downloads": downloads, "variant": j},
+                }
+            )
+        qrels.append(
+            {
+                "query": f"the most popular library for {t}",
+                "relevant": [best],
+            }
+        )
+        qrels.append(
+            {
+                "query": f"most downloaded implementation for {t}",
+                "relevant": [best],
+            }
+        )
+    return docs, qrels
+
+
 def write_fixtures(regen: bool = False) -> dict[str, tuple[str, str]]:
     import numpy as np
 
     os.makedirs(DATA_DIR, exist_ok=True)
     out = {}
-    for name, gen in (("niah", gen_niah), ("timeliness", gen_timeliness)):
+    for name, gen in (
+        ("niah", gen_niah),
+        ("timeliness", gen_timeliness),
+        ("popularity", gen_popularity),
+    ):
         docs_p = os.path.join(DATA_DIR, f"{name}_docs.jsonl")
         qrels_p = os.path.join(DATA_DIR, f"{name}_qrels.jsonl")
         if regen or not (os.path.exists(docs_p) and os.path.exists(qrels_p)):
@@ -263,6 +310,30 @@ async def run_all(args) -> dict:
     )
     report["datasets"]["timeliness"] = {
         "queries": len(plain), **{k: _trim(v) for k, v in t.items()}
+    }
+
+    # --- popularity preference ---
+    from youtu_rag_tpu.tools.meta_retrieval import MetaRetrievalToolkit
+
+    docs_p, qrels_p = fixtures["popularity"]
+    kb4 = await build_kb("popularity", docs_p, args.provider, args.pretrained)
+    pop = {}
+    pop["dense_naive"] = await RetrievalBenchmark(kb4, top_k=15).run(
+        RetrievalBenchmark.load_qrels(qrels_p)
+    )
+    toolkit = MetaRetrievalToolkit({"kb": kb4})
+
+    async def pref_fn(query, filters, top_k):
+        return await toolkit.search_with_preference(
+            query, top_k=top_k, filters=filters, preference="popularity"
+        )
+
+    pop["popularity_blend"] = await RetrievalBenchmark(
+        kb4, top_k=15, retrieve_fn=pref_fn
+    ).run(RetrievalBenchmark.load_qrels(qrels_p))
+    n_pop = len(RetrievalBenchmark.load_qrels(qrels_p))
+    report["datasets"]["popularity"] = {
+        "queries": n_pop, **{k: _trim(v) for k, v in pop.items()}
     }
     return report
 

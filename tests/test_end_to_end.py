@@ -136,3 +136,58 @@ def test_meta_retrieval_temporal_flow():
 
     merged = asyncio.run(tk.call_tool("merge_retrieval_results", {"session_id": "s"}))
     assert "news-2022.md" in merged
+
+
+def test_meta_retrieval_popularity_preference():
+    """'most popular X' queries blend popularity metadata into ranking
+    (ref: the Popularity Preference axis, README.md:816-882): docs with
+    near-identical text separate by downloads, not similarity."""
+    from youtu_rag_tpu.tools.meta_retrieval import (
+        MetaRetrievalToolkit,
+        detect_preference,
+        popularity_blend,
+    )
+
+    assert detect_preference("the most popular parser for logs") == "popularity"
+    assert detect_preference("most-cited paper on attention") == "popularity"
+    assert detect_preference("the 2022 annual report") is None
+
+    kb = _make_kb("e2e4")
+    docs = [
+        Document(
+            f"lib-{v}.md",
+            f"# Library {v}\nA data ingestion toolkit, variant {v}, for parsing logs.",
+            {"source": f"lib-{v}.md", "downloads": dl},
+        )
+        for v, dl in (("a", 100), ("b", 90000), ("c", 5000))
+    ]
+    asyncio.run(kb.build_documents(docs))
+    tk = MetaRetrievalToolkit(ToolkitConfig(config={"kb": kb}))
+
+    analysis = json.loads(
+        asyncio.run(
+            tk.call_tool(
+                "query_analysis",
+                {"query": "the most popular data ingestion toolkit", "session_id": "p"},
+            )
+        )
+    )
+    assert analysis["preference"] == "popularity"
+    out = asyncio.run(
+        tk.call_tool(
+            "kb_embedding_search",
+            {"query": "data ingestion toolkit for parsing logs", "session_id": "p", "top_k": 1},
+        )
+    )
+    assert "lib-b.md" in out  # highest downloads wins at equal similarity
+
+    # unit: blend resorts by popularity at equal similarity, keeps ranks
+    from youtu_rag_tpu.core.types import Chunk, RetrievalResult
+
+    results = [
+        RetrievalResult(Chunk(f"c{i}", f"d{i}", "x", 0, {"downloads": dl}), 0.9, i + 1)
+        for i, dl in enumerate([10, 1000, 500])
+    ]
+    blended = popularity_blend(results, top_k=3)
+    assert [r.chunk.document_id for r in blended] == ["d1", "d2", "d0"]
+    assert [r.rank for r in blended] == [1, 2, 3]

@@ -62,11 +62,17 @@ class RetrievalSample:
 class RetrievalBenchmark:
     """Run qrels through a KnowledgeBase retriever and aggregate metrics."""
 
-    def __init__(self, kb, top_k: int = 15, ndcg_k: int = 5, use_hybrid: bool = False):
+    def __init__(
+        self, kb, top_k: int = 15, ndcg_k: int = 5, use_hybrid: bool = False, retrieve_fn=None
+    ):
         self.kb = kb
         self.top_k = top_k
         self.ndcg_k = ndcg_k
         self.use_hybrid = use_hybrid
+        # optional custom path: async (query, filters, top_k) -> results —
+        # lets toolkit-level strategies (e.g. popularity-preference blending)
+        # run under the same metric suite
+        self.retrieve_fn = retrieve_fn
 
     @staticmethod
     def load_qrels(source: str | Path | list[dict]) -> list[RetrievalSample]:
@@ -86,6 +92,11 @@ class RetrievalBenchmark:
         ]
 
     async def run(self, samples: list[RetrievalSample]) -> dict[str, Any]:
+        if self.retrieve_fn is not None:
+            for s in samples:
+                results = await self.retrieve_fn(s.query, s.filters, self.top_k)
+                s.retrieved = _dedup([r.chunk.document_id for r in results])
+            return self._aggregate(samples)
         retriever = self.kb.hybrid_retriever if self.use_hybrid else self.kb.retriever
         # engine-native batching: all plain queries in one fused launch
         plain = [s for s in samples if not s.filters]
@@ -101,7 +112,9 @@ class RetrievalBenchmark:
                 s.query, top_k=self.top_k, filters=s.filters, similarity_threshold=0.0
             )
             s.retrieved = _dedup([r.chunk.document_id for r in results])
+        return self._aggregate(samples)
 
+    def _aggregate(self, samples: list[RetrievalSample]) -> dict[str, Any]:
         n = len(samples)
         if n == 0:
             return {"samples": 0, "top_k": self.top_k}

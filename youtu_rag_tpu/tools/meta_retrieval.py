@@ -46,6 +46,68 @@ _RELATIVE = {
 }
 
 
+_POPULARITY = re.compile(
+    r"\b(most popular|most[- ]cited|most downloaded|most viewed|most used|"
+    r"widely used|best[- ]known|hottest|highest[- ]rated|trending|"
+    r"most starred|popular)\b",
+    re.I,
+)
+# metadata fields tried in order when scoring popularity
+_POP_KEYS = ("popularity", "citations", "downloads", "views", "stars", "rating")
+
+
+def detect_preference(query: str) -> str | None:
+    """Detect a ranking preference in the query (ref: the metadata-retrieval
+    benchmark's Popularity Preference axis, README.md:816-882 — queries like
+    'the most popular X' prefer high-popularity docs over equally-similar
+    ones). Returns 'popularity' or None."""
+    return "popularity" if _POPULARITY.search(query) else None
+
+
+def _doc_popularity(metadata: dict | None, key: str | None = None) -> float | None:
+    md = metadata or {}
+    for k in ((key,) if key else ()) + _POP_KEYS:
+        v = md.get(k)
+        if isinstance(v, (int, float)):
+            return float(v)
+    return None
+
+
+def popularity_blend(
+    results: list[RetrievalResult],
+    top_k: int,
+    key: str | None = None,
+    weight: float = 0.5,
+) -> list[RetrievalResult]:
+    """Blend similarity with normalized popularity metadata:
+    final = (1-w)·sim_norm + w·pop_norm over the candidate pool, resorted.
+    Docs without popularity metadata get pop_norm 0 (similarity only)."""
+    if not results:
+        return results
+    sims = [r.score for r in results]
+    lo, hi = min(sims), max(sims)
+    pops = [_doc_popularity(r.chunk.metadata, key) for r in results]
+    known = [p for p in pops if p is not None]
+    p_lo, p_hi = (min(known), max(known)) if known else (0.0, 0.0)
+
+    def norm(v, a, b):
+        return 0.5 if b <= a else (v - a) / (b - a)
+
+    scored = []
+    for r, p in zip(results, pops):
+        s = (1.0 - weight) * norm(r.score, lo, hi)
+        if p is not None:
+            s += weight * norm(p, p_lo, p_hi)
+        scored.append((s, r))
+    scored.sort(key=lambda x: -x[0])
+    out = []
+    for i, (s, r) in enumerate(scored[:top_k]):
+        r.score = float(s)
+        r.rank = i + 1
+        out.append(r)
+    return out
+
+
 def _epoch(y: int, m: int = 1, d: int = 1) -> int:
     return int(datetime(y, m, d).timestamp())
 
@@ -93,12 +155,39 @@ class MetaRetrievalToolkit(BaseRAGToolkit):
     def __init__(self, config=None):
         super().__init__(config)
         self.time_key: str = self.config.config.get("time_key", "publish_ts")
+        self.popularity_key: str | None = self.config.config.get("popularity_key")
+        self.popularity_weight: float = float(self.config.config.get("popularity_weight", 0.5))
         self.llm_agent = self.config.config.get("llm_agent")
         self._sessions: dict[str, dict[str, Any]] = {}
 
     def _session(self, session_id: str) -> dict[str, Any]:
         return self._sessions.setdefault(
-            session_id, {"time_range": None, "orientation": None, "results": {}}
+            session_id,
+            {"time_range": None, "orientation": None, "preference": None, "results": {}},
+        )
+
+    async def search_with_preference(
+        self,
+        query: str,
+        top_k: int = 5,
+        filters: dict[str, Any] | None = None,
+        preference: str | None = None,
+    ) -> list[RetrievalResult]:
+        """Dense search honoring a ranking preference: popularity queries
+        over-fetch 4× then blend normalized popularity metadata into the
+        score (the engine path behind the Popularity Preference rows of the
+        metadata-retrieval table, ref README.md:816-882)."""
+        if preference == "popularity":
+            pool = await self.kb.retriever.retrieve(
+                query, top_k=top_k * 4, filters=filters,
+                enable_reranking=False, similarity_threshold=0.0,
+            )
+            return popularity_blend(
+                pool, top_k, key=self.popularity_key, weight=self.popularity_weight
+            )
+        return await self.kb.retriever.retrieve(
+            query, top_k=top_k, filters=filters,
+            enable_reranking=False, similarity_threshold=0.0,
         )
 
     @register_tool
@@ -110,6 +199,7 @@ class MetaRetrievalToolkit(BaseRAGToolkit):
             session_id: Session handle carrying state across tool calls.
         """
         sess = self._session(session_id)
+        sess["preference"] = detect_preference(query)
         parsed = parse_time_range(query)
         if parsed is None and self.llm_agent is not None:
             try:
@@ -131,7 +221,9 @@ class MetaRetrievalToolkit(BaseRAGToolkit):
                 logger.exception("LLM time parse failed")
         if parsed is None:
             sess["time_range"] = None
-            return json.dumps({"has_temporal_intent": False})
+            return json.dumps(
+                {"has_temporal_intent": False, "preference": sess["preference"]}
+            )
         start, end, orientation = parsed
         sess["time_range"] = [start, end]
         sess["orientation"] = orientation
@@ -143,6 +235,7 @@ class MetaRetrievalToolkit(BaseRAGToolkit):
                     "end": datetime.fromtimestamp(end).isoformat(),
                 },
                 "orientation": orientation,
+                "preference": sess["preference"],
                 "filter": {self.time_key: {"$gte": start, "$lte": end}},
             }
         )
@@ -198,8 +291,8 @@ class MetaRetrievalToolkit(BaseRAGToolkit):
         if use_time_filter and sess.get("time_range"):
             start, end = sess["time_range"]
             filters = {self.time_key: {"$gte": start, "$lte": end}}
-        results = await self.kb.retriever.retrieve(
-            query, top_k=top_k, filters=filters, enable_reranking=False, similarity_threshold=0.0
+        results = await self.search_with_preference(
+            query, top_k=top_k, filters=filters, preference=sess.get("preference")
         )
         sess["results"][query] = results
         return _format_results(results)
