@@ -141,7 +141,12 @@ class ApiTest(AsyncHTTPTestCase):
         )
         assert self._json(r)["status"]["total_chunks"] >= 1
 
-        assert self.fetch("/api/files/notes.md", method="DELETE").code == 200
+        # referenced file: delete refuses without force (ref reference checks)
+        refs = self._json(self.fetch("/api/files/notes.md/references"))
+        assert refs["is_referenced"] and refs["references"][0]["kb"] == "kbf"
+        blocked = self.fetch("/api/files/notes.md", method="DELETE")
+        assert blocked.code == 409
+        assert self.fetch("/api/files/notes.md?force=true", method="DELETE").code == 200
         assert self.fetch("/api/files/notes.md").code == 404
 
     def test_upload_with_progress(self):

@@ -327,6 +327,30 @@ class StagedBuildTest(AsyncHTTPTestCase):
         state3 = ApiState(data_dir=self.state.data_dir, rag_config=self.state.rag_config)
         assert "kbr" not in state3.kbs.names()
 
+    # -- file references + packaged downloads --------------------------------
+
+    def test_file_zip_and_unreferenced_delete(self):
+        import io
+        import zipfile
+
+        self._upload("plain.md", b"# standalone document, never built")
+        # fake OCR derivatives following the pipeline naming
+        self._upload("page_1_plain_ocr.md", b"ocr page one")
+        self._upload("plain_ocr.md", b"combined ocr")
+
+        r = self._json(self.fetch("/api/files/plain.md/references"))
+        assert not r["is_referenced"]
+
+        z = self.fetch("/api/files/plain.md/download-with-ocr")
+        assert z.code == 200
+        names = set(zipfile.ZipFile(io.BytesIO(z.body)).namelist())
+        assert names == {"plain.md", "page_1_plain_ocr.md", "plain_ocr.md"}
+
+        # unreferenced delete needs no force and removes derivatives
+        d = self._json(self.fetch("/api/files/plain.md", method="DELETE"))
+        assert set(d["derived_deleted"]) == {"page_1_plain_ocr.md", "plain_ocr.md"}
+        assert self.fetch("/api/files/page_1_plain_ocr.md").code == 404
+
     # -- progress + error isolation -----------------------------------------
 
     def test_progress_log_and_missing_file_error(self):

@@ -1098,9 +1098,73 @@ class FileItemHandler(BaseHandler):
         self.finish(self.state.files.download("uploads", name))
 
     async def delete(self, name: str):
+        """Delete an upload; refuses while knowledge bases reference it
+        unless ``?force=true`` (ref: the delete reference checks in
+        minio_files.py). Derived artifacts (OCR pages, chunk-level files)
+        are removed with the original."""
+        refs = self.state.file_references(name)
+        force = self.get_query_argument("force", "").lower() in ("1", "true")
+        if refs and not force:
+            self.write_json(
+                {
+                    "error": "file is referenced by knowledge bases; "
+                    "remove it from their source config or pass force=true",
+                    "references": refs,
+                },
+                status=409,
+            )
+            return
+        derived = self.state.derived_files(name)
         if not self.state.files.delete("uploads", name):
             raise tornado.web.HTTPError(404, reason="file not found")
-        self.write_json({"deleted": name})
+        for d in derived:
+            self.state.files.delete("uploads", d)
+        self.write_json({"deleted": name, "derived_deleted": derived})
+
+
+class FileReferencesHandler(BaseHandler):
+    """ref: minio_files.py:983-1021 GET check-references/{filename}."""
+
+    async def get(self, name: str):
+        refs = self.state.file_references(name)
+        self.write_json(
+            {
+                "filename": name,
+                "is_referenced": bool(refs),
+                "references": refs,
+                "total_references": len(refs),
+            }
+        )
+
+
+class FileZipHandler(BaseHandler):
+    """Download the original plus its derived artifacts as one zip
+    (ref: minio_files.py:1165-1392 download-with-ocr / -derivatives)."""
+
+    async def get(self, name: str, kind: str):
+        import io
+        import zipfile
+
+        files = self.state.files
+        if not files.exists("uploads", name):
+            raise tornado.web.HTTPError(404, reason="file not found")
+        derived = self.state.derived_files(name)
+        if kind == "ocr":
+            derived = [d for d in derived if "_ocr." in d or "_layout." in d]
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+            z.writestr(name, files.download("uploads", name))
+            for d in derived:
+                try:
+                    z.writestr(d, files.download("uploads", d))
+                except (OSError, ValueError):
+                    logger.exception("zip skip %s", d)
+        stem = name.rsplit(".", 1)[0]
+        self.set_header("Content-Type", "application/zip")
+        self.set_header(
+            "Content-Disposition", f'attachment; filename="{stem}_with_{kind}.zip"'
+        )
+        self.finish(buf.getvalue())
 
 
 class FileOcrHandler(BaseHandler):
@@ -1474,6 +1538,8 @@ def create_app(state: ApiState | None = None) -> tornado.web.Application:
             (r"/api/files/upload-with-progress", FileUploadProgressStartHandler),
             (r"/api/files/upload-progress/([^/]+)", FileUploadProgressHandler),
             (r"/api/files", FileCollectionHandler),
+            (r"/api/files/([^/]+)/references", FileReferencesHandler),
+            (r"/api/files/([^/]+)/download-with-(ocr|derivatives)", FileZipHandler),
             (r"/api/files/([^/]+)/ocr", FileOcrHandler),
             (r"/api/files/([^/]+)/ocr/layout/([0-9]+)", FileOcrLayoutHandler),
             (r"/api/files/([^/]+)", FileItemHandler),

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import asyncio
 import json
+import re
 import shutil
 import time
 import uuid
@@ -307,6 +308,43 @@ class ApiState:
                 except Exception:  # noqa: BLE001 - missing/stale snapshot → empty KB
                     logger.exception("snapshot restore failed for %s", name)
             logger.info("rehydrated KB %s", name)
+
+    def file_references(self, name: str) -> list[dict[str, Any]]:
+        """Which knowledge bases reference an uploaded file (ref:
+        minio_files.py:983-1021 check_file_references — there via the
+        kb_source_configs table; here via declared source configs and
+        per-KB build manifests)."""
+        refs = []
+        for kb_name in self.kbs.names():
+            via = []
+            if name in (self.get_kb_sources(kb_name).get("files") or []):
+                via.append("source_config")
+            kb = self.kbs.get(kb_name)
+            if kb is not None and name in kb.manifest.sources:
+                via.append("build_manifest")
+            if via:
+                refs.append({"kb": kb_name, "via": via})
+        return refs
+
+    def derived_files(self, name: str) -> list[str]:
+        """Uploaded artifacts derived from ``name`` (OCR pages/layouts,
+        combined markdown, chunk-level files) — matched by the
+        ``derived_from`` user-metadata stamp plus the deterministic
+        naming patterns of the OCR pipeline."""
+        stem = Path(name).stem
+        out = []
+        for f in self.files.list("uploads"):
+            fname = f["name"]
+            if fname == name or fname.startswith(".meta"):
+                continue
+            meta = f.get("user_metadata") or {}
+            if meta.get("derived_from") == name:
+                out.append(fname)
+            elif re.match(rf"page_\d+_{re.escape(stem)}_(ocr|layout)\.", fname):
+                out.append(fname)
+            elif fname in (f"{stem}_ocr.md", f"{stem}_chunklevel.md"):
+                out.append(fname)
+        return sorted(set(out))
 
     def new_upload(self, filename: str) -> UploadTask:
         task = UploadTask(task_id=f"up-{uuid.uuid4().hex[:12]}", filename=filename)

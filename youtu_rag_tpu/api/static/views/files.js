@@ -75,7 +75,17 @@ export async function renderFiles(view) {
       const delBtn = h("button", { class: "danger ghost" }, t("files.delete"));
       delBtn.addEventListener("click", guard(async () => {
         if (!confirm(`delete ${f.name}?`)) return;
-        await api(`/api/files/${encodeURIComponent(f.name)}`, { method: "DELETE" });
+        try {
+          await api(`/api/files/${encodeURIComponent(f.name)}`, { method: "DELETE" });
+        } catch (e) {
+          // 409: referenced by knowledge bases — offer force delete
+          if (String(e.message).startsWith("409") &&
+              confirm(`${f.name} is referenced by a knowledge base. Delete anyway?`)) {
+            await api(`/api/files/${encodeURIComponent(f.name)}?force=true`, { method: "DELETE" });
+          } else if (!String(e.message).startsWith("409")) {
+            throw e;
+          }
+        }
         selected.delete(f.name);
         await load();
       }));
