@@ -196,6 +196,29 @@ class ApiTest(AsyncHTTPTestCase):
         types = [e["type"] for e in events]
         assert "text_delta" in types and types[-1] == "done"
 
+    def test_chat_auto_select_stream(self):
+        """Auto-select mode: LLM agent choice (falls back to kb_search with
+        the scripted client), per-agent streaming, done carries the pick
+        (ref routes/chat.py auto_select_and_stream)."""
+        r = self.fetch(
+            "/api/chat", method="POST", body=json.dumps({"query": "hi", "auto_select": True})
+        )
+        assert r.code == 200
+        events = [json.loads(l[5:]) for l in r.body.decode().split("\n") if l.startswith("data:")]
+        types = [e["type"] for e in events]
+        plan = next(e for e in events if e["type"] == "plan")
+        assert plan["data"]["selected_agents"] == ["kb_search"]
+        assert "agent_switch" in types and "text_delta" in types
+        assert events[-1]["type"] == "done"
+        assert events[-1]["auto_selected"] == ["kb_search"]
+        # non-streaming auto-select is rejected like the reference
+        r = self.fetch(
+            "/api/chat",
+            method="POST",
+            body=json.dumps({"query": "hi", "auto_select": True, "stream": False}),
+        )
+        assert r.code == 400
+
     def test_chat_missing_query(self):
         r = self.fetch("/api/chat", method="POST", body=json.dumps({}))
         assert r.code == 400

@@ -142,6 +142,24 @@ def _modify_query(state, query: str, kb_id, file_ids) -> tuple[str, str | None]:
     return "\n".join(parts), table_path
 
 
+def _agent_chat_fn(agent):
+    """A plain async text→text chat callable over whatever client the
+    configured agent holds (used for advisory LLM selections)."""
+    chat = getattr(agent, "_chat", None)
+    if chat is not None:
+        return chat
+    client = getattr(agent, "client", None)
+    if client is None:
+        return None
+    from ..agents.llm import ChatMessage
+
+    async def chat_fn(prompt, _c=client):
+        resp = await _c.chat([ChatMessage("user", prompt)])
+        return resp.message.content or ""
+
+    return chat_fn
+
+
 class ChatHandler(BaseHandler):
     async def post(self):
         body = self.json_body()
@@ -150,6 +168,17 @@ class ChatHandler(BaseHandler):
             raise tornado.web.HTTPError(400, reason="missing 'query'")
         kb_id = body.get("kb_id")
         stream = body.get("stream", True)
+
+        if body.get("auto_select"):
+            # auto-select mode: an LLM picks agents from the frontend
+            # catalog and each runs in turn, streaming (ref:
+            # routes/chat.py:120-220 auto_select_and_stream; streaming only)
+            if not stream:
+                raise tornado.web.HTTPError(
+                    400, reason="auto_select only supports streaming mode"
+                )
+            await self._auto_select_stream(query, kb_id, body.get("file_ids"))
+            return
 
         query_aug, table_path = _modify_query(self.state, query, kb_id, body.get("file_ids"))
         agent = await self.state.get_agent()
@@ -199,6 +228,79 @@ class ChatHandler(BaseHandler):
         done = {"type": "done", "trace_id": getattr(recorder, "trace_id", None)}
         self.write(f"data: {json.dumps(done, ensure_ascii=False)}\n\n")
         await self.flush()
+
+    async def _write_card(self, card: dict) -> bool:
+        """One SSE card; False when the client is gone."""
+        self.write(f"data: {json.dumps(card, ensure_ascii=False)}\n\n")
+        try:
+            await self.flush()
+        except tornado.iostream.StreamClosedError:
+            return False
+        return True
+
+    async def _auto_select_stream(self, query: str, kb_id, file_ids) -> None:
+        self.set_header("Content-Type", "text/event-stream")
+        self.set_header("Cache-Control", "no-cache")
+        query_aug, _ = _modify_query(self.state, query, kb_id, file_ids)
+        live = await self.state.get_agent()
+        chat = _agent_chat_fn(live)
+        if not await self._write_card(
+            {"type": "reasoning_delta", "content": "selecting agents…"}
+        ):
+            return
+        selected = (
+            await select_agents_for_qa(query, "", chat) if chat is not None else ["kb_search"]
+        )
+        if not await self._write_card(
+            {"type": "plan", "data": {"selected_agents": selected}}
+        ):
+            return
+
+        from ..agents.factory import get_agent as build_agent
+
+        final = ""
+        for agent_name in selected:
+            spec = next(a for a in QA_AGENT_CATALOG if a["name"] == agent_name)
+            if not await self._write_card(
+                {"type": "agent_switch", "content": agent_name, "name": agent_name}
+            ):
+                return
+            try:
+                if spec["type"] == self.state.agent_config.type:
+                    runner = live
+                else:
+                    cfg = self.state.agent_config.model_copy(update={"type": spec["type"]})
+                    runner = build_agent(cfg)
+                    if hasattr(runner, "build"):
+                        await runner.build()
+                recorder = runner.run_streamed(query_aug)
+                async for ev in recorder.stream_events():
+                    if ev.type == "done":
+                        continue
+                    card = {"type": ev.type}
+                    if ev.text:
+                        card["content"] = ev.text
+                    if ev.name:
+                        card["name"] = ev.name
+                    if ev.arguments:
+                        card["arguments"] = ev.arguments
+                    if ev.data:
+                        card["data"] = ev.data
+                    if not await self._write_card(card):
+                        run_task = getattr(recorder, "run_task", None)
+                        if run_task is not None and not run_task.done():
+                            run_task.cancel()
+                        return
+                try:
+                    rec = await recorder.wait()
+                    final = rec.final_output or final
+                except RuntimeError:
+                    pass  # the failure already streamed as an error card
+            except Exception as e:  # noqa: BLE001 - per-agent isolation
+                logger.exception("auto-select agent %s failed", agent_name)
+                if not await self._write_card({"type": "error", "content": str(e)}):
+                    return
+        await self._write_card({"type": "done", "auto_selected": selected})
 
 
 # ---------------------------------------------------------------------------

@@ -23,6 +23,7 @@ export async function renderChat(view) {
   const kbSel = h("select", { id: "chat-kb" });
   const agentSel = h("select", { id: "chat-agent" });
   const memToggle = h("input", { type: "checkbox" });
+  const autoToggle = h("input", { type: "checkbox", title: "LLM picks the agent per query" });
   const input = h("input", { placeholder: t("chat.placeholder"), autocomplete: "off" });
   const sendBtn = h("button", { class: "primary", type: "submit" }, t("chat.send"));
   const clearBtn = h("button", { class: "ghost" }, t("chat.clear"));
@@ -50,6 +51,7 @@ export async function renderChat(view) {
     h("div", { class: "card col" },
       h("h3", {}, t("chat.kb")), kbSel,
       h("h3", {}, t("chat.agent")), agentSel,
+      h("label", { class: "dim" }, autoToggle, " auto-select"),
       h("h3", {}, t("chat.memory")),
       h("label", { class: "dim" }, memToggle, " enabled"),
       h("h3", {}, "attach files"), fileBox, chatUploadBtn, chatUpload,
@@ -57,7 +59,7 @@ export async function renderChat(view) {
     ),
   );
 
-  const ctx = { log, kbSel, fileBox, hist: loadHistory() };
+  const ctx = { log, kbSel, fileBox, autoToggle, hist: loadHistory() };
 
   const form = h("form", { id: "composer" }, input, sendBtn);
   form.addEventListener("submit", guard(async (ev) => {
@@ -191,6 +193,7 @@ async function send(ctx, q) {
   const body = { query: q, stream: true };
   if (kb) body.kb_id = kb;
   if (fileIds.length) body.file_ids = fileIds;
+  if (ctx.autoToggle && ctx.autoToggle.checked) body.auto_select = true;
   const resp = await fetch("/api/chat", { method: "POST", body: JSON.stringify(body) });
   if (!resp.ok) { card(log, "error", `HTTP ${resp.status}`); return; }
   const reader = resp.body.getReader();
