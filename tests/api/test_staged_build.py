@@ -327,6 +327,66 @@ class StagedBuildTest(AsyncHTTPTestCase):
         state3 = ApiState(data_dir=self.state.data_dir, rag_config=self.state.rag_config)
         assert "kbr" not in state3.kbs.names()
 
+    # -- qa file sources ------------------------------------------------------
+
+    def test_qa_file_validate_and_build(self):
+        self._upload(
+            "faq.csv",
+            "question,answer,howtofind\nwhat is hbm?,high bandwidth memory,glossary\n"
+            "what is ici?,inter chip interconnect,glossary\n".encode(),
+        )
+        r = self._json(
+            self.fetch(
+                "/api/qa-files/validate", method="POST", body=json.dumps({"file": "faq.csv"})
+            )
+        )
+        assert r["valid"] and r["row_count"] == 2
+        assert r["sample_data"][0]["question"] == "what is hbm?"
+        # zh header aliases accepted
+        self._upload("faq_zh.csv", "问题,答案,查找方式\nq1,a1,h1\n".encode())
+        r = self._json(
+            self.fetch(
+                "/api/qa-files/validate", method="POST",
+                body=json.dumps({"file": "faq_zh.csv"}),
+            )
+        )
+        assert r["valid"] and r["columns"] == ["question", "answer", "howtofind"]
+        # missing columns rejected with precise errors
+        self._upload("notqa.csv", b"a,b\n1,2\n")
+        r = self._json(
+            self.fetch(
+                "/api/qa-files/validate", method="POST", body=json.dumps({"file": "notqa.csv"})
+            )
+        )
+        assert not r["valid"] and "Missing required columns" in r["errors"][0]
+
+        # build with the qa file → pairs answerable through the qa route
+        b = self._json(
+            self.fetch(
+                "/api/knowledge-bases/kbqf/build",
+                method="POST",
+                body=json.dumps({"qa_files": ["faq.csv"]}),
+            )
+        )
+        assert b["status"]["status"] == "completed"
+        qa = self._json(
+            self.fetch(
+                "/api/knowledge-bases/kbqf/qa",
+                method="POST",
+                body=json.dumps({"question": "what is hbm?"}),
+            )
+        )
+        assert qa["matched"]["answer"] == "high bandwidth memory"
+        # invalid qa file becomes a build error, not a crash
+        b2 = self._json(
+            self.fetch(
+                "/api/knowledge-bases/kbqf/build",
+                method="POST",
+                body=json.dumps({"qa_files": ["notqa.csv"]}),
+            )
+        )
+        assert any("notqa.csv" in e for e in b2["status"]["errors"])
+
     # -- file references + packaged downloads --------------------------------
 
     def test_file_zip_and_unreferenced_delete(self):

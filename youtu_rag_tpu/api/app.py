@@ -386,6 +386,7 @@ class KBBuildHandler(BaseHandler):
             body.setdefault("files", list(cfg_sources.get("files") or []))
             body.setdefault("documents", list(cfg_sources.get("documents") or []))
             body.setdefault("qa_pairs", list(cfg_sources.get("qa_pairs") or []))
+            body.setdefault("qa_files", list(cfg_sources.get("qa_files") or []))
             body["files"] = body["files"] + [
                 db["file"] for db in cfg_sources.get("databases") or [] if db.get("file")
             ]
@@ -408,6 +409,22 @@ class KBBuildHandler(BaseHandler):
             )
         if body.get("qa_pairs"):
             tasks.append(SourceTask(f"qa-{name}", "qa", qa_pairs=body["qa_pairs"]))
+        for qf in body.get("qa_files", []):
+            # QA spreadsheet/CSV sources (ref: selectedQAFiles in the KB
+            # configuration; parsed with the validate_qa_file conventions)
+            if not self.state.files.exists("uploads", qf):
+                errors.append(f"qa file not found: {qf}")
+                continue
+            from ..ingest.qa_file import parse_qa_file
+
+            try:
+                pairs = parse_qa_file(str(self.state.files.local_path("uploads", qf)))
+            except ValueError as e:
+                errors.append(f"{qf}: {e}")
+                continue
+            tasks.append(
+                SourceTask(qf, "qa", qa_pairs=pairs, metadata={"related_file": qf})
+            )
 
         if not tasks and not errors:
             raise tornado.web.HTTPError(400, reason="nothing to build")
@@ -566,6 +583,7 @@ class KBConfigHandler(BaseHandler):
         ids = list(sources.get("files") or [])
         ids += [d["id"] for d in sources.get("documents") or [] if d.get("id")]
         ids += [db.get("file") or db.get("url", "") for db in sources.get("databases") or []]
+        ids += list(sources.get("qa_files") or [])
         return [i for i in ids if i]
 
     async def get(self, name: str):
@@ -589,6 +607,29 @@ class KBConfigHandler(BaseHandler):
         cleaned = await mgr.cleanup_removed_sources(ids)
         self.state.set_kb_sources(name, sources)
         self.write_json({"kb": name, "sources": sources, "cleaned": cleaned})
+
+
+class QAFileValidateHandler(BaseHandler):
+    """POST /api/qa-files/validate {"file": name} — column/sheet checks +
+    row count + sample before attaching a QA file to a KB
+    (ref: kb_config_routes.py:874 + kb_config_service.validate_qa_file)."""
+
+    async def post(self):
+        from ..ingest.qa_file import validate_qa_file
+
+        fname = self.json_body().get("file")
+        if not fname:
+            raise tornado.web.HTTPError(400, reason="missing 'file'")
+        if not self.state.files.exists("uploads", fname):
+            self.write_json(
+                {"valid": False, "filename": fname, "errors": ["file not found"]},
+                status=404,
+            )
+            return
+        report = validate_qa_file(
+            str(self.state.files.local_path("uploads", fname)), fname
+        )
+        self.write_json(report)
 
 
 class DBTestHandler(BaseHandler):
@@ -1630,6 +1671,7 @@ def create_app(state: ApiState | None = None) -> tornado.web.Application:
             (r"/api/knowledge-bases/([^/]+)/tables", KBTablesHandler),
             (r"/api/knowledge-bases/([^/]+)/config", KBConfigHandler),
             (r"/api/db/test", DBTestHandler),
+            (r"/api/qa-files/validate", QAFileValidateHandler),
             (r"/api/knowledge-bases/([^/]+)/qa-pairs", KBQAPairsHandler),
             (r"/api/knowledge-bases/([^/]+)/qa/execute", KBQAExecuteHandler),
             (r"/api/knowledge-bases/([^/]+)/qa/batch-execute", KBQABatchExecuteHandler),
