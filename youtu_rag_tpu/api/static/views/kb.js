@@ -179,6 +179,39 @@ async function renderBuildTab(root, name) {
     if (n) cfgInfo.textContent = `config: ${n} files declared`;
   }).catch(() => {});
 
+  // QA file validation + attach (ref selectedQAFiles + validate_qa_file)
+  const qaFileSel = h("select", {});
+  qaFileSel.appendChild(h("option", { value: "" }, "(QA file…)"));
+  for (const f of files.files.filter((x) => /\.(csv|xlsx|xls)$/i.test(x.name))) {
+    qaFileSel.appendChild(h("option", {}, f.name));
+  }
+  const qaValidateBtn = h("button", {}, t("build.qaValidate"));
+  const qaBuildBtn = h("button", {}, t("build.qaBuild"));
+  const qaOut = h("div", {});
+  qaValidateBtn.addEventListener("click", guard(async () => {
+    if (!qaFileSel.value) return;
+    qaOut.innerHTML = "";
+    const r = await api("/api/qa-files/validate", {
+      method: "POST", body: JSON.stringify({ file: qaFileSel.value }),
+    });
+    if (r.valid) {
+      qaOut.appendChild(h("div", {},
+        h("span", { class: "badge ok" }, "valid"),
+        ` ${r.row_count} pairs · columns: ${r.columns.join(", ")}`));
+    } else {
+      qaOut.appendChild(h("div", { class: "pwin-error" }, r.errors.join("; ")));
+    }
+  }));
+  qaBuildBtn.addEventListener("click", guard(async () => {
+    if (!qaFileSel.value) return;
+    const r = await api(`/api/knowledge-bases/${name}/build`, {
+      method: "POST", body: JSON.stringify({ qa_files: [qaFileSel.value] }),
+    });
+    toast(`QA build ${r.status.status}: ${r.status.total_chunks} pairs indexed`,
+      r.status.errors.length ? "err" : "ok");
+    await refreshLogs();
+  }));
+
   // DB connection tester (ref kb_config_routes DB connection test)
   const dbUrl = h("input", { placeholder: "sqlite:///path.db or uploaded .db name", style: "flex:1" });
   const dbBtn = h("button", {}, t("build.dbTest"));
@@ -213,6 +246,7 @@ async function renderBuildTab(root, name) {
     h("div", { class: "card col" },
       h("h3", {}, t("build.sources")),
       h("div", { class: "row" }, saveCfgBtn, fromCfgBtn, cfgInfo),
+      h("div", { class: "row" }, qaFileSel, qaValidateBtn, qaBuildBtn), qaOut,
       h("div", { class: "row" }, dbUrl, dbBtn), dbOut),
     h("div", { class: "card" }, h("h3", {}, t("build.logs")), logsBox)));
   await refreshLogs();
