@@ -51,6 +51,15 @@ def test_module_exports_parsing():
     assert module_exports(src) == {"foo", "bar", "baz", "Qux", "vis", "other", "default"}
 
 
+def test_module_graph_line_numbers_survive_block_comments(tmp_path):
+    (tmp_path / "lib.js").write_text("export function real() {}\n")
+    (tmp_path / "a.js").write_text(
+        "/* one\ntwo\nthree */\n" + 'import { fake } from "./lib.js";\n'
+    )
+    errs = check_modules(tmp_path)
+    assert errs and errs[0].line == 4  # the import's real line, not shifted
+
+
 def test_module_graph_catches_bad_import(tmp_path):
     (tmp_path / "lib.js").write_text("export function real() {}\n")
     (tmp_path / "a.js").write_text('import { real, fake } from "./lib.js";\nreal();\n')

@@ -327,6 +327,69 @@ class StagedBuildTest(AsyncHTTPTestCase):
         state3 = ApiState(data_dir=self.state.data_dir, rag_config=self.state.rag_config)
         assert "kbr" not in state3.kbs.names()
 
+    # -- review-fix regressions ----------------------------------------------
+
+    def test_kb_name_traversal_rejected(self):
+        """KB names become data-dir path components; traversal must 400
+        before any directory is created or deleted."""
+        for bad in ("../files", "..", "a/b", ".hidden", "x" * 80):
+            r = self.fetch(
+                "/api/knowledge-bases", method="POST", body=json.dumps({"name": bad})
+            )
+            assert r.code == 400, (bad, r.code)
+        # delete of a traversal name never reaches the filesystem
+        marker = Path(self.state.data_dir) / "files" / "uploads"
+        marker.mkdir(parents=True, exist_ok=True)
+        (marker / "keep.txt").write_text("x")
+        self.fetch("/api/knowledge-bases/..%2Ffiles%2Fuploads", method="DELETE")
+        assert (marker / "keep.txt").exists()
+
+    def test_drop_unregistered_table_is_noop(self):
+        """DELETE ?table=kb_tables must not DROP the registry itself."""
+        self._upload("reg.csv", b"c,v\n1,a\n2,b\n3,c\n4,d\n5,e\n")
+        self.fetch(
+            "/api/knowledge-bases/kbreg/build",
+            method="POST",
+            body=json.dumps({"files": ["reg.csv"]}),
+        )
+        r = self.fetch(
+            "/api/knowledge-bases/kbreg/tables?table=kb_tables", method="DELETE"
+        )
+        assert r.code == 404
+        # registry still intact and queryable
+        assert self._json(self.fetch("/api/knowledge-bases/kbreg/tables"))["tables"]
+        # malformed limit is a 400, not a 500
+        t = self._json(self.fetch("/api/knowledge-bases/kbreg/tables"))["tables"][0]
+        bad = self.fetch(
+            f"/api/knowledge-bases/kbreg/tables?table={t['table_name']}&limit=abc"
+        )
+        assert bad.code == 400
+
+    def test_config_save_preserves_route_minted_qa_pairs(self):
+        """QA pairs added via the qa-pairs route are not config-managed and
+        must survive a source-config save."""
+        self.fetch(
+            "/api/knowledge-bases/kbqp/qa-pairs",
+            method="POST",
+            body=json.dumps({"pairs": [{"question": "minted?", "answer": "kept"}]}),
+        )
+        r = self._json(
+            self.fetch(
+                "/api/knowledge-bases/kbqp/config",
+                method="PUT",
+                body=json.dumps({"sources": {"files": []}}),
+            )
+        )
+        assert not any(c["source"].startswith("qa-") for c in r["cleaned"])
+        qa = self._json(
+            self.fetch(
+                "/api/knowledge-bases/kbqp/qa",
+                method="POST",
+                body=json.dumps({"question": "minted?"}),
+            )
+        )
+        assert qa["matched"] and qa["matched"]["answer"] == "kept"
+
     # -- qa file sources ------------------------------------------------------
 
     def test_qa_file_validate_and_build(self):

@@ -69,6 +69,20 @@ class BaseHandler(tornado.web.RequestHandler):
         except json.JSONDecodeError:
             raise tornado.web.HTTPError(400, reason="invalid JSON body")
 
+    def get_or_create_kb(self, name: str, config=None):
+        """Create-or-fetch with the name guard surfaced as a 400 (names
+        become data-dir path components; see ApiState.validate_kb_name)."""
+        try:
+            return self.state.get_or_create_kb(name, config)
+        except ValueError as e:
+            raise tornado.web.HTTPError(400, reason=str(e))
+
+    def int_arg(self, value, name: str) -> int:
+        try:
+            return int(value)
+        except (TypeError, ValueError):
+            raise tornado.web.HTTPError(400, reason=f"{name} must be an integer")
+
     def write_error(self, status_code: int, **kwargs):
         detail = self._reason
         if "exc_info" in kwargs:
@@ -241,8 +255,24 @@ class ChatHandler(BaseHandler):
     async def _auto_select_stream(self, query: str, kb_id, file_ids) -> None:
         self.set_header("Content-Type", "text/event-stream")
         self.set_header("Cache-Control", "no-cache")
-        query_aug, _ = _modify_query(self.state, query, kb_id, file_ids)
+        query_aug, table_path = _modify_query(self.state, query, kb_id, file_ids)
         live = await self.state.get_agent()
+        # attached spreadsheet + an excel-capable live agent: route straight
+        # to it like the default mode does — the catalog agents cannot open
+        # the file and would degrade
+        if table_path is not None and hasattr(live, "load_schema"):
+            if not await self._write_card(
+                {"type": "agent_switch", "content": "excel", "name": "excel"}
+            ):
+                return
+            recorder = live.run_streamed(query_aug, table_path)
+            out = await self._forward_run(recorder)
+            if out is None:
+                return
+            await self._write_card(
+                {"type": "done", "auto_selected": ["excel"], "content": out}
+            )
+            return
         chat = _agent_chat_fn(live)
         if not await self._write_card(
             {"type": "reasoning_delta", "content": "selecting agents…"}
@@ -274,33 +304,44 @@ class ChatHandler(BaseHandler):
                     if hasattr(runner, "build"):
                         await runner.build()
                 recorder = runner.run_streamed(query_aug)
-                async for ev in recorder.stream_events():
-                    if ev.type == "done":
-                        continue
-                    card = {"type": ev.type}
-                    if ev.text:
-                        card["content"] = ev.text
-                    if ev.name:
-                        card["name"] = ev.name
-                    if ev.arguments:
-                        card["arguments"] = ev.arguments
-                    if ev.data:
-                        card["data"] = ev.data
-                    if not await self._write_card(card):
-                        run_task = getattr(recorder, "run_task", None)
-                        if run_task is not None and not run_task.done():
-                            run_task.cancel()
-                        return
-                try:
-                    rec = await recorder.wait()
-                    final = rec.final_output or final
-                except RuntimeError:
-                    pass  # the failure already streamed as an error card
+                out = await self._forward_run(recorder)
+                if out is None:
+                    return  # client gone
+                final = out or final
             except Exception as e:  # noqa: BLE001 - per-agent isolation
                 logger.exception("auto-select agent %s failed", agent_name)
                 if not await self._write_card({"type": "error", "content": str(e)}):
                     return
-        await self._write_card({"type": "done", "auto_selected": selected})
+        await self._write_card(
+            {"type": "done", "auto_selected": selected, "content": final}
+        )
+
+    async def _forward_run(self, recorder) -> str | None:
+        """Forward a recorder's cards (minus 'done'); returns the run's
+        final output, '' when the run errored (already streamed), or None
+        when the client disconnected (the run is cancelled)."""
+        async for ev in recorder.stream_events():
+            if ev.type == "done":
+                continue
+            card = {"type": ev.type}
+            if ev.text:
+                card["content"] = ev.text
+            if ev.name:
+                card["name"] = ev.name
+            if ev.arguments:
+                card["arguments"] = ev.arguments
+            if ev.data:
+                card["data"] = ev.data
+            if not await self._write_card(card):
+                run_task = getattr(recorder, "run_task", None)
+                if run_task is not None and not run_task.done():
+                    run_task.cancel()
+                return None
+        try:
+            rec = await recorder.wait()
+            return rec.final_output or ""
+        except RuntimeError:
+            return ""  # the failure already streamed as an error card
 
 
 # ---------------------------------------------------------------------------
@@ -340,7 +381,7 @@ class KBCollectionHandler(BaseHandler):
                 # tornado reasons must be single-line; pydantic errors aren't
                 detail = " | ".join(str(e).splitlines())[:300]
                 raise tornado.web.HTTPError(400, reason=f"invalid config: {detail}") from None
-        kb = self.state.get_or_create_kb(name, cfg)
+        kb = self.get_or_create_kb(name, cfg)
         self.write_json(await kb.stats(), status=201)
 
 
@@ -377,7 +418,7 @@ class KBBuildHandler(BaseHandler):
         from ..ingest.processors import SourceTask
 
         body = self.json_body()
-        kb = self.state.get_or_create_kb(name)
+        kb = self.get_or_create_kb(name)
         if body.get("from_config"):
             # build from the declared source configuration (ref: the
             # config-driven build in kb_config_routes.py:627-680)
@@ -598,13 +639,19 @@ class KBConfigHandler(BaseHandler):
         sources = body.get("sources")
         if not isinstance(sources, dict):
             raise tornado.web.HTTPError(400, reason="missing 'sources' object")
-        kb = self.state.get_or_create_kb(name)
+        kb = self.get_or_create_kb(name)
         ids = self._source_ids(sources)
-        # qa source ids are minted per-build (qa-<kb>) — keep them configured
+        # inline qa_pairs build under the per-build id qa-<kb>
         if sources.get("qa_pairs"):
             ids.append(f"qa-{name}")
         mgr = KnowledgeCleanupManager(name, kb.store, kb.tables, kb.manifest)
-        cleaned = await mgr.cleanup_removed_sources(ids)
+        # QA pairs added through the qa-pairs route mint qa-<uuid> source
+        # ids the configuration never lists — they are not config-managed
+        # and must survive config saves (only qa-<kb>, the inline-config
+        # id, is subject to the diff)
+        cleaned = await mgr.cleanup_removed_sources(
+            ids, keep=lambda sid: sid.startswith("qa-") and sid != f"qa-{name}"
+        )
         self.state.set_kb_sources(name, sources)
         self.write_json({"kb": name, "sources": sources, "cleaned": cleaned})
 
@@ -684,17 +731,18 @@ class KBTablesHandler(BaseHandler):
         registered = {t["table_name"] for t in kb.tables.tables_for_kb(name)}
         if table not in registered:
             raise tornado.web.HTTPError(404, reason=f"table {table!r} not registered")
-        limit = min(int(self.get_query_argument("limit", "20")), 500)
+        limit = min(self.int_arg(self.get_query_argument("limit", "20"), "limit"), 500)
         preview = kb.tables.execute_sql(f'SELECT * FROM "{table}"', limit=limit)
         self.write_json({"kb": name, "table": table, **preview})
 
     async def post(self, name: str):
         """Read-only SQL console over the KB's table store."""
         kb = self._kb(name)
-        sql = self.json_body().get("sql", "").strip()
+        body = self.json_body()
+        sql = body.get("sql", "").strip()
         if not sql:
             raise tornado.web.HTTPError(400, reason="missing 'sql'")
-        limit = min(int(self.json_body().get("limit", 200)), 1000)
+        limit = min(self.int_arg(body.get("limit", 200), "limit"), 1000)
         result = kb.tables.execute_sql(sql, limit=limit)
         if "error" in result:
             self.write_json({"kb": name, "sql": sql, **result}, status=400)
@@ -765,7 +813,7 @@ class KBQAPairsHandler(BaseHandler):
         pairs = body.get("pairs") or []
         if not pairs or not all(p.get("question") for p in pairs):
             raise tornado.web.HTTPError(400, reason="need 'pairs' each with a 'question'")
-        kb = self.state.get_or_create_kb(name)
+        kb = self.get_or_create_kb(name)
         source_id = body.get("source_id") or f"qa-{_uuid.uuid4().hex[:8]}"
         ctx = ProcessorContext(
             name, kb.store, kb.embedder, kb.tables, kb.config.knowledge_builder
@@ -866,16 +914,7 @@ class KBQAExecuteHandler(BaseHandler):
         howtofind = meta.get("howtofind", "")
 
         agent = await self.state.get_agent()
-        chat = getattr(agent, "_chat", None)
-        if chat is None:
-            client = getattr(agent, "client", None)
-            if client is not None:
-                from ..agents.llm import ChatMessage
-
-                async def chat(prompt, _c=client):
-                    resp = await _c.chat([ChatMessage("user", prompt)])
-                    return resp.message.content or ""
-
+        chat = _agent_chat_fn(agent)
         selected = (
             await select_agents_for_qa(question, howtofind, chat)
             if chat is not None
@@ -1443,7 +1482,7 @@ class EmbedHandler(BaseHandler):
         texts = body.get("texts") or ([body["text"]] if body.get("text") else None)
         if not texts:
             raise tornado.web.HTTPError(400, reason="missing 'texts'")
-        kb = self.state.get_or_create_kb(body.get("kb_id", "default"))
+        kb = self.get_or_create_kb(body.get("kb_id", "default"))
         embs = await kb.embedder.embed_texts(texts)
         self.write_json({"embeddings": embs, "dimension": len(embs[0]) if embs else 0})
 

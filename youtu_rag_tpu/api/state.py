@@ -198,9 +198,30 @@ class ApiState:
 
     # -- KB helpers --------------------------------------------------------
 
+    # KB names become directory components under the data dir (kbs/<name>,
+    # snapshots/<name>) and arrive attacker-controlled from URL path args —
+    # tornado percent-decodes AFTER the route regex matches, so "..%2Fx"
+    # reaches here as "../x". Same threat class LocalFileStore._path guards.
+    _KB_NAME_RE = re.compile(r"^[\w][\w.\- ]{0,63}$")
+
+    @classmethod
+    def validate_kb_name(cls, name: str) -> str:
+        if (
+            not isinstance(name, str)
+            or not cls._KB_NAME_RE.match(name)
+            or ".." in name
+            or name.startswith(".")
+        ):
+            raise ValueError(
+                f"invalid knowledge base name {name!r}: use letters, digits, "
+                "dot, dash, underscore, space (max 64 chars, no leading dot)"
+            )
+        return name
+
     def get_or_create_kb(self, name: str, config: RAGConfig | None = None) -> KnowledgeBase:
         kb = self.kbs.get(name)
         if kb is None:
+            self.validate_kb_name(name)
             cfg = config or self.rag_config.model_copy(update={"name": name})
             kb = self.kbs.get_or_create(name, cfg)
             # table registry + incremental manifest live under the data dir
@@ -222,9 +243,15 @@ class ApiState:
         removed = self.kbs.remove(name)
         GLOBAL_KB_REGISTRY.remove(name)
         self.monitor.unregister(name)
-        for d in (self.data_dir / "kbs" / name, self.data_dir / "snapshots" / name):
-            # only ever delete under our own data dir, and only kb dirs
-            if d.is_dir():
+        try:
+            self.validate_kb_name(name)
+        except ValueError:
+            return removed  # never touch disk for a name we'd never create
+        for root in (self.data_dir / "kbs", self.data_dir / "snapshots"):
+            d = (root / name).resolve()
+            # belt and suspenders: even a validated name must resolve inside
+            # its parent before rmtree
+            if d.is_dir() and d.is_relative_to(root.resolve()) and d != root.resolve():
                 shutil.rmtree(d, ignore_errors=True)
         return removed
 

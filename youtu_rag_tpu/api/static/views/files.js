@@ -121,9 +121,23 @@ export async function renderFiles(view) {
   batchDel.addEventListener("click", guard(async () => {
     if (!selected.size) { toast("nothing selected", "err"); return; }
     if (!confirm(`delete ${selected.size} files?`)) return;
+    const blocked = [];
     for (const name of [...selected]) {
-      await api(`/api/files/${encodeURIComponent(name)}`, { method: "DELETE" });
-      selected.delete(name);
+      try {
+        await api(`/api/files/${encodeURIComponent(name)}`, { method: "DELETE" });
+        selected.delete(name);
+      } catch (e) {
+        // 409: referenced by a KB — collect and offer one force pass
+        if (String(e.message).startsWith("409")) blocked.push(name);
+        else throw e;
+      }
+    }
+    if (blocked.length &&
+        confirm(`${blocked.length} file(s) are referenced by knowledge bases:\n${blocked.join(", ")}\nDelete anyway?`)) {
+      for (const name of blocked) {
+        await api(`/api/files/${encodeURIComponent(name)}?force=true`, { method: "DELETE" });
+        selected.delete(name);
+      }
     }
     toast("deleted", "ok");
     await load();

@@ -57,9 +57,14 @@ class KnowledgeCleanupManager:
         logger.info("cleanup: %s", result)
         return result
 
-    async def cleanup_removed_sources(self, current_source_ids: list[str]) -> list[dict[str, Any]]:
+    async def cleanup_removed_sources(
+        self, current_source_ids: list[str], keep=None
+    ) -> list[dict[str, Any]]:
         """Diff configured sources vs indexed documents and clean leftovers
-        (ref: KBConfigService.cleanup_removed_sources)."""
+        (ref: KBConfigService.cleanup_removed_sources). ``keep(source_id)``
+        exempts sources the configuration does not manage (e.g. QA pairs
+        minted by the qa-pairs route, which are never in the config's id
+        set and would otherwise be swept by every config save)."""
         current = set(current_source_ids)
         # path-style source ids index their chunks under the basename —
         # count both forms as "still configured" or live sources whose
@@ -71,7 +76,9 @@ class KnowledgeCleanupManager:
                 indexed.add(c.document_id)
         for row in self.tables.tables_for_kb(self.kb_name):
             indexed.add(row["source"])
-        removed = sorted(indexed - current)
+        removed = sorted(
+            s for s in indexed - current if not (keep is not None and keep(s))
+        )
         return [await self.cleanup_source(s) for s in removed]
 
     async def cleanup_knowledge_base(self) -> dict[str, Any]:

@@ -29,6 +29,8 @@ def sanitize_table_name(name: str) -> str:
     base = re.sub(r"[^\w一-鿿]+", "_", base).strip("_")
     if not base or base[0].isdigit():
         base = f"t_{base}"
+    if base == "kb_tables":  # never collide with the registry table
+        base = "t_kb_tables"
     return base[:64]
 
 
@@ -103,12 +105,20 @@ class TableStore:
 
     def drop_table(self, kb: str, table: str) -> bool:
         with self._lock:
+            # registration check BEFORE the DROP: table names arrive
+            # user-controlled from the API — an unregistered name must be a
+            # no-op, or ?table=kb_tables would destroy the registry itself
+            row = self._conn.execute(
+                "SELECT 1 FROM kb_tables WHERE kb = ? AND table_name = ?", (kb, table)
+            ).fetchone()
+            if row is None:
+                return False
             self._conn.execute(f'DROP TABLE IF EXISTS "{table}"')
-            cur = self._conn.execute(
+            self._conn.execute(
                 "DELETE FROM kb_tables WHERE kb = ? AND table_name = ?", (kb, table)
             )
             self._conn.commit()
-            return cur.rowcount > 0
+            return True
 
     def execute_sql(self, sql: str, limit: int = 200) -> dict[str, Any]:
         """Read-only query execution for text2sql (ref: ex_sql).

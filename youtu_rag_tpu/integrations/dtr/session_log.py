@@ -31,7 +31,11 @@ class DTRSessionLog:
 
     def __post_init__(self) -> None:
         if not self.session_id:
-            self.session_id = time.strftime("%Y%m%d_%H%M%S")
+            # uuid suffix: second-resolution timestamps collide across quick
+            # consecutive runs, and save() would overwrite the earlier trace
+            import uuid
+
+            self.session_id = f"{time.strftime('%Y%m%d_%H%M%S')}_{uuid.uuid4().hex[:6]}"
 
     # ------------------------------------------------------------ recording
 

@@ -239,7 +239,11 @@ _EXPORT_LIST_RE = _re.compile(r"export\s*\{([^}]*)\}", _re.DOTALL)
 
 
 def _strip_comments(src: str) -> str:
-    src = _re.sub(r"/\*.*?\*/", "", src, flags=_re.DOTALL)
+    # newlines inside block comments are preserved so error line numbers
+    # computed against the stripped text match the original file
+    src = _re.sub(
+        r"/\*.*?\*/", lambda m: "\n" * m.group(0).count("\n"), src, flags=_re.DOTALL
+    )
     return _re.sub(r"^\s*//.*$", "", src, flags=_re.MULTILINE)
 
 
@@ -267,7 +271,10 @@ def check_modules(root) -> list[JsError]:
     silently killing a whole view at load time."""
     root = _Path(root)
     files = sorted(root.rglob("*.js"))
-    exports = {f: module_exports(f.read_text(encoding="utf-8")) for f in files}
+    # keyed by resolved path so import-target lookups hit the cache
+    exports = {
+        f.resolve(): module_exports(f.read_text(encoding="utf-8")) for f in files
+    }
     errors: list[JsError] = []
     for f in files:
         src = _strip_comments(f.read_text(encoding="utf-8"))
