@@ -80,6 +80,40 @@ def test_orchestra_events_stream():
     assert "plan" in evs and "agent_switch" in evs and "report" in evs and evs[-1] == "final"
 
 
+def test_orchestra_workflow_updates():
+    """The stream carries in-place workflow snapshots: pending → running →
+    done per node (ref workflow_update visualization events)."""
+    plan_text = (
+        '<analysis>a</analysis><plan>[{"agent_name": "w1", "task": "t1", "completed": false},'
+        '{"agent_name": "w2", "task": "t2", "completed": false}]</plan>'
+    )
+
+    def rule(messages, tools):
+        if "task planner" in (messages[0].content or ""):
+            return FakeChatClient.text_response(plan_text)
+        return FakeChatClient.text_response("done")
+
+    agent = OrchestraAgent(
+        AgentConfig(type="orchestra"), client=FakeChatClient(rule_fn=rule),
+        workers={"w1": _worker("r1"), "w2": _worker("r2")},
+    )
+
+    async def collect():
+        rec = agent.run_streamed("q")
+        evs = [e async for e in rec.stream_events()]
+        await rec.wait()
+        return evs
+
+    evs = asyncio.run(collect())
+    wfs = [e.data["nodes"] for e in evs if e.type == "workflow_update"]
+    assert len(wfs) >= 5  # initial + (running, done) per node
+    assert [n["status"] for n in wfs[0]] == ["pending", "pending"]
+    assert any([n["status"] for n in w] == ["running", "pending"] for w in wfs)
+    assert any([n["status"] for n in w] == ["done", "running"] for w in wfs)
+    assert [n["status"] for n in wfs[-1]] == ["done", "done"]
+    assert wfs[0][0]["agent"] == "w1" and wfs[0][1]["task"] == "t2"
+
+
 def test_chain_orchestrator_sequential_context():
     seen_prompts = []
 

@@ -167,8 +167,29 @@ class OrchestraAgent:
         recorder.add_message("planner", plan.analysis)
         return plan
 
+    @staticmethod
+    def _workflow_nodes(plan: PlanResult, running: int | None = None) -> list[dict]:
+        """Snapshot of the plan as workflow nodes (ref: the chat stream's
+        workflow_update visualization events, routes/chat.py docstring +
+        the webui workflow tree)."""
+        nodes = []
+        for i, t in enumerate(plan.todo):
+            status = "done" if t.completed else ("running" if i == running else "pending")
+            if t.result and not t.completed and i != running:
+                status = "failed"
+            nodes.append(
+                {"id": i, "agent": t.agent_name, "task": t.task, "status": status}
+            )
+        return nodes
+
+    def _emit_workflow(self, recorder: TaskRecorder, plan: PlanResult, running=None):
+        recorder.emit(
+            AgentEvent("workflow_update", data={"nodes": self._workflow_nodes(plan, running)})
+        )
+
     async def work(self, plan: PlanResult, recorder: TaskRecorder) -> str:
         trajectory_parts: list[str] = []
+        self._emit_workflow(recorder, plan)
         for i, sub in enumerate(plan.todo):
             if sub.completed:
                 continue
@@ -176,8 +197,10 @@ class OrchestraAgent:
             if worker is None:
                 logger.warning("no worker %r; skipping", sub.agent_name)
                 sub.result = f"(no agent named {sub.agent_name})"
+                self._emit_workflow(recorder, plan)
                 continue
             recorder.emit(AgentEvent("agent_switch", name=sub.agent_name, text=sub.task))
+            self._emit_workflow(recorder, plan, running=i)
             context = "\n".join(trajectory_parts)
             task_text = (
                 f"Overall context so far:\n{context}\n\nYour subtask: {sub.task}"
@@ -189,6 +212,7 @@ class OrchestraAgent:
             sub.completed = True
             trajectory_parts.append(f"[{sub.agent_name}] task: {sub.task}\nresult: {sub.result}")
             recorder.add_message(sub.agent_name, sub.result)
+            self._emit_workflow(recorder, plan)
         return "\n\n".join(trajectory_parts)
 
     async def report(self, task: str, trajectory: str, recorder: TaskRecorder) -> str:

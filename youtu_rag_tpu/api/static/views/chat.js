@@ -207,6 +207,7 @@ async function send(ctx, q) {
   // per task, live-updated from worker events tagged data.parallel_agent
   const pwins = new Map();  // "group:task_idx" -> {el, body, status, tools}
   let mergeCard = null;
+  let workflowEl = null;    // in-place workflow tree (ref workflow_update)
   for (;;) {
     const { done, value } = await reader.read();
     if (done) break;
@@ -372,6 +373,23 @@ async function send(ctx, q) {
       case "plan":
         card(log, "", "plan", JSON.stringify(ev.data || ev.content || {}, null, 2));
         break;
+      case "workflow_update": {
+        // live plan tree, updated in place (ref workflow visualization)
+        const ICONS = { pending: "○", running: "◐", done: "●", failed: "✗" };
+        if (!workflowEl) {
+          workflowEl = h("div", { class: "card-ev workflow" });
+          log.appendChild(workflowEl);
+        }
+        workflowEl.innerHTML = "";
+        for (const n of (ev.data?.nodes || [])) {
+          workflowEl.appendChild(h("div", { class: `wf-node ${n.status}` },
+            h("span", { class: "wf-icon" }, ICONS[n.status] || "○"),
+            h("span", { class: "wf-agent" }, n.agent),
+            h("span", { class: "dim" }, ` ${n.task}`)));
+        }
+        log.scrollTop = log.scrollHeight;
+        break;
+      }
       case "parallel_group":
         if (ev.data?.status === "start") makeGroup(ev.data);
         break;
