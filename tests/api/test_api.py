@@ -196,6 +196,15 @@ class ApiTest(AsyncHTTPTestCase):
         types = [e["type"] for e in events]
         assert "text_delta" in types and types[-1] == "done"
 
+    def test_agents_catalog_from_yaml(self):
+        """/api/agents exposes the editable frontend catalog loaded from
+        configs/rag/frontend_agents.yaml (ref routes/config.py)."""
+        data = self._json(self.fetch("/api/agents"))
+        names = [a["name"] for a in data["catalog"]]
+        assert "kb_search" in names and "parallel" in names
+        kb = next(a for a in data["catalog"] if a["name"] == "kb_search")
+        assert kb["type"] == "simple" and kb["icon"]
+
     def test_chat_auto_select_stream(self):
         """Auto-select mode: LLM agent choice (falls back to kb_search with
         the scripted client), per-agent streaming, done carries the pick

@@ -26,6 +26,7 @@ Route surface parity:
 from __future__ import annotations
 
 import asyncio
+import functools
 import json
 import re
 import time
@@ -290,7 +291,7 @@ class ChatHandler(BaseHandler):
 
         final = ""
         for agent_name in selected:
-            spec = next(a for a in QA_AGENT_CATALOG if a["name"] == agent_name)
+            spec = next(a for a in agent_catalog() if a["name"] == agent_name)
             if not await self._write_card(
                 {"type": "agent_switch", "content": agent_name, "name": agent_name}
             ):
@@ -840,7 +841,7 @@ class KBQAPairsHandler(BaseHandler):
 # (ref: utu/rag/api/routes/knowledge_base.py:759-818 —
 #  select_agents_for_qa / execute_agent_for_qa; VERDICT r2 item 6)
 
-QA_AGENT_CATALOG = [
+_BUILTIN_AGENT_CATALOG = [
     {
         "name": "kb_search",
         "type": "simple",
@@ -874,14 +875,52 @@ Reply with ONLY a JSON array of agent names, most suitable first,
 e.g. ["kb_search"]."""
 
 
+@functools.lru_cache(maxsize=1)
+def _frontend_agents_config() -> dict:
+    """configs/rag/frontend_agents.yaml — the editable agent catalog the
+    UI offers and the selection LLM chooses from (ref: the reference's
+    configs/rag/frontend_agents.yaml consumed by routes/config.py and
+    auto_select_and_stream). Missing/invalid file → built-ins."""
+    try:
+        from ..core.loader import ConfigLoader
+
+        doc = ConfigLoader().load_raw("frontend_agents", group="rag")
+        agents = [
+            {
+                "name": str(a["name"]),
+                "type": str(a.get("type", "simple")),
+                "description": str(a.get("description", "")).strip(),
+                "icon": a.get("icon", ""),
+            }
+            for a in doc.get("agents", [])
+            if isinstance(a, dict) and a.get("name")
+        ]
+        if agents:
+            return {
+                "agents": agents,
+                "selection_prompt": (doc.get("agent_selection") or {}).get(
+                    "selection_prompt"
+                ),
+            }
+    except Exception:  # noqa: BLE001 - a broken catalog must not kill routes
+        logger.exception("frontend_agents.yaml load failed; using built-ins")
+    return {"agents": _BUILTIN_AGENT_CATALOG, "selection_prompt": None}
+
+
+def agent_catalog() -> list[dict]:
+    return _frontend_agents_config()["agents"]
+
+
 async def select_agents_for_qa(question: str, howtofind: str, chat) -> list[str]:
     """LLM agent choice with a deterministic kb_search fallback (ref:
     select_agents_for_qa, knowledge_base.py:759-816)."""
-    valid = {a["name"] for a in QA_AGENT_CATALOG}
+    catalog = agent_catalog()
+    valid = {a["name"] for a in catalog}
     try:
-        desc = "\n".join(f"- {a['name']}: {a['description']}" for a in QA_AGENT_CATALOG)
+        desc = "\n".join(f"- {a['name']}: {a['description']}" for a in catalog)
+        prompt_tpl = _frontend_agents_config()["selection_prompt"] or _QA_SELECT_PROMPT
         raw = await chat(
-            _QA_SELECT_PROMPT.format(
+            prompt_tpl.format(
                 question=question, howtofind=howtofind or "(none)", agents_desc=desc
             )
         )
@@ -892,7 +931,7 @@ async def select_agents_for_qa(question: str, howtofind: str, chat) -> list[str]
             return picked
     except Exception:  # noqa: BLE001 - selection is advisory
         logger.exception("QA agent selection failed; falling back to kb_search")
-    return ["kb_search"]
+    return ["kb_search" if "kb_search" in valid else catalog[0]["name"]]
 
 
 class KBQAExecuteHandler(BaseHandler):
@@ -926,7 +965,7 @@ class KBQAExecuteHandler(BaseHandler):
         query_aug, _ = _modify_query(self.state, question, name, None)
         results = []
         for agent_name in selected:
-            spec = next(a for a in QA_AGENT_CATALOG if a["name"] == agent_name)
+            spec = next(a for a in agent_catalog() if a["name"] == agent_name)
             try:
                 if spec["type"] == self.state.agent_config.type:
                     # the live configured agent already matches (and holds
@@ -1564,6 +1603,9 @@ class AgentsHandler(BaseHandler):
                     "workforce",
                     "excel",
                 ],
+                # the editable catalog the UI/auto-select chooses from
+                # (configs/rag/frontend_agents.yaml; ref routes/config.py)
+                "catalog": agent_catalog(),
             }
         )
 
