@@ -19,6 +19,13 @@ async def main() -> None:
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--data-dir", default="./data/api")
     p.add_argument("--agent-config", default=None, help="configs/agents/<name> to load")
+    p.add_argument(
+        "--shards", type=int, default=0,
+        help="shard every KB index over an N-device mesh (multi-chip "
+        "serving; 0 = single device). Needs N visible devices — real "
+        "chips, or XLA_FLAGS=--xla_force_host_platform_device_count=N "
+        "JAX_PLATFORMS=cpu for a local demo.",
+    )
     args = p.parse_args()
 
     from youtu_rag_tpu.api.app import create_app
@@ -30,7 +37,14 @@ async def main() -> None:
 
         agent_config = ConfigLoader().load_agent_config(args.agent_config)
 
-    state = ApiState(data_dir=args.data_dir, agent_config=agent_config)
+    mesh = None
+    if args.shards:
+        from youtu_rag_tpu.parallel.mesh import get_mesh
+
+        mesh = get_mesh({"db": args.shards})
+        print(f"serving with a {args.shards}-way sharded index mesh")
+
+    state = ApiState(data_dir=args.data_dir, agent_config=agent_config, mesh=mesh)
     app = create_app(state)
     app.listen(args.port)
     print(f"youtu_rag_tpu API listening on :{args.port}")

@@ -146,7 +146,11 @@ class ApiState:
         agent_config: AgentConfig | None = None,
         rag_config: RAGConfig | None = None,
         db: DBService | None = None,
+        mesh=None,
     ):
+        # optional device mesh: every KB this state creates shards its
+        # index over it (ShardedVectorIndex) — the multi-chip serving path
+        self.mesh = mesh
         self.data_dir = Path(data_dir)
         self.files = LocalFileStore(self.data_dir / "files")
         self.kbs = KBRegistry()
@@ -223,7 +227,7 @@ class ApiState:
         if kb is None:
             self.validate_kb_name(name)
             cfg = config or self.rag_config.model_copy(update={"name": name})
-            kb = self.kbs.get_or_create(name, cfg)
+            kb = self.kbs.get_or_create(name, cfg, mesh=self.mesh)
             # table registry + incremental manifest live under the data dir
             # so text2sql tables and skip-unchanged survive restarts
             kb.attach_persistence(self.data_dir / "kbs" / name)
@@ -323,7 +327,7 @@ class ApiState:
                     logger.exception("corrupt kb meta %s; using defaults", meta)
             if self.kbs.get(name) is not None:
                 continue
-            kb = self.kbs.get_or_create(name, cfg)
+            kb = self.kbs.get_or_create(name, cfg, mesh=self.mesh)
             kb.attach_persistence(meta.parent)
             self.monitor.register(name, kb.store)
             GLOBAL_KB_REGISTRY.register(kb)
