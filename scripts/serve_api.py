@@ -26,6 +26,11 @@ async def main() -> None:
         "chips, or XLA_FLAGS=--xla_force_host_platform_device_count=N "
         "JAX_PLATFORMS=cpu for a local demo.",
     )
+    p.add_argument(
+        "--search-coalesce-ms", type=float, default=0.0,
+        help="merge concurrent KB searches inside this window into one "
+        "fused kernel launch (serving hot path; 2-5 ms is typical)",
+    )
     args = p.parse_args()
 
     from youtu_rag_tpu.api.app import create_app
@@ -44,7 +49,17 @@ async def main() -> None:
         mesh = get_mesh({"db": args.shards})
         print(f"serving with a {args.shards}-way sharded index mesh")
 
-    state = ApiState(data_dir=args.data_dir, agent_config=agent_config, mesh=mesh)
+    rag_config = None
+    if args.search_coalesce_ms > 0:
+        from youtu_rag_tpu.core.config import RAGConfig
+
+        rag_config = RAGConfig()
+        rag_config.vector_store.coalesce_window_ms = args.search_coalesce_ms
+
+    state = ApiState(
+        data_dir=args.data_dir, agent_config=agent_config,
+        rag_config=rag_config, mesh=mesh,
+    )
     app = create_app(state)
     app.listen(args.port)
     print(f"youtu_rag_tpu API listening on :{args.port}")

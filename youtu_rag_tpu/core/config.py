@@ -174,6 +174,11 @@ class VectorStoreConfig(ConfigBase):
     persist_directory: str = "./data/vector_store"
     distance_metric: Literal["cosine", "euclidean", "dot"] = "cosine"
     index: IndexConfig = Field(default_factory=IndexConfig)
+    # >0: concurrent searches inside the window merge into one fused
+    # kernel launch (per top_k+filter signature) — the serving hot path
+    # pays one dispatch for N concurrent requests, like the embedder's
+    # coalesce_window_ms
+    coalesce_window_ms: float = Field(default=0.0, ge=0.0, le=100.0)
 
 
 class MonitorConfig(ConfigBase):

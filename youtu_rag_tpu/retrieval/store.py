@@ -45,6 +45,7 @@ class TpuVectorStore(BaseVectorStore):
         self._mesh = mesh
         self._index: DeviceVectorIndex | NumpyVectorIndex | None = None
         self._lock = asyncio.Lock()
+        self._search_coalescer: _SearchCoalescer | None = None
         if dim is not None:
             self._index = self._make_index(dim)
 
@@ -103,14 +104,25 @@ class TpuVectorStore(BaseVectorStore):
         filters: dict[str, Any] | None = None,
     ) -> list[list[tuple[Chunk, float]]]:
         """Engine-native batched search: one fused kernel launch for the
-        whole query batch."""
+        whole query batch. With ``coalesce_window_ms`` > 0, concurrent
+        calls sharing (top_k, filters) merge into one launch — N serving
+        requests pay ~one TPU dispatch instead of N."""
         q = np.asarray(query_embeddings, np.float32)
         n_q = q.shape[0] if q.ndim >= 1 else 0
         if n_q == 0:
             return []  # empty batch: (0,)-shaped array would fail dim checks
         if self._index is None or self._index.count() == 0:
             return [[] for _ in range(n_q)]
+        if self.config.coalesce_window_ms > 0:
+            return await self._coalescer().search(q, top_k, filters)
         return self._index.search(q, top_k=top_k, filters=filters)
+
+    def _coalescer(self) -> "_SearchCoalescer":
+        if self._search_coalescer is None:
+            self._search_coalescer = _SearchCoalescer(
+                self, window_ms=self.config.coalesce_window_ms
+            )
+        return self._search_coalescer
 
     async def reserve(self, total_rows: int, dim: int | None = None) -> None:
         """Pre-allocate index capacity for a planned build."""
@@ -219,6 +231,88 @@ class TpuVectorStore(BaseVectorStore):
             index_size_bytes=nbytes,
             last_check_time=time.strftime("%Y-%m-%dT%H:%M:%S"),
         )
+
+
+class _SearchCoalescer:
+    """Merges concurrent search calls into one fused kernel launch.
+
+    Same mechanics as CoalescingEmbedder (models/embedder.py:319): callers
+    enqueue (queries, key, future); a lazily-started worker waits
+    ``window_ms`` after the first arrival, groups waiters by
+    (top_k, filter-signature) — different filters compile different bias
+    masks and cannot share a launch — stacks each group's query rows into
+    one ``index.search`` call, and slices results back per caller. On TPU
+    each dispatch pays fixed overhead (host RPC + launch; ~27 ms through
+    the axon tunnel), so N concurrent single-query /query requests cost
+    ~one dispatch instead of N."""
+
+    def __init__(self, store: "TpuVectorStore", window_ms: float = 2.0, max_queries: int = 64):
+        self.store = store
+        self.window_s = window_ms / 1e3
+        self.max_queries = max_queries
+        self._queue: asyncio.Queue | None = None
+        self._worker: asyncio.Task | None = None
+        self._loop: asyncio.AbstractEventLoop | None = None
+        self.stats = {"dispatches": 0, "queries": 0, "max_merged": 0}
+
+    @staticmethod
+    def _key(top_k: int, filters: dict | None) -> str:
+        import json as _json
+
+        return f"{top_k}|{_json.dumps(filters, sort_keys=True, default=str) if filters else ''}"
+
+    def _ensure_worker(self) -> asyncio.Queue:
+        loop = asyncio.get_running_loop()
+        if self._queue is None or self._loop is not loop or (self._worker and self._worker.done()):
+            self._queue = asyncio.Queue()
+            self._loop = loop
+            self._worker = loop.create_task(self._run())
+        return self._queue
+
+    async def search(self, q: np.ndarray, top_k: int, filters: dict | None):
+        fut = asyncio.get_running_loop().create_future()
+        self._ensure_worker().put_nowait((q, top_k, filters, fut))
+        return await fut
+
+    async def _run(self) -> None:
+        queue = self._queue
+        while True:
+            first = await queue.get()
+            batch = [first]
+            n = first[0].shape[0]
+            deadline = asyncio.get_running_loop().time() + self.window_s
+            while n < self.max_queries:
+                remaining = deadline - asyncio.get_running_loop().time()
+                if remaining <= 0:
+                    break
+                try:
+                    item = await asyncio.wait_for(queue.get(), remaining)
+                except asyncio.TimeoutError:
+                    break
+                batch.append(item)
+                n += item[0].shape[0]
+            groups: dict[str, list] = {}
+            for item in batch:
+                groups.setdefault(self._key(item[1], item[2]), []).append(item)
+            self.stats["dispatches"] += len(groups)
+            self.stats["queries"] += n
+            self.stats["max_merged"] = max(self.stats["max_merged"], len(batch))
+            for items in groups.values():
+                top_k, filters = items[0][1], items[0][2]
+                Q = np.concatenate([it[0] for it in items], axis=0)
+                try:
+                    hits = self.store._index.search(Q, top_k=top_k, filters=filters)
+                except Exception as e:  # noqa: BLE001 - propagate to every waiter
+                    for it in items:
+                        if not it[3].done():
+                            it[3].set_exception(e)
+                    continue
+                row = 0
+                for it in items:
+                    k = it[0].shape[0]
+                    if not it[3].done():
+                        it[3].set_result(hits[row : row + k])
+                    row += k
 
 
 class VectorStoreFactory:
