@@ -106,6 +106,26 @@ def test_errors_propagate_to_all_waiters():
     assert asyncio.run(go())
 
 
+def test_query_batch_pow2_bucketing():
+    """Odd query counts pad to the next pow2 bucket (one executable per
+    bucket instead of one per count) and slice back exactly."""
+    async def go():
+        store = _mk_store(window_ms=0.0)
+        chunks = _chunks(16)
+        await store.add_chunks(chunks)
+        for n in (1, 3, 5, 6):
+            qs = [np.asarray(chunks[i].embedding, np.float32) for i in range(n)]
+            res = await store.search_batch(qs, top_k=2)
+            assert len(res) == n
+            for i, hits in enumerate(res):
+                assert hits[0][0].id == f"c{i}"
+        sigs = {s[0] for s in store._index._seen_sigs}
+        assert sigs <= {1, 2, 4, 8}  # bucketed, not per-count
+        return True
+
+    assert asyncio.run(go())
+
+
 def test_window_zero_bypasses_coalescer():
     async def go():
         store = _mk_store(window_ms=0.0)

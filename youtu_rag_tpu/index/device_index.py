@@ -725,8 +725,14 @@ class DeviceVectorIndex:
         if q.ndim == 1:
             q = q[None, :]
         assert q.shape[1] == self.dim, (q.shape, self.dim)
-        qpad = np.zeros((q.shape[0], self.d_pad), np.float32)
-        qpad[:, : self.dim] = q
+        n_q = q.shape[0]
+        # pow2 query-batch bucket: every distinct q count would otherwise
+        # compile its own executable (the coalescer merges variable burst
+        # sizes). The kernel is HBM-bound on the index read, so padded
+        # query rows are nearly free; padding results are sliced off below.
+        q_bucket = 1 << max(n_q - 1, 0).bit_length()
+        qpad = np.zeros((q_bucket, self.d_pad), np.float32)
+        qpad[:n_q, : self.dim] = q
         if self.metric == "cosine":
             qpad /= np.maximum(np.linalg.norm(qpad, axis=1, keepdims=True), 1e-12)
         elif self.metric == "l2":
@@ -793,10 +799,10 @@ class DeviceVectorIndex:
                 if self._ivf_tune_counter % self.config.ivf_tune_interval == 0:
                     shadow = self._run_brute(queries, vectors, bias, k_eff, resolved)
 
-        scores = np.asarray(scores)
-        rows = np.asarray(rows)
+        scores = np.asarray(scores)[:n_q]
+        rows = np.asarray(rows)[:n_q]
         if shadow is not None:
-            self._tune_nprobe(rows, np.asarray(shadow[1]), k_eff)
+            self._tune_nprobe(rows, np.asarray(shadow[1])[:n_q], k_eff)
         out: list[list[tuple[Chunk, float]]] = []
         for qi in range(scores.shape[0]):
             hits: list[tuple[Chunk, float]] = []
