@@ -138,6 +138,17 @@ class KnowledgeBase:
         try:
             if await self.store.count() > 0:
                 await self.retriever.retrieve("warmup", top_k=1, similarity_threshold=0.0)
+                if self.config.vector_store.coalesce_window_ms > 0:
+                    # coalesced bursts land in pow2 query buckets — warm the
+                    # common ones so the first real burst isn't compile-bound
+                    import numpy as _np
+
+                    dim = getattr(self.embedder, "dimension", None) or self.store._dim
+                    if dim:
+                        for bucket in (8, 32):
+                            await self.store.search_batch(
+                                _np.zeros((bucket, dim), _np.float32), top_k=self.config.retriever.top_k
+                            )
         except Exception:  # noqa: BLE001 - warmup must never fail a build
             logger.exception("search warmup failed")
 
