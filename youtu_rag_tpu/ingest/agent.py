@@ -270,9 +270,15 @@ class KnowledgeBuilderAgent:
                     return
                 async with sem:
                     self._progress(task.source_id, "running", done_counter["n"], total)
+                    from ..tracing.tracer import get_tracer
+
                     try:
-                        proc = FileProcessorFactory.create(plan["kind"], self.ctx)
-                        result = await proc.process(task)
+                        with get_tracer().span(
+                            "ingest", f"process:{plan['kind']}", source=task.source_id
+                        ) as ps:
+                            proc = FileProcessorFactory.create(plan["kind"], self.ctx)
+                            result = await proc.process(task)
+                            ps.attributes["chunks"] = result.chunks
                         report.results.append(result)
                         report.processed += 1
                         report.total_chunks += result.chunks

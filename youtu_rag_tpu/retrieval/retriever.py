@@ -87,8 +87,17 @@ class VectorRetriever(BaseRetriever):
             threshold = 0.0
         fetch_k = top_k * 2 if rerank else top_k
 
-        embs = np.asarray(await self.embedder.embed_texts(queries), np.float32)
-        hit_lists = await self.store.search_batch(embs, top_k=fetch_k, filters=filters)
+        from ..tracing.tracer import get_tracer
+
+        tracer = get_tracer()
+        with tracer.span("embedding", "embed_queries", n=len(queries)):
+            embs = np.asarray(await self.embedder.embed_texts(queries), np.float32)
+        with tracer.span(
+            "retrieval", "vector_search", n=len(queries), top_k=fetch_k,
+            filtered=bool(filters),
+        ) as search_span:
+            hit_lists = await self.store.search_batch(embs, top_k=fetch_k, filters=filters)
+            search_span.attributes["hits"] = sum(len(h) for h in hit_lists)
 
         out: list[list[RetrievalResult]] = []
         for qi, hits in enumerate(hit_lists):
