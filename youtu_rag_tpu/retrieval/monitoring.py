@@ -91,13 +91,24 @@ class StorageMonitor(BaseStorageMonitor):
     async def collect_metrics(self) -> dict[str, Any]:
         health = await self.check_health()
         stats = await self.get_query_stats()
-        return {
+        out = {
             "name": self.name,
             "healthy": health.is_healthy,
             "total_chunks": health.total_chunks,
             "index_size_bytes": health.index_size_bytes,
             **stats,
         }
+        # search-coalescer effectiveness (dispatch amortization), when on
+        coalescer = getattr(self.store, "_search_coalescer", None)
+        if coalescer is not None:
+            s = coalescer.stats
+            out["search_coalescing"] = {
+                **s,
+                "avg_merged": round(s["queries"] / s["dispatches"], 2)
+                if s["dispatches"]
+                else 0.0,
+            }
+        return out
 
 
 class UnifiedStorageMonitor:
