@@ -341,6 +341,38 @@ def test_workforce_full_loop():
     assert executors == ["researcher", "writer"]
 
 
+def test_workforce_workflow_updates():
+    def rule(msgs, tools):
+        content = msgs[-1].content or ""
+        system = msgs[0].content or ""
+        if "project planner" in system:
+            return FakeChatClient.text_response('["t1", "t2"]')
+        if content.startswith("Pick the best executor"):
+            return FakeChatClient.text_response('{"executor": "e", "instruction": "go"}')
+        if content.startswith("You are reviewing plan progress"):
+            return FakeChatClient.text_response('{"action": "continue"}')
+        if content.startswith("Extract the final answer"):
+            return FakeChatClient.text_response("A")
+        return FakeChatClient.text_response("?")
+
+    agent = WorkforceAgent(
+        AgentConfig(type="workforce"), client=FakeChatClient(rule_fn=rule),
+        executors={"e": _worker("ok")},
+    )
+
+    async def collect():
+        rec = agent.run_streamed("q")
+        evs = [e async for e in rec.stream_events()]
+        await rec.wait()
+        return evs
+
+    evs = asyncio.run(collect())
+    wfs = [e.data["nodes"] for e in evs if e.type == "workflow_update"]
+    assert [n["status"] for n in wfs[0]] == ["pending", "pending"]
+    assert any([n["status"] for n in w] == ["running", "pending"] for w in wfs)
+    assert [n["status"] for n in wfs[-1]] == ["done", "done"]
+
+
 def test_workforce_early_finish():
     def rule(msgs, tools):
         content = msgs[-1].content or ""

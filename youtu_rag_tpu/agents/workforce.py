@@ -175,10 +175,32 @@ class WorkforceAgent:
         recorder.run_task = asyncio.ensure_future(go())
         return recorder
 
+    @staticmethod
+    def _emit_workflow(recorder, completed, running, pending):
+        """Live plan tree (same workflow_update contract as OrchestraAgent;
+        ref: workflow visualization events)."""
+        nodes = [
+            {"id": i, "agent": t.executor or "?", "task": t.task, "status": "done"}
+            for i, t in enumerate(completed)
+        ]
+        base = len(nodes)
+        if running is not None:
+            nodes.append(
+                {"id": base, "agent": running.executor or "?", "task": running.task,
+                 "status": "running"}
+            )
+            base += 1
+        nodes += [
+            {"id": base + i, "agent": t.executor or "?", "task": t.task, "status": "pending"}
+            for i, t in enumerate(pending)
+        ]
+        recorder.emit(AgentEvent("workflow_update", data={"nodes": nodes}))
+
     async def _loop(self, question: str, recorder: TaskRecorder) -> str:
         pending = await self.plan_task(question)
         recorder.emit(AgentEvent("plan", data={"tasks": [t.task for t in pending]}))
         completed: list[WorkforceTask] = []
+        self._emit_workflow(recorder, completed, None, pending)
 
         for _ in range(self.max_iterations):
             if not pending:
@@ -186,6 +208,7 @@ class WorkforceAgent:
             task = pending.pop(0)
             executor, instruction = await self.assign_task(task)
             recorder.emit(AgentEvent("agent_switch", name=task.executor, text=task.task))
+            self._emit_workflow(recorder, completed, task, pending)
             if executor is None:
                 task.result = f"(unknown executor {task.executor})"
             else:
@@ -195,6 +218,7 @@ class WorkforceAgent:
                 task.result = rec.final_output or ""
             completed.append(task)
             recorder.add_message(task.executor or "executor", task.result or "")
+            self._emit_workflow(recorder, completed, None, pending)
 
             # plan check/update (ref: plan_check/plan_update loop)
             check = await self.planner_client.chat(
