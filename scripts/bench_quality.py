@@ -292,6 +292,36 @@ async def run_all(args) -> dict:
     niah["hybrid_rrf"] = await RetrievalBenchmark(kb, top_k=15, use_hybrid=True).run(
         RetrievalBenchmark.load_qrels(qrels_p)
     )
+
+    # corpus-level BM25 alone (retrieval/lexical.py) and a lexical-heavy
+    # fusion — the configs that stay strong when the dense encoder is weak
+    from youtu_rag_tpu.core.types import RetrievalResult
+
+    async def bm25_fn(query, filters, top_k):
+        hits = await kb.store.lexical_search(query, top_k=top_k, filters=filters)
+        return [
+            RetrievalResult(chunk=c, score=s, rank=i + 1)
+            for i, (c, s) in enumerate(hits)
+        ]
+
+    niah["bm25_corpus"] = await RetrievalBenchmark(
+        kb, top_k=15, retrieve_fn=bm25_fn
+    ).run(RetrievalBenchmark.load_qrels(qrels_p))
+
+    from youtu_rag_tpu.retrieval.retriever import HybridRetriever
+
+    lex_heavy = HybridRetriever(
+        kb.store,
+        kb.embedder,
+        kb.config.retriever.model_copy(update={"hybrid_alpha": 0.25}),
+    )
+
+    async def lex_heavy_fn(query, filters, top_k):
+        return await lex_heavy.retrieve(query, top_k=top_k, filters=filters)
+
+    niah["hybrid_lex_heavy"] = await RetrievalBenchmark(
+        kb, top_k=15, retrieve_fn=lex_heavy_fn
+    ).run(RetrievalBenchmark.load_qrels(qrels_p))
     report["datasets"]["niah"] = {"queries": len(samples), **{k: _trim(v) for k, v in niah.items()}}
 
     # --- timeliness ---

@@ -106,6 +106,11 @@ class RetrieverConfig(ConfigBase):
     reranker_model: str | None = None
     reranker_top_k: int = Field(default=3, ge=1, le=50)
     recall_multiplier: int = Field(default=3, ge=1, le=10)
+    # hybrid fusion: weight of the dense ranking in weighted RRF
+    # (1-alpha goes to the corpus BM25 ranking). 0.5 = classic RRF;
+    # lower it for exact-term workloads (needle/NIAH-style corpora)
+    # where lexical evidence should dominate
+    hybrid_alpha: float = Field(default=0.5, ge=0.0, le=1.0)
 
 
 class IndexConfig(ConfigBase):
@@ -179,6 +184,10 @@ class VectorStoreConfig(ConfigBase):
     # pays one dispatch for N concurrent requests, like the embedder's
     # coalesce_window_ms
     coalesce_window_ms: float = Field(default=0.0, ge=0.0, le=100.0)
+    # corpus-level BM25 inverted index maintained alongside the device
+    # index; gives HybridRetriever lexical recall that is independent of
+    # dense-encoder quality (needle-style queries survive a weak encoder)
+    lexical_index: bool = True
 
 
 class MonitorConfig(ConfigBase):

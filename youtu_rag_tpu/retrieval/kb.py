@@ -219,6 +219,8 @@ class KnowledgeBase:
             idx = target
         self.store._index = idx
         self.store._dim = idx.dim
+        # snapshots carry no postings — repopulate BM25 from live chunks
+        self.store.rebuild_lexical()
         return {"directory": str(d), "chunks": idx.count()}
 
     async def stats(self) -> dict[str, Any]:

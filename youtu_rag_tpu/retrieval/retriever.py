@@ -124,8 +124,13 @@ class HybridRetriever(VectorRetriever):
 
     The reference's HybridRetriever is an unimplemented stub that delegates
     to dense (base_retriever.py:102-139, 'TODO BM25 fusion'); here the
-    fusion is real: dense candidates from the device index, lexical scores
-    from BM25 over the candidate pool, merged with RRF."""
+    fusion is real and **corpus-level**: the lexical list comes from the
+    store's BM25 inverted index over the whole collection
+    (retrieval/lexical.py), so exact-term evidence recalls chunks the
+    dense encoder missed entirely — the Sequential-NIAH failure mode.
+    When the store was built with ``lexical_index`` off, fusion degrades
+    to BM25 re-scoring of the dense candidate pool (the old behavior,
+    only able to reorder what dense already found)."""
 
     def __init__(self, *args, rrf_k: int = 60, fusion_pool: int = 50, **kwargs):
         super().__init__(*args, **kwargs)
@@ -162,24 +167,82 @@ class HybridRetriever(VectorRetriever):
             queries, top_k=pool, filters=filters, enable_reranking=False,
             similarity_threshold=threshold,
         )
+        corpus_lexical = getattr(self.store, "_lexical", None) is not None
         out = []
         for query, dense in zip(queries, dense_lists):
-            if not dense:
+            chunk_by_id = {r.chunk.id: r.chunk for r in dense}
+            dense_score = {r.chunk.id: r.score for r in dense}
+            if corpus_lexical:
+                # union candidates: corpus BM25 top hits ∪ dense pool, all
+                # scored with corpus df/avgdl — one consistent lexical
+                # ranking, so dense candidates keep their lexical credit
+                # and exact-term chunks dense missed still enter
+                corpus_hits = await self.store.lexical_search(
+                    query, top_k=pool, filters=filters
+                )
+                lex_scores = self.store._lexical.score_chunks(
+                    query, list(dense_score)
+                )
+                for chunk, s in corpus_hits:
+                    if threshold > 0 and chunk.id not in dense_score:
+                        # an explicit similarity_threshold is a *dense*
+                        # confidence gate: honor it by not admitting
+                        # chunks dense never vouched for (threshold<=0 —
+                        # the default — keeps full corpus-level fusion)
+                        continue
+                    chunk_by_id.setdefault(chunk.id, chunk)
+                    lex_scores[chunk.id] = s
+                lex_hits = sorted(
+                    ((cid, s) for cid, s in lex_scores.items() if s > 0),
+                    key=lambda kv: (-kv[1], kv[0]),
+                )[:pool]
+            else:
+                # pool-rescore fallback: rank the dense candidates by BM25
+                scores = self._lexical.score(query, [r.chunk.content for r in dense])
+                lex_hits = [
+                    (dense[i].chunk.id, scores[i])
+                    for i in sorted(range(len(dense)), key=lambda i: -scores[i])
+                    if scores[i] > 0
+                ]
+            if not dense and not lex_hits:
                 out.append([])
                 continue
-            lex_scores = self._lexical.score(query, [r.chunk.content for r in dense])
-            lex_order = sorted(range(len(dense)), key=lambda i: -lex_scores[i])
-            rrf: dict[int, float] = {}
-            for rank, i in enumerate(lex_order):
-                rrf[i] = rrf.get(i, 0.0) + 1.0 / (self.rrf_k + rank + 1)
-            for i in range(len(dense)):  # the dense list IS its ranking
-                rrf[i] = rrf.get(i, 0.0) + 1.0 / (self.rrf_k + i + 1)
-            order = sorted(rrf, key=lambda i: -rrf[i])[:top_k]
-            # RRF orders; the reported score stays the dense similarity so
-            # downstream confidence cutoffs keep a [0,1]-ish scale
+            # weighted RRF over the two ranked lists, keyed by chunk id
+            alpha = getattr(self.config, "hybrid_alpha", 0.5)
+            rrf: dict[str, float] = {}
+            for i, r in enumerate(dense):  # the dense list IS its ranking
+                rrf[r.chunk.id] = rrf.get(r.chunk.id, 0.0) + alpha / (self.rrf_k + i + 1)
+            max_lex = lex_hits[0][1] if lex_hits else 1.0
+            lex_norm = {}
+            for rank, (cid, s) in enumerate(lex_hits):
+                rrf[cid] = rrf.get(cid, 0.0) + (1 - alpha) / (self.rrf_k + rank + 1)
+                lex_norm[cid] = s / max(max_lex, 1e-9)
+            order = sorted(rrf, key=lambda cid: -rrf[cid])[:top_k]
+            if corpus_lexical and threshold <= 0:
+                # exact-identifier guarantee: chunks matching a near-unique
+                # query term (an ID/code the user typed) get reserved
+                # slots — fusion noise can never evict an exact match
+                rare = await self.store.rare_term_search(
+                    query, filters=filters, limit=max(1, top_k // 3)
+                )
+                in_order = set(order)
+                missing = [(c, s) for c, s in rare if c.id not in in_order]
+                for chunk, s in missing:
+                    chunk_by_id.setdefault(chunk.id, chunk)
+                    lex_norm.setdefault(chunk.id, min(1.0, s / max(max_lex, 1e-9)))
+                if missing:
+                    keep = top_k - len(missing)
+                    order = order[:keep] + [c.id for c, _ in missing]
+            # RRF orders; the reported score stays in a [0,1]-ish scale so
+            # downstream confidence cutoffs keep working: dense similarity
+            # when the chunk came from dense, normalized BM25 otherwise
             results = [
-                RetrievalResult(chunk=dense[i].chunk, score=dense[i].score, rank=rank + 1)
-                for rank, i in enumerate(order)
+                RetrievalResult(
+                    chunk=chunk_by_id[cid],
+                    score=dense_score.get(cid, lex_norm.get(cid, 0.0)),
+                    rank=rank + 1,
+                )
+                for rank, cid in enumerate(order)
             ]
             if rerank and results and self.reranker is not None:
                 results = await self.reranker.rerank(query, results, top_k=top_k)

@@ -46,6 +46,11 @@ class TpuVectorStore(BaseVectorStore):
         self._index: DeviceVectorIndex | NumpyVectorIndex | None = None
         self._lock = asyncio.Lock()
         self._search_coalescer: _SearchCoalescer | None = None
+        self._lexical = None
+        if self.config.lexical_index:
+            from .lexical import LexicalInvertedIndex
+
+            self._lexical = LexicalInvertedIndex()
         if dim is not None:
             self._index = self._make_index(dim)
 
@@ -88,6 +93,8 @@ class TpuVectorStore(BaseVectorStore):
         embs = np.asarray([c.embedding for c in chunks], np.float32)
         async with self._lock:
             self._ensure_index(embs.shape[1]).add(chunks, embs)
+            if self._lexical is not None:
+                self._lexical.add(chunks)
 
     async def search(
         self,
@@ -136,6 +143,8 @@ class TpuVectorStore(BaseVectorStore):
     async def delete(self, chunk_ids: list[str]) -> None:
         if self._index is not None:
             self._index.delete(chunk_ids)
+        if self._lexical is not None:
+            self._lexical.delete(chunk_ids)
 
     async def update_metadata(self, chunk_ids: list[str], metadatas: list[dict]) -> int:
         """Metadata-only update (no re-embedding); see DeviceVectorIndex."""
@@ -146,6 +155,8 @@ class TpuVectorStore(BaseVectorStore):
     async def delete_by_document_id(self, document_id: str) -> int:
         if self._index is None:
             return 0
+        if self._lexical is not None:
+            self._lexical.delete_by_document(document_id)
         return self._index.delete_by_document_id(document_id)
 
     async def get_by_id(self, chunk_id: str) -> Chunk | None:
@@ -162,6 +173,67 @@ class TpuVectorStore(BaseVectorStore):
     async def clear(self) -> None:
         if self._index is not None:
             self._index.clear()
+        if self._lexical is not None:
+            self._lexical.clear()
+
+    def rebuild_lexical(self) -> None:
+        """Repopulate the inverted index from live chunks (snapshot
+        restore, or flipping ``lexical_index`` on for an existing KB)."""
+        if self.config.lexical_index and self._lexical is None:
+            from .lexical import LexicalInvertedIndex
+
+            self._lexical = LexicalInvertedIndex()
+        if self._lexical is not None and self._index is not None:
+            self._lexical.rebuild(self._index.iter_live())
+
+    async def lexical_search(
+        self,
+        query: str,
+        top_k: int = 10,
+        filters: dict[str, Any] | None = None,
+    ) -> list[tuple[Chunk, float]]:
+        """Corpus-level BM25 hits as (chunk, score); [] when disabled."""
+        if self._lexical is None or self._index is None:
+            return []
+        predicate = None
+        if filters:
+            from ..index.filters import host_eval
+
+            def predicate(cid: str) -> bool:
+                c = self._index.get_by_id(cid)
+                return c is not None and host_eval(filters, c.metadata)
+
+        hits = self._lexical.search(query, top_k=top_k, predicate=predicate)
+        return self._resolve_lexical_hits(hits)
+
+    async def rare_term_search(
+        self,
+        query: str,
+        filters: dict[str, Any] | None = None,
+        max_df: int = 3,
+        limit: int = 8,
+    ) -> list[tuple[Chunk, float]]:
+        """Exact-identifier matches (see LexicalInvertedIndex.rare_term_matches)."""
+        if self._lexical is None or self._index is None:
+            return []
+        hits = self._resolve_lexical_hits(
+            self._lexical.rare_term_matches(query, max_df=max_df, limit=limit * 2)
+        )
+        if filters:
+            from ..index.filters import host_eval
+
+            hits = [(c, s) for c, s in hits if host_eval(filters, c.metadata)]
+        return hits[:limit]
+
+    def _resolve_lexical_hits(
+        self, hits: list[tuple[str, float]]
+    ) -> list[tuple[Chunk, float]]:
+        out = []
+        for cid, score in hits:
+            c = self._index.get_by_id(cid)
+            if c is not None:  # tombstoned between postings and fetch
+                out.append((c, score))
+        return out
 
     # -- extras used by toolkits/monitoring --------------------------------
 
