@@ -1,0 +1,105 @@
+"""Query modes on the KB query route (dense | hybrid | lexical) and the
+kb_hybrid_search agent tool — serving surface for retrieval/lexical.py."""
+
+import asyncio
+import json
+
+from tornado.testing import AsyncHTTPTestCase
+
+from youtu_rag_tpu.api.app import create_app
+from youtu_rag_tpu.core.config import IndexConfig, RAGConfig, VectorStoreConfig
+
+
+def _state():
+    import tempfile
+
+    from youtu_rag_tpu.api.state import ApiState
+
+    rag = RAGConfig(
+        vector_store=VectorStoreConfig(index=IndexConfig(min_capacity=256, block_rows=128))
+    )
+    return ApiState(data_dir=tempfile.mkdtemp(prefix="yrt-api-qm-"), rag_config=rag)
+
+
+DOCS = [
+    {"id": "a.md", "content": "the moon orbits the earth. " * 5, "metadata": {"topic": "space"}},
+    {"id": "b.md", "content": "registry code ZX-9981 belongs to the vault door. " * 3,
+     "metadata": {"topic": "codes"}},
+]
+
+
+class QueryModesTest(AsyncHTTPTestCase):
+    def get_app(self):
+        self.state = _state()
+        return create_app(self.state)
+
+    def _json(self, resp):
+        return json.loads(resp.body)
+
+    def _build(self):
+        r = self.fetch("/api/knowledge-bases", method="POST", body=json.dumps({"name": "kbq"}))
+        assert r.code == 201
+        r = self.fetch(
+            "/api/knowledge-bases/kbq/build", method="POST",
+            body=json.dumps({"documents": DOCS}),
+        )
+        assert r.code == 200
+
+    def test_hybrid_and_lexical_modes(self):
+        self._build()
+        for mode in ("hybrid", "lexical"):
+            r = self.fetch(
+                "/api/knowledge-bases/kbq/query", method="POST",
+                body=json.dumps({"query": "what is code ZX-9981?", "mode": mode, "top_k": 2}),
+            )
+            assert r.code == 200, (mode, r.body)
+            data = self._json(r)
+            assert data["results"], mode
+            assert data["results"][0]["document_id"] == "b.md", mode
+
+    def test_bad_mode_rejected(self):
+        self._build()
+        r = self.fetch(
+            "/api/knowledge-bases/kbq/query", method="POST",
+            body=json.dumps({"query": "x", "mode": "telepathy"}),
+        )
+        assert r.code == 400
+
+    def test_lexical_mode_respects_filters(self):
+        self._build()
+        r = self.fetch(
+            "/api/knowledge-bases/kbq/query", method="POST",
+            body=json.dumps({
+                "query": "ZX-9981 moon", "mode": "lexical",
+                "filters": {"topic": "space"},
+            }),
+        )
+        data = self._json(r)
+        assert data["results"]
+        assert all(res["metadata"]["topic"] == "space" for res in data["results"])
+
+
+def test_kb_hybrid_search_tool():
+    from youtu_rag_tpu.core.config import RAGConfig
+    from youtu_rag_tpu.core.types import Document
+    from youtu_rag_tpu.retrieval.kb import KnowledgeBase
+    from youtu_rag_tpu.tools.base import ToolkitConfig
+    from youtu_rag_tpu.tools.kb_search import KBSearchToolkit
+
+    rag = RAGConfig(
+        vector_store=VectorStoreConfig(index=IndexConfig(min_capacity=256, block_rows=128))
+    )
+    kb = KnowledgeBase("tool_kb", rag)
+    docs = [Document(d["id"], d["content"], d["metadata"]) for d in DOCS]
+    asyncio.run(kb.build_documents(docs))
+    tk = KBSearchToolkit(ToolkitConfig(name="kb_search", config={"kb": kb}))
+    assert "kb_hybrid_search" in tk.tools_map
+    out = asyncio.run(tk.call_tool("kb_hybrid_search", {"query": "code ZX-9981", "top_k": 1}))
+    assert "vault door" in out
+    out = asyncio.run(
+        tk.call_tool(
+            "kb_hybrid_search",
+            {"query": "ZX-9981", "filters": json.dumps({"topic": "space"})},
+        )
+    )
+    assert "vault door" not in out

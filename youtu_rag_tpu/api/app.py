@@ -1209,13 +1209,35 @@ class KBQueryHandler(BaseHandler):
             raise tornado.web.HTTPError(400, reason="missing 'query'")
         import time as _time
 
+        mode = body.get("mode", "dense")
+        if mode not in ("dense", "hybrid", "lexical"):
+            raise tornado.web.HTTPError(
+                400, reason="mode must be one of dense|hybrid|lexical"
+            )
         t0 = _time.perf_counter()
-        results = await kb.search(
-            query,
-            top_k=body.get("top_k", 5),
-            filters=body.get("filters"),
-            similarity_threshold=body.get("similarity_threshold", 0.0),
-        )
+        if mode == "hybrid":
+            results = await kb.hybrid_retriever.retrieve(
+                query,
+                top_k=body.get("top_k", 5),
+                filters=body.get("filters"),
+                similarity_threshold=body.get("similarity_threshold", 0.0),
+            )
+        elif mode == "lexical":
+            from youtu_rag_tpu.core.types import RetrievalResult as _RR
+
+            hits = await kb.store.lexical_search(
+                query, top_k=body.get("top_k", 5), filters=body.get("filters")
+            )
+            results = [
+                _RR(chunk=c, score=s, rank=i + 1) for i, (c, s) in enumerate(hits)
+            ]
+        else:
+            results = await kb.search(
+                query,
+                top_k=body.get("top_k", 5),
+                filters=body.get("filters"),
+                similarity_threshold=body.get("similarity_threshold", 0.0),
+            )
         latency = (_time.perf_counter() - t0) * 1e3
         mon = self.state.monitor.monitors.get(name)
         if mon:

@@ -106,6 +106,40 @@ class KBSearchToolkit(BaseRAGToolkit):
         return _format_results(results)
 
     @register_tool
+    async def kb_hybrid_search(
+        self,
+        query: str,
+        top_k: int = 5,
+        filters: str | None = None,
+    ) -> str:
+        """Search the knowledge base combining dense embeddings with exact
+        keyword (BM25) matching. Prefer this over kb_embedding_search when
+        the query contains identifiers, codes, names, or rare terms that
+        must match exactly.
+
+        Args:
+            query: The search query text.
+            top_k: Number of results to return.
+            filters: Optional JSON metadata filter, e.g.
+                '{"source": "a.pdf"}' or '{"ts": {"$gte": 100}}'.
+        """
+        kb = self.kb
+        parsed_filters: dict[str, Any] | None = None
+        if filters:
+            try:
+                parsed_filters = json.loads(filters) if isinstance(filters, str) else filters
+            except json.JSONDecodeError:
+                return f"Error: filters is not valid JSON: {filters!r}"
+        results = await kb.hybrid_retriever.retrieve(
+            query,
+            top_k=top_k,
+            filters=parsed_filters,
+            enable_reranking=kb.reranker is not None,
+            similarity_threshold=0.0,
+        )
+        return _format_results(results)
+
+    @register_tool
     async def kb_rerank(self, query: str, candidates: list[str], top_k: int = 5) -> str:
         """Rerank a list of candidate text passages by relevance to a query.
 
