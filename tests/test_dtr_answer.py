@@ -177,3 +177,64 @@ def test_synthesize_includes_table_in_evidence(tmp_path):
     asyncio.run(go())
     assert "Final result table" in chat.prompts[0]
     assert "| " in chat.prompts[0]
+
+
+# --------------------------------------------- ranking / alt-paths / schema
+
+
+def test_ranking_intent_and_guidance():
+    assert analyze_question_intent("Rank the top 3 stores by revenue") == "ranking"
+    assert analyze_question_intent("sort products by margin") == "ranking"
+    assert is_short_answer("ranking") and is_short_answer("comparison")
+    chat = FakeChat(["Store B, Store A, Store C"])
+    asyncio.run(synthesize_answer("Rank the top 3 stores by revenue", _nodes(), chat))
+    assert "Ranking/comparison instructions" in chat.prompts[0]
+    # non-ranking short answers keep the plain concise prompt
+    chat2 = FakeChat(["42"])
+    asyncio.run(synthesize_answer("How many units in total?", _nodes(), chat2))
+    assert "Ranking/comparison instructions" not in chat2.prompts[0]
+
+
+def test_alt_paths_section_in_prompt():
+    from youtu_rag_tpu.integrations.dtr.answer import format_alt_paths
+
+    alt = [
+        {"plan": ["load", "group"], "reward": 0.8, "success": 2, "total": 2,
+         "result": "total = 42"},
+        {"plan": ["load"], "reward": 0.4, "success": 1, "total": 2, "result": ""},
+    ]
+    section = format_alt_paths(alt)
+    assert "Other execution paths" in section
+    assert "reward 0.80" in section and "total = 42" in section
+    assert "ONE answer" in section
+
+    chat = FakeChat(["Because of X [step 1]."])
+    asyncio.run(
+        synthesize_answer("Why did totals drop?", _nodes(), chat, alt_paths=alt)
+    )
+    assert "Other execution paths" in chat.prompts[0]
+
+
+def test_schema_hint_in_prompt():
+    chat = FakeChat(["42"])
+    asyncio.run(
+        synthesize_answer(
+            "How many units in total?", _nodes(), chat,
+            schema_hint="sales: units, region",
+        )
+    )
+    assert "relevant columns: sales: units, region" in chat.prompts[0]
+
+
+def test_mcts_top_rollouts_ranking():
+    from youtu_rag_tpu.integrations.dtr.mcts_planner import MCTSPlanner, PlanNode
+
+    root = PlanNode(plan=[])
+    a = PlanNode(plan=["a"], parent=root, reward=0.3)
+    b = PlanNode(plan=["b"], parent=root, reward=0.9)
+    c = PlanNode(plan=["c"], parent=b, reward=0.6)
+    unrolled = PlanNode(plan=["d"], parent=root)  # no rollout yet
+    root.children = [a, b, unrolled]
+    b.children = [c]
+    top = MCTSPlanner.top_rollouts(a, n=2)
+    assert [n.plan for n in top] == [["b"], ["c"]]

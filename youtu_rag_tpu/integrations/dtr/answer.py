@@ -50,10 +50,22 @@ Question: {question}
 
 Analysis evidence:
 {evidence}
-
+{guidance}
 This is a {intent} question — reply with ONLY the direct answer (the
 value, name, or number asked for, with its unit), one short sentence at
 most. No preamble, no markdown, no restating the question."""
+
+# ref answer_generator.py:313-330 — Ranking/Comparison get explicit
+# extract-all-then-order instructions; without them LLMs routinely rank a
+# partial item list or compare against a value from the wrong row
+RANKING_GUIDANCE = """
+Ranking/comparison instructions:
+1. EXTRACT every relevant item with its numeric value from the evidence.
+2. Order them by that value yourself — do not trust any ordering already
+   present in prose.
+3. Answer with the item name(s) in the asked-for position(s); include the
+   deciding values.
+"""
 
 STRICT_RETRY_PROMPT = """Your previous answer had formatting problems.
 Answer again, plain text/markdown only: no code fences, no role markers,
@@ -73,6 +85,14 @@ Answer:"""
 
 _INTENT_PATTERNS: list[tuple[str, re.Pattern]] = [
     ("why", re.compile(r"\b(why|explain|reason|cause)\b|为什么|原因")),
+    (
+        "ranking",
+        re.compile(
+            r"\b(rank(ing|ed)?|order (by|of)|sort(ed)?|top\s+\d+|bottom\s+\d+"
+            r"|(first|second|third|last) (largest|smallest|highest|lowest|biggest))\b"
+            r"|排名|排序|前\d|后\d|第[一二三]"
+        ),
+    ),
     (
         "comparison",
         re.compile(r"\b(compare|versus|vs\.?|difference|more than|less than|higher|lower)\b|相比|对比|差异"),
@@ -99,8 +119,10 @@ def analyze_question_intent(question: str) -> str:
 
 
 def is_short_answer(intent: str) -> bool:
-    """Lookup/aggregation questions want the value, not an essay."""
-    return intent in ("lookup", "aggregation")
+    """Lookup/aggregation/ranking/comparison questions want the value(s),
+    not an essay (ref ``_is_short_answer_type`` :1410 — Fact Checking,
+    Ranking and Comparison all take the concise mode)."""
+    return intent in ("lookup", "aggregation", "ranking", "comparison")
 
 
 # ---------------------------------------------------------------------------
@@ -399,6 +421,30 @@ def fallback_answer(question: str, nodes: list[SMGNode], table: str | None = Non
     return f"{body}\n\n(evidence: {cites}; answering step: [step {i}])"
 
 
+def format_alt_paths(alt_paths: list[dict[str, Any]], max_paths: int = 3) -> str:
+    """Cross-verification section from runner-up execution paths (ref
+    ``_build_prompt`` all_paths_section :294-307): the answer LLM sees how
+    the other rollouts ended so agreement raises confidence — but must
+    still answer from the best path alone."""
+    if not alt_paths:
+        return ""
+    lines = ["", "# Other execution paths (verification only):"]
+    for i, p in enumerate(alt_paths[:max_paths], 1):
+        lines.append(
+            f"\nPath {i} (reward {p.get('reward', 0.0):.2f}, "
+            f"{p.get('success', 0)}/{p.get('total', 0)} steps ok):"
+        )
+        if p.get("plan"):
+            lines.append("  steps: " + " → ".join(str(s)[:60] for s in p["plan"][:6]))
+        if p.get("result"):
+            lines.append("  final output: " + str(p["result"])[:400])
+    lines.append(
+        "\nNOTE: these are for cross-checking only — output ONE answer "
+        "based on the primary evidence above."
+    )
+    return "\n".join(lines)
+
+
 async def synthesize_answer(
     question: str,
     nodes: list[SMGNode],
@@ -406,6 +452,8 @@ async def synthesize_answer(
     state: dict[str, Any] | None = None,
     machine=None,
     chart_dir: str | None = None,
+    alt_paths: list[dict[str, Any]] | None = None,
+    schema_hint: str | None = None,
 ) -> str:
     """LLM synthesis with the evidence block; intent-matched style (terse
     for lookup/aggregation), number cleaning, one strict retry on format
@@ -456,9 +504,18 @@ async def synthesize_answer(
     evidence = build_evidence(nodes)
     if table:
         evidence += f"\n\nFinal result table:\n{table}"
+    if schema_hint:
+        # ref _build_prompt schema_hint :278-292 — point the LLM at the
+        # linked headers so extraction stays on the relevant columns
+        evidence += f"\n\nSchema hint — relevant columns: {schema_hint}"
+    if alt_paths:
+        evidence += "\n" + format_alt_paths(alt_paths)
     frames = ", ".join(f"{k} ({v.summary()})" for k, v in (state or {}).items()) or "(none)"
     if is_short_answer(intent):
-        prompt = SHORT_ANSWER_PROMPT.format(question=question, evidence=evidence, intent=intent)
+        guidance = RANKING_GUIDANCE if intent in ("ranking", "comparison") else ""
+        prompt = SHORT_ANSWER_PROMPT.format(
+            question=question, evidence=evidence, intent=intent, guidance=guidance
+        )
     else:
         prompt = ANSWER_PROMPT.format(question=question, evidence=evidence, frames=frames)
     try:

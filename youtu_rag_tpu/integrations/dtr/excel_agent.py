@@ -493,6 +493,21 @@ class ExcelAgent:
             parallel=self.mcts_parallel,
         )
         best = await planner.search([plan])
+        # runner-up rollouts feed the answer prompt's cross-verification
+        # section (ref smg_module.execute_paths all_results)
+        self._last_alt_paths = [
+            {
+                "plan": node.plan,
+                "reward": node.reward or 0.0,
+                "success": sum(1 for s in (node.payload or []) if s.success),
+                "total": len(node.payload or []),
+                "result": next(
+                    (s.output for s in reversed(node.payload or []) if s.success), ""
+                ),
+            }
+            for node in MCTSPlanner.top_rollouts(best, n=3)
+            if node is not best
+        ]
         # rewind the state machine to the winning rollout: answer-time frame
         # rendering must see the BEST plan's frames, not whichever refinement
         # happened to execute last
@@ -650,6 +665,17 @@ class ExcelAgent:
         session.log_query(question, path, self.planner)
         sheets = self.load_sheets(path)  # one read serves schema + ADO
         schema = self.load_schema(path, question, sheets=sheets)
+        self._last_alt_paths = []
+        # linked headers feed the answer prompt's schema hint
+        # (ref answer_generator._build_prompt schema_hint :278-292)
+        self._schema_hint = ""
+        try:
+            ranked_sheets = link_sheets_element(question, sheets, top_n=2)
+            self._schema_hint = "; ".join(
+                f"{name}: {', '.join(cols[:6])}" for name, _, cols in ranked_sheets if cols
+            )
+        except Exception:  # noqa: BLE001 - the hint is advisory
+            logger.exception("schema-hint linking failed")
         smg = SheetStateMachine(path, exec_timeout=self.exec_timeout)
         if self.experience_path:
             smg.load_memory(self.experience_path)
@@ -732,7 +758,10 @@ class ExcelAgent:
             completed = await self._run_plan(plan, smg, schema, recorder)
 
         recorder.emit(AgentEvent("reasoning_delta", data={"smg": smg.memory_summary()}))
-        answer = await synthesize_answer(question, completed, self._chat, smg.state, machine=smg)
+        answer = await synthesize_answer(
+            question, completed, self._chat, smg.state, machine=smg,
+            alt_paths=self._last_alt_paths, schema_hint=self._schema_hint,
+        )
         if is_error_answer(answer) or not any(n.success for n in completed):
             answer = await self._recover_answer(
                 question, answer, smg, schema, completed, recorder

@@ -148,6 +148,27 @@ class MCTSPlanner:
             cur = cur.parent
 
     @staticmethod
+    def top_rollouts(any_node: PlanNode, n: int = 3) -> list[PlanNode]:
+        """All rolled-out nodes of the tree containing ``any_node``,
+        ranked by reward (best first). Feeds the answer generator's
+        cross-path verification section (ref smg_module.execute_paths
+        returning all_results alongside best_path)."""
+        root = any_node
+        while root.parent is not None:
+            root = root.parent
+        rolled: list[PlanNode] = []
+
+        def walk(x: PlanNode):
+            if x.reward is not None:
+                rolled.append(x)
+            for c in x.children:
+                walk(c)
+
+        walk(root)
+        rolled.sort(key=lambda x: -(x.reward or 0.0))
+        return rolled[:n]
+
+    @staticmethod
     def stats(root_children_or_best: PlanNode) -> dict:
         """Small tree summary for tracing."""
         n = root_children_or_best
