@@ -215,3 +215,62 @@ def test_excel_agent_mcts_mode(sales_csv):
     mcts_events = [e for e in events if e.type == "plan" and e.data and "mcts" in e.data]
     assert mcts_events and mcts_events[0].data["best_reward"] == 1.0
     assert mcts_events[0].data["best_plan"] == ["sum revenue per region"]
+
+
+def test_excel_agent_batch_eval(sales_csv):
+    """eval_mode='batch': per-step EVAL_PROMPT calls are skipped; one
+    reviewing-{n}-steps call verdicts the whole plan."""
+    calls = {"step_eval": 0, "batch_eval": 0}
+
+    def rule(messages, tools):
+        content = messages[-1].content or ""
+        if content.startswith("You are a data analyst planning"):
+            return FakeChatClient.text_response(
+                '["load the data", "sum revenue per region"]'
+            )
+        if content.startswith("Write pandas code"):
+            return FakeChatClient.text_response(f"```python\n{GOOD_CODE}\n```")
+        if content.startswith("Did this step execution succeed"):
+            calls["step_eval"] += 1
+            return FakeChatClient.text_response('{"success": true}')
+        if content.startswith("You are reviewing"):
+            calls["batch_eval"] += 1
+            return FakeChatClient.text_response(
+                '[{"id": 1, "success": true, "reason": "ok"},'
+                ' {"id": 2, "success": false, "reason": "wrong column"}]'
+            )
+        if content.startswith("Answer the question"):
+            return FakeChatClient.text_response("North, 330.")
+        return FakeChatClient.text_response("?")
+
+    agent = ExcelAgent(client=FakeChatClient(rule_fn=rule), eval_mode="batch")
+    rec = asyncio.run(agent.run("which region has the most revenue?", sales_csv))
+    assert rec.final_output
+    assert calls["step_eval"] == 0
+    assert calls["batch_eval"] == 1
+    # the batch verdict overrode the heuristic: step 2 flipped to failed
+    nodes = agent.last_smg.nodes
+    assert [n.success for n in nodes[-2:]] == [True, False]
+    # session rows carry the final (post-batch) verdicts
+    ops = [e for e in agent.last_session.events if e["action"] == "execute_operator"]
+    assert [o["success"] for o in ops] == [True, False]
+
+
+def test_batch_eval_parse_failure_falls_back(sales_csv):
+    def rule(messages, tools):
+        content = messages[-1].content or ""
+        if content.startswith("You are a data analyst planning"):
+            return FakeChatClient.text_response('["sum revenue per region"]')
+        if content.startswith("Write pandas code"):
+            return FakeChatClient.text_response(f"```python\n{GOOD_CODE}\n```")
+        if content.startswith("You are reviewing"):
+            return FakeChatClient.text_response("not json at all")
+        if content.startswith("Answer the question"):
+            return FakeChatClient.text_response("North, 330.")
+        return FakeChatClient.text_response("?")
+
+    agent = ExcelAgent(client=FakeChatClient(rule_fn=rule), eval_mode="batch")
+    rec = asyncio.run(agent.run("which region has the most revenue?", sales_csv))
+    assert "330" in rec.final_output
+    # heuristic fallback: clean execution counts as success
+    assert agent.last_smg.nodes[-1].success

@@ -200,6 +200,7 @@ class ExcelAgent:
         mcts_parallel: int = 1,  # concurrent rollouts (ref execute_paths)
         code_mode: str = "direct",  # "direct" | "staged" (ref: enable_multi_stage)
         experience_path: str | None = None,  # persisted SMG operator memory
+        eval_mode: str = "step",  # "step" | "batch" (ref: execute_paths phase-2)
     ):
         self.config = config or AgentConfig()
         self.client = client or get_chat_client(self.config.model.resolved())
@@ -211,6 +212,11 @@ class ExcelAgent:
         self.mcts_iterations = mcts_iterations
         self.mcts_parallel = max(mcts_parallel, 1)
         self.code_mode = code_mode
+        # "batch": steps execute gated only by the execution heuristic and
+        # one LLM call verdicts the whole plan afterwards — an N-step plan
+        # pays 1 evaluation call instead of N (ref smg_module
+        # execute_paths phases 1-3 / reward_evaluator.evaluate_batch)
+        self.eval_mode = eval_mode
         # experience manager (ref: DTR experience_manager): successful
         # analysis plans persist as procedural skills and prime the planner
         self.memory = memory_toolkit
@@ -404,12 +410,18 @@ class ExcelAgent:
                 node.output, state_after = await smg.execute_step(node.code)
                 recorder.emit(AgentEvent("tool_output", name="pandas_exec", text=node.output[:800]))
 
-                # reward evaluation (ref: reward evaluator)
-                ev_raw = await self._chat(
-                    EVAL_PROMPT.format(step=node.description, output=node.output[:1000])
-                )
-                mo = _JSON_OBJ.search(ev_raw)
-                verdict = json.loads(mo.group(0)) if mo else {"success": "Error" not in node.output}
+                # reward evaluation (ref: reward evaluator). In batch
+                # eval mode the LLM verdict is deferred to one plan-level
+                # call after execution; retries here trigger only on
+                # execution errors.
+                if self.eval_mode == "batch":
+                    verdict = {"success": "Error" not in node.output}
+                else:
+                    ev_raw = await self._chat(
+                        EVAL_PROMPT.format(step=node.description, output=node.output[:1000])
+                    )
+                    mo = _JSON_OBJ.search(ev_raw)
+                    verdict = json.loads(mo.group(0)) if mo else {"success": "Error" not in node.output}
                 node.success = bool(verdict.get("success"))
                 if node.success:
                     break
@@ -424,7 +436,7 @@ class ExcelAgent:
             node.reward = evaluate_step(node).total
             completed.append(node)
             smg.cache_prefix([n.description for n in completed], completed)
-            if session:
+            if session and self.eval_mode != "batch":
                 session.log_operator_execution(
                     path_id, len(completed) - 1, node.description, node.code,
                     node.output, node.success, node.reward, node.attempts,
@@ -432,6 +444,24 @@ class ExcelAgent:
             recorder.add_message(
                 "analyst", f"{node.description} -> {'ok' if node.success else 'failed'}"
             )
+        new_nodes = completed[len(cached):]
+        if self.eval_mode == "batch" and new_nodes:
+            # phase-2 batch verdict: one LLM call for the whole plan (ref
+            # smg_module.execute_paths phases 1-3). Success flips update
+            # the graded reward; session rows log with final verdicts.
+            from .reward import evaluate_batch_llm
+
+            verdicts = await evaluate_batch_llm(new_nodes, self._chat)
+            for node, v in zip(new_nodes, verdicts):
+                if node.success != v["success"]:
+                    node.success = v["success"]
+                    node.reward = evaluate_step(node).total
+            if session:
+                for i, node in enumerate(new_nodes):
+                    session.log_operator_execution(
+                        path_id, len(cached) + i, node.description, node.code,
+                        node.output, node.success, node.reward, node.attempts,
+                    )
         if session:
             session.log_path_completion(
                 path_id, plan, sum(n.reward for n in completed)

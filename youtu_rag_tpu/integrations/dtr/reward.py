@@ -148,6 +148,61 @@ def evaluate_plan(nodes: list[SMGNode], question: str = "") -> float:
     return round(min(base + bonus, 1.0), 4)
 
 
+BATCH_EVAL_PROMPT = """You are reviewing {n} executed data-analysis steps.
+For EACH step decide whether it achieved its stated goal.
+
+{ops}
+
+Reply with ONLY a JSON list, one object per step in order:
+[{{"id": 1, "success": true, "reason": "..."}}, ...]"""
+
+
+async def evaluate_batch_llm(
+    nodes: list[SMGNode], llm_chat, batch_size: int = 16
+) -> list[dict[str, Any]]:
+    """One LLM call verdicts a whole batch of executed steps (ref
+    ``reward_evaluator.evaluate_batch:49-110`` — the phase-2 batch of
+    ``smg_module.execute_paths``): an N-step plan pays one evaluation
+    call instead of N. Per-op fallback on parse failure is the execution
+    heuristic (no error markers in the output)."""
+    import json as _json
+    import re as _re
+
+    verdicts: list[dict[str, Any]] = []
+    for start in range(0, len(nodes), batch_size):
+        batch = nodes[start : start + batch_size]
+        ops = "\n\n".join(
+            f"## Step {i + 1}: {n.description}\n"
+            f"Code:\n{n.code[:400]}\n"
+            f"Output (tail):\n{n.output[-400:]}\n"
+            f"Raised error: {'yes' if 'Error' in n.output else 'no'}"
+            for i, n in enumerate(batch)
+        )
+        parsed: list | None = None
+        try:
+            raw = await llm_chat(BATCH_EVAL_PROMPT.format(n=len(batch), ops=ops))
+            m = _re.search(r"\[.*\]", raw, _re.DOTALL)
+            got = _json.loads(m.group(0)) if m else None
+            if isinstance(got, list) and len(got) == len(batch):
+                parsed = got
+        except Exception:  # noqa: BLE001 - batch eval must degrade, not abort
+            parsed = None
+        if parsed is None:
+            verdicts.extend(
+                {"success": "Error" not in n.output, "reason": "heuristic"}
+                for n in batch
+            )
+        else:
+            verdicts.extend(
+                {
+                    "success": bool(v.get("success")),
+                    "reason": str(v.get("reason", "")),
+                }
+                for v in parsed
+            )
+    return verdicts
+
+
 def reward_feedback(nodes: list[SMGNode], rewards: list[StepReward] | None = None) -> str:
     """Refinement feedback string for the planner: which steps dragged the
     reward down and why (ref: rollout feedback conditioning)."""
