@@ -1,0 +1,119 @@
+"""DeviceVectorIndex with storage_dtype='int4': add/search/delete/growth/
+compact/snapshot, and the IVF / sharded gates."""
+
+import numpy as np
+import pytest
+
+from youtu_rag_tpu.core.config import IndexConfig
+from youtu_rag_tpu.core.types import Chunk
+from youtu_rag_tpu.index.device_index import DeviceVectorIndex
+
+
+def _chunks(n, prefix="c", doc="d"):
+    return [Chunk(f"{prefix}{i}", doc, f"content {i}", i, {"i": i}) for i in range(n)]
+
+
+def _vecs(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def _index(**kw):
+    cfg = IndexConfig(storage_dtype="int4", min_capacity=256, block_rows=128, **kw)
+    return DeviceVectorIndex(128, cfg)
+
+
+def test_int4_add_search_recall():
+    rng = np.random.default_rng(0)
+    ix = _index()
+    X = _vecs(rng, 200, 128)
+    ix.add(_chunks(200), X)
+    assert ix._vectors.shape[1] == 64  # packed width = d_pad // 2
+    hits = ix.search(X[:4], top_k=5)
+    # int4 self-similarity: the query's own row must rank first
+    for qi, h in enumerate(hits):
+        assert h[0][0].id == f"c{qi}"
+        assert h[0][1] > 0.9
+
+
+def test_int4_matches_f32_topk_mostly():
+    rng = np.random.default_rng(1)
+    ix = _index()
+    X = _vecs(rng, 512, 128)
+    ix.add(_chunks(512), X)
+    Q = _vecs(rng, 4, 128)
+    exact = np.argsort(-(Q @ X.T), axis=1)[:, :10]
+    hits = ix.search(Q, top_k=10)
+    recall = np.mean([
+        len({int(h[0].id[1:]) for h in hits[qi]} & set(exact[qi])) / 10
+        for qi in range(4)
+    ])
+    assert recall >= 0.6, recall
+
+
+def test_int4_delete_and_filters():
+    rng = np.random.default_rng(2)
+    ix = _index()
+    X = _vecs(rng, 64, 128)
+    ix.add(_chunks(64), X)
+    ix.delete(["c0", "c1"])
+    hits = ix.search(X[:1], top_k=5)
+    assert all(h[0].id not in ("c0", "c1") for h in hits[0])
+    hits = ix.search(X[:1], top_k=5, filters={"i": {"$gte": 60}})
+    assert hits[0] and all(h[0].metadata["i"] >= 60 for h in hits[0])
+
+
+def test_int4_growth_and_compact():
+    rng = np.random.default_rng(3)
+    ix = _index()
+    X = _vecs(rng, 600, 128)  # beyond min_capacity → growth
+    ix.add(_chunks(600), X)
+    assert ix.capacity >= 600 and ix._vectors.shape[1] == 64
+    ix.delete([f"c{i}" for i in range(300)])
+    ix.compact()
+    assert ix.count() == 300
+    hits = ix.search(X[599:600], top_k=1)
+    assert hits[0][0][0].id == "c599"
+
+
+def test_int4_dequantize_take_roundtrip():
+    rng = np.random.default_rng(4)
+    ix = _index()
+    X = _vecs(rng, 32, 128)
+    ix.add(_chunks(32), X)
+    deq = np.asarray(ix.dequantize_take(np.arange(32)))[:, :128]
+    # per-row scale bounds the quantization error
+    err = np.abs(deq - X).max(axis=1)
+    step = np.abs(X).max(axis=1) / 7.0
+    assert np.all(err <= step * 0.5 + 1e-6)
+
+
+def test_int4_snapshot_roundtrip(tmp_path):
+    rng = np.random.default_rng(5)
+    from youtu_rag_tpu.index.persistence import load_index, save_index
+
+    ix = _index()
+    X = _vecs(rng, 100, 128)
+    ix.add(_chunks(100), X)
+    save_index(ix, tmp_path / "snap")
+    ix2 = load_index(tmp_path / "snap")
+    assert ix2.count() == 100
+    assert ix2.config.storage_dtype == "int4"
+    h1 = ix.search(X[:2], top_k=3)
+    h2 = ix2.search(X[:2], top_k=3)
+    assert [[c.id for c, _ in row] for row in h1] == [[c.id for c, _ in row] for row in h2]
+
+
+def test_int4_ivf_gate():
+    rng = np.random.default_rng(6)
+    ix = _index()
+    ix.add(_chunks(256), _vecs(rng, 256, 128))
+    with pytest.raises(NotImplementedError, match="int4"):
+        ix.build_ivf(n_lists=4)
+
+
+def test_int4_sharded_gate():
+    from youtu_rag_tpu.parallel.sharded_index import ShardedVectorIndex
+
+    with pytest.raises(NotImplementedError, match="int4"):
+        ShardedVectorIndex(128, IndexConfig(storage_dtype="int4"))

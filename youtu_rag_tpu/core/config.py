@@ -119,7 +119,11 @@ class IndexConfig(ConfigBase):
 
     kind: Literal["flat", "ivf"] = "flat"
     metric: Literal["cosine", "l2", "ip"] = "cosine"
-    storage_dtype: Literal["bfloat16", "float32", "int8"] = "bfloat16"
+    # int8: symmetric per-row quantization + f32 scales (half the HBM
+    # bytes of bf16). int4: two columns packed per byte (half of int8
+    # again — the next QPS tier; brute-force search only, no IVF/sharding
+    # yet; recall floor quantified in benchmarks/recall_report.json)
+    storage_dtype: Literal["bfloat16", "float32", "int8", "int4"] = "bfloat16"
     block_rows: int = Field(default=1024, description="DB rows per kernel block")
     # big appends commit in slices of this many rows so concurrent
     # queries interleave between sub-appends instead of waiting behind

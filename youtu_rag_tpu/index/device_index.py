@@ -41,9 +41,12 @@ from ..core.config import IndexConfig
 from ..core.types import Chunk
 from ..ops.topk import (
     NEG_INF,
+    pallas_topk_int4_pruned,
     pallas_topk_int8_pruned,
     pallas_topk_pruned,
+    unpack_int4,
     xla_topk,
+    xla_topk_int4,
     xla_topk_int8,
 )
 from ..utils.log import get_logger
@@ -92,10 +95,15 @@ class DeviceVectorIndex:
         self.d_pad = _round_up(self.dim, _LANE)
         self.metric = self.config.metric
         self._int8 = self.config.storage_dtype == "int8"
+        self._int4 = self.config.storage_dtype == "int4"
+        # both quantized lanes store int8 bytes + f32 per-row scales; int4
+        # packs two columns per byte so its vector array is half as wide
+        self._quant = self._int8 or self._int4
         self._store_dtype = {
             "bfloat16": jnp.bfloat16,
             "float32": jnp.float32,
             "int8": jnp.int8,  # symmetric per-row quantization + f32 scales
+            "int4": jnp.int8,  # packed nibbles (ops.topk.quantize_rows_int4)
         }[self.config.storage_dtype]
 
         self.capacity = _pow2_at_least(self.config.min_capacity, self.config.block_rows)
@@ -104,8 +112,9 @@ class DeviceVectorIndex:
 
         self.schema = MetadataSchema(max_columns=self.config.max_metadata_columns)
 
-        self._vectors = self._zeros((self.capacity, self.d_pad), self._store_dtype)
-        self._scales = self._zeros((self.capacity,), jnp.float32) if self._int8 else None
+        self._vec_cols = self.d_pad // 2 if self._int4 else self.d_pad
+        self._vectors = self._zeros((self.capacity, self._vec_cols), self._store_dtype)
+        self._scales = self._zeros((self.capacity,), jnp.float32) if self._quant else None
         self._cols = self._full((self.capacity, self.schema.max_columns), -(2**31), jnp.int32)
         self._bias = self._full((self.capacity,), NEG_INF, jnp.float32)  # live+norm bias
 
@@ -156,9 +165,9 @@ class DeviceVectorIndex:
         logger.info("index grow %d -> %d rows", self.capacity, new_cap)
         pad = new_cap - self.capacity
         self._vectors = jnp.concatenate(
-            [self._vectors, self._zeros((pad, self.d_pad), self._store_dtype)]
+            [self._vectors, self._zeros((pad, self._vec_cols), self._store_dtype)]
         )
-        if self._int8:
+        if self._quant:
             self._scales = jnp.concatenate([self._scales, self._zeros((pad,), jnp.float32)])
         self._cols = jnp.concatenate([self._cols, self._full((pad, self.schema.max_columns), -(2**31), jnp.int32)])
         self._bias = jnp.concatenate([self._bias, self._full((pad,), NEG_INF, jnp.float32)])
@@ -230,8 +239,8 @@ class DeviceVectorIndex:
                 dev = jax.devices()[0]
             except Exception:  # noqa: BLE001 - no backend
                 return False
-        itemsize = 1 if self._int8 else (2 if self._store_dtype == jnp.bfloat16 else 4)
-        need = cap * (self.d_pad * itemsize + self.schema.max_columns * 4 + 8)
+        itemsize = 1 if self._quant else (2 if self._store_dtype == jnp.bfloat16 else 4)
+        need = cap * (self._vec_cols * itemsize + self.schema.max_columns * 4 + 8)
         try:
             stats = dev.memory_stats() or {}
         except Exception:  # noqa: BLE001 - PJRT plugins may raise
@@ -259,9 +268,9 @@ class DeviceVectorIndex:
             if not self._warm_memory_ok(cap):
                 logger.info("jit warm skipped at %d rows (memory headroom)", cap)
                 return
-            v = self._put(jnp.zeros((cap, self.d_pad), self._store_dtype))
+            v = self._put(jnp.zeros((cap, self._vec_cols), self._store_dtype))
             b = self._put(jnp.full((cap,), NEG_INF, jnp.float32))
-            sc = self._put(jnp.zeros((cap,), jnp.float32)) if self._int8 else None
+            sc = self._put(jnp.zeros((cap,), jnp.float32)) if self._quant else None
             with self._lock:
                 sigs = list(self._seen_sigs)
                 buckets = list(self._seen_buckets)
@@ -270,8 +279,13 @@ class DeviceVectorIndex:
                 if backend == "pallas_interpret":
                     continue
                 q = jnp.zeros((qn, self.d_pad), jnp.float32)
-                br = self._kernel_block_rows(int8=self._int8, rows=cap)
-                if self._int8:
+                br = self._kernel_block_rows(int8=self._quant, rows=cap)
+                if self._int4:
+                    if backend == "pallas":
+                        pallas_topk_int4_pruned(q, v, sc, b, k, block_rows=br)
+                    else:
+                        xla_topk_int4(q, v, sc, b, k)
+                elif self._int8:
                     if backend == "pallas":
                         pallas_topk_int8_pruned(q, v, sc, b, k, block_rows=br)
                     else:
@@ -282,7 +296,7 @@ class DeviceVectorIndex:
                 jnp.full((cap, self.schema.max_columns), -(2**31), jnp.int32)
             )
             for bucket in buckets:
-                nv = self._put(jnp.zeros((bucket, self.d_pad), self._store_dtype))
+                nv = self._put(jnp.zeros((bucket, self._vec_cols), self._store_dtype))
                 nc = self._put(
                     jnp.full((bucket, self.schema.max_columns), -(2**31), jnp.int32)
                 )
@@ -290,7 +304,7 @@ class DeviceVectorIndex:
                 # donation consumes the dummies; reuse the outputs for the
                 # next bucket so one allocation serves all warms
                 v, c, b = _append_kernel(v, c, b, nv, nc, nb, jnp.int32(0))
-                if self._int8:
+                if self._quant:
                     sc = _append_scales_kernel(
                         sc, self._put(jnp.zeros((bucket,), jnp.float32)), jnp.int32(0)
                     )
@@ -308,15 +322,15 @@ class DeviceVectorIndex:
                     # the first post-growth add compiles synchronously
                     # under the index lock and every queued query stalls
                     _append_kernel.lower(
-                        S((cap, self.d_pad), self._store_dtype),
+                        S((cap, self._vec_cols), self._store_dtype),
                         S((cap, ncols), jnp.int32),
                         S((cap,), jnp.float32),
-                        S((bucket, self.d_pad), self._store_dtype),
+                        S((bucket, self._vec_cols), self._store_dtype),
                         S((bucket, ncols), jnp.int32),
                         S((bucket,), jnp.float32),
                         S((), jnp.int32),
                     ).compile()
-                    if self._int8:
+                    if self._quant:
                         _append_scales_kernel.lower(
                             S((cap,), jnp.float32), S((bucket,), jnp.float32),
                             S((), jnp.int32),
@@ -326,16 +340,20 @@ class DeviceVectorIndex:
                     backend = self._backend(raw_backend, cap=cap)
                     q = S((qn, self.d_pad), jnp.float32)
                     b = S((cap,), jnp.float32)
-                    if self._int8:
-                        v = S((cap, self.d_pad), jnp.int8)
+                    if self._quant:
+                        v = S((cap, self._vec_cols), jnp.int8)
                         sc = S((cap,), jnp.float32)
+                        pruned = (
+                            pallas_topk_int4_pruned if self._int4 else pallas_topk_int8_pruned
+                        )
+                        fallback = xla_topk_int4 if self._int4 else xla_topk_int8
                         if backend == "pallas":
-                            pallas_topk_int8_pruned.lower(
+                            pruned.lower(
                                 q, v, sc, b, k=k,
                                 block_rows=self._kernel_block_rows(int8=True, rows=cap),
                             ).compile()
                         else:
-                            xla_topk_int8.lower(q, v, sc, b, k=k).compile()
+                            fallback.lower(q, v, sc, b, k=k).compile()
                     else:
                         v = S((cap, self.d_pad), self._store_dtype)
                         _search_plain.lower(
@@ -394,6 +412,16 @@ class DeviceVectorIndex:
             spad = (amax / 127.0).astype(np.float32)
             qpad = np.clip(np.round(vpad / spad[:, None]), -127, 127).astype(np.int8)
             host_vec = qpad
+        elif self._int4:
+            # packed nibbles: byte j = col j (low) | col j + d_pad/2 (high)
+            # — matches ops.topk.quantize_rows_int4 / unpack_int4
+            amax = np.maximum(np.abs(vpad).max(axis=1), 1e-12)
+            spad = (amax / 7.0).astype(np.float32)
+            q4 = np.clip(np.round(vpad / spad[:, None]), -7, 7).astype(np.int32)
+            half = self.d_pad // 2
+            host_vec = ((q4[:, :half] & 0xF) | ((q4[:, half:] & 0xF) << 4)).astype(
+                np.uint8
+            ).view(np.int8)
         else:
             host_vec = vpad  # converts to the store dtype per slice below
             spad = None
@@ -431,7 +459,7 @@ class DeviceVectorIndex:
             dev_vec = self._put(jnp.asarray(host_vec[sl], self._store_dtype))
             dev_cols = self._put(jnp.asarray(cpad[sl]))
             dev_bias = self._put(jnp.asarray(bpad[sl]))
-            dev_scales = self._put(jnp.asarray(spad[sl])) if self._int8 else None
+            dev_scales = self._put(jnp.asarray(spad[sl])) if self._quant else None
             real = min(n - offset, s_n)  # live rows in this slice
             with self._lock:
                 # delete-then-reinsert atomicity per slice: ids being
@@ -452,7 +480,7 @@ class DeviceVectorIndex:
                     self._vectors, self._cols, self._bias,
                     dev_vec, dev_cols, dev_bias, jnp.int32(start),
                 )
-                if self._int8:
+                if self._quant:
                     self._scales = _append_scales_kernel(
                         self._scales, dev_scales, jnp.int32(start)
                     )
@@ -614,7 +642,7 @@ class DeviceVectorIndex:
         self._vectors = self._put(jnp.take(self._vectors, gidx, axis=0))
         self._cols = self._put(jnp.take(self._cols, gidx, axis=0))
         self._bias = self._put(jnp.take(self._bias, gidx, axis=0))
-        if self._int8:
+        if self._quant:
             self._scales = self._put(jnp.take(self._scales, gidx, axis=0))
 
     def _should_stage_reorder(self) -> bool:
@@ -642,7 +670,7 @@ class DeviceVectorIndex:
                 limit = 16 * 1024**3
         if not limit:
             return False
-        total = self.nbytes() + (self._scales.nbytes if self._int8 else 0)
+        total = self.nbytes() + (self._scales.nbytes if self._quant else 0)
         if in_use is not None:
             # the gather needs ~1.3x the index bytes of FREE memory (new
             # copies + workspace; the old arrays are inside bytes_in_use)
@@ -668,22 +696,22 @@ class DeviceVectorIndex:
         v = pull(self._vectors)
         c = pull(self._cols)
         b = np.asarray(self._bias)
-        s = np.asarray(self._scales) if self._int8 else None
+        s = np.asarray(self._scales) if self._quant else None
         # permute host-side, free the device copies, then push — new
         # arrays land in locals first so a failed push cannot leave the
         # index half-assigned (the host copies still exist to retry)
         v, c, b = v[idx], c[idx], b[idx]
-        if self._int8:
+        if self._quant:
             s = s[idx]
         self._vectors = self._cols = self._bias = None
-        if self._int8:
+        if self._quant:
             self._scales = None
         new_v = self._put(jnp.asarray(v, self._store_dtype))
         new_c = self._put(c)
         new_b = self._put(b)
-        new_s = self._put(s) if self._int8 else None
+        new_s = self._put(s) if self._quant else None
         self._vectors, self._cols, self._bias = new_v, new_c, new_b
-        if self._int8:
+        if self._quant:
             self._scales = new_s
 
     def compact(self) -> None:
@@ -833,6 +861,8 @@ class DeviceVectorIndex:
         Materializes [capacity, d] f32 on device — 4× the int8 footprint.
         At multi-million-row scale use ``dequantized_rows`` (chunked) or
         ``dequantize_take`` (row subset) instead; the IVF builder does."""
+        if self._int4:
+            return unpack_int4(self._vectors).astype(jnp.float32) * self._scales[:, None]
         if self._int8:
             return self._vectors.astype(jnp.float32) * self._scales[:, None]
         return self._vectors.astype(jnp.float32)
@@ -841,6 +871,10 @@ class DeviceVectorIndex:
         """f32 view of rows [start, start+count) — bounded device memory
         (the full-index f32 view is 4× the int8 bytes and OOMs one chip
         past ~4M rows at d=768)."""
+        if self._int4:
+            return _dequant_slice_int4(
+                self._vectors, self._scales, jnp.int32(start), count
+            )
         if self._int8:
             return _dequant_slice_int8(
                 self._vectors, self._scales, jnp.int32(start), count
@@ -850,6 +884,8 @@ class DeviceVectorIndex:
     def dequantize_take(self, rows) -> jnp.ndarray:
         """f32 gather of an arbitrary row subset (k-means fit samples)."""
         idx = jnp.asarray(rows, jnp.int32)
+        if self._int4:
+            return _dequant_take_int4(self._vectors, self._scales, idx)
         if self._int8:
             return _dequant_take_int8(self._vectors, self._scales, idx)
         return jnp.take(self._vectors, idx, axis=0).astype(jnp.float32)
@@ -903,13 +939,24 @@ class DeviceVectorIndex:
         1.40→0.84 ms (2048→8192). Decoupling the two keeps IVF probe
         granularity fine while brute runs at its optimum."""
         br = self.config.block_rows
-        target = 8192 if int8 else 4096
+        target = 4096 if self._int4 else (8192 if int8 else 4096)
         n = rows if rows is not None else self.capacity
         while br < target and n % (2 * br) == 0:
             br *= 2
         return br
 
     def _run_brute(self, queries, vectors, bias, k: int, backend: str):
+        if self._int4:
+            br = self._kernel_block_rows(int8=True)
+            if backend == "pallas":
+                return pallas_topk_int4_pruned(
+                    queries, vectors, self._scales, bias, k, block_rows=br
+                )
+            if backend == "pallas_interpret":
+                return pallas_topk_int4_pruned(
+                    queries, vectors, self._scales, bias, k, block_rows=br, interpret=True
+                )
+            return xla_topk_int4(queries, vectors, self._scales, bias, k)
         if self._int8:
             br = self._kernel_block_rows(int8=True)
             if backend == "pallas":
@@ -933,6 +980,12 @@ class DeviceVectorIndex:
         re-freeze after heavy growth."""
         from .ivf import build_ivf_state
 
+        if self._int4:
+            raise NotImplementedError(
+                "IVF over int4-packed storage is not supported yet — int4 is "
+                "the brute-force throughput tier; use storage_dtype='int8' "
+                "for IVF (the DMA probe kernel reads unpacked rows)"
+            )
         with self._lock:
             self._ivf = build_ivf_state(self, n_lists=n_lists, seed=seed)
 
@@ -1088,6 +1141,19 @@ def _dequant_slice_int8(vectors, scales, start, count: int):
 @jax.jit
 def _dequant_take_int8(vectors, scales, idx):
     return jnp.take(vectors, idx, axis=0).astype(jnp.float32) * jnp.take(scales, idx)[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("count",))
+def _dequant_slice_int4(vectors, scales, start, count: int):
+    v = jax.lax.dynamic_slice_in_dim(vectors, start, count)
+    s = jax.lax.dynamic_slice_in_dim(scales, start, count)
+    return unpack_int4(v).astype(jnp.float32) * s[:, None]
+
+
+@jax.jit
+def _dequant_take_int4(vectors, scales, idx):
+    nib = unpack_int4(jnp.take(vectors, idx, axis=0))
+    return nib.astype(jnp.float32) * jnp.take(scales, idx)[:, None]
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))

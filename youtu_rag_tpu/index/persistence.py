@@ -44,7 +44,15 @@ def save_index(index: DeviceVectorIndex, path: str | Path) -> None:
     live = [(r, c) for r, c in enumerate(index._chunks) if c is not None]
     rows = np.asarray([r for r, _ in live], np.int64)
     arrays: dict[str, np.ndarray] = {}
-    if getattr(index, "_int8", False):
+    if getattr(index, "_int4", False):
+        # raw packed nibbles + scales: exact storage round-trip at 1/8 the
+        # f32 bytes. Full packed width is kept (columns interleave across
+        # the low/high halves, so a [:, :dim] slice is not meaningful).
+        q = np.asarray(index._vectors)
+        arrays["vectors_p4"] = q[rows] if len(rows) else np.zeros((0, index._vec_cols), np.int8)
+        sc = np.asarray(index._scales)
+        arrays["scales"] = sc[rows] if len(rows) else np.zeros(0, np.float32)
+    elif getattr(index, "_int8", False):
         # raw int8 + scales: exact storage round-trip, quarter the bytes
         q = np.asarray(index._vectors)
         arrays["vectors_q"] = q[rows][:, : index.dim] if len(rows) else np.zeros((0, index.dim), np.int8)
@@ -106,7 +114,13 @@ def load_index(path: str | Path, config: IndexConfig | None = None, mesh=None) -
     meta = json.loads(Path(f"{path}.json").read_text())
     assert meta["format_version"] == _FORMAT_VERSION, meta["format_version"]
     with np.load(f"{path}.npz") as data:
-        if "vectors_q" in data:  # int8 snapshot: dequantize for re-insert
+        if "vectors_p4" in data:  # int4 snapshot: unpack + dequantize
+            packed = data["vectors_p4"]
+            hi = packed >> 4
+            lo = (packed.astype(np.int8) << 4).astype(np.int8) >> 4
+            nib = np.concatenate([lo, hi], axis=1).astype(np.float32)
+            vectors = (nib * data["scales"][:, None])[:, : meta["dim"]]
+        elif "vectors_q" in data:  # int8 snapshot: dequantize for re-insert
             vectors = data["vectors_q"].astype(np.float32) * data["scales"][:, None]
         else:
             vectors = data["vectors"].astype(np.float32)

@@ -515,6 +515,159 @@ def pallas_topk_int8_pruned(
     return top_s[:qn, :k], top_i[:qn, :k]
 
 
+# ---------------------------------------------------------------------------
+# int4 packed path — half the HBM bytes of int8; the brute-force kernel is
+# bandwidth-bound, so this is the next ~2× QPS tier. Layout: byte j of a
+# packed row holds column j in its LOW nibble and column j + d/2 in its
+# HIGH nibble, so in-kernel unpack is two shifts + one lane-axis concat
+# (no interleave). Queries stay int8 (asymmetric precision costs nothing:
+# the MXU dot is int8×int8 either way).
+# ---------------------------------------------------------------------------
+
+
+def quantize_rows_int4(x: jax.Array):
+    """Symmetric per-row int4: x ≈ scale[:, None] * q, q ∈ [-7, 7],
+    packed two columns per byte ([N, d] → [N, d//2] int8)."""
+    d = x.shape[1]
+    assert d % 2 == 0
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 7.0
+    q = jnp.clip(jnp.round(xf / scale), -7, 7).astype(jnp.int32)
+    lo = q[:, : d // 2] & 0xF
+    hi = q[:, d // 2 :] & 0xF
+    packed_u8 = (lo | (hi << 4)).astype(jnp.uint8)
+    return jax.lax.bitcast_convert_type(packed_u8, jnp.int8), scale[:, 0]
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """[..., d//2] packed int8 → [..., d] int8 nibbles in [-7, 7]."""
+    hi = packed >> 4  # arithmetic shift sign-extends the high nibble
+    lo = (packed << 4) >> 4  # shift up then arithmetic down: sign-extend low
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def _topk_kernel_int4_pruned(
+    q_ref, qs_ref, x_ref, xs_ref, bias_ref, out_s_ref, out_i_ref, run_s, run_i, *, k, block_rows
+):
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        run_s[...] = jnp.full(run_s.shape, NEG_INF, jnp.float32)
+        run_i[...] = jnp.zeros(run_i.shape, jnp.int32)
+
+    xv = unpack_int4(x_ref[...])  # [BLOCK, d] int8 from [BLOCK, d//2]
+    acc = jax.lax.dot_general(
+        q_ref[...], xv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    scores = acc.astype(jnp.float32) * (qs_ref[...].reshape(-1, 1) * xs_ref[...])
+    scores = scores + bias_ref[...]
+
+    block_max = jnp.max(scores, axis=1)
+    thresholds = run_s[:, k - 1]
+    need = jnp.any(block_max > thresholds)
+
+    @pl.when(need)
+    def _():
+        vals, idx = _select_topk(scores, k, i * block_rows)
+        kpad = run_s.shape[1]
+        both_s = jnp.concatenate([run_s[...][:, :k], vals], axis=1)
+        both_i = jnp.concatenate([run_i[...][:, :k], idx], axis=1)
+        merged_s, merged_i = _select_topk_with_payload(both_s, both_i, k)
+        if kpad > k:
+            pad = kpad - k
+            merged_s = jnp.concatenate(
+                [merged_s, jnp.full((merged_s.shape[0], pad), NEG_INF, jnp.float32)], axis=1
+            )
+            merged_i = jnp.concatenate(
+                [merged_i, jnp.zeros((merged_i.shape[0], pad), jnp.int32)], axis=1
+            )
+        run_s[...] = merged_s
+        run_i[...] = merged_i
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        out_s_ref[...] = run_s[...]
+        out_i_ref[...] = run_i[...]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_rows", "interpret"))
+def pallas_topk_int4_pruned(
+    queries: jax.Array,
+    database_p: jax.Array,
+    db_scales: jax.Array,
+    bias: jax.Array,
+    k: int,
+    *,
+    block_rows: int = 4096,
+    interpret: bool = False,
+):
+    """Fused masked top-k over int4-packed rows (int8 queries).
+
+    Args:
+      queries:    [q, d] float — int8-quantized per query on device
+      database_p: [N, d//2] int8 — packed nibbles (quantize_rows_int4)
+      db_scales:  [N] float32 per-row scales (amax/7)
+      bias:       [N] float32
+    """
+    qn, d2 = queries.shape[0], database_p.shape[1]
+    d = 2 * d2
+    n = database_p.shape[0]
+    assert queries.shape[1] == d and n % block_rows == 0 and d2 % _LANE == 0
+
+    q_pad = _round_up(max(qn, _SUBLANE), _SUBLANE)
+    k_pad = _round_up(k, _LANE)
+    num_blocks = n // block_rows
+
+    qf = jnp.zeros((q_pad, d), jnp.float32).at[:qn].set(queries.astype(jnp.float32))
+    qq, qs = quantize_rows_int8(qf)
+    xs = db_scales.astype(jnp.float32).reshape(1, n)
+    b = bias.astype(jnp.float32).reshape(1, n)
+
+    kernel = functools.partial(_topk_kernel_int4_pruned, k=k, block_rows=block_rows)
+    out_shape = (
+        jax.ShapeDtypeStruct((q_pad, k_pad), jnp.float32),
+        jax.ShapeDtypeStruct((q_pad, k_pad), jnp.int32),
+    )
+    top_s, top_i = pl.pallas_call(
+        kernel,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((q_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((q_pad, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((q_pad, k_pad), jnp.float32),
+            pltpu.VMEM((q_pad, k_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qq, qs, database_p, xs, b)
+    return top_s[:qn, :k], top_i[:qn, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def xla_topk_int4(queries, database_p, db_scales, bias, k: int):
+    """XLA fallback for the int4 path (unpack + int8 dot, no dequantize)."""
+    qq, qs = quantize_rows_int8(queries.astype(jnp.float32))
+    xv = unpack_int4(database_p)
+    acc = jax.lax.dot_general(
+        qq, xv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    scores = acc.astype(jnp.float32) * (qs[:, None] * db_scales[None, :]) + bias[None, :]
+    top_s, top_i = jax.lax.top_k(scores, k)
+    return top_s, top_i.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def xla_topk_int8(queries, database_q, db_scales, bias, k: int):
     """XLA fallback for the int8 path (dequantize-free scoring)."""

@@ -123,6 +123,11 @@ class ShardedVectorIndex(DeviceVectorIndex):
     ):
         from .mesh import get_mesh, is_multi_process
 
+        if config is not None and config.storage_dtype == "int4":
+            raise NotImplementedError(
+                "int4-packed storage is single-device only for now — shard "
+                "with storage_dtype='int8' (same scales-with-rows layout)"
+            )
         if mesh is None:
             assert isinstance(axis, str), "tuple axes need an explicit mesh (get_hybrid_mesh)"
             mesh = get_mesh({axis: -1})
