@@ -158,6 +158,29 @@ def run_dataset(name, x, q, k, n_lists, args):
 
     idx = build(n_probe=args.n_probe)
     out["brute"] = measure(idx, q, truth, k, f"brute {args.dtype}")
+
+    # int4 packed tier: the throughput end of the storage ladder — raw
+    # quantization recall floor AND the production two-stage config
+    # (device int4 candidates → host int8-shadow re-rank) on the SAME
+    # adversarial data, so the speed/recall tradeoff is measured
+    cfg_raw = IndexConfig(
+        storage_dtype="int4", block_rows=args.block_rows, min_capacity=len(x),
+        int4_rerank_multiplier=0.0,
+    )
+    idx_raw = DeviceVectorIndex(x.shape[1], cfg_raw)
+    idx_raw.add(chunks, x)
+    out["brute_int4_raw"] = measure(idx_raw, q, truth, k, "brute int4 raw")
+    del idx_raw
+    cfg_2s = IndexConfig(
+        storage_dtype="int4", block_rows=args.block_rows, min_capacity=len(x),
+    )
+    idx_2s = DeviceVectorIndex(x.shape[1], cfg_2s)
+    idx_2s.add(chunks, x)
+    out["brute_int4_2stage"] = measure(
+        idx_2s, q, truth, k, "brute int4 + host int8 rerank x4"
+    )
+    del idx_2s
+
     idx.build_ivf()
     out["ivf_plain"] = measure(idx, q, truth, k, f"ivf nprobe={args.n_probe}")
     idx2 = build(n_probe=args.n_probe, ivf_adaptive_margin=0.1)

@@ -117,3 +117,48 @@ def test_int4_sharded_gate():
 
     with pytest.raises(NotImplementedError, match="int4"):
         ShardedVectorIndex(128, IndexConfig(storage_dtype="int4"))
+
+
+def test_int4_host_rerank_lifts_recall():
+    rng = np.random.default_rng(7)
+    X = _vecs(rng, 2048, 128)
+    Q = _vecs(rng, 8, 128)
+    exact = np.argsort(-(Q @ X.T), axis=1)[:, :10]
+
+    def recall(ix):
+        hits = ix.search(Q, top_k=10)
+        return np.mean([
+            len({int(h[0].id[1:]) for h in hits[qi]} & set(exact[qi])) / 10
+            for qi in range(8)
+        ])
+
+    raw = DeviceVectorIndex(
+        128, IndexConfig(storage_dtype="int4", min_capacity=2048, block_rows=128,
+                         int4_rerank_multiplier=0.0)
+    )
+    raw.add(_chunks(2048), X)
+    assert raw._host_q8 is None
+    r_raw = recall(raw)
+
+    two_stage = DeviceVectorIndex(
+        128, IndexConfig(storage_dtype="int4", min_capacity=2048, block_rows=128)
+    )
+    two_stage.add(_chunks(2048), X)
+    assert two_stage._host_q8 is not None
+    r2 = recall(two_stage)
+    assert r2 > r_raw, (r2, r_raw)
+    assert r2 >= 0.95, r2  # int8-shadow rerank recovers the int4 floor
+
+
+def test_int4_host_rerank_survives_growth_and_delete():
+    rng = np.random.default_rng(8)
+    ix = _index()
+    X = _vecs(rng, 600, 128)
+    ix.add(_chunks(600), X)  # forces growth past min_capacity
+    ix.delete(["c5"])
+    hits = ix.search(X[5:6], top_k=3)
+    assert all(h[0].id != "c5" for h in hits[0])
+    # self-hit for a live row still ranks first with rerank on
+    hits = ix.search(X[100:101], top_k=3)
+    assert hits[0][0][0].id == "c100"
+    assert hits[0][0][1] > 0.98  # int8-precision score, not int4

@@ -124,6 +124,13 @@ class IndexConfig(ConfigBase):
     # again — the next QPS tier; brute-force search only, no IVF/sharding
     # yet; recall floor quantified in benchmarks/recall_report.json)
     storage_dtype: Literal["bfloat16", "float32", "int8", "int4"] = "bfloat16"
+    # int4 two-stage search (ScaNN-style): the device kernel generates
+    # int4_rerank_multiplier × k candidates from packed nibbles, then the
+    # host re-scores that tiny set from an int8 shadow copy kept in host
+    # RAM (d bytes/row — a 1M×768 KB costs ~0.8 GB host RAM, 0 HBM).
+    # Recovers int8-level recall while HBM stays at int4 bytes.
+    # 0/1 disables the re-rank (raw int4 recall floor).
+    int4_rerank_multiplier: float = Field(default=4.0, ge=0.0)
     block_rows: int = Field(default=1024, description="DB rows per kernel block")
     # big appends commit in slices of this many rows so concurrent
     # queries interleave between sub-appends instead of waiting behind

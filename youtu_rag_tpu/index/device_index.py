@@ -115,6 +115,16 @@ class DeviceVectorIndex:
         self._vec_cols = self.d_pad // 2 if self._int4 else self.d_pad
         self._vectors = self._zeros((self.capacity, self._vec_cols), self._store_dtype)
         self._scales = self._zeros((self.capacity,), jnp.float32) if self._quant else None
+        # int4 two-stage search: int8 shadow copy in HOST RAM for exact-ish
+        # re-rank of the device candidates (ScaNN-style; d bytes/row of
+        # host memory, zero HBM). See IndexConfig.int4_rerank_multiplier.
+        self._host_rerank = self._int4 and self.config.int4_rerank_multiplier > 1
+        self._host_q8 = (
+            np.zeros((self.capacity, self.d_pad), np.int8) if self._host_rerank else None
+        )
+        self._host_s8 = (
+            np.zeros(self.capacity, np.float32) if self._host_rerank else None
+        )
         self._cols = self._full((self.capacity, self.schema.max_columns), -(2**31), jnp.int32)
         self._bias = self._full((self.capacity,), NEG_INF, jnp.float32)  # live+norm bias
 
@@ -169,6 +179,11 @@ class DeviceVectorIndex:
         )
         if self._quant:
             self._scales = jnp.concatenate([self._scales, self._zeros((pad,), jnp.float32)])
+        if self._host_q8 is not None:
+            self._host_q8 = np.concatenate(
+                [self._host_q8, np.zeros((pad, self.d_pad), np.int8)]
+            )
+            self._host_s8 = np.concatenate([self._host_s8, np.zeros(pad, np.float32)])
         self._cols = jnp.concatenate([self._cols, self._full((pad, self.schema.max_columns), -(2**31), jnp.int32)])
         self._bias = jnp.concatenate([self._bias, self._full((pad,), NEG_INF, jnp.float32)])
         self.capacity = new_cap
@@ -422,6 +437,9 @@ class DeviceVectorIndex:
             host_vec = ((q4[:, :half] & 0xF) | ((q4[:, half:] & 0xF) << 4)).astype(
                 np.uint8
             ).view(np.int8)
+            if self._host_rerank:
+                s8pad = (amax / 127.0).astype(np.float32)
+                q8pad = np.clip(np.round(vpad / s8pad[:, None]), -127, 127).astype(np.int8)
         else:
             host_vec = vpad  # converts to the store dtype per slice below
             spad = None
@@ -484,6 +502,9 @@ class DeviceVectorIndex:
                     self._scales = _append_scales_kernel(
                         self._scales, dev_scales, jnp.int32(start)
                     )
+                if self._host_rerank:
+                    self._host_q8[start : start + s_n] = q8pad[sl]
+                    self._host_s8[start : start + s_n] = s8pad[sl]
                 for i in range(real):
                     c = new_chunks[offset + i]
                     row = start + i
@@ -636,6 +657,10 @@ class DeviceVectorIndex:
         through the host instead — pull rows in chunks, free the device
         arrays, permute host-side, push back (device peak ≈ 1× + one
         chunk; the round-trip is fine at build/maintenance cadence)."""
+        if self._host_q8 is not None:
+            hidx = np.asarray(idx)
+            self._host_q8 = self._host_q8[hidx]
+            self._host_s8 = self._host_s8[hidx]
         if self._should_stage_reorder():
             return self._apply_permutation_host(idx)
         gidx = jnp.asarray(idx, jnp.int32)
@@ -776,6 +801,17 @@ class DeviceVectorIndex:
         with self._lock:
             vectors, cols, bias = self._vectors, self._cols, self._bias
             k_eff = min(top_k, max(self.live_count, 1))
+            # int4 two-stage: ask the packed kernel for a pow2-bucketed
+            # candidate multiple, re-rank on host from the int8 shadow
+            k_req = k_eff
+            host_rr = self._host_rerank and self._ivf is None
+            if host_rr:
+                mult = self.config.int4_rerank_multiplier
+                k2 = _pow2_at_least(max(int(np.ceil(k_eff * mult)), k_eff), 16)
+                if self.live_count < k2:
+                    k2 = 1 << max(self.live_count.bit_length() - 1, 0)
+                k_req = max(k2, k_eff)
+                hq8, hs8 = self._host_q8, self._host_s8
 
             filt = None
             if filters:
@@ -802,13 +838,13 @@ class DeviceVectorIndex:
             if resolved != "pallas_interpret" and len(self._seen_sigs) < 8:
                 # raw backend recorded; re-resolved at warm time for the
                 # bigger capacity (auto can flip xla -> pallas on growth)
-                sig = (queries.shape[0], k_eff, backend)
+                sig = (queries.shape[0], k_req, backend)
                 if sig not in self._seen_sigs:
                     self._seen_sigs.add(sig)
                     # a sig first seen after the 75% warm trigger still
                     # needs its next-tier executable
                     self._maybe_warm_next_tier()
-            scores, rows = self._run_search(queries, vectors, bias, k_eff, resolved)
+            scores, rows = self._run_search(queries, vectors, bias, k_req, resolved)
             # reference capture, not a copy (list(...) of a multi-million
             # entry list cost ~ms per query under the lock). Safe because
             # every structural mutation REPLACES the list object
@@ -829,6 +865,10 @@ class DeviceVectorIndex:
 
         scores = np.asarray(scores)[:n_q]
         rows = np.asarray(rows)[:n_q]
+        if host_rr and k_req > k_eff:
+            scores, rows = self._host_rerank_candidates(
+                qpad[:n_q], scores, rows, hq8, hs8, k_eff
+            )
         if shadow is not None:
             self._tune_nprobe(rows, np.asarray(shadow[1])[:n_q], k_eff)
         out: list[list[tuple[Chunk, float]]] = []
@@ -843,6 +883,33 @@ class DeviceVectorIndex:
                 hits.append((chunk, float(s)))
             out.append(hits)
         return out
+
+    def _host_rerank_candidates(
+        self, qpad, scores, rows, hq8, hs8, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Re-score int4 candidates from the host int8 shadow copy.
+
+        The device kernel over-fetches mult*k candidates from packed
+        nibbles (cheap, HBM-optimal); this exact-ish second stage removes
+        most of the int4 quantization rank error for the price of a tiny
+        host GEMM (k2 x d per query). qpad is the metric-adjusted query
+        (cosine: normalized; l2: pre-doubled, norm term re-added here)."""
+        n_q, k2 = rows.shape
+        out_s = np.full((n_q, k), NEG_INF, np.float32)
+        out_r = np.zeros((n_q, k), np.int32)
+        for qi in range(n_q):
+            valid = scores[qi] > NEG_INF / 2
+            r = rows[qi][valid]
+            if r.size == 0:
+                continue
+            v = hq8[r].astype(np.float32) * hs8[r][:, None]
+            s = v @ qpad[qi]
+            if self.metric == "l2":
+                s = s - np.sum(v * v, axis=1)
+            order = np.argsort(-s, kind="stable")[:k]
+            out_s[qi, : order.size] = s[order]
+            out_r[qi, : order.size] = r[order]
+        return out_s, out_r
 
     def _backend(self, backend: str, cap: int | None = None) -> str:
         if backend != "auto":
