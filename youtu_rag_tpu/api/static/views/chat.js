@@ -26,6 +26,9 @@ export async function renderChat(view) {
   const autoToggle = h("input", { type: "checkbox", title: "LLM picks the agent per query" });
   const input = h("input", { placeholder: t("chat.placeholder"), autocomplete: "off" });
   const sendBtn = h("button", { class: "primary", type: "submit" }, t("chat.send"));
+  // stop button (ref chat.js stopAgent): aborts the SSE fetch client-side;
+  // the server tears the run down on disconnect
+  const stopBtn = h("button", { class: "ghost", type: "button", style: "display:none" }, "■ stop");
   const clearBtn = h("button", { class: "ghost" }, t("chat.clear"));
 
   const fileBox = h("div", { class: "col" });
@@ -59,15 +62,26 @@ export async function renderChat(view) {
     ),
   );
 
-  const ctx = { log, kbSel, fileBox, autoToggle, hist: loadHistory() };
+  const ctx = { log, kbSel, fileBox, autoToggle, hist: loadHistory(), abort: null };
 
-  const form = h("form", { id: "composer" }, input, sendBtn);
+  const form = h("form", { id: "composer" }, input, sendBtn, stopBtn);
+  stopBtn.addEventListener("click", () => {
+    if (ctx.abort) ctx.abort.abort();
+  });
   form.addEventListener("submit", guard(async (ev) => {
     ev.preventDefault();
     const q = input.value.trim();
     if (!q) return;
     input.value = "";
-    await send(ctx, q);
+    stopBtn.style.display = "";
+    sendBtn.disabled = true;
+    try {
+      await send(ctx, q);
+    } finally {
+      stopBtn.style.display = "none";
+      sendBtn.disabled = false;
+      ctx.abort = null;
+    }
   }));
 
   clearBtn.addEventListener("click", () => {
@@ -194,7 +208,16 @@ async function send(ctx, q) {
   if (kb) body.kb_id = kb;
   if (fileIds.length) body.file_ids = fileIds;
   if (ctx.autoToggle && ctx.autoToggle.checked) body.auto_select = true;
-  const resp = await fetch("/api/chat", { method: "POST", body: JSON.stringify(body) });
+  ctx.abort = new AbortController();
+  let resp;
+  try {
+    resp = await fetch("/api/chat", {
+      method: "POST", body: JSON.stringify(body), signal: ctx.abort.signal,
+    });
+  } catch (e) {
+    if (e.name === "AbortError") { card(log, "", "⚠ stopped by user"); return; }
+    throw e;
+  }
   if (!resp.ok) { card(log, "error", `HTTP ${resp.status}`); return; }
   const reader = resp.body.getReader();
   const decoder = new TextDecoder();
@@ -208,18 +231,23 @@ async function send(ctx, q) {
   const pwins = new Map();  // "group:task_idx" -> {el, body, status, tools}
   let mergeCard = null;
   let workflowEl = null;    // in-place workflow tree (ref workflow_update)
-  for (;;) {
-    const { done, value } = await reader.read();
-    if (done) break;
-    buf += decoder.decode(value, { stream: true });
-    let idx;
-    while ((idx = buf.indexOf("\n\n")) >= 0) {
-      const line = buf.slice(0, idx); buf = buf.slice(idx + 2);
-      if (!line.startsWith("data:")) continue;
-      let ev;
-      try { ev = JSON.parse(line.slice(5)); } catch { continue; }
-      handleCard(ev);
+  try {
+    for (;;) {
+      const { done, value } = await reader.read();
+      if (done) break;
+      buf += decoder.decode(value, { stream: true });
+      let idx;
+      while ((idx = buf.indexOf("\n\n")) >= 0) {
+        const line = buf.slice(0, idx); buf = buf.slice(idx + 2);
+        if (!line.startsWith("data:")) continue;
+        let ev;
+        try { ev = JSON.parse(line.slice(5)); } catch { continue; }
+        handleCard(ev);
+      }
     }
+  } catch (e) {
+    if (e.name !== "AbortError") throw e;
+    card(log, "", "⚠ stopped by user");
   }
   finishStream();  // connection closed without a done card — still render
 

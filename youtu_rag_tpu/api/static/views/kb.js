@@ -492,11 +492,18 @@ async function renderQaDetail(view, name, id) {
 async function renderQueryTab(root, name) {
   const qIn = h("input", { placeholder: "retrieval query…", style: "flex:1" });
   const kIn = h("input", { type: "number", value: "5", min: "1", max: "50", style: "width:70px" });
+  // retrieval mode: dense | hybrid (corpus BM25 fusion) | lexical (BM25 only)
+  const modeSel = h("select", { title: "retrieval mode" },
+    h("option", { value: "dense" }, "dense"),
+    h("option", { value: "hybrid" }, "hybrid"),
+    h("option", { value: "lexical" }, "lexical"));
   const btn = h("button", { class: "primary" }, t("kb.query"));
   const out = h("div", {});
   btn.addEventListener("click", guard(async () => {
     const r = await api(`/api/knowledge-bases/${name}/query`, {
-      method: "POST", body: JSON.stringify({ query: qIn.value.trim(), top_k: parseInt(kIn.value) }),
+      method: "POST", body: JSON.stringify({
+        query: qIn.value.trim(), top_k: parseInt(kIn.value), mode: modeSel.value,
+      }),
     });
     out.innerHTML = "";
     out.appendChild(h("div", { class: "dim" }, `${r.total_results} results in ${r.retrieval_time_ms.toFixed(1)} ms`));
@@ -509,7 +516,7 @@ async function renderQueryTab(root, name) {
         h("div", { style: "margin-top:6px" }, res.content.slice(0, 400))));
     }
   }));
-  root.appendChild(h("div", { class: "card col" }, h("div", { class: "row" }, qIn, kIn, btn), out));
+  root.appendChild(h("div", { class: "card col" }, h("div", { class: "row" }, qIn, kIn, modeSel, btn), out));
 }
 
 // ------------------------------------------------------------------ tables
