@@ -197,6 +197,79 @@ def gen_popularity(rng, n_topics=40, docs_per_topic=6):
     return docs, qrels
 
 
+_FACT_KINDS = [
+    ("completed in", lambda rng: f"{int(rng.integers(1950, 2020))}"),
+    ("spans", lambda rng: f"{int(rng.integers(80, 2400))} meters"),
+    ("cost", lambda rng: f"{int(rng.integers(4, 900))} million"),
+    ("employs", lambda rng: f"{int(rng.integers(12, 4800))} staff"),
+]
+
+_FACT_ENTITIES = [
+    "Meridian Bridge", "Harbor Tunnel", "Aster Dam", "Crosswind Viaduct",
+    "Northgate Depot", "Solace Observatory", "Ridgeline Funicular",
+    "Quarry Locks", "Beacon Pier", "Summit Tramway", "Delta Causeway",
+    "Fallow Aqueduct", "Lantern Lighthouse", "Granite Reservoir",
+]
+
+
+def gen_factguard(rng, n_entities=70, sents_per_doc=50):
+    """FactGuard-style single-point fact checking over long documents
+    (ref README.md:748-812): each entity's long report buries one factual
+    statement; distractor entities share infrastructure vocabulary and
+    carry *different* values for the same attribute, so surface-similar
+    chunks abound. Queries are (a) fact verification, (b) information
+    extraction, and (c) reasoning verification across two documents —
+    the reference's three FactGuard axes at fixture scale."""
+    docs = []
+    facts = []
+    for i in range(n_entities):
+        ent = f"{_FACT_ENTITIES[i % len(_FACT_ENTITIES)]} {i}"
+        t = _TOPICS[i % len(_TOPICS)]
+        kind, val_fn = _FACT_KINDS[i % len(_FACT_KINDS)]
+        val = val_fn(rng)
+        sents = [
+            _FILLER[rng.integers(0, len(_FILLER))].format(t=t)
+            for _ in range(sents_per_doc)
+        ]
+        fact = f"Engineering records confirm the {ent} {kind} {val}."
+        sents.insert(int(rng.integers(0, len(sents))), fact)
+        did = f"fact_doc_{i}"
+        docs.append({
+            "id": did,
+            "content": " ".join(sents),
+            "metadata": {"entity": ent, "topic": t},
+        })
+        facts.append({"doc": did, "entity": ent, "kind": kind, "value": val})
+
+    qrels = []
+    for f in facts:
+        # (a) fact verification
+        qrels.append({
+            "query": f"Verify this claim: the {f['entity']} {f['kind']} {f['value']}.",
+            "relevant": [f["doc"]],
+        })
+        # (b) information extraction
+        qrels.append({
+            "query": f"What does the {f['entity']} {f['kind'].split()[0]}"
+                     f" according to engineering records?",
+            "relevant": [f["doc"]],
+        })
+    # (c) reasoning verification: compare two entities sharing a fact kind
+    by_kind: dict = {}
+    for f in facts:
+        by_kind.setdefault(f["kind"], []).append(f)
+    for kind, group in by_kind.items():
+        for a, b in zip(group[::2], group[1::2]):
+            qrels.append({
+                "query": (
+                    f"Does the {a['entity']} or the {b['entity']} have the "
+                    f"greater figure for '{kind}'?"
+                ),
+                "relevant": sorted({a["doc"], b["doc"]}),
+            })
+    return docs, qrels
+
+
 def write_fixtures(regen: bool = False) -> dict[str, tuple[str, str]]:
     import numpy as np
 
@@ -206,6 +279,7 @@ def write_fixtures(regen: bool = False) -> dict[str, tuple[str, str]]:
         ("niah", gen_niah),
         ("timeliness", gen_timeliness),
         ("popularity", gen_popularity),
+        ("factguard", gen_factguard),
     ):
         docs_p = os.path.join(DATA_DIR, f"{name}_docs.jsonl")
         qrels_p = os.path.join(DATA_DIR, f"{name}_qrels.jsonl")
@@ -323,6 +397,30 @@ async def run_all(args) -> dict:
         kb, top_k=15, retrieve_fn=lex_heavy_fn
     ).run(RetrievalBenchmark.load_qrels(qrels_p))
     report["datasets"]["niah"] = {"queries": len(samples), **{k: _trim(v) for k, v in niah.items()}}
+
+    # --- factguard ---
+    docs_p, qrels_p = fixtures["factguard"]
+    fg = {}
+    kbf = await build_kb("factguard_naive", docs_p, args.provider, args.pretrained)
+    # the reference's baseline ladder: recall grows with naive top-k
+    # (README.md FactGuard rows top3/5/10/15)
+    for kk in (3, 5, 15):
+        fg[f"naive_top{kk}"] = await RetrievalBenchmark(kbf, top_k=kk).run(
+            RetrievalBenchmark.load_qrels(qrels_p)
+        )
+    kbf2 = await build_kb(
+        "factguard_rerank", docs_p, args.provider, args.pretrained, reranker="lexical"
+    )
+    fg["kb_search_rerank"] = await RetrievalBenchmark(kbf2, top_k=15).run(
+        RetrievalBenchmark.load_qrels(qrels_p)
+    )
+    fg["hybrid_rrf"] = await RetrievalBenchmark(kbf, top_k=15, use_hybrid=True).run(
+        RetrievalBenchmark.load_qrels(qrels_p)
+    )
+    report["datasets"]["factguard"] = {
+        "queries": len(RetrievalBenchmark.load_qrels(qrels_p)),
+        **{k: _trim(v) for k, v in fg.items()},
+    }
 
     # --- timeliness ---
     docs_p, qrels_p = fixtures["timeliness"]
