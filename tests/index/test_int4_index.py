@@ -112,11 +112,13 @@ def test_int4_ivf_gate():
         ix.build_ivf(n_lists=4)
 
 
-def test_int4_sharded_gate():
+def test_int4_sharded_constructs():
+    # sharding is supported (tests/parallel/test_sharded_index.py covers
+    # search); only IVF remains gated
     from youtu_rag_tpu.parallel.sharded_index import ShardedVectorIndex
 
-    with pytest.raises(NotImplementedError, match="int4"):
-        ShardedVectorIndex(128, IndexConfig(storage_dtype="int4"))
+    ix = ShardedVectorIndex(128, IndexConfig(storage_dtype="int4"))
+    assert ix._vectors.shape[1] == ix.d_pad // 2
 
 
 def test_int4_host_rerank_lifts_recall():

@@ -282,3 +282,43 @@ def test_multiprocess_style_compact_via_ring():
 
     after = [_ids(h) for h in idx.search(embs[:4], top_k=5)]
     assert before == after
+
+
+def test_sharded_int4_two_stage():
+    """int4-packed shards on the 8-device mesh: per-shard kernel unpacks
+    locally, the tiny candidate merge crosses the mesh, and the host
+    int8-shadow re-rank recovers the quantization floor."""
+    rng = np.random.default_rng(9)
+    d = 64
+    mesh = get_mesh({"db": 8})
+    cfg = IndexConfig(storage_dtype="int4", min_capacity=1024, block_rows=128)
+    dev = ShardedVectorIndex(d, cfg, mesh=mesh)
+    chunks = make_chunks(900, "doc4")
+    embs = rng.normal(size=(900, d)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    dev.add(chunks, embs)
+    assert dev._vectors.shape[1] == dev.d_pad // 2  # packed width, sharded rows
+    assert dev._host_q8 is not None
+
+    exact = np.argsort(-(embs[:8] @ embs.T), axis=1)[:, :10]
+    hits = dev.search(embs[:8], top_k=10)
+    recall = np.mean([
+        len({int(c.id.split("-")[1]) for c, _ in hits[qi]} & set(exact[qi])) / 10
+        for qi in range(8)
+    ])
+    assert recall >= 0.95, recall
+    # self-hit first, with int8-precision score
+    assert hits[0][0][0].id == "doc4-0" and hits[0][0][1] > 0.98
+
+    dev.delete(["doc4-0"])
+    hits = dev.search(embs[:1], top_k=5)
+    assert all(c.id != "doc4-0" for c, _ in hits[0])
+
+    with pytest.raises(NotImplementedError, match="int4"):
+        dev.build_ivf(n_lists=4)
+
+    # compaction keeps the shadow aligned (single-process: base rebuild)
+    dev.compact()
+    hits = dev.search(embs[5:6], top_k=3)
+    assert hits[0][0][0].id == "doc4-5"
+    assert hits[0][0][1] > 0.98

@@ -27,9 +27,11 @@ from ..core.config import IndexConfig
 from ..index.device_index import DeviceVectorIndex, _pow2_at_least
 from ..ops.topk import (
     NEG_INF,
+    pallas_topk_int4_pruned,
     pallas_topk_int8_pruned,
     pallas_topk_pruned,
     xla_topk,
+    xla_topk_int4,
     xla_topk_int8,
 )
 from ..utils.log import get_logger
@@ -100,7 +102,33 @@ def make_sharded_topk(mesh: Mesh, axis: str = "db"):
             check_vma=False,
         )(queries, vectors, scales, bias)
 
+    @functools.partial(jax.jit, static_argnames=("k", "backend", "block_rows"))
+    def search_int4(
+        queries, vectors, scales, bias, k: int, backend: str = "xla", block_rows: int = 1024
+    ):
+        # packed-nibble shards: x is [N/S, d//2] int8; the kernel unpacks
+        # locally, so only the tiny (score, gid) merge crosses the network
+        def per_shard(q, x, sc, b):
+            if backend == "pallas":
+                s, i = pallas_topk_int4_pruned(q, x, sc, b, k, block_rows=block_rows)
+            elif backend == "pallas_interpret":
+                s, i = pallas_topk_int4_pruned(
+                    q, x, sc, b, k, block_rows=block_rows, interpret=True
+                )
+            else:
+                s, i = xla_topk_int4(q, x, sc, b, k)
+            return _merge(q, s, i, x.shape[0], k)
+
+        return shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(), P(axis, None), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(queries, vectors, scales, bias)
+
     search.int8 = search_int8
+    search.int4 = search_int4
     return search
 
 
@@ -123,11 +151,6 @@ class ShardedVectorIndex(DeviceVectorIndex):
     ):
         from .mesh import get_mesh, is_multi_process
 
-        if config is not None and config.storage_dtype == "int4":
-            raise NotImplementedError(
-                "int4-packed storage is single-device only for now — shard "
-                "with storage_dtype='int8' (same scales-with-rows layout)"
-            )
         if mesh is None:
             assert isinstance(axis, str), "tuple axes need an explicit mesh (get_hybrid_mesh)"
             mesh = get_mesh({axis: -1})
@@ -180,7 +203,7 @@ class ShardedVectorIndex(DeviceVectorIndex):
     def _scales_or_dummy(self):
         """Scale array for device-side plumbing; non-int8 indexes pass the
         bias as a same-shaped placeholder (ignored by the consumers)."""
-        return self._scales if self._int8 else self._bias
+        return self._scales if self._quant else self._bias
 
     def _maybe_warm_next_tier(self) -> None:
         # next-tier warming targets the single-device brute kernels; the
@@ -238,11 +261,17 @@ class ShardedVectorIndex(DeviceVectorIndex):
         )
         v, c, b, s = fn(self._vectors, self._cols, self._bias, scales)
         self._vectors, self._cols, self._bias = v, c, b
-        if self._int8:
+        if self._quant:
             self._scales = s
         self.capacity = new_cap
 
     def build_ivf(self, n_lists: int | None = None, seed: int = 0) -> None:
+        if self._int4:
+            raise NotImplementedError(
+                "IVF over int4-packed storage is not supported yet — int4 is "
+                "the brute-force throughput tier; shard with "
+                "storage_dtype='int8' for IVF"
+            )
         return self._build_ivf_local(n_lists=n_lists, seed=seed)
 
     def compact(self) -> None:
@@ -281,6 +310,11 @@ class ShardedVectorIndex(DeviceVectorIndex):
         a shard_map local take with zero communication; anything else
         (compaction) runs as a GSPMD global gather."""
         idx = np.asarray(idx, np.int64)
+        if self._host_q8 is not None:
+            # the int4 host shadow follows every device permutation (the
+            # base-class hook does this too; this override must as well)
+            self._host_q8 = self._host_q8[idx]
+            self._host_s8 = self._host_s8[idx]
         rows = self.capacity // self.n_shards
         if np.array_equal(idx // rows, np.arange(idx.shape[0]) // rows):
             self._permute_shard_local((idx % rows).astype(np.int32))
@@ -330,7 +364,7 @@ class ShardedVectorIndex(DeviceVectorIndex):
         li = self._put_spec(local_idx, self._vec_sharding)
         v, c, b, s = self._local_perm_fn(self._vectors, self._cols, self._bias, scales, li)
         self._vectors, self._cols, self._bias = v, c, b
-        if self._int8:
+        if self._quant:
             self._scales = s
 
     def _permute_global(self, idx: np.ndarray) -> None:
@@ -351,7 +385,7 @@ class ShardedVectorIndex(DeviceVectorIndex):
         else:
             v, c, b, s = self._permute_global_ring(idx)
         self._vectors, self._cols, self._bias = v, c, b
-        if self._int8:
+        if self._quant:
             self._scales = s
 
     def _permute_global_ring(self, idx: np.ndarray):
@@ -559,7 +593,11 @@ class ShardedVectorIndex(DeviceVectorIndex):
     def _run_brute(self, queries, vectors, bias, k, backend):
         # also the nprobe tuner's shadow check (base search()). Kernel
         # tile sized against the PER-SHARD rows (must divide them).
-        br = self._kernel_block_rows(int8=self._int8, rows=self.capacity // self.n_shards)
+        br = self._kernel_block_rows(int8=self._quant, rows=self.capacity // self.n_shards)
+        if self._int4:
+            return self._sharded_topk.int4(
+                queries, vectors, self._scales, bias, k, backend, br
+            )
         if self._int8:
             return self._sharded_topk.int8(
                 queries, vectors, self._scales, bias, k, backend, br
