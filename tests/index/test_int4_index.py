@@ -28,7 +28,7 @@ def test_int4_add_search_recall():
     ix = _index()
     X = _vecs(rng, 200, 128)
     ix.add(_chunks(200), X)
-    assert ix._vectors.shape[1] == 64  # packed width = d_pad // 2
+    assert ix._vectors.shape[1] == ix.d_pad // 2  # packed width
     hits = ix.search(X[:4], top_k=5)
     # int4 self-similarity: the query's own row must rank first
     for qi, h in enumerate(hits):
@@ -68,7 +68,7 @@ def test_int4_growth_and_compact():
     ix = _index()
     X = _vecs(rng, 600, 128)  # beyond min_capacity → growth
     ix.add(_chunks(600), X)
-    assert ix.capacity >= 600 and ix._vectors.shape[1] == 64
+    assert ix.capacity >= 600 and ix._vectors.shape[1] == ix.d_pad // 2
     ix.delete([f"c{i}" for i in range(300)])
     ix.compact()
     assert ix.count() == 300
@@ -164,3 +164,14 @@ def test_int4_host_rerank_survives_growth_and_delete():
     hits = ix.search(X[100:101], top_k=3)
     assert hits[0][0][0].id == "c100"
     assert hits[0][0][1] > 0.98  # int8-precision score, not int4
+
+
+def test_int4_packed_width_lane_aligned():
+    """The PACKED width must be a lane multiple on TPU — dims whose
+    128-padding is an odd lane count (128, 384, 640) pad to 2 lanes."""
+    for dim in (128, 384, 768):
+        ix = DeviceVectorIndex(
+            dim, IndexConfig(storage_dtype="int4", min_capacity=256, block_rows=128)
+        )
+        assert ix._vec_cols % 128 == 0, (dim, ix._vec_cols)
+        assert ix.d_pad >= dim

@@ -92,10 +92,14 @@ class DeviceVectorIndex:
         and swapping the lock object mid-hold would let threads blocked on
         the old lock race threads acquiring the new one (with donated device
         buffers in _append_kernel that corrupts concurrent add/search)."""
-        self.d_pad = _round_up(self.dim, _LANE)
         self.metric = self.config.metric
         self._int8 = self.config.storage_dtype == "int8"
         self._int4 = self.config.storage_dtype == "int4"
+        # int4 packs two columns per byte, so the PACKED width (d_pad/2)
+        # must stay lane-aligned — pad to 2 lanes (e.g. dim 384 → d_pad
+        # 512, packed 256; plain 128-rounding would give packed 192 and
+        # trip the kernel's lane assert on TPU)
+        self.d_pad = _round_up(self.dim, 2 * _LANE if self._int4 else _LANE)
         # both quantized lanes store int8 bytes + f32 per-row scales; int4
         # packs two columns per byte so its vector array is half as wide
         self._quant = self._int8 or self._int4

@@ -87,8 +87,11 @@ _INTENT_PATTERNS: list[tuple[str, re.Pattern]] = [
     ("why", re.compile(r"\b(why|explain|reason|cause)\b|为什么|原因")),
     (
         "ranking",
+        # "sort"/"order" only count with a "by" nearby — bare "what sort
+        # of"/"in order of the committee" are lookups, not rankings
         re.compile(
-            r"\b(rank(ing|ed)?|order (by|of)|sort(ed)?|top\s+\d+|bottom\s+\d+"
+            r"\b(rank(ing|ed)?|order(ed)? by|sort(ed)?(\s+\w+){0,3} by"
+            r"|top\s+\d+|bottom\s+\d+"
             r"|(first|second|third|last) (largest|smallest|highest|lowest|biggest))\b"
             r"|排名|排序|前\d|后\d|第[一二三]"
         ),

@@ -535,9 +535,9 @@ class ExcelAgent:
                     (s.output for s in reversed(node.payload or []) if s.success), ""
                 ),
             }
-            for node in MCTSPlanner.top_rollouts(best, n=3)
+            for node in MCTSPlanner.top_rollouts(best, n=4)
             if node is not best
-        ]
+        ][:3]
         # rewind the state machine to the winning rollout: answer-time frame
         # rendering must see the BEST plan's frames, not whichever refinement
         # happened to execute last

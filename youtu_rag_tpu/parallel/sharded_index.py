@@ -263,6 +263,13 @@ class ShardedVectorIndex(DeviceVectorIndex):
         self._vectors, self._cols, self._bias = v, c, b
         if self._quant:
             self._scales = s
+        if self._host_q8 is not None:
+            # the int4 host shadow grows with capacity here too (the
+            # single-process path gets this from super()._grow)
+            self._host_q8 = np.concatenate(
+                [self._host_q8, np.zeros((pad, self.d_pad), np.int8)]
+            )
+            self._host_s8 = np.concatenate([self._host_s8, np.zeros(pad, np.float32)])
         self.capacity = new_cap
 
     def build_ivf(self, n_lists: int | None = None, seed: int = 0) -> None:

@@ -117,6 +117,43 @@ class LexicalInvertedIndex:
     def __len__(self) -> int:
         return len(self._docs)
 
+    def _score_candidates(self, query: str) -> tuple[dict[str, float], set[int]]:
+        """One postings walk → BM25 scores for every chunk sharing a query
+        term, plus the query's term-id set (reused by rare-term logic)."""
+        n_docs = len(self._docs)
+        q_terms = set(self._tok.tokenize(query))
+        if n_docs == 0:
+            return {}, q_terms
+        avgdl = max(self._total_len / n_docs, 1.0)
+        scores: dict[str, float] = {}
+        for t in q_terms:
+            plist = self._postings.get(t)
+            if not plist:
+                continue
+            df = len(plist)
+            idf = log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            for cid, tf in plist.items():
+                dl = self._docs[cid][0]
+                denom = tf + self.k1 * (1 - self.b + self.b * dl / avgdl)
+                scores[cid] = scores.get(cid, 0.0) + idf * tf * (self.k1 + 1) / denom
+        return scores, q_terms
+
+    @staticmethod
+    def _ranked_filter(
+        ranked: list[tuple[str, float]],
+        top_k: int,
+        predicate: Callable[[str], bool] | None,
+    ) -> list[tuple[str, float]]:
+        if predicate is None:
+            return ranked[:top_k]
+        out = []
+        for cid, s in ranked:
+            if predicate(cid):
+                out.append((cid, s))
+                if len(out) >= top_k:
+                    break
+        return out
+
     def search(
         self,
         query: str,
@@ -130,32 +167,39 @@ class LexicalInvertedIndex:
         cost is O(candidate postings) + O(passed · predicate), not a
         corpus scan.
         """
-        n_docs = len(self._docs)
-        if n_docs == 0:
-            return []
-        q_terms = set(self._tok.tokenize(query))
-        avgdl = max(self._total_len / n_docs, 1.0)
-        scores: dict[str, float] = {}
+        scores, _ = self._score_candidates(query)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return self._ranked_filter(ranked, top_k, predicate)
+
+    def search_bundle(
+        self,
+        query: str,
+        top_k: int = 10,
+        predicate: Callable[[str], bool] | None = None,
+        rare_max_df: int = 3,
+        rare_limit: int = 8,
+    ) -> tuple[list[tuple[str, float]], dict[str, float], list[tuple[str, float]]]:
+        """Everything the hybrid retriever needs from ONE tokenize + ONE
+        postings walk: (top-k hits, full candidate score map, rare-term
+        matches). The score map gives dense-pool candidates their lexical
+        credit without re-scoring; rare matches reuse the same scores."""
+        scores, q_terms = self._score_candidates(query)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        hits = self._ranked_filter(ranked, top_k, predicate)
+        rare_cids: set[str] = set()
         for t in q_terms:
             plist = self._postings.get(t)
-            if not plist:
-                continue
-            df = len(plist)
-            idf = log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-            for cid, tf in plist.items():
-                dl = self._docs[cid][0]
-                denom = tf + self.k1 * (1 - self.b + self.b * dl / avgdl)
-                scores[cid] = scores.get(cid, 0.0) + idf * tf * (self.k1 + 1) / denom
-        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
-        if predicate is None:
-            return ranked[:top_k]
-        out = []
-        for cid, s in ranked:
-            if predicate(cid):
-                out.append((cid, s))
-                if len(out) >= top_k:
-                    break
-        return out
+            if plist and len(plist) <= rare_max_df:
+                rare_cids.update(plist)
+        rare = self._ranked_filter(
+            sorted(
+                ((cid, scores[cid]) for cid in rare_cids),
+                key=lambda kv: (-kv[1], kv[0]),
+            ),
+            rare_limit,
+            predicate,
+        )
+        return hits, scores, rare
 
     def score_chunks(self, query: str, chunk_ids: Iterable[str]) -> dict[str, float]:
         """BM25 scores for specific chunks using *corpus* statistics.

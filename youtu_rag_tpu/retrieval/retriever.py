@@ -172,17 +172,25 @@ class HybridRetriever(VectorRetriever):
         for query, dense in zip(queries, dense_lists):
             chunk_by_id = {r.chunk.id: r.chunk for r in dense}
             dense_score = {r.chunk.id: r.score for r in dense}
+            rare_hits: list = []
             if corpus_lexical:
                 # union candidates: corpus BM25 top hits ∪ dense pool, all
                 # scored with corpus df/avgdl — one consistent lexical
                 # ranking, so dense candidates keep their lexical credit
-                # and exact-term chunks dense missed still enter
-                corpus_hits = await self.store.lexical_search(
-                    query, top_k=pool, filters=filters
+                # and exact-term chunks dense missed still enter. The
+                # bundle does ONE tokenize + postings walk per query
+                # (hits, full score map, and rare-term matches together).
+                corpus_hits, lex_score_map, rare_hits = (
+                    await self.store.lexical_search_bundle(
+                        query, top_k=pool, filters=filters,
+                        rare_limit=max(1, top_k // 3),
+                    )
                 )
-                lex_scores = self.store._lexical.score_chunks(
-                    query, list(dense_score)
-                )
+                lex_scores = {
+                    cid: s
+                    for cid in dense_score
+                    if (s := lex_score_map.get(cid, 0.0)) > 0
+                }
                 for chunk, s in corpus_hits:
                     if threshold > 0 and chunk.id not in dense_score:
                         # an explicit similarity_threshold is a *dense*
@@ -222,11 +230,8 @@ class HybridRetriever(VectorRetriever):
                 # exact-identifier guarantee: chunks matching a near-unique
                 # query term (an ID/code the user typed) get reserved
                 # slots — fusion noise can never evict an exact match
-                rare = await self.store.rare_term_search(
-                    query, filters=filters, limit=max(1, top_k // 3)
-                )
                 in_order = set(order)
-                missing = [(c, s) for c, s in rare if c.id not in in_order]
+                missing = [(c, s) for c, s in rare_hits if c.id not in in_order]
                 for chunk, s in missing:
                     chunk_by_id.setdefault(chunk.id, chunk)
                     lex_norm.setdefault(chunk.id, min(1.0, s / max(max_lex, 1e-9)))

@@ -195,16 +195,42 @@ class TpuVectorStore(BaseVectorStore):
         """Corpus-level BM25 hits as (chunk, score); [] when disabled."""
         if self._lexical is None or self._index is None:
             return []
-        predicate = None
-        if filters:
-            from ..index.filters import host_eval
-
-            def predicate(cid: str) -> bool:
-                c = self._index.get_by_id(cid)
-                return c is not None and host_eval(filters, c.metadata)
-
-        hits = self._lexical.search(query, top_k=top_k, predicate=predicate)
+        hits = self._lexical.search(
+            query, top_k=top_k, predicate=self._filter_predicate(filters)
+        )
         return self._resolve_lexical_hits(hits)
+
+    async def lexical_search_bundle(
+        self,
+        query: str,
+        top_k: int = 10,
+        filters: dict[str, Any] | None = None,
+        rare_limit: int = 8,
+    ) -> tuple[list[tuple[Chunk, float]], dict[str, float], list[tuple[Chunk, float]]]:
+        """(top hits, full candidate score map, rare-term matches) from one
+        tokenize + postings walk — the hybrid retriever's bundle."""
+        if self._lexical is None or self._index is None:
+            return [], {}, []
+        predicate = self._filter_predicate(filters)
+        hits, scores, rare = self._lexical.search_bundle(
+            query, top_k=top_k, predicate=predicate, rare_limit=rare_limit
+        )
+        return (
+            self._resolve_lexical_hits(hits),
+            scores,
+            self._resolve_lexical_hits(rare),
+        )
+
+    def _filter_predicate(self, filters: dict[str, Any] | None):
+        if not filters:
+            return None
+        from ..index.filters import host_eval
+
+        def predicate(cid: str) -> bool:
+            c = self._index.get_by_id(cid)
+            return c is not None and host_eval(filters, c.metadata)
+
+        return predicate
 
     async def rare_term_search(
         self,
