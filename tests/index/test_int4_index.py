@@ -104,10 +104,39 @@ def test_int4_snapshot_roundtrip(tmp_path):
     assert [[c.id for c, _ in row] for row in h1] == [[c.id for c, _ in row] for row in h2]
 
 
-def test_int4_ivf_gate():
+def test_int4_ivf_search():
+    """IVF over packed storage: build clusters, probe, and compose with
+    the host int8-shadow re-rank (residual on-device rerank is skipped —
+    the shadow re-scores at higher precision)."""
     rng = np.random.default_rng(6)
-    ix = _index()
-    ix.add(_chunks(256), _vecs(rng, 256, 128))
+    ix = DeviceVectorIndex(
+        128, IndexConfig(storage_dtype="int4", min_capacity=2048, block_rows=128,
+                         n_lists=8, n_probe=8)
+    )
+    X = _vecs(rng, 2048, 128)
+    ix.add(_chunks(2048), X)
+    ix.build_ivf(n_lists=8)
+    assert ix._ivf is not None
+    exact = np.argsort(-(X[:8] @ X.T), axis=1)[:, :10]
+    hits = ix.search(X[:8], top_k=10)
+    recall = np.mean([
+        len({int(h[0].id[1:]) for h in hits[qi]} & set(exact[qi])) / 10
+        for qi in range(8)
+    ])
+    assert recall >= 0.9, recall
+    assert hits[0][0][0].id == "c0" and hits[0][0][1] > 0.98
+
+
+def test_int4_sharded_ivf_still_gated():
+    from youtu_rag_tpu.parallel.mesh import get_mesh
+    from youtu_rag_tpu.parallel.sharded_index import ShardedVectorIndex
+
+    rng = np.random.default_rng(12)
+    ix = ShardedVectorIndex(
+        128, IndexConfig(storage_dtype="int4", min_capacity=1024, block_rows=128),
+        mesh=get_mesh({"db": 8}),
+    )
+    ix.add(_chunks(512), _vecs(rng, 512, 128))
     with pytest.raises(NotImplementedError, match="int4"):
         ix.build_ivf(n_lists=4)
 

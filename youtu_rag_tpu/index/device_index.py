@@ -808,7 +808,7 @@ class DeviceVectorIndex:
             # int4 two-stage: ask the packed kernel for a pow2-bucketed
             # candidate multiple, re-rank on host from the int8 shadow
             k_req = k_eff
-            host_rr = self._host_rerank and self._ivf is None
+            host_rr = self._host_rerank
             if host_rr:
                 mult = self.config.int4_rerank_multiplier
                 k2 = _pow2_at_least(max(int(np.ceil(k_eff * mult)), k_eff), 16)
@@ -980,7 +980,10 @@ class DeviceVectorIndex:
         shard_map per-shard + all-gather merge path)."""
         if self._ivf is not None:
             mult = self.config.ivf_rerank_multiplier
-            if mult > 1.0:
+            if mult > 1.0 and not self._host_rerank:
+                # int4's host int8-shadow re-rank (search()) re-scores at
+                # HIGHER precision than the stored values, so the on-device
+                # residual pass would be strictly redundant here
                 # probe deeper, then exact re-score (residual re-rank):
                 # k2 pow2-bucketed so the rerank jit cache stays bounded.
                 # On small indexes clamp to the largest pow2 <= live_count
@@ -1051,12 +1054,6 @@ class DeviceVectorIndex:
         re-freeze after heavy growth."""
         from .ivf import build_ivf_state
 
-        if self._int4:
-            raise NotImplementedError(
-                "IVF over int4-packed storage is not supported yet — int4 is "
-                "the brute-force throughput tier; use storage_dtype='int8' "
-                "for IVF (the DMA probe kernel reads unpacked rows)"
-            )
         with self._lock:
             self._ivf = build_ivf_state(self, n_lists=n_lists, seed=seed)
 
@@ -1142,6 +1139,18 @@ class DeviceVectorIndex:
             **adaptive,
         )
         br = self.config.block_rows
+        if self._int4:
+            from ..ops.ivf import pallas_ivf_topk_int4_dma
+
+            if backend in ("pallas", "pallas_interpret"):
+                return pallas_ivf_topk_int4_dma(
+                    queries, vectors, self._scales, bias, ids, n_valid, k,
+                    block_rows=br, interpret=backend == "pallas_interpret",
+                )
+            # XLA fallback: dequantize (test-scale indexes only)
+            return xla_ivf_topk(
+                queries, self.dequantized_vectors(), bias, ids, n_valid, k, block_rows=br
+            )
         if self._int8:
             from ..ops.ivf import pallas_ivf_topk_int8_dma
 

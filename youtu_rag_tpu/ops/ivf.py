@@ -315,6 +315,117 @@ def _ivf_dma_kernel(
     out_i_ref[...] = run_i[...]
 
 
+def _ivf_dma_kernel_int4(
+    ids_ref,  # SMEM [max_blocks] int32 (scalar prefetch)
+    nvalid_ref,  # SMEM [1] int32 (scalar prefetch)
+    q_ref,  # VMEM [q_pad, d] int8
+    qs_ref,  # VMEM [q_pad] f32
+    x_hbm,  # ANY  [N, d//2] int8 (packed nibbles)
+    xs_hbm,  # ANY  [1, N] f32
+    bias_hbm,  # ANY  [1, N] f32
+    out_s_ref,
+    out_i_ref,
+    x_buf,  # VMEM [2, BR, d//2] int8
+    xs_buf,
+    bias_buf,
+    run_s,
+    run_i,
+    x_sem,
+    xs_sem,
+    bias_sem,
+    *,
+    k: int,
+    block_rows: int,
+):
+    """int4 variant of _ivf_dma_kernel: HBM blocks are packed nibbles
+    (half the int8 DMA bytes); unpack happens in VMEM right before the
+    MXU dot, overlapped with the next block's DMA."""
+    from .topk import NEG_INF, _select_topk, _select_topk_with_payload, unpack_int4
+
+    def x_dma(slot, block_id):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(block_id * block_rows, block_rows), :],
+            x_buf.at[slot],
+            x_sem.at[slot],
+        )
+
+    def xs_dma(slot, block_id):
+        return pltpu.make_async_copy(
+            xs_hbm.at[:, pl.ds(block_id * block_rows, block_rows)],
+            xs_buf.at[slot],
+            xs_sem.at[slot],
+        )
+
+    def bias_dma(slot, block_id):
+        return pltpu.make_async_copy(
+            bias_hbm.at[:, pl.ds(block_id * block_rows, block_rows)],
+            bias_buf.at[slot],
+            bias_sem.at[slot],
+        )
+
+    run_s[...] = jnp.full(run_s.shape, NEG_INF, jnp.float32)
+    run_i[...] = jnp.zeros(run_i.shape, jnp.int32)
+
+    n_valid = nvalid_ref[0]
+
+    @pl.when(n_valid > 0)
+    def _():
+        first_id = ids_ref[0]
+        x_dma(0, first_id).start()
+        xs_dma(0, first_id).start()
+        bias_dma(0, first_id).start()
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_valid)
+        def _():
+            nid = ids_ref[i + 1]
+            x_dma(nxt, nid).start()
+            xs_dma(nxt, nid).start()
+            bias_dma(nxt, nid).start()
+
+        block_id = ids_ref[i]
+        x_dma(slot, block_id).wait()
+        xs_dma(slot, block_id).wait()
+        bias_dma(slot, block_id).wait()
+
+        xv = unpack_int4(x_buf[slot])  # [BR, d] int8
+        acc = jax.lax.dot_general(
+            q_ref[...], xv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        scores = acc.astype(jnp.float32) * (qs_ref[...].reshape(-1, 1) * xs_buf[slot, 0][None, :])
+        scores = scores + bias_buf[slot, 0][None, :]
+
+        block_max = jnp.max(scores, axis=1)
+        thresholds = run_s[:, k - 1]
+
+        @pl.when(jnp.any(block_max > thresholds))
+        def _():
+            vals, idx = _select_topk(scores, k, block_id * block_rows)
+            both_s = jnp.concatenate([run_s[...][:, :k], vals], axis=1)
+            both_i = jnp.concatenate([run_i[...][:, :k], idx], axis=1)
+            merged_s, merged_i = _select_topk_with_payload(both_s, both_i, k)
+            kpad = run_s.shape[1]
+            if kpad > k:
+                pad = kpad - k
+                merged_s = jnp.concatenate(
+                    [merged_s, jnp.full((merged_s.shape[0], pad), NEG_INF, jnp.float32)], axis=1
+                )
+                merged_i = jnp.concatenate(
+                    [merged_i, jnp.zeros((merged_i.shape[0], pad), jnp.int32)], axis=1
+                )
+            run_s[...] = merged_s
+            run_i[...] = merged_i
+
+        return 0
+
+    jax.lax.fori_loop(0, n_valid, body, 0)
+    out_s_ref[...] = run_s[...]
+    out_i_ref[...] = run_i[...]
+
+
 def _ivf_dma_kernel_bf16(
     ids_ref,
     nvalid_ref,
@@ -526,6 +637,72 @@ def pallas_ivf_topk_int8_dma(
         out_shape=out_shape,
         interpret=interpret,
     )(block_ids.astype(jnp.int32), jnp.reshape(n_valid, (1,)).astype(jnp.int32), qq, qs, database_q, xs, b)
+    return top_s[:qn, :k], top_i[:qn, :k]
+
+
+def pallas_ivf_topk_int4_dma(
+    queries: jax.Array,
+    database_p: jax.Array,
+    db_scales: jax.Array,
+    bias: jax.Array,
+    block_ids: jax.Array,
+    n_valid: jax.Array,
+    k: int,
+    *,
+    block_rows: int = 4096,
+    interpret: bool = False,
+):
+    """Double-buffered IVF search over int4-packed rows (int8 queries)."""
+    from .topk import quantize_rows_int8
+
+    qn, d2 = queries.shape[0], database_p.shape[1]
+    d = 2 * d2
+    n = database_p.shape[0]
+    assert queries.shape[1] == d and n % block_rows == 0 and d2 % _LANE == 0
+
+    q_pad = _round_up(max(qn, _SUBLANE), _SUBLANE)
+    k_pad = _round_up(k, _LANE)
+    qf = jnp.zeros((q_pad, d), jnp.float32).at[:qn].set(queries.astype(jnp.float32))
+    qq, qs = quantize_rows_int8(qf)
+    xs = db_scales.astype(jnp.float32).reshape(1, n)
+    b = bias.astype(jnp.float32).reshape(1, n)
+
+    kernel = functools.partial(_ivf_dma_kernel_int4, k=k, block_rows=block_rows)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # qq
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # qs
+            pl.BlockSpec(memory_space=pltpu.ANY),  # packed X stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # scales
+            pl.BlockSpec(memory_space=pltpu.ANY),  # bias
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_rows, d2), jnp.int8),
+            pltpu.VMEM((2, 1, block_rows), jnp.float32),
+            pltpu.VMEM((2, 1, block_rows), jnp.float32),
+            pltpu.VMEM((q_pad, k_pad), jnp.float32),
+            pltpu.VMEM((q_pad, k_pad), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((q_pad, k_pad), jnp.float32),
+        jax.ShapeDtypeStruct((q_pad, k_pad), jnp.int32),
+    )
+    top_s, top_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(block_ids.astype(jnp.int32), jnp.reshape(n_valid, (1,)).astype(jnp.int32), qq, qs, database_p, xs, b)
     return top_s[:qn, :k], top_i[:qn, :k]
 
 
