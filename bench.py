@@ -92,8 +92,25 @@ def main() -> None:
                 Q, Xq, Xs, b, k, block_rows=2 * block_rows
             )
             extras["int8_ms_per_batch"] = round(measure(fn8, (Xq, Xs, bd)) * 1e3, 3)
+            del Xq, Xs  # free before the int4 quantize transient
         except Exception as e:  # noqa: BLE001
             extras["int8_error"] = str(e)[:200]
+        try:
+            # int4 packed tier: half the int8 bytes again (storage ladder
+            # floor); serving adds a ~µs host int8-shadow re-rank on top
+            from youtu_rag_tpu.ops.topk import (
+                pallas_topk_int4_pruned,
+                quantize_rows_int4,
+            )
+
+            Xp, Xs4 = quantize_rows_int4(Xd.astype(jnp.float32))
+            fn4 = lambda Q, Xp, Xs, b: pallas_topk_int4_pruned(
+                Q, Xp, Xs, b, k, block_rows=block_rows
+            )
+            extras["int4_ms_per_batch"] = round(measure(fn4, (Xp, Xs4, bd)) * 1e3, 3)
+            del Xp, Xs4
+        except Exception as e:  # noqa: BLE001
+            extras["int4_error"] = str(e)[:200]
 
     # CPU FAISS-flat-style baseline: f32 GEMM + argpartition, subsampled
     n_sub = 131072
