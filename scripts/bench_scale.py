@@ -118,6 +118,51 @@ def main() -> None:
     report["brute_int8_qps"] = round(q / dt, 1)
     report["brute_int8_gbps"] = round(N * d / dt / 1e9, 1)
 
+    # ---- int4 packed tier (half the int8 bytes; 10M×768 → 3.9 GB) -------
+    print("int4 packed ...", file=sys.stderr, flush=True)
+    try:
+        from youtu_rag_tpu.ops.topk import pallas_topk_int4_pruned
+
+        half = d // 2
+        Xp_host = np.empty((N, half), np.int8)
+        step = 1 << 20
+        for i in range(0, N, step):
+            q4 = np.clip(
+                np.round(
+                    X8[i : i + step].astype(np.float32) / 127.0 * 7.0
+                ),
+                -7, 7,
+            ).astype(np.int32)  # re-quantize the int8 rows to int4 levels
+            Xp_host[i : i + step] = (
+                (q4[:, :half] & 0xF) | ((q4[:, half:] & 0xF) << 4)
+            ).astype(np.uint8).view(np.int8)
+        S4 = jnp.asarray(scales * (127.0 / 7.0))
+        Xp = jnp.asarray(Xp_host)
+        del Xp_host
+        _ = np.asarray(jnp.sum(Xp.astype(jnp.int32)))
+        s4_, i4_ = pallas_topk_int4_pruned(Qd, Xp, S4, bd, k, block_rows=BR)
+        t4a = amortized(
+            lambda Q, X, S, b: pallas_topk_int4_pruned(Q, X, S, b, k, block_rows=BR),
+            (Xp, S4, bd), 4,
+        )
+        t12a = amortized(
+            lambda Q, X, S, b: pallas_topk_int4_pruned(Q, X, S, b, k, block_rows=BR),
+            (Xp, S4, bd), 12,
+        )
+        dt4 = max((t12a - t4a) / 8, 1e-9)
+        got4 = np.asarray(i4_)
+        report["brute_int4_ms"] = round(dt4 * 1e3, 3)
+        report["brute_int4_qps"] = round(q / dt4, 1)
+        report["brute_int4_gbps"] = round(N * d / 2 / dt4 / 1e9, 1)
+        report["brute_int4_raw_recall_vs_int8"] = round(
+            float(np.mean([
+                len(set(got4[r]) & set(truth[r])) / k for r in range(q)
+            ])), 4,
+        )
+        del Xp, S4
+    except Exception as e:  # noqa: BLE001 - int4 lane is best-effort
+        report["brute_int4_error"] = str(e)[:200]
+
     # ---- IVF build: kmeans on a sample, assign in chunks, sort -----------
     print("ivf build ...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()

@@ -190,3 +190,15 @@ def test_rebuild_lexical_from_live_chunks():
     store.rebuild_lexical()
     hits = asyncio.run(store.lexical_search("artifact-Z9", top_k=3))
     assert hits and hits[0][0].id == "c999"
+
+
+def test_monitor_exposes_lexical_stats():
+    import asyncio as _aio
+
+    from youtu_rag_tpu.retrieval.monitoring import StorageMonitor
+
+    store, _ = _corpus_store(n_filler=10)
+    mon = StorageMonitor(store, name="kb")
+    metrics = _aio.run(mon.collect_metrics())
+    lex = metrics["lexical_index"]
+    assert lex["documents"] == 11 and lex["terms"] > 0

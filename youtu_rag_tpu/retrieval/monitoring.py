@@ -108,6 +108,10 @@ class StorageMonitor(BaseStorageMonitor):
                 if s["dispatches"]
                 else 0.0,
             }
+        # corpus BM25 inverted index (hybrid retrieval's lexical side)
+        lexical = getattr(self.store, "_lexical", None)
+        if lexical is not None:
+            out["lexical_index"] = lexical.stats()
         return out
 
 
