@@ -152,6 +152,24 @@ _WORKER = textwrap.dedent(
     hits = idx8.search(embs[:1], top_k=1)[0]
     assert hits[0][0].id == "m0"
 
+    # int4 packed lane: append, growth past capacity (the host int8
+    # shadow must grow with the multi-process _grow override), two-stage
+    # host re-rank, compact
+    cfg4 = IndexConfig(min_capacity=512, block_rows=64, storage_dtype="int4")
+    idx4 = ShardedVectorIndex(d, cfg4, mesh=mesh, axis=("dcn", "ici"))
+    idx4.add(chunks, embs)
+    hits = idx4.search(embs[:1], top_k=1)[0]
+    assert hits[0][0].id == "m0" and hits[0][1] > 0.98  # shadow-precision
+    idx4.add(chunks2, embs2)  # growth: shadow arrays must follow
+    assert idx4.capacity > 512
+    assert idx4._host_q8.shape[0] == idx4.capacity
+    hits = idx4.search(embs2[:1], top_k=1)[0]
+    assert hits[0][0].id == "x0"
+    idx4.delete(["m1", "m2"])
+    idx4.compact()
+    hits = idx4.search(embs[:1], top_k=1)[0]
+    assert hits[0][0].id == "m0" and hits[0][1] > 0.98
+
     print(f"MULTIHOST-PARITY-OK pid={{os.environ['JAX_PROCESS_ID']}}", flush=True)
     """
 )
