@@ -127,18 +127,24 @@ def test_int4_ivf_search():
     assert hits[0][0][0].id == "c0" and hits[0][0][1] > 0.98
 
 
-def test_int4_sharded_ivf_still_gated():
+def test_int4_sharded_ivf():
     from youtu_rag_tpu.parallel.mesh import get_mesh
     from youtu_rag_tpu.parallel.sharded_index import ShardedVectorIndex
 
     rng = np.random.default_rng(12)
     ix = ShardedVectorIndex(
-        128, IndexConfig(storage_dtype="int4", min_capacity=1024, block_rows=128),
+        128, IndexConfig(storage_dtype="int4", min_capacity=1024, block_rows=128,
+                         n_lists=8, n_probe=8),
         mesh=get_mesh({"db": 8}),
     )
-    ix.add(_chunks(512), _vecs(rng, 512, 128))
-    with pytest.raises(NotImplementedError, match="int4"):
-        ix.build_ivf(n_lists=4)
+    X = _vecs(rng, 1024, 128)
+    ix.add(_chunks(1024), X)
+    ix.build_ivf(n_lists=8)
+    # full-probe config → exact results; host rerank gives int8 precision
+    hits = ix.search(X[:4], top_k=5)
+    for qi, row in enumerate(hits):
+        assert row[0][0].id == f"c{qi}"
+        assert row[0][1] > 0.98
 
 
 def test_int4_sharded_constructs():

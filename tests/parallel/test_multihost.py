@@ -169,6 +169,9 @@ _WORKER = textwrap.dedent(
     idx4.compact()
     hits = idx4.search(embs[:1], top_k=1)[0]
     assert hits[0][0].id == "m0" and hits[0][1] > 0.98
+    idx4.build_ivf(n_lists=4)  # multi-process IVF over packed rows
+    hits = idx4.search(embs[:1], top_k=1)[0]
+    assert hits[0][0].id == "m0" and hits[0][1] > 0.98
 
     print(f"MULTIHOST-PARITY-OK pid={{os.environ['JAX_PROCESS_ID']}}", flush=True)
     """

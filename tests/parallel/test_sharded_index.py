@@ -314,8 +314,10 @@ def test_sharded_int4_two_stage():
     hits = dev.search(embs[:1], top_k=5)
     assert all(c.id != "doc4-0" for c, _ in hits[0])
 
-    with pytest.raises(NotImplementedError, match="int4"):
-        dev.build_ivf(n_lists=4)
+    # IVF over packed shards (full-probe defaults → exact)
+    dev.build_ivf(n_lists=4)
+    hits = dev.search(embs[5:6], top_k=3)
+    assert hits[0][0][0].id == "doc4-5"
 
     # compaction keeps the shadow aligned (single-process: base rebuild)
     dev.compact()

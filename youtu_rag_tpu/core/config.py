@@ -121,9 +121,9 @@ class IndexConfig(ConfigBase):
     metric: Literal["cosine", "l2", "ip"] = "cosine"
     # int8: symmetric per-row quantization + f32 scales (half the HBM
     # bytes of bf16). int4: two columns packed per byte (half of int8
-    # again — the next QPS tier; brute + single-device IVF (DMA kernel
-    # over packed rows); sharded IVF not yet. Recall floor + two-stage
-    # recovery quantified in benchmarks/recall_report.json)
+    # again — the next QPS tier; full feature matrix: brute, IVF (DMA
+    # kernel over packed rows), db-axis sharding, multi-process. Recall
+    # floor + two-stage recovery in benchmarks/recall_report.json)
     storage_dtype: Literal["bfloat16", "float32", "int8", "int4"] = "bfloat16"
     # int4 two-stage search (ScaNN-style): the device kernel generates
     # int4_rerank_multiplier × k candidates from packed nibbles, then the

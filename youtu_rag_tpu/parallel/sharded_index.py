@@ -273,12 +273,6 @@ class ShardedVectorIndex(DeviceVectorIndex):
         self.capacity = new_cap
 
     def build_ivf(self, n_lists: int | None = None, seed: int = 0) -> None:
-        if self._int4:
-            raise NotImplementedError(
-                "IVF over int4-packed storage is not supported yet — int4 is "
-                "the brute-force throughput tier; shard with "
-                "storage_dtype='int8' for IVF"
-            )
         return self._build_ivf_local(n_lists=n_lists, seed=seed)
 
     def compact(self) -> None:
@@ -537,11 +531,14 @@ class ShardedVectorIndex(DeviceVectorIndex):
     def _mp_dequant_take_fn(self):
         """Jitted replicated gather of dequantized rows (cached per
         instance — builds at the same capacity reuse the executable)."""
-        int8 = self._int8
+        int8, int4 = self._int8, self._int4
 
         def dequant_take(v, sc, i):
-            x = jnp.take(v, i, axis=0).astype(jnp.float32)
-            if int8:
+            from ..ops.topk import unpack_int4 as _un4
+
+            x = jnp.take(v, i, axis=0)
+            x = (_un4(x) if int4 else x).astype(jnp.float32)
+            if int8 or int4:
                 x = x * jnp.take(sc, i)[:, None]
             return x
 
@@ -551,11 +548,13 @@ class ShardedVectorIndex(DeviceVectorIndex):
     def _mp_assign_fn(self):
         """Jitted shard-local dequant + argmax-vs-centroids, output
         replicated (only the int32 assignment crosses the network)."""
-        int8 = self._int8
+        int8, int4 = self._int8, self._int4
 
         def assign_all(v, sc, cent):
-            x = v.astype(jnp.float32)
-            if int8:
+            from ..ops.topk import unpack_int4 as _un4
+
+            x = (_un4(v) if int4 else v).astype(jnp.float32)
+            if int8 or int4:
                 x = x * sc[:, None]
             return jnp.argmax(x @ cent.T, axis=1).astype(jnp.int32)
 
@@ -615,6 +614,7 @@ class ShardedVectorIndex(DeviceVectorIndex):
         from ..index.ivf import probe_blocks
         from ..ops.ivf import (
             pallas_ivf_topk_dma,
+            pallas_ivf_topk_int4_dma,
             pallas_ivf_topk_int8_dma,
             xla_ivf_topk,
         )
@@ -628,6 +628,7 @@ class ShardedVectorIndex(DeviceVectorIndex):
         n_probe = st.n_probe
         mcb = st.max_cluster_blocks
         int8 = self._int8
+        int4 = self._int4
         scales = self._scales
         axis = self.axis
         rows_per_shard = self.capacity // self.n_shards
@@ -655,12 +656,21 @@ class ShardedVectorIndex(DeviceVectorIndex):
                 max_blocks=max_blocks,
                 **adaptive,
             )
-            if backend == "pallas" and int8:
+            if backend == "pallas" and int4:
+                s, i = pallas_ivf_topk_int4_dma(q, x, sc, b, ids, n_valid, k, block_rows=br)
+            elif backend == "pallas" and int8:
                 s, i = pallas_ivf_topk_int8_dma(q, x, sc, b, ids, n_valid, k, block_rows=br)
             elif backend == "pallas":
                 s, i = pallas_ivf_topk_dma(q, x, b, ids, n_valid, k, block_rows=br)
             else:
-                xf = x.astype(jnp.float32) * sc[:, None] if int8 else x
+                if int4:
+                    from ..ops.topk import unpack_int4 as _un4
+
+                    xf = _un4(x).astype(jnp.float32) * sc[:, None]
+                elif int8:
+                    xf = x.astype(jnp.float32) * sc[:, None]
+                else:
+                    xf = x
                 s, i = xla_ivf_topk(q, xf, b, ids, n_valid, k, block_rows=br)
             shard = jax.lax.axis_index(axis)
             gi = i + shard * rows_per_shard
