@@ -43,6 +43,7 @@ const I18N = {
     "chat.placeholder": "Ask the knowledge base…", "chat.send": "Send",
     "chat.kb": "Knowledge base", "chat.agent": "Agent", "chat.memory": "Memory",
     "chat.clear": "Clear conversation", "chat.retry": "Retry",
+    "chat.stop": "■ stop", "chat.stopped": "⚠ stopped by user",
     "chat.thinking": "thinking…", "chat.thought": "thought",
     "qa.detail": "QA detail", "qa.edit": "Save edit", "qa.history": "Execution history",
     "monitor.latency": "Query latency (live)",
@@ -76,6 +77,7 @@ const I18N = {
     "chat.placeholder": "向知识库提问…", "chat.send": "发送",
     "chat.kb": "知识库", "chat.agent": "智能体", "chat.memory": "记忆",
     "chat.clear": "清空对话", "chat.retry": "重试",
+    "chat.stop": "■ 停止", "chat.stopped": "⚠ 已被用户中止",
     "chat.thinking": "思考中…", "chat.thought": "思考完成",
     "qa.detail": "问答详情", "qa.edit": "保存修改", "qa.history": "执行历史",
     "monitor.latency": "检索延迟（实时）",

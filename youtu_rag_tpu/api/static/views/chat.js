@@ -28,7 +28,7 @@ export async function renderChat(view) {
   const sendBtn = h("button", { class: "primary", type: "submit" }, t("chat.send"));
   // stop button (ref chat.js stopAgent): aborts the SSE fetch client-side;
   // the server tears the run down on disconnect
-  const stopBtn = h("button", { class: "ghost", type: "button", style: "display:none" }, "■ stop");
+  const stopBtn = h("button", { class: "ghost", type: "button", style: "display:none" }, t("chat.stop"));
   const clearBtn = h("button", { class: "ghost" }, t("chat.clear"));
 
   const fileBox = h("div", { class: "col" });
@@ -215,7 +215,7 @@ async function send(ctx, q) {
       method: "POST", body: JSON.stringify(body), signal: ctx.abort.signal,
     });
   } catch (e) {
-    if (e.name === "AbortError") { card(log, "", "⚠ stopped by user"); return; }
+    if (e.name === "AbortError") { card(log, "", t("chat.stopped")); return; }
     throw e;
   }
   if (!resp.ok) { card(log, "error", `HTTP ${resp.status}`); return; }
@@ -247,7 +247,7 @@ async function send(ctx, q) {
     }
   } catch (e) {
     if (e.name !== "AbortError") throw e;
-    card(log, "", "⚠ stopped by user");
+    card(log, "", t("chat.stopped"));
   }
   finishStream();  // connection closed without a done card — still render
 
