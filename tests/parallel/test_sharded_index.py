@@ -324,3 +324,40 @@ def test_sharded_int4_two_stage():
     hits = dev.search(embs[5:6], top_k=3)
     assert hits[0][0][0].id == "doc4-5"
     assert hits[0][0][1] > 0.98
+
+
+def test_dp_embedder_parity_over_mesh():
+    """Multi-chip serving embeds data-parallel: the dp-sharded forward
+    matches the single-device forward, and batch buckets stay divisible
+    by the device count."""
+    import jax
+    from jax.sharding import Mesh
+
+    from youtu_rag_tpu.models.embedder import TpuEmbedder
+    from youtu_rag_tpu.models.encoder import EncoderConfig
+
+    cfg = EncoderConfig(d_model=64, n_layers=2, n_heads=2, d_ff=128,
+                        out_dim=64, vocab_size=512, max_len=64,
+                        attention_impl="xla")
+    plain = TpuEmbedder(config=cfg, batch_size=16, seed=3)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    dp = TpuEmbedder(config=cfg, params=plain.params, batch_size=16, mesh=mesh)
+    assert dp._dp == 8
+    texts = [f"sample text number {i} about topic {i % 3}" for i in range(5)]
+    a = plain.embed_batch(texts)
+    b = dp.embed_batch(texts)
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
+
+
+def test_kb_with_mesh_passes_dp_embedder():
+    from youtu_rag_tpu.core.config import RAGConfig, VectorStoreConfig
+    from youtu_rag_tpu.retrieval.kb import KnowledgeBase
+
+    mesh = get_mesh({"db": 8})
+    # hash provider: the mesh kwarg is ignored gracefully
+    kb = KnowledgeBase(
+        "dp_kb",
+        RAGConfig(vector_store=VectorStoreConfig(index=IndexConfig(min_capacity=1024, block_rows=128))),
+        mesh=mesh,
+    )
+    assert kb.store._mesh is mesh

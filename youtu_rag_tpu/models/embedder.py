@@ -134,6 +134,9 @@ class TpuEmbedder(BaseEmbedder):
         self.tokenizer = tokenizer or HashTokenizer(self.cfg.vocab_size, self.cfg.max_len)
         self.batch_size = batch_size
         self._mesh = mesh
+        # dp size bounds the minimum batch bucket (P("dp") requires the
+        # batch axis divisible by the device count)
+        self._dp = int(mesh.shape["dp"]) if mesh is not None else 1
 
         def fwd(params, ids, mask):
             emb, _ = encode_tokens(params, ids, mask, self.cfg)
@@ -240,7 +243,7 @@ class TpuEmbedder(BaseEmbedder):
             seqs = [self.tokenizer.encode(t, self._long_max) for t in chunk]
             t_need = max(len(s) for s in seqs)
             t_b = self._bucket(t_need, max(16 * self._sp_size, 16))
-            n_b = self._bucket(len(chunk), 4)
+            n_b = self._bucket(len(chunk), max(4, self._dp))
             ids = np.zeros((n_b, t_b), np.int32)
             mask = np.zeros((n_b, t_b), np.float32)
             for j, s in enumerate(seqs):
@@ -253,7 +256,7 @@ class TpuEmbedder(BaseEmbedder):
     def _embed_short(self, batch: list[str]) -> np.ndarray:
         ids, mask = self.tokenizer.batch(batch)
         t_b = min(self._bucket(ids.shape[1], 16), self.cfg.max_len)
-        n_b = self._bucket(len(batch), 8)
+        n_b = self._bucket(len(batch), max(8, self._dp))
         ids_p = np.zeros((n_b, t_b), np.int32)
         mask_p = np.zeros((n_b, t_b), np.float32)
         ids_p[: len(batch), : min(ids.shape[1], t_b)] = ids[:, :t_b]

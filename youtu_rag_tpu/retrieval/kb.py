@@ -28,7 +28,17 @@ class KnowledgeBase:
         self.name = name
         self.config = config or RAGConfig(name=name)
         self.store: TpuVectorStore = VectorStoreFactory.create(self.config.vector_store, mesh=mesh)
-        self.embedder = EmbedderFactory.create(self.config.knowledge_builder.embedding)
+        emb_kwargs = {}
+        if mesh is not None:
+            # multi-chip serving: embed data-parallel over the SAME devices
+            # the index shards across (only the tpu provider consumes the
+            # kwarg; hash/remote providers ignore it)
+            from jax.sharding import Mesh as _Mesh
+
+            emb_kwargs["mesh"] = _Mesh(mesh.devices.reshape(-1), ("dp",))
+        self.embedder = EmbedderFactory.create(
+            self.config.knowledge_builder.embedding, **emb_kwargs
+        )
         self.reranker = RerankerFactory.create(self.config.reranker)
         self.retriever = VectorRetriever(
             self.store, self.embedder, self.config.retriever, reranker=self.reranker
