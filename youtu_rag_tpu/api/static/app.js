@@ -6,6 +6,7 @@ import { renderKb } from "./views/kb.js";
 import { renderFiles } from "./views/files.js";
 import { renderMonitor } from "./views/monitor.js";
 import { renderTrajectories } from "./views/trajectories.js";
+import { renderModels } from "./views/models.js";
 
 export const state = {
   lang: localStorage.getItem("yrt-lang") || "en",
@@ -16,7 +17,7 @@ export const state = {
 const I18N = {
   en: {
     "tab.chat": "Chat", "tab.kb": "Knowledge Bases", "tab.files": "Files",
-    "tab.monitor": "Monitor", "tab.trajectories": "Runs",
+    "tab.monitor": "Monitor", "tab.trajectories": "Runs", "tab.models": "Models",
     "traj.detail": "Run detail", "traj.input": "input", "traj.output": "output",
     "traj.tools": "tool calls", "traj.refresh": "Refresh",
     "kb.create": "Create", "kb.name": "new knowledge base name",
@@ -44,6 +45,10 @@ const I18N = {
     "chat.kb": "Knowledge base", "chat.agent": "Agent", "chat.memory": "Memory",
     "chat.clear": "Clear conversation", "chat.retry": "Retry",
     "chat.stop": "■ stop", "chat.stopped": "⚠ stopped by user",
+    "models.embed_title": "Embedding tester", "models.embed_btn": "Embed",
+    "models.embed_ph": "one text per line…",
+    "models.rerank_title": "Reranker tester", "models.rerank_btn": "Rerank",
+    "models.rerank_q_ph": "query…", "models.rerank_d_ph": "one candidate per line…",
     "chat.thinking": "thinking…", "chat.thought": "thought",
     "qa.detail": "QA detail", "qa.edit": "Save edit", "qa.history": "Execution history",
     "monitor.latency": "Query latency (live)",
@@ -53,7 +58,7 @@ const I18N = {
   },
   zh: {
     "tab.chat": "对话", "tab.kb": "知识库", "tab.files": "文件", "tab.monitor": "监控",
-    "tab.trajectories": "运行记录", "traj.detail": "运行详情", "traj.input": "输入",
+    "tab.trajectories": "运行记录", "tab.models": "模型", "traj.detail": "运行详情", "traj.input": "输入",
     "traj.output": "输出", "traj.tools": "工具调用", "traj.refresh": "刷新",
     "kb.create": "创建", "kb.name": "新知识库名称", "kb.none": "暂无知识库 — 创建一个。",
     "kb.delete": "删除", "kb.chunks": "分块", "kb.backend": "后端",
@@ -78,6 +83,10 @@ const I18N = {
     "chat.kb": "知识库", "chat.agent": "智能体", "chat.memory": "记忆",
     "chat.clear": "清空对话", "chat.retry": "重试",
     "chat.stop": "■ 停止", "chat.stopped": "⚠ 已被用户中止",
+    "models.embed_title": "向量化测试", "models.embed_btn": "生成向量",
+    "models.embed_ph": "每行一段文本…",
+    "models.rerank_title": "重排测试", "models.rerank_btn": "重排",
+    "models.rerank_q_ph": "查询…", "models.rerank_d_ph": "每行一个候选…",
     "chat.thinking": "思考中…", "chat.thought": "思考完成",
     "qa.detail": "问答详情", "qa.edit": "保存修改", "qa.history": "执行历史",
     "monitor.latency": "检索延迟（实时）",
@@ -166,6 +175,7 @@ const routes = [
   [/^#\/files/, renderFiles, "files"],
   [/^#\/monitor/, renderMonitor, "monitor"],
   [/^#\/runs/, renderTrajectories, "trajectories"],
+  [/^#\/models/, renderModels, "models"],
 ];
 
 async function route() {
