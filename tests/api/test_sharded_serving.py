@@ -67,6 +67,17 @@ class ShardedServingTest(AsyncHTTPTestCase):
         )
         assert q["results"] and q["results"][0]["document_id"] == "d7"
 
+        # hybrid mode fuses the corpus BM25 index with the sharded dense
+        # engine (exact-term recall rides the host-side postings)
+        qh = self._json(
+            self.fetch(
+                "/api/knowledge-bases/shards/query",
+                method="POST",
+                body=json.dumps({"query": "document number 7", "mode": "hybrid", "top_k": 3}),
+            )
+        )
+        assert qh["results"] and qh["results"][0]["document_id"] == "d7"
+
         # chunk browsing + monitoring surfaces work over the sharded engine
         c = self._json(self.fetch("/api/knowledge-bases/shards/chunks?limit=5"))
         assert c["total"] >= 24 and len(c["chunks"]) == 5
