@@ -210,3 +210,25 @@ def test_int4_packed_width_lane_aligned():
         )
         assert ix._vec_cols % 128 == 0, (dim, ix._vec_cols)
         assert ix.d_pad >= dim
+
+
+def test_int4_ivf_tuner_uses_pre_rerank_rows():
+    """With host rerank on, the nprobe tuner must compare raw-int4 IVF
+    rows against the raw-int4 brute shadow — at full probe coverage the
+    observed recall is then 1.0 and n_probe never ratchets up."""
+    rng = np.random.default_rng(13)
+    ix = DeviceVectorIndex(
+        128, IndexConfig(storage_dtype="int4", min_capacity=2048, block_rows=128,
+                         n_lists=8, n_probe=8, ivf_recall_target=0.95,
+                         ivf_tune_interval=1)
+    )
+    X = _vecs(rng, 2048, 128)
+    ix.add(_chunks(2048), X)
+    ix.build_ivf(n_lists=8)
+    start_probe = ix._ivf.n_probe
+    for i in range(6):
+        ix.search(X[i * 4 : i * 4 + 4], top_k=10)
+    assert ix._ivf_recall_est is not None and ix._ivf_recall_est >= 0.95, (
+        ix._ivf_recall_est
+    )
+    assert ix._ivf.n_probe <= start_probe, (start_probe, ix._ivf.n_probe)

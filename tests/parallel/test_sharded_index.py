@@ -361,3 +361,22 @@ def test_kb_with_mesh_passes_dp_embedder():
         mesh=mesh,
     )
     assert kb.store._mesh is mesh
+
+
+def test_dp_embedder_non_pow2_device_count():
+    """Batch bucket floors must be MULTIPLES of dp (max(8, dp) breaks
+    for dp=6: bucket 8 is not divisible by 6)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from youtu_rag_tpu.models.embedder import TpuEmbedder
+    from youtu_rag_tpu.models.encoder import EncoderConfig
+
+    cfg = EncoderConfig(d_model=64, n_layers=1, n_heads=2, d_ff=128,
+                        out_dim=64, vocab_size=512, max_len=64,
+                        attention_impl="xla")
+    mesh = Mesh(np.array(jax.devices()[:6]), ("dp",))
+    emb = TpuEmbedder(config=cfg, batch_size=16, mesh=mesh)
+    out = emb.embed_batch(["alpha beta", "gamma", "delta epsilon zeta"])
+    assert out.shape == (3, 64)
+    assert np.all(np.isfinite(out))

@@ -869,12 +869,16 @@ class DeviceVectorIndex:
 
         scores = np.asarray(scores)[:n_q]
         rows = np.asarray(rows)[:n_q]
+        # the tuner compares like-for-like: pre-rerank kernel rows vs the
+        # brute shadow (both raw storage precision) — re-ranked rows would
+        # show a quantizer-rank gap no n_probe increase can close
+        rows_raw = rows
         if host_rr and k_req > k_eff:
             scores, rows = self._host_rerank_candidates(
                 qpad[:n_q], scores, rows, hq8, hs8, k_eff
             )
         if shadow is not None:
-            self._tune_nprobe(rows, np.asarray(shadow[1])[:n_q], k_eff)
+            self._tune_nprobe(rows_raw[:, :k_eff], np.asarray(shadow[1])[:n_q], k_eff)
         out: list[list[tuple[Chunk, float]]] = []
         for qi in range(scores.shape[0]):
             hits: list[tuple[Chunk, float]] = []

@@ -134,8 +134,10 @@ class TpuEmbedder(BaseEmbedder):
         self.tokenizer = tokenizer or HashTokenizer(self.cfg.vocab_size, self.cfg.max_len)
         self.batch_size = batch_size
         self._mesh = mesh
-        # dp size bounds the minimum batch bucket (P("dp") requires the
-        # batch axis divisible by the device count)
+        # dp size bounds the minimum batch bucket: floors are the smallest
+        # MULTIPLE of dp >= 8 (short) / 4 (long), because _bucket doubles
+        # and doubling preserves divisibility — max(8, dp) would break
+        # P("dp") for non-pow2 device counts (e.g. dp=6 → bucket 8)
         self._dp = int(mesh.shape["dp"]) if mesh is not None else 1
 
         def fwd(params, ids, mask):
@@ -243,7 +245,7 @@ class TpuEmbedder(BaseEmbedder):
             seqs = [self.tokenizer.encode(t, self._long_max) for t in chunk]
             t_need = max(len(s) for s in seqs)
             t_b = self._bucket(t_need, max(16 * self._sp_size, 16))
-            n_b = self._bucket(len(chunk), max(4, self._dp))
+            n_b = self._bucket(len(chunk), self._dp * -(-4 // self._dp))
             ids = np.zeros((n_b, t_b), np.int32)
             mask = np.zeros((n_b, t_b), np.float32)
             for j, s in enumerate(seqs):
@@ -256,7 +258,7 @@ class TpuEmbedder(BaseEmbedder):
     def _embed_short(self, batch: list[str]) -> np.ndarray:
         ids, mask = self.tokenizer.batch(batch)
         t_b = min(self._bucket(ids.shape[1], 16), self.cfg.max_len)
-        n_b = self._bucket(len(batch), max(8, self._dp))
+        n_b = self._bucket(len(batch), self._dp * -(-8 // self._dp))
         ids_p = np.zeros((n_b, t_b), np.int32)
         mask_p = np.zeros((n_b, t_b), np.float32)
         ids_p[: len(batch), : min(ids.shape[1], t_b)] = ids[:, :t_b]

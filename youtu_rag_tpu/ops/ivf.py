@@ -227,8 +227,9 @@ def _ivf_dma_kernel(
     *,
     k: int,
     block_rows: int,
+    packed: bool = False,
 ):
-    from .topk import NEG_INF, _select_topk, _select_topk_with_payload
+    from .topk import NEG_INF, _select_topk, _select_topk_with_payload, unpack_int4
 
     def x_dma(slot, block_id):
         return pltpu.make_async_copy(
@@ -281,117 +282,9 @@ def _ivf_dma_kernel(
         xs_dma(slot, block_id).wait()
         bias_dma(slot, block_id).wait()
 
-        acc = jax.lax.dot_general(
-            q_ref[...], x_buf[slot], (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-        )
-        scores = acc.astype(jnp.float32) * (qs_ref[...].reshape(-1, 1) * xs_buf[slot, 0][None, :])
-        scores = scores + bias_buf[slot, 0][None, :]
-
-        block_max = jnp.max(scores, axis=1)
-        thresholds = run_s[:, k - 1]
-
-        @pl.when(jnp.any(block_max > thresholds))
-        def _():
-            vals, idx = _select_topk(scores, k, block_id * block_rows)
-            both_s = jnp.concatenate([run_s[...][:, :k], vals], axis=1)
-            both_i = jnp.concatenate([run_i[...][:, :k], idx], axis=1)
-            merged_s, merged_i = _select_topk_with_payload(both_s, both_i, k)
-            kpad = run_s.shape[1]
-            if kpad > k:
-                pad = kpad - k
-                merged_s = jnp.concatenate(
-                    [merged_s, jnp.full((merged_s.shape[0], pad), NEG_INF, jnp.float32)], axis=1
-                )
-                merged_i = jnp.concatenate(
-                    [merged_i, jnp.zeros((merged_i.shape[0], pad), jnp.int32)], axis=1
-                )
-            run_s[...] = merged_s
-            run_i[...] = merged_i
-
-        return 0
-
-    jax.lax.fori_loop(0, n_valid, body, 0)
-    out_s_ref[...] = run_s[...]
-    out_i_ref[...] = run_i[...]
-
-
-def _ivf_dma_kernel_int4(
-    ids_ref,  # SMEM [max_blocks] int32 (scalar prefetch)
-    nvalid_ref,  # SMEM [1] int32 (scalar prefetch)
-    q_ref,  # VMEM [q_pad, d] int8
-    qs_ref,  # VMEM [q_pad] f32
-    x_hbm,  # ANY  [N, d//2] int8 (packed nibbles)
-    xs_hbm,  # ANY  [1, N] f32
-    bias_hbm,  # ANY  [1, N] f32
-    out_s_ref,
-    out_i_ref,
-    x_buf,  # VMEM [2, BR, d//2] int8
-    xs_buf,
-    bias_buf,
-    run_s,
-    run_i,
-    x_sem,
-    xs_sem,
-    bias_sem,
-    *,
-    k: int,
-    block_rows: int,
-):
-    """int4 variant of _ivf_dma_kernel: HBM blocks are packed nibbles
-    (half the int8 DMA bytes); unpack happens in VMEM right before the
-    MXU dot, overlapped with the next block's DMA."""
-    from .topk import NEG_INF, _select_topk, _select_topk_with_payload, unpack_int4
-
-    def x_dma(slot, block_id):
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(block_id * block_rows, block_rows), :],
-            x_buf.at[slot],
-            x_sem.at[slot],
-        )
-
-    def xs_dma(slot, block_id):
-        return pltpu.make_async_copy(
-            xs_hbm.at[:, pl.ds(block_id * block_rows, block_rows)],
-            xs_buf.at[slot],
-            xs_sem.at[slot],
-        )
-
-    def bias_dma(slot, block_id):
-        return pltpu.make_async_copy(
-            bias_hbm.at[:, pl.ds(block_id * block_rows, block_rows)],
-            bias_buf.at[slot],
-            bias_sem.at[slot],
-        )
-
-    run_s[...] = jnp.full(run_s.shape, NEG_INF, jnp.float32)
-    run_i[...] = jnp.zeros(run_i.shape, jnp.int32)
-
-    n_valid = nvalid_ref[0]
-
-    @pl.when(n_valid > 0)
-    def _():
-        first_id = ids_ref[0]
-        x_dma(0, first_id).start()
-        xs_dma(0, first_id).start()
-        bias_dma(0, first_id).start()
-
-    def body(i, _):
-        slot = jax.lax.rem(i, 2)
-        nxt = jax.lax.rem(i + 1, 2)
-
-        @pl.when(i + 1 < n_valid)
-        def _():
-            nid = ids_ref[i + 1]
-            x_dma(nxt, nid).start()
-            xs_dma(nxt, nid).start()
-            bias_dma(nxt, nid).start()
-
-        block_id = ids_ref[i]
-        x_dma(slot, block_id).wait()
-        xs_dma(slot, block_id).wait()
-        bias_dma(slot, block_id).wait()
-
-        xv = unpack_int4(x_buf[slot])  # [BR, d] int8
+        xv = x_buf[slot]
+        if packed:  # int4 nibbles → int8 lanes, on the VPU while the
+            xv = unpack_int4(xv)  # next block's DMA is in flight
         acc = jax.lax.dot_general(
             q_ref[...], xv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
         )
@@ -640,6 +533,7 @@ def pallas_ivf_topk_int8_dma(
     return top_s[:qn, :k], top_i[:qn, :k]
 
 
+@functools.partial(jax.jit, static_argnames=("k", "block_rows", "interpret"))
 def pallas_ivf_topk_int4_dma(
     queries: jax.Array,
     database_p: jax.Array,
@@ -667,7 +561,9 @@ def pallas_ivf_topk_int4_dma(
     xs = db_scales.astype(jnp.float32).reshape(1, n)
     b = bias.astype(jnp.float32).reshape(1, n)
 
-    kernel = functools.partial(_ivf_dma_kernel_int4, k=k, block_rows=block_rows)
+    kernel = functools.partial(
+        _ivf_dma_kernel, k=k, block_rows=block_rows, packed=True
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),

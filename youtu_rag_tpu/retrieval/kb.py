@@ -30,12 +30,17 @@ class KnowledgeBase:
         self.store: TpuVectorStore = VectorStoreFactory.create(self.config.vector_store, mesh=mesh)
         emb_kwargs = {}
         if mesh is not None:
-            # multi-chip serving: embed data-parallel over the SAME devices
-            # the index shards across (only the tpu provider consumes the
-            # kwarg; hash/remote providers ignore it)
-            from jax.sharding import Mesh as _Mesh
+            from ..parallel.mesh import is_multi_process
 
-            emb_kwargs["mesh"] = _Mesh(mesh.devices.reshape(-1), ("dp",))
+            if not is_multi_process(mesh.devices.flat):
+                # multi-chip serving: embed data-parallel over the SAME
+                # devices the index shards across (tpu provider only;
+                # hash/remote providers ignore the kwarg). Multi-process
+                # meshes skip this — embed_batch feeds host-local arrays,
+                # which cannot land on non-addressable devices.
+                from jax.sharding import Mesh as _Mesh
+
+                emb_kwargs["mesh"] = _Mesh(mesh.devices.reshape(-1), ("dp",))
         self.embedder = EmbedderFactory.create(
             self.config.knowledge_builder.embedding, **emb_kwargs
         )
