@@ -103,3 +103,45 @@ def test_kb_hybrid_search_tool():
         )
     )
     assert "vault door" not in out
+
+
+class Int4KbTest(AsyncHTTPTestCase):
+    """The int4 storage tier is reachable from the serving surface: a KB
+    created with storage_dtype=int4 builds, searches (two-stage host
+    re-rank → int8-precision scores), and answers hybrid queries."""
+
+    def get_app(self):
+        self.state = _state()
+        return create_app(self.state)
+
+    def _json(self, resp):
+        return json.loads(resp.body)
+
+    def test_int4_kb_via_config(self):
+        r = self.fetch(
+            "/api/knowledge-bases", method="POST",
+            body=json.dumps({
+                "name": "kb4",
+                "config": {"vector_store": {"index": {
+                    "storage_dtype": "int4", "min_capacity": 256, "block_rows": 128,
+                }}},
+            }),
+        )
+        assert r.code == 201, r.body
+        r = self.fetch(
+            "/api/knowledge-bases/kb4/build", method="POST",
+            body=json.dumps({"documents": DOCS}),
+        )
+        assert r.code == 200
+        kb = self.state.kbs.get("kb4")
+        assert kb.store.index._int4 and kb.store.index._host_q8 is not None
+        q = self._json(self.fetch(
+            "/api/knowledge-bases/kb4/query", method="POST",
+            body=json.dumps({"query": "what is code ZX-9981?", "top_k": 2}),
+        ))
+        assert q["results"][0]["document_id"] == "b.md"
+        qh = self._json(self.fetch(
+            "/api/knowledge-bases/kb4/query", method="POST",
+            body=json.dumps({"query": "ZX-9981", "mode": "hybrid", "top_k": 2}),
+        ))
+        assert qh["results"][0]["document_id"] == "b.md"
