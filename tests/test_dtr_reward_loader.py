@@ -102,3 +102,47 @@ def test_excel_agent_schema_uses_profiler(tmp_path):
 
     brief = ExcelAgent.load_schema(str(f))
     assert "2 rows x 2 cols" in brief and "columns:" in brief
+
+
+# ------------------------------------------------------------- join keys
+
+
+def test_detect_join_keys_value_overlap():
+    """Join detection is by VALUE overlap, not column names: differently
+    named id columns sharing a domain are found; same-named columns with
+    disjoint domains are rejected."""
+    import pandas as pd
+
+    from youtu_rag_tpu.integrations.dtr.loader import detect_join_keys
+
+    orders = pd.DataFrame({
+        "cust_id": [f"C{i}" for i in range(20)] * 2,
+        "amount": range(40),
+        "status": ["open", "closed"] * 20,
+    })
+    customers = pd.DataFrame({
+        "customer": [f"C{i}" for i in range(25)],
+        "region": ["north", "south", "east", "west", "north"] * 5,
+        # same NAME as orders.status but a disjoint domain → not a join
+        "status": [f"tier-{i % 7}" for i in range(25)],
+    })
+    joins = detect_join_keys({"orders": orders, "customers": customers})
+    assert joins, "expected at least one join candidate"
+    top = joins[0]
+    assert {top[1], top[3]} == {"cust_id", "customer"}
+    assert top[4] >= 0.5
+    assert not any(ca == cb == "status" for _, ca, _, cb, _ in joins)
+
+
+def test_join_keys_in_workbook_brief_and_schema():
+    import pandas as pd
+
+    from youtu_rag_tpu.integrations.dtr.excel_agent import ExcelAgent
+
+    sheets = {
+        "sales": pd.DataFrame({"sku": ["a1", "b2", "c3"] * 4, "units": range(12)}),
+        "products": pd.DataFrame({"sku": ["a1", "b2", "c3", "d4"], "price": [1, 2, 3, 4]}),
+    }
+    brief = ExcelAgent.load_schema("ignored.csv", "total revenue per product", sheets=sheets)
+    assert "likely join keys" in brief
+    assert "sales.sku" in brief and "products.sku" in brief

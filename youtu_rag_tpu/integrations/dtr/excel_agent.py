@@ -257,7 +257,12 @@ class ExcelAgent:
             order = [name for name, _, _ in ranked]
             linked = {name: cols for name, _, cols in ranked}
         profiles = profile_workbook({name: sheets[name] for name in order})
-        brief = workbook_brief(profiles, relevant=linked)
+        joins = None
+        if len(order) > 1:
+            from .loader import detect_join_keys
+
+            joins = detect_join_keys({name: sheets[name] for name in order})
+        brief = workbook_brief(profiles, relevant=linked, join_keys=joins)
         if len(order) < len(sheets):
             brief += f"\n({len(sheets) - len(order)} less-relevant sheets omitted)"
         return brief

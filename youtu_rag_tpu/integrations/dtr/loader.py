@@ -214,12 +214,65 @@ def profile_workbook(sheets: dict[str, Any], sample_rows: int = 2) -> list[Sheet
     return profiles
 
 
-def workbook_brief(profiles: list[SheetProfile], relevant: dict[str, list[str]] | None = None) -> str:
-    """The prompt block: per-sheet profile, schema-linked columns first."""
+def detect_join_keys(
+    sheets: dict[str, Any], max_pairs: int = 4, sample: int = 500,
+) -> list[tuple[str, str, str, str, float]]:
+    """Cross-sheet join-key candidates: column pairs whose VALUE SETS
+    overlap heavily (Jaccard on sampled uniques) between two sheets.
+
+    The reference's multi-sheet reasoning (smg_autonomous + schema
+    linking) leaves the planner to guess join columns from names alone;
+    value-overlap detection catches joins where names differ
+    ("cust_id" ↔ "customer") and rejects name-equal columns holding
+    disjoint domains. Returns (sheetA, colA, sheetB, colB, overlap),
+    strongest first."""
+    import pandas as pd
+
+    def _key_cols(df):
+        out = {}
+        for c in df.columns:
+            s = df[c].dropna()
+            if len(s) == 0:
+                continue
+            # joinable shapes: ids, small categoricals, string codes
+            if pd.api.types.is_float_dtype(s):
+                continue  # measurements almost never join
+            vals = set(s.astype(str).head(sample))
+            if 1 < len(vals) <= sample:
+                out[str(c)] = vals
+        return out
+
+    names = list(sheets)
+    cols = {n: _key_cols(sheets[n]) for n in names}
+    cands: list[tuple[str, str, str, str, float]] = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            for ca, va in cols[a].items():
+                for cb, vb in cols[b].items():
+                    inter = len(va & vb)
+                    if inter < 2:
+                        continue
+                    jac = inter / max(len(va | vb), 1)
+                    if jac >= 0.3:
+                        cands.append((a, ca, b, cb, round(jac, 3)))
+    cands.sort(key=lambda t: -t[4])
+    return cands[:max_pairs]
+
+
+def workbook_brief(profiles: list[SheetProfile], relevant: dict[str, list[str]] | None = None,
+                   join_keys: list[tuple[str, str, str, str, float]] | None = None) -> str:
+    """The prompt block: per-sheet profile, schema-linked columns first,
+    plus detected cross-sheet join keys (multi-sheet questions plan the
+    right merge instead of guessing from column names)."""
     parts = []
     for p in profiles:
         hint = ""
         if relevant and relevant.get(p.name):
             hint = f"\n  relevant columns: {', '.join(relevant[p.name])}"
         parts.append(p.brief() + hint)
+    if join_keys:
+        joins = "; ".join(
+            f"{a}.{ca} ↔ {b}.{cb} (overlap {o:.0%})" for a, ca, b, cb, o in join_keys
+        )
+        parts.append(f"likely join keys: {joins}")
     return "\n".join(parts)
