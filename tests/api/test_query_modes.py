@@ -145,3 +145,34 @@ class Int4KbTest(AsyncHTTPTestCase):
             body=json.dumps({"query": "ZX-9981", "mode": "hybrid", "top_k": 2}),
         ))
         assert qh["results"][0]["document_id"] == "b.md"
+
+
+class HybridAlphaTest(AsyncHTTPTestCase):
+    def get_app(self):
+        self.state = _state()
+        return create_app(self.state)
+
+    def _json(self, resp):
+        return json.loads(resp.body)
+
+    def test_hybrid_alpha_override(self):
+        r = self.fetch("/api/knowledge-bases", method="POST", body=json.dumps({"name": "kba"}))
+        assert r.code == 201
+        r = self.fetch(
+            "/api/knowledge-bases/kba/build", method="POST",
+            body=json.dumps({"documents": DOCS}),
+        )
+        assert r.code == 200
+        # alpha=0 → pure-lexical ranking wins: the exact-code doc first
+        q = self._json(self.fetch(
+            "/api/knowledge-bases/kba/query", method="POST",
+            body=json.dumps({"query": "ZX-9981", "mode": "hybrid",
+                             "hybrid_alpha": 0.0, "top_k": 2}),
+        ))
+        assert q["results"][0]["document_id"] == "b.md"
+        # out-of-range alpha rejected
+        r = self.fetch(
+            "/api/knowledge-bases/kba/query", method="POST",
+            body=json.dumps({"query": "x", "mode": "hybrid", "hybrid_alpha": 2}),
+        )
+        assert r.code == 400

@@ -1216,11 +1216,15 @@ class KBQueryHandler(BaseHandler):
             )
         t0 = _time.perf_counter()
         if mode == "hybrid":
+            alpha = body.get("hybrid_alpha")
+            if alpha is not None and not (0.0 <= float(alpha) <= 1.0):
+                raise tornado.web.HTTPError(400, reason="hybrid_alpha must be in [0, 1]")
             results = await kb.hybrid_retriever.retrieve(
                 query,
                 top_k=body.get("top_k", 5),
                 filters=body.get("filters"),
                 similarity_threshold=body.get("similarity_threshold", 0.0),
+                hybrid_alpha=float(alpha) if alpha is not None else None,
             )
         elif mode == "lexical":
             from youtu_rag_tpu.core.types import RetrievalResult as _RR

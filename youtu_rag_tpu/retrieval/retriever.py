@@ -52,6 +52,7 @@ class VectorRetriever(BaseRetriever):
                 filters=filters,
                 enable_reranking=enable_reranking,
                 similarity_threshold=similarity_threshold,
+                **kwargs,
             )
         )[0]
 
@@ -147,6 +148,7 @@ class HybridRetriever(VectorRetriever):
         filters=None,
         enable_reranking=None,
         similarity_threshold=None,
+        hybrid_alpha=None,
         **kwargs,
     ):
         top_k = top_k or self.config.top_k
@@ -216,7 +218,11 @@ class HybridRetriever(VectorRetriever):
                 out.append([])
                 continue
             # weighted RRF over the two ranked lists, keyed by chunk id
-            alpha = getattr(self.config, "hybrid_alpha", 0.5)
+            alpha = (
+                hybrid_alpha
+                if hybrid_alpha is not None
+                else getattr(self.config, "hybrid_alpha", 0.5)
+            )
             rrf: dict[str, float] = {}
             for i, r in enumerate(dense):  # the dense list IS its ranking
                 rrf[r.chunk.id] = rrf.get(r.chunk.id, 0.0) + alpha / (self.rrf_k + i + 1)
