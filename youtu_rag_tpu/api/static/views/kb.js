@@ -497,13 +497,23 @@ async function renderQueryTab(root, name) {
     h("option", { value: "dense" }, "dense"),
     h("option", { value: "hybrid" }, "hybrid"),
     h("option", { value: "lexical" }, "lexical"));
+  // dense weight for hybrid fusion (0 = lexical-only ranking, 1 = dense)
+  const alphaIn = h("input", {
+    type: "number", value: "0.5", min: "0", max: "1", step: "0.1",
+    style: "width:64px; display:none", title: "hybrid alpha (dense weight)",
+  });
+  modeSel.addEventListener("change", () => {
+    alphaIn.style.display = modeSel.value === "hybrid" ? "" : "none";
+  });
   const btn = h("button", { class: "primary" }, t("kb.query"));
   const out = h("div", {});
   btn.addEventListener("click", guard(async () => {
+    const body = {
+      query: qIn.value.trim(), top_k: parseInt(kIn.value), mode: modeSel.value,
+    };
+    if (modeSel.value === "hybrid") body.hybrid_alpha = parseFloat(alphaIn.value);
     const r = await api(`/api/knowledge-bases/${name}/query`, {
-      method: "POST", body: JSON.stringify({
-        query: qIn.value.trim(), top_k: parseInt(kIn.value), mode: modeSel.value,
-      }),
+      method: "POST", body: JSON.stringify(body),
     });
     out.innerHTML = "";
     out.appendChild(h("div", { class: "dim" }, `${r.total_results} results in ${r.retrieval_time_ms.toFixed(1)} ms`));
@@ -516,7 +526,7 @@ async function renderQueryTab(root, name) {
         h("div", { style: "margin-top:6px" }, res.content.slice(0, 400))));
     }
   }));
-  root.appendChild(h("div", { class: "card col" }, h("div", { class: "row" }, qIn, kIn, modeSel, btn), out));
+  root.appendChild(h("div", { class: "card col" }, h("div", { class: "row" }, qIn, kIn, modeSel, alphaIn, btn), out));
 }
 
 // ------------------------------------------------------------------ tables
