@@ -134,14 +134,55 @@ def test_detect_join_keys_value_overlap():
     assert not any(ca == cb == "status" for _, ca, _, cb, _ in joins)
 
 
+def test_join_keys_float_promoted_int_ids():
+    """Integer id columns promoted to float64 by blank cells still join
+    (values render without the '.0'); true float measurements do not."""
+    import numpy as np
+    import pandas as pd
+
+    from youtu_rag_tpu.integrations.dtr.loader import detect_join_keys
+
+    orders = pd.DataFrame({
+        "cust": [float(i) for i in range(12)] + [np.nan, np.nan],
+        "temp": np.linspace(0.1, 1.4, 14),  # true floats: never a key
+    })
+    customers = pd.DataFrame({"cust_id": list(range(15)), "name": [f"n{i}" for i in range(15)]})
+    joins = detect_join_keys({"orders": orders, "customers": customers})
+    assert joins and {joins[0][1], joins[0][3]} == {"cust", "cust_id"}
+    assert not any("temp" in (ca, cb) for _, ca, _, cb, _ in joins)
+
+
+def test_join_keys_low_cardinality_rejected():
+    """Shared status/flag columns (100% overlap, tiny domains) must not
+    produce join candidates that evict real keys."""
+    import pandas as pd
+
+    from youtu_rag_tpu.integrations.dtr.loader import detect_join_keys
+
+    a = pd.DataFrame({
+        "id": [f"K{i}" for i in range(30)],
+        "status": ["open", "closed"] * 15,
+        "flag": ["y", "n"] * 15,
+    })
+    b = pd.DataFrame({
+        "key": [f"K{i}" for i in range(25)],
+        "status": ["open", "closed"] * 12 + ["open"],
+        "flag": ["y", "n"] * 12 + ["y"],
+    })
+    joins = detect_join_keys({"a": a, "b": b})
+    assert joins and {joins[0][1], joins[0][3]} == {"id", "key"}
+    assert not any(ca == "status" or ca == "flag" for _, ca, _, cb, _ in joins)
+
+
 def test_join_keys_in_workbook_brief_and_schema():
     import pandas as pd
 
     from youtu_rag_tpu.integrations.dtr.excel_agent import ExcelAgent
 
+    skus = [f"sku-{i}" for i in range(8)]
     sheets = {
-        "sales": pd.DataFrame({"sku": ["a1", "b2", "c3"] * 4, "units": range(12)}),
-        "products": pd.DataFrame({"sku": ["a1", "b2", "c3", "d4"], "price": [1, 2, 3, 4]}),
+        "sales": pd.DataFrame({"sku": skus * 3, "units": range(24)}),
+        "products": pd.DataFrame({"sku": skus, "price": range(8)}),
     }
     brief = ExcelAgent.load_schema("ignored.csv", "total revenue per product", sheets=sheets)
     assert "likely join keys" in brief

@@ -115,10 +115,34 @@ def test_lexical_index_mutation_invariants(ops):
 # ------------------------------------------------ filter compile parity
 
 
-_META_VALS = st.one_of(
-    st.integers(-1000, 1000),
+@given(
+    st.sampled_from(["$eq", "$ne"]),
     st.sampled_from(["red", "green", "blue", ""]),
+    st.integers(0, 2**31 - 1),
 )
+def test_filter_string_parity(op, val, seed):
+    """String equality filters (hashed categorical ids) agree with
+    host_eval, including the empty string."""
+    from youtu_rag_tpu.core.config import IndexConfig
+    from youtu_rag_tpu.index.device_index import DeviceVectorIndex
+    from youtu_rag_tpu.index.filters import host_eval
+
+    rng = np.random.default_rng(seed)
+    filt = {"color": {op: val}}
+    palette = ["red", "green", "blue", "", "cyan"]
+    chunks = [
+        Chunk(f"c{i}", "d", f"t{i}", i, {"color": palette[int(rng.integers(0, 5))]})
+        for i in range(16)
+    ]
+    vecs = rng.standard_normal((16, 32)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    ix = DeviceVectorIndex(32, IndexConfig(min_capacity=64, block_rows=32))
+    ix.add(chunks, vecs)
+    got = ix.search(vecs[:2], top_k=16, filters=filt)
+    for qi in range(2):
+        got_ids = {c.id for c, _ in got[qi]}
+        want_ids = {c.id for c in chunks if host_eval(filt, c.metadata)}
+        assert got_ids == want_ids, (filt, got_ids ^ want_ids)
 
 
 @given(

@@ -1217,14 +1217,21 @@ class KBQueryHandler(BaseHandler):
         t0 = _time.perf_counter()
         if mode == "hybrid":
             alpha = body.get("hybrid_alpha")
-            if alpha is not None and not (0.0 <= float(alpha) <= 1.0):
-                raise tornado.web.HTTPError(400, reason="hybrid_alpha must be in [0, 1]")
+            if alpha is not None:
+                try:
+                    alpha = float(alpha)
+                except (TypeError, ValueError):
+                    raise tornado.web.HTTPError(
+                        400, reason="hybrid_alpha must be a number in [0, 1]"
+                    ) from None
+                if not 0.0 <= alpha <= 1.0:
+                    raise tornado.web.HTTPError(400, reason="hybrid_alpha must be in [0, 1]")
             results = await kb.hybrid_retriever.retrieve(
                 query,
                 top_k=body.get("top_k", 5),
                 filters=body.get("filters"),
                 similarity_threshold=body.get("similarity_threshold", 0.0),
-                hybrid_alpha=float(alpha) if alpha is not None else None,
+                hybrid_alpha=alpha,
             )
         elif mode == "lexical":
             from youtu_rag_tpu.core.types import RetrievalResult as _RR

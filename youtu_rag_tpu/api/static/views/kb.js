@@ -511,7 +511,11 @@ async function renderQueryTab(root, name) {
     const body = {
       query: qIn.value.trim(), top_k: parseInt(kIn.value), mode: modeSel.value,
     };
-    if (modeSel.value === "hybrid") body.hybrid_alpha = parseFloat(alphaIn.value);
+    if (modeSel.value === "hybrid") {
+      const a = parseFloat(alphaIn.value);
+      body.hybrid_alpha = Number.isFinite(a) ? Math.min(Math.max(a, 0), 1) : 0.5;
+      alphaIn.value = String(body.hybrid_alpha);
+    }
     const r = await api(`/api/knowledge-bases/${name}/query`, {
       method: "POST", body: JSON.stringify(body),
     });

@@ -256,12 +256,13 @@ class ExcelAgent:
             ranked = link_sheets_element(question, sheets, top_n=4)
             order = [name for name, _, _ in ranked]
             linked = {name: cols for name, _, cols in ranked}
-        profiles = profile_workbook({name: sheets[name] for name in order})
+        selected = {name: sheets[name] for name in order}
+        profiles = profile_workbook(selected)
         joins = None
         if len(order) > 1:
             from .loader import detect_join_keys
 
-            joins = detect_join_keys({name: sheets[name] for name in order})
+            joins = detect_join_keys(selected)
         brief = workbook_brief(profiles, relevant=linked, join_keys=joins)
         if len(order) < len(sheets):
             brief += f"\n({len(sheets) - len(order)} less-relevant sheets omitted)"

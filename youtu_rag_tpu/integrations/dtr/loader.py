@@ -232,13 +232,21 @@ def detect_join_keys(
         out = {}
         for c in df.columns:
             s = df[c].dropna()
-            if len(s) == 0:
+            if len(s) == 0 or s.nunique() < 5:
+                # join keys carry many distinct values; shared low-card
+                # categoricals (status/flag) would otherwise produce
+                # spurious 100%-overlap candidates that outrank real keys
                 continue
-            # joinable shapes: ids, small categoricals, string codes
             if pd.api.types.is_float_dtype(s):
-                continue  # measurements almost never join
-            vals = set(s.astype(str).head(sample))
-            if 1 < len(vals) <= sample:
+                # blank cells promote integer id columns to float64 —
+                # keep those (render without the '.0'), drop true floats
+                # (measurements almost never join)
+                if not bool((s % 1 == 0).all()):
+                    continue
+                s = s.astype("int64")
+            head = s.head(sample)  # sample BEFORE str-converting
+            vals = set(head.astype(str))
+            if len(vals) > 1:
                 out[str(c)] = vals
         return out
 
