@@ -145,6 +145,19 @@ export async function renderMonitor(view) {
           hint: `${name}: p50 ${Math.round(m.p50_latency_ms || 0)} ms · p95 ${Math.round(m.p95_latency_ms || 0)} ms · ${m.query_count} queries`,
         })), { unit: " ms" }));
     }
+    // hybrid retrieval's lexical side: BM25 inverted-index size per KB
+    const withLex = perKb.filter(([, m]) => m.lexical_index);
+    if (withLex.length) {
+      metricsBox.appendChild(h("h3", {}, "BM25 index terms per knowledge base"));
+      metricsBox.appendChild(barChart(
+        withLex.map(([name, m]) => ({
+          label: name,
+          value: m.lexical_index.terms || 0,
+          hint: `${name}: ${m.lexical_index.documents} docs · `
+            + `${m.lexical_index.terms} terms · `
+            + `${m.lexical_index.total_tokens} tokens`,
+        }))));
+    }
     const rawBtn = h("button", { class: "ghost" }, "raw JSON");
     rawBtn.addEventListener("click", () => {
       openModal(h("div", {},
