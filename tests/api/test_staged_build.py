@@ -314,6 +314,9 @@ class StagedBuildTest(AsyncHTTPTestCase):
         import asyncio
 
         assert asyncio.get_event_loop().run_until_complete(kb2.store.count()) > 0
+        # BM25 postings rebuilt from the restored chunks (kb.load →
+        # rebuild_lexical): hybrid/lexical retrieval works after restart
+        assert kb2.store._lexical is not None and len(kb2.store._lexical) > 0
         # manifest rehydrated: rebuilding skips the unchanged source
         report = asyncio.get_event_loop().run_until_complete(
             kb2.build_sources(
