@@ -198,7 +198,10 @@ class VectorStoreConfig(ConfigBase):
     coalesce_window_ms: float = Field(default=0.0, ge=0.0, le=100.0)
     # corpus-level BM25 inverted index maintained alongside the device
     # index; gives HybridRetriever lexical recall that is independent of
-    # dense-encoder quality (needle-style queries survive a weak encoder)
+    # dense-encoder quality (needle-style queries survive a weak encoder).
+    # Host-RAM cost is ~8 KB per chunk (python-dict postings; measured
+    # 50k x 120-token chunks -> 392 MB) — right for KBs up to ~1M chunks;
+    # disable for 10M-chunk single-host deployments or shard hosts.
     lexical_index: bool = True
 
 
