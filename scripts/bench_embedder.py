@@ -35,6 +35,13 @@ def main() -> None:
     p.add_argument("--attention", default="xla", choices=["xla", "pallas"])
     args = p.parse_args()
 
+    from youtu_rag_tpu.utils.devices import FALLBACK_LABEL, resolve_backend
+
+    platform = resolve_backend()
+    if platform == FALLBACK_LABEL:
+        print(json.dumps({"metric": "embedder_throughput", "skipped": platform}))
+        return
+
     import jax
     import jax.numpy as jnp
 
@@ -67,7 +74,7 @@ def main() -> None:
 
         return jax.lax.scan(body, jnp.float32(0.0), None, length=n)
 
-    report = {"params": n_params, "platform": jax.devices()[0].platform, "attention": args.attention, "buckets": []}
+    report = {"params": n_params, "platform": platform, "attention": args.attention, "buckets": []}
     rng = np.random.default_rng(0)
     for batch, seqlen in ((128, 128), (64, 256), (32, 512)):
         ids = jnp.asarray(rng.integers(4, args.vocab, (batch, seqlen)).astype(np.int32))

@@ -44,6 +44,15 @@ def main() -> None:
     )
     args = p.parse_args()
 
+    from youtu_rag_tpu.utils.devices import FALLBACK_LABEL, resolve_backend
+
+    platform = resolve_backend()
+    if platform == FALLBACK_LABEL:
+        # Down tunnel must not crash the battery (round-3 postmortem):
+        # emit a parseable skip line, keep rc 0, don't clobber the report.
+        print(json.dumps({"metric": "scale_10M", "skipped": platform}))
+        return
+
     import jax
     import jax.numpy as jnp
 
@@ -105,7 +114,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    report: dict = {"n_rows": N, "dim": d, "queries": q, "k": k}
+    report: dict = {"n_rows": N, "dim": d, "queries": q, "k": k, "platform": platform}
 
     # ---- brute force ground truth + timing -------------------------------
     print("brute force ...", file=sys.stderr, flush=True)

@@ -41,6 +41,13 @@ def main() -> None:
     p.add_argument("--k", type=int, default=10)
     args = p.parse_args()
 
+    from youtu_rag_tpu.utils.devices import FALLBACK_LABEL, resolve_backend
+
+    platform = resolve_backend()
+    if platform == FALLBACK_LABEL:
+        print(json.dumps({"metric": "streaming_build", "skipped": platform}))
+        return
+
     from youtu_rag_tpu.core.config import IndexConfig
     from youtu_rag_tpu.core.types import Chunk
     from youtu_rag_tpu.index.device_index import DeviceVectorIndex
