@@ -321,15 +321,35 @@ async def build_kb(name, docs_path, provider, pretrained, reranker="none"):
         # trained-weight serving: rebind one TpuEmbedder(npz) into the
         # builder + both retrievers (they hold the reference by attr)
         from youtu_rag_tpu.models.embedder import TpuEmbedder
-        from youtu_rag_tpu.models.encoder import EncoderConfig, load_params_npz
+        from youtu_rag_tpu.models.encoder import (
+            EncoderConfig,
+            load_encoder_config,
+            load_params_npz,
+        )
 
-        sizes = {
-            "tiny": dict(d_model=128, n_layers=2, n_heads=2, d_ff=512, out_dim=128),
-            "small": dict(d_model=384, n_layers=6, n_heads=6, d_ff=1536, out_dim=384),
-            "base": dict(d_model=768, n_layers=12, n_heads=12, d_ff=3072, out_dim=768),
-        }
-        ecfg = EncoderConfig(**sizes[build_kb._preset])
-        emb = TpuEmbedder(config=ecfg, params=load_params_npz(build_kb._npz), batch_size=128)
+        npz_dir = os.path.dirname(os.path.abspath(build_kb._npz))
+        cfg_json = os.path.join(npz_dir, "encoder_config.json")
+        if os.path.exists(cfg_json):
+            # training output dir: exact architecture (incl. lex_pool) +
+            # the WordPiece vocab the weights were trained with
+            ecfg = load_encoder_config(cfg_json)
+        else:
+            sizes = {
+                "tiny": dict(d_model=128, n_layers=2, n_heads=2, d_ff=512, out_dim=128),
+                "small": dict(d_model=384, n_layers=6, n_heads=6, d_ff=1536, out_dim=384),
+                "base": dict(d_model=768, n_layers=12, n_heads=12, d_ff=3072, out_dim=768),
+            }
+            ecfg = EncoderConfig(**sizes[build_kb._preset])
+        tokenizer = None
+        vocab_txt = os.path.join(npz_dir, "vocab.txt")
+        if os.path.exists(vocab_txt):
+            from youtu_rag_tpu.models.wordpiece import WordPieceTokenizer
+
+            tokenizer = WordPieceTokenizer(vocab_txt, max_length=ecfg.max_len)
+        emb = TpuEmbedder(
+            config=ecfg, params=load_params_npz(build_kb._npz),
+            batch_size=128, tokenizer=tokenizer,
+        )
         kb.embedder = emb
         kb.builder.embedder = emb
         kb.retriever.embedder = emb

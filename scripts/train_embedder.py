@@ -55,6 +55,11 @@ def load_pairs(path: Path) -> list[tuple[str, str]]:
     return pairs
 
 
+def group_pairs(pairs: list[tuple[str, str]], start: int) -> list[tuple[str, str, int]]:
+    """Tag ungrouped pairs with singleton group ids (group-aware batching)."""
+    return [(q, p, start + i) for i, (q, p) in enumerate(pairs)]
+
+
 def ict_pairs_from_corpus(corpus: Path, chunk_size: int, seed: int) -> list[tuple[str, str]]:
     """Inverse-cloze-task pairs: a sentence span queries its source chunk."""
     from youtu_rag_tpu.core.config import ChunkingConfig
@@ -86,14 +91,22 @@ def ict_pairs_from_corpus(corpus: Path, chunk_size: int, seed: int) -> list[tupl
 
 
 def make_batches(pairs, tokenizer, batch: int, seqlen: int, steps: int, seed: int):
-    """Yield `steps` batches cycling over the pairs with reshuffles."""
+    """Yield `steps` batches cycling over the pairs with reshuffles.
+
+    Pairs are (query, positive, group): shuffling happens at *group*
+    granularity with members kept adjacent, so sibling hard negatives
+    (models/data_synth.py) land in the same InfoNCE batch."""
     rng = random.Random(seed)
-    order = list(range(len(pairs)))
+    by_group: dict[int, list[int]] = {}
+    for i, (_, _, g) in enumerate(pairs):
+        by_group.setdefault(g, []).append(i)
+    groups = list(by_group.values())
+    order: list[int] = []
     enc_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     def encode(i: int):
         if i not in enc_cache:
-            q, p = pairs[i]
+            q, p, _ = pairs[i]
             enc_cache[i] = (
                 np.asarray(tokenizer.encode(q)[:seqlen], np.int32),
                 np.asarray(tokenizer.encode(p)[:seqlen], np.int32),
@@ -105,7 +118,8 @@ def make_batches(pairs, tokenizer, batch: int, seqlen: int, steps: int, seed: in
         take = []
         while len(take) < batch:
             if pos == 0:
-                rng.shuffle(order)
+                rng.shuffle(groups)
+                order = [i for g in groups for i in g]
             take.append(order[pos])
             pos = (pos + 1) % len(order)
         b = {
@@ -123,6 +137,20 @@ def make_batches(pairs, tokenizer, batch: int, seqlen: int, steps: int, seed: in
         yield b
 
 
+def _idf_tok_weight(train_pairs, tokenizer, vocab_size: int):
+    """IDF over positives → inverse-softplus init for encoder tok_weight."""
+    import jax.numpy as jnp
+
+    df = np.zeros(vocab_size, np.float64)
+    docs = [p for _, p, _ in train_pairs][:20000]
+    for text in docs:
+        for tid in set(tokenizer.tokenize(text)):
+            if 0 <= tid < vocab_size:
+                df[tid] += 1
+    idf = np.maximum(np.log((len(docs) + 1) / (df + 1.0)), 0.05)
+    return jnp.asarray(np.log(np.expm1(idf)), jnp.float32)
+
+
 # -- eval ---------------------------------------------------------------
 
 
@@ -131,8 +159,8 @@ def eval_recall(params, cfg, holdout, batch_size: int = 64, tokenizer=None) -> d
     from youtu_rag_tpu.models.embedder import TpuEmbedder
 
     emb = TpuEmbedder(config=cfg, params=params, batch_size=batch_size, tokenizer=tokenizer)
-    q_vecs = np.asarray(emb.embed_batch([q for q, _ in holdout]), np.float32)
-    d_vecs = np.asarray(emb.embed_batch([p for _, p in holdout]), np.float32)
+    q_vecs = np.asarray(emb.embed_batch([t[0] for t in holdout]), np.float32)
+    d_vecs = np.asarray(emb.embed_batch([t[1] for t in holdout]), np.float32)
     scores = q_vecs @ d_vecs.T
     ranks = (scores > np.diag(scores)[:, None]).sum(axis=1)  # 0 = best
     return {
@@ -168,6 +196,25 @@ def main() -> None:
     p.add_argument("--ckpt-every", type=int, default=100)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--synthetic", type=int, default=0, metavar="GROUPS",
+        help="add GROUPS sibling groups of identifier-grounding pairs "
+        "(models/data_synth.py) — hard in-batch negatives that teach "
+        "exact-identifier retrieval",
+    )
+    p.add_argument("--siblings", type=int, default=4, help="pairs per synthetic group")
+    p.add_argument(
+        "--wordpiece", action="store_true",
+        help="train a WordPiece/BPE vocab from the training texts and use "
+        "it instead of the hashing tokenizer (identifiers decompose into "
+        "trained subwords); saves vocab.txt next to the weights",
+    )
+    p.add_argument("--vocab-size", type=int, default=8192)
+    p.add_argument(
+        "--lex-pool", action="store_true",
+        help="enable the encoder's lexical residual pathway "
+        "(EncoderConfig.lex_pool) with IDF-initialized token weights",
+    )
     args = p.parse_args()
 
     import jax
@@ -187,7 +234,40 @@ def main() -> None:
         "small": dict(d_model=384, n_layers=6, n_heads=6, d_ff=1536, out_dim=384),
         "base": dict(d_model=768, n_layers=12, n_heads=12, d_ff=3072, out_dim=768),
     }
+    pairs: list[tuple[str, str, int]] = []
+    if args.pairs:
+        pairs += group_pairs(load_pairs(args.pairs), start=1_000_000)
+    if args.corpus:
+        pairs += group_pairs(
+            ict_pairs_from_corpus(args.corpus, chunk_size=800, seed=args.seed),
+            start=2_000_000,
+        )
+    if args.synthetic:
+        from youtu_rag_tpu.models.data_synth import gen_identifier_pairs
+
+        pairs += [
+            (d["query"], d["positive"], d["group"])
+            for d in gen_identifier_pairs(args.synthetic, args.siblings, seed=args.seed)
+        ]
+    if len(pairs) < 2:
+        sys.exit("need at least 2 training pairs (--pairs/--corpus/--synthetic)")
+
+    # holdout: spread across sources (tail after a deterministic shuffle at
+    # group granularity so sibling groups never straddle the split)
+    rng = random.Random(args.seed + 99)
+    by_group: dict[int, list] = {}
+    for t in pairs:
+        by_group.setdefault(t[2], []).append(t)
+    groups = list(by_group.values())
+    rng.shuffle(groups)
+    flat = [t for g in groups for t in g]
+    n_hold = min(args.holdout, len(flat) // 5)
+    holdout, train_pairs = flat[:n_hold], flat[n_hold:] or flat
+    print(f"pairs: {len(train_pairs)} train, {len(holdout)} holdout; params preset {args.preset}")
+
     pre_params = None
+    pre_tokenizer = None
+    wp_vocab = None
     if args.pretrained:
         from youtu_rag_tpu.models.pretrained import load_pretrained_encoder
 
@@ -198,23 +278,47 @@ def main() -> None:
         )
         print(f"fine-tuning pretrained checkpoint {args.pretrained}")
     else:
-        cfg = EncoderConfig(max_len=max(args.seqlen, 16), **sizes[args.preset])
+        size = dict(sizes[args.preset])
+        if args.wordpiece:
+            from youtu_rag_tpu.models.wordpiece import build_wordpiece_vocab
+
+            texts = [t[0] for t in train_pairs] + [t[1] for t in train_pairs]
+            t0 = time.perf_counter()
+            wp_vocab = build_wordpiece_vocab(texts, vocab_size=args.vocab_size)
+            print(
+                f"wordpiece vocab: {len(wp_vocab)} tokens from "
+                f"{len(texts)} texts ({time.perf_counter() - t0:.1f}s)"
+            )
+            size["vocab_size"] = len(wp_vocab)
+        cfg = EncoderConfig(
+            max_len=max(args.seqlen, 16), lex_pool=args.lex_pool, **size
+        )
     tc = TrainConfig(
         learning_rate=args.lr,
         warmup_steps=min(args.warmup, max(args.steps // 2, 1)),
         total_steps=args.steps,
     )
 
-    pairs = []
-    if args.pairs:
-        pairs += load_pairs(args.pairs)
-    if args.corpus:
-        pairs += ict_pairs_from_corpus(args.corpus, chunk_size=800, seed=args.seed)
-    if len(pairs) < 2:
-        sys.exit("need at least 2 training pairs (--pairs and/or --corpus)")
-    n_hold = min(args.holdout, len(pairs) // 5)
-    holdout, train_pairs = pairs[:n_hold], pairs[n_hold:] or pairs
-    print(f"pairs: {len(train_pairs)} train, {len(holdout)} holdout; params preset {args.preset}")
+    if args.pretrained:
+        tokenizer = pre_tokenizer
+    elif wp_vocab is not None:
+        from youtu_rag_tpu.models.wordpiece import WordPieceTokenizer
+
+        tokenizer = WordPieceTokenizer(wp_vocab, max_length=cfg.max_len)
+    else:
+        tokenizer = HashTokenizer(cfg.vocab_size, cfg.max_len)
+
+    init_params0 = pre_params
+    if init_params0 is None:
+        init_params0 = init_encoder_params(cfg, args.seed)
+        if cfg.lex_pool:
+            # IDF-initialize the lexical token weights (inverse softplus):
+            # ubiquitous tokens (CLS/SEP/stopwords) start near zero
+            # influence, unseen/rare identifier subwords start at max —
+            # the lexical pathway retrieves well from step 0
+            init_params0["tok_weight"] = _idf_tok_weight(
+                train_pairs, tokenizer, cfg.vocab_size
+            )
 
     n_dev = len(jax.devices())
     dp = args.dp or max(n_dev // args.tp, 1)
@@ -225,17 +329,15 @@ def main() -> None:
 
         mesh = get_mesh({"dp": dp, "tp": args.tp})
         params, opt_state, step_fn = make_sharded_train_step(
-            cfg, tc, mesh, seed=args.seed, init_params=pre_params
+            cfg, tc, mesh, seed=args.seed, init_params=init_params0
         )
         print(f"mesh: dp={dp} tp={args.tp} over {n_dev} devices")
     else:
         optimizer = make_optimizer(tc)
-        params = pre_params if pre_params is not None else init_encoder_params(cfg, args.seed)
+        params = init_params0
         opt_state = optimizer.init(params)
         step_fn = jax.jit(make_train_step(cfg, tc, optimizer))
     print(f"encoder: {count_params(params) / 1e6:.1f}M params")
-
-    tokenizer = pre_tokenizer if args.pretrained else HashTokenizer(cfg.vocab_size, cfg.max_len)
     args.out.mkdir(parents=True, exist_ok=True)
     ckpt = TrainCheckpointer(args.out / "ckpt")
     start = 0
@@ -268,6 +370,22 @@ def main() -> None:
     after = eval_recall(params, cfg, holdout, tokenizer=tokenizer) if holdout else {}
     out_npz = args.out / "encoder_params.npz"
     save_params_npz(jax.device_get(params), out_npz)
+    import dataclasses
+
+    from youtu_rag_tpu.models.encoder import save_encoder_config
+
+    # serving config: RoPE (preln arch) is position-table-free, so serve
+    # at 512 even when trained on shorter pairs — real chunks run ~250
+    # tokens and must not truncate (bert arch keeps its learned table)
+    serve_cfg = (
+        cfg if cfg.arch == "bert"
+        else dataclasses.replace(cfg, max_len=max(cfg.max_len, 512))
+    )
+    save_encoder_config(serve_cfg, args.out / "encoder_config.json")
+    if wp_vocab is not None:
+        from youtu_rag_tpu.models.wordpiece import save_vocab
+
+        save_vocab(wp_vocab, args.out / "vocab.txt")
     report = {
         "steps": args.steps,
         "pairs": len(train_pairs),
@@ -275,6 +393,19 @@ def main() -> None:
         "recall_before": before,
         "recall_after": after,
         "params_npz": str(out_npz),
+        "provenance": {
+            "preset": args.preset,
+            "seed": args.seed,
+            "lr": args.lr,
+            "batch": args.batch,
+            "seqlen": args.seqlen,
+            "corpus": str(args.corpus) if args.corpus else None,
+            "pairs_file": str(args.pairs) if args.pairs else None,
+            "synthetic_groups": args.synthetic,
+            "siblings": args.siblings,
+            "wordpiece_vocab": len(wp_vocab) if wp_vocab else None,
+            "lex_pool": bool(getattr(cfg, "lex_pool", False)),
+        },
     }
     (args.out / "report.json").write_text(json.dumps(report, indent=2))
     print(json.dumps(report))

@@ -103,12 +103,52 @@ async function renderBuildTab(root, name) {
   const report = h("div", {});
   const logsBox = h("div", {});
 
+  function buildDrilldown(l) {
+    // per-source stage states + error drill-down (ref: rag_webui's
+    // knowledge-base build screen source rows). detail.progress is the
+    // append-only event stream [{source, status, done, total}] — reduce
+    // to the latest state per source, in first-seen order.
+    const box = h("div", {});
+    box.appendChild(h("h3", {}, `${t("build.logs")} — ${new Date(l.time * 1000).toLocaleString()}`));
+    const events = (l.detail && l.detail.progress) || [];
+    const order = [];
+    const last = {};
+    for (const ev of events) {
+      if (!(ev.source in last)) order.push(ev.source);
+      last[ev.source] = ev;
+    }
+    if (order.length) {
+      box.appendChild(h("table", {},
+        h("tr", {}, h("th", {}, "source"), h("th", {}, "stage"), h("th", {}, "progress")),
+        order.map((src) => {
+          const ev = last[src];
+          const cls = ev.status === "completed" ? "ok" : ev.status === "failed" ? "err" : "warn";
+          return h("tr", {},
+            h("td", {}, src),
+            h("td", {}, h("span", { class: `badge ${cls}` }, ev.status)),
+            h("td", { class: "dim" }, `${ev.done}/${ev.total}`));
+        })));
+    } else {
+      box.appendChild(h("div", { class: "dim" }, "(no per-source events recorded)"));
+    }
+    const errors = (l.detail && l.detail.errors) || [];
+    if (errors.length) {
+      box.appendChild(h("h3", {}, `errors (${errors.length})`));
+      box.appendChild(h("pre", { class: "prewrap" }, errors.join("\n")));
+    }
+    if (l.detail) {
+      box.appendChild(h("div", { class: "dim" },
+        `${l.detail.processed_documents} docs · ${l.detail.total_chunks} chunks`));
+    }
+    return box;
+  }
+
   async function refreshLogs() {
     const logs = await api(`/api/knowledge-bases/${name}/build-logs`);
     logsBox.innerHTML = "";
     if (!logs.logs.length) { logsBox.appendChild(h("div", { class: "dim" }, "(no builds yet)")); return; }
     const rows = logs.logs.slice(-10).reverse().map((l) =>
-      h("tr", {},
+      h("tr", { class: "clickable", onclick: () => openModal(buildDrilldown(l)) },
         h("td", {}, new Date(l.time * 1000).toLocaleTimeString()),
         h("td", {}, h("span", { class: `badge ${l.status === "completed" ? "ok" : l.status === "running" ? "warn" : "err"}` }, l.status)),
         h("td", {}, l.detail ? `${l.detail.processed_documents} docs · ${l.detail.total_chunks} chunks` : ""),

@@ -55,6 +55,13 @@ class EncoderConfig:
     #                  run natively (models/pretrained.py loads them).
     arch: str = "preln_rope"
     pooling: str = "mean"  # "mean" | "cls" (bert embedding models vary)
+    # lexical residual pathway (preln_rope only): a learned token-importance
+    # weight (softplus, IDF-initializable) over the *input* token embeddings,
+    # pooled and projected alongside the contextual mean-pool, blended by a
+    # learned gate. Token identity survives pooling by construction — the
+    # property that lets a trained dense encoder carry exact-identifier
+    # queries (needle fixtures) that pure contextual mean-pooling washes out.
+    lex_pool: bool = False
     ln_eps: float = 1e-6  # bert checkpoints use 1e-12
     type_vocab_size: int = 2  # bert token-type (segment) vocabulary
     gelu_approximate: bool = True  # HF "gelu" is the exact erf form
@@ -104,8 +111,18 @@ def init_encoder_params(cfg: EncoderConfig, seed: int = 0) -> dict:
             },
             "score_head": init(ks[8], (D, 1), s_attn),
         }
+    lex = (
+        {
+            "tok_weight": jnp.zeros((V,), jnp.float32),
+            "lex_proj": init(ks[11], (D, cfg.out_dim), s_attn),
+            "lex_mix": jnp.zeros((), jnp.float32),
+        }
+        if cfg.lex_pool
+        else {}
+    )
     return {
         "tok_emb": init(ks[0], (V, D), 0.02),
+        **lex,
         "layers": {
             "ln1_scale": jnp.ones((L, D), jnp.float32),
             "ln1_bias": jnp.zeros((L, D), jnp.float32),
@@ -162,6 +179,28 @@ def load_params_npz(path) -> dict:
     return out
 
 
+def save_encoder_config(cfg: EncoderConfig, path) -> None:
+    """Persist an EncoderConfig as JSON next to the weights so serving
+    reconstructs the exact architecture (incl. lex_pool) from a dir."""
+    import dataclasses
+    import json
+
+    d = dataclasses.asdict(cfg)
+    d["dtype"] = jnp.dtype(cfg.dtype).name
+    with open(path, "w") as f:
+        json.dump(d, f, indent=1)
+
+
+def load_encoder_config(path) -> EncoderConfig:
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    if isinstance(d.get("dtype"), str):
+        d["dtype"] = jnp.dtype(d["dtype"]).type
+    return EncoderConfig(**d)
+
+
 def param_sharding_spec(cfg: EncoderConfig) -> dict:
     """PartitionSpec tree for a ('dp','tp') mesh: Megatron-style TP.
 
@@ -186,8 +225,14 @@ def param_sharding_spec(cfg: EncoderConfig) -> dict:
             },
             "score_head": P(None, None),
         }
+    lex = (
+        {"tok_weight": P(None), "lex_proj": P(None, "tp"), "lex_mix": P()}
+        if cfg.lex_pool
+        else {}
+    )
     return {
         "tok_emb": P("tp", None),
+        **lex,
         "layers": {
             "ln1_scale": P(None, None),
             "ln1_bias": P(None, None),
@@ -354,9 +399,38 @@ def encode_tokens(
     x = _layer_norm(x, params["final_ln_scale"], params["final_ln_bias"])
 
     # mean pool over mask → project → L2 normalize (f32 for stability)
-    emb = pool_project(params, *masked_pool_sums(x, mask))
+    if cfg.lex_pool and "lex_proj" in params:
+        emb = _lex_blend(params, token_ids, mask, *masked_pool_sums(x, mask))
+    else:
+        emb = pool_project(params, *masked_pool_sums(x, mask))
     cls = x[:, 0, :].astype(jnp.float32)
     return emb, cls
+
+
+def _lex_blend(params, token_ids, mask, summed, count):
+    """Blend the contextual mean-pool with a learned-importance lexical pool
+    of the *input* token embeddings (see ``EncoderConfig.lex_pool``).
+
+    Both components L2-normalize before a sigmoid-gated convex blend, so the
+    final cosine is (approximately) the gate-weighted sum of a contextual
+    cosine and a lexical bag-of-subwords cosine. ``tok_weight`` is softplus-
+    activated — IDF-initialized by the trainer — so frequent/special tokens
+    can be driven to ~zero influence while rare identifier subwords dominate
+    the lexical half."""
+    w = jax.nn.softplus(params["tok_weight"].astype(jnp.float32))[token_ids]
+    w = w * mask.astype(jnp.float32)  # [B, T]
+    tokv = params["tok_emb"].astype(jnp.float32)[token_ids]  # [B, T, D]
+    lex = jnp.einsum("bt,btd->bd", w, tokv) / jnp.maximum(
+        jnp.sum(w, axis=-1, keepdims=True), 1e-6
+    )
+    ctx = (summed / jnp.maximum(count, 1.0)) @ params["out_proj"]
+    lex = lex @ params["lex_proj"]
+
+    def norm(v):
+        return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+
+    g = jax.nn.sigmoid(params["lex_mix"].astype(jnp.float32))
+    return norm((1.0 - g) * norm(ctx) + g * norm(lex))
 
 
 def _bert_encode(params, token_ids, mask, cfg: EncoderConfig, type_ids=None):
