@@ -55,7 +55,7 @@ _QUALITY_LABELS = {
     "bm25_corpus": ("corpus BM25 (`retrieval/lexical.py` inverted index)", False),
     "hybrid_rrf": ("hybrid dense+BM25 weighted RRF + exact-id guarantee", True),
     "hybrid_lex_heavy": ("hybrid, lexical-heavy (`hybrid_alpha=0.25`)", False),
-    "hybrid_rerank": ("**hybrid → cross-stage rerank** (fusion recall + rerank ordering)", True),
+    "hybrid_rerank": ("hybrid → post-fusion rerank (fusion recall + rerank ordering)", True),
     "dense_no_filters": ("dense, no filters", False),
     "dense_time_filters": ("dense + compiled time filters (meta-retrieval path)", True),
     "dense_naive": ("naive dense top-15", False),

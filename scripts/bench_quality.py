@@ -386,6 +386,13 @@ async def run_all(args) -> dict:
     niah["hybrid_rrf"] = await RetrievalBenchmark(kb, top_k=15, use_hybrid=True).run(
         RetrievalBenchmark.load_qrels(qrels_p)
     )
+    # hybrid → post-fusion rerank (VERDICT r3 item 4): fusion recall with
+    # rerank ordering — should dominate hybrid_rrf NDCG and the two-stage
+    # recall simultaneously (retrieval/retriever.py:255-257)
+    niah["hybrid_rerank"] = await RetrievalBenchmark(kb2, top_k=15, use_hybrid=True).run(
+        RetrievalBenchmark.load_qrels(qrels_p)
+    )
+    niah["hybrid_alpha_sweep"] = await _alpha_sweep(kb, qrels_p)
 
     # corpus-level BM25 alone (retrieval/lexical.py) and a lexical-heavy
     # fusion — the configs that stay strong when the dense encoder is weak
@@ -437,6 +444,10 @@ async def run_all(args) -> dict:
     fg["hybrid_rrf"] = await RetrievalBenchmark(kbf, top_k=15, use_hybrid=True).run(
         RetrievalBenchmark.load_qrels(qrels_p)
     )
+    fg["hybrid_rerank"] = await RetrievalBenchmark(kbf2, top_k=15, use_hybrid=True).run(
+        RetrievalBenchmark.load_qrels(qrels_p)
+    )
+    fg["hybrid_alpha_sweep"] = await _alpha_sweep(kbf, qrels_p)
     report["datasets"]["factguard"] = {
         "queries": len(RetrievalBenchmark.load_qrels(qrels_p)),
         **{k: _trim(v) for k, v in fg.items()},
@@ -484,6 +495,31 @@ async def run_all(args) -> dict:
         "queries": n_pop, **{k: _trim(v) for k, v in pop.items()}
     }
     return report
+
+
+async def _alpha_sweep(kb, qrels_p, alphas=(0.25, 0.5, 0.75)) -> dict:
+    """Recall/NDCG across the dense↔lexical fusion weight (VERDICT item 4)."""
+    from youtu_rag_tpu.eval.retrieval_eval import RetrievalBenchmark
+    from youtu_rag_tpu.retrieval.retriever import HybridRetriever
+
+    out = {}
+    for alpha in alphas:
+        r = HybridRetriever(
+            kb.store, kb.embedder,
+            kb.config.retriever.model_copy(update={"hybrid_alpha": alpha}),
+        )
+
+        async def fn(query, filters, top_k, _r=r):
+            return await _r.retrieve(query, top_k=top_k, filters=filters)
+
+        m = await RetrievalBenchmark(kb, top_k=15, retrieve_fn=fn).run(
+            RetrievalBenchmark.load_qrels(qrels_p)
+        )
+        out[f"alpha_{alpha}"] = {
+            "recall_at_all": round(m["recall_at_all"], 4),
+            "ndcg_w_at_5": round(m["ndcg_w_at_5"], 4),
+        }
+    return out
 
 
 def _trim(m: dict) -> dict:

@@ -62,6 +62,35 @@ def gen_offcenter(rng, n, d, n_clusters=64, spread=0.9, n_q=32):
     return x, _normalize(q)
 
 
+def _tpu_embedder(batch_size=256):
+    """TpuEmbedder honoring --pretrained/--npz (weights dir from
+    train_embedder: encoder_config.json [+ vocab.txt] next to the npz)."""
+    import os as _os
+
+    from youtu_rag_tpu.models.embedder import TpuEmbedder
+
+    pre = getattr(gen_text, "_pretrained", None)
+    npz = getattr(gen_text, "_npz", None)
+    if pre:
+        return TpuEmbedder.from_pretrained(pre, batch_size=batch_size)
+    if npz:
+        from youtu_rag_tpu.models.encoder import load_encoder_config, load_params_npz
+
+        d = _os.path.dirname(_os.path.abspath(npz))
+        cfg = load_encoder_config(_os.path.join(d, "encoder_config.json"))
+        tokenizer = None
+        vocab = _os.path.join(d, "vocab.txt")
+        if _os.path.exists(vocab):
+            from youtu_rag_tpu.models.wordpiece import WordPieceTokenizer
+
+            tokenizer = WordPieceTokenizer(vocab, max_length=cfg.max_len)
+        return TpuEmbedder(
+            config=cfg, params=load_params_npz(npz),
+            batch_size=batch_size, tokenizer=tokenizer,
+        )
+    return TpuEmbedder(batch_size=batch_size)
+
+
 def gen_text(rng, n, d, provider="hash", n_q=32):
     """Chunk this repo's own files and embed them — real-text geometry."""
     import pathlib
@@ -86,9 +115,7 @@ def gen_text(rng, n, d, provider="hash", n_q=32):
     texts = texts[:n]
 
     if provider == "tpu":
-        from youtu_rag_tpu.models.embedder import TpuEmbedder
-
-        emb = TpuEmbedder(batch_size=256)
+        emb = _tpu_embedder()
         x = emb.embed_batch(texts).astype(np.float32)
         if x.shape[1] != d:
             x = x[:, :d]
@@ -234,8 +261,12 @@ def main() -> None:
     p.add_argument("--block-rows", type=int, default=1024)
     p.add_argument("--dtype", default="int8")
     p.add_argument("--provider", default="hash", choices=["hash", "tpu"])
+    p.add_argument("--pretrained", default=None, help="pretrained checkpoint dir for --provider tpu")
+    p.add_argument("--npz", default=None, help="train_embedder weights for --provider tpu")
     p.add_argument("--datasets", default="overlap,offcenter,text")
     args = p.parse_args()
+    gen_text._pretrained = args.pretrained
+    gen_text._npz = args.npz
 
     rng = np.random.default_rng(0)
     report = {

@@ -97,6 +97,7 @@ def make_batches(pairs, tokenizer, batch: int, seqlen: int, steps: int, seed: in
     granularity with members kept adjacent, so sibling hard negatives
     (models/data_synth.py) land in the same InfoNCE batch."""
     rng = random.Random(seed)
+    pairs = [t if len(t) == 3 else (t[0], t[1], -1 - i) for i, t in enumerate(pairs)]
     by_group: dict[int, list[int]] = {}
     for i, (_, _, g) in enumerate(pairs):
         by_group.setdefault(g, []).append(i)
@@ -215,6 +216,11 @@ def main() -> None:
         help="enable the encoder's lexical residual pathway "
         "(EncoderConfig.lex_pool) with IDF-initialized token weights",
     )
+    p.add_argument(
+        "--lex-buckets", type=int, default=0,
+        help="with --lex-pool: size of the sparse hashed-BOW channel "
+        "concatenated onto the embedding (0 = dense projection variant)",
+    )
     args = p.parse_args()
 
     import jax
@@ -291,7 +297,8 @@ def main() -> None:
             )
             size["vocab_size"] = len(wp_vocab)
         cfg = EncoderConfig(
-            max_len=max(args.seqlen, 16), lex_pool=args.lex_pool, **size
+            max_len=max(args.seqlen, 16), lex_pool=args.lex_pool,
+            lex_buckets=args.lex_buckets, **size
         )
     tc = TrainConfig(
         learning_rate=args.lr,
@@ -405,6 +412,7 @@ def main() -> None:
             "siblings": args.siblings,
             "wordpiece_vocab": len(wp_vocab) if wp_vocab else None,
             "lex_pool": bool(getattr(cfg, "lex_pool", False)),
+            "lex_buckets": int(getattr(cfg, "lex_buckets", 0)),
         },
     }
     (args.out / "report.json").write_text(json.dumps(report, indent=2))

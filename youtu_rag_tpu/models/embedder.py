@@ -199,7 +199,7 @@ class TpuEmbedder(BaseEmbedder):
 
     @property
     def dimension(self) -> int:
-        return self.cfg.out_dim
+        return getattr(self.cfg, "embed_dim", self.cfg.out_dim)
 
     @staticmethod
     def _bucket(n: int, floor: int) -> int:
@@ -214,7 +214,7 @@ class TpuEmbedder(BaseEmbedder):
         With an ``sp_mesh``, texts longer than ``max_len`` tokens detour
         through the sequence-parallel ring-attention forward (full
         content, no truncation)."""
-        out = np.zeros((len(texts), self.cfg.out_dim), np.float32)
+        out = np.zeros((len(texts), self.dimension), np.float32)
         long_idx: list[int] = []
         if self._sp_fwd is not None:
             for j, t in enumerate(texts):
@@ -238,7 +238,7 @@ class TpuEmbedder(BaseEmbedder):
         pow2 batch buckets (CLAUDE.md static-shape invariant — raw counts
         would mint a fresh ring-attention executable per distinct count),
         chunked by batch_size so huge long-doc waves can't OOM."""
-        out = np.zeros((len(texts), self.cfg.out_dim), np.float32)
+        out = np.zeros((len(texts), self.dimension), np.float32)
         step = max(self.batch_size // 8, 1)  # long seqs: smaller waves
         for i in range(0, len(texts), step):
             chunk = texts[i : i + step]
