@@ -143,6 +143,30 @@ def _scale_table() -> str:
     return "\n".join(lines)
 
 
+def _text2sql_table() -> str:
+    rep = _load("text2sql_report.json")
+    if rep is None:
+        return "(report missing — run scripts/bench_text2sql.py)"
+    lines = [
+        "| suite | questions | naive single-shot | **text2sql agent** | orchestra_react_sql* |",
+        "|---|---|---|---|---|",
+    ]
+    for s in rep["suites"]:
+        sys_ = s["systems"]
+        orch = sys_.get("orchestra_react_sql")
+        lines.append(
+            f"| {s['suite']} | {s['questions']} "
+            f"| {sys_['naive_single_shot'] * 100:.1f}% "
+            f"| **{sys_['text2sql_agent'] * 100:.1f}%** "
+            f"| {orch * 100:.1f}% (n={s.get('orchestra_subset', 0)}) |"
+            if orch is not None else
+            f"| {s['suite']} | {s['questions']} "
+            f"| {sys_['naive_single_shot'] * 100:.1f}% "
+            f"| **{sys_['text2sql_agent'] * 100:.1f}%** | — |"
+        )
+    return "\n".join(lines)
+
+
 def renderers() -> dict[str, callable]:
     return {
         "quality_niah": lambda: _quality_table("niah"),
@@ -153,6 +177,7 @@ def renderers() -> dict[str, callable]:
         "quality_factguard_tpu": lambda: _quality_table("factguard", "quality_report_tpu.json"),
         "recall_adversarial": _recall_table,
         "scale_10m": _scale_table,
+        "text2sql": _text2sql_table,
     }
 
 

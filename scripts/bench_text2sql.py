@@ -257,7 +257,7 @@ def _col_tokens(col: str) -> set[str]:
     return set(col.lower().split("_"))
 
 
-def _match_col(cols: list[str], qwords: list[str]) -> str | None:
+def _match_col(cols: list[str], qwords: list[str]) -> tuple[str | None, int]:
     """Best column for the measure words via token overlap (+synonyms)."""
     best, best_s = None, 0
     expanded: set[str] = set()
@@ -268,7 +268,7 @@ def _match_col(cols: list[str], qwords: list[str]) -> str | None:
         s = len(_col_tokens(col) & expanded)
         if s > best_s:
             best, best_s = col, s
-    return best
+    return best, best_s
 
 
 class ScriptedSqlAuthor:
@@ -292,18 +292,34 @@ class ScriptedSqlAuthor:
             segments.append((None, prompt))
         for _, seg in segments:
             for m in re.finditer(r'CREATE TABLE "?([\w]+)"?\s*\((.*?)\)', seg, re.S):
-                cols = []
+                cols, types = [], {}
                 for part in m.group(2).split(","):
                     tok = part.strip().split()
                     if tok:
-                        cols.append(tok[0].strip('"'))
-                entry = tables.setdefault(m.group(1), {"columns": cols, "examples": {}})
+                        name = tok[0].strip('"')
+                        cols.append(name)
+                        types[name] = (tok[1].upper() if len(tok) > 1 else "")
+                entry = tables.setdefault(
+                    m.group(1), {"columns": cols, "examples": {}, "types": types}
+                )
                 entry["columns"] = cols
+                entry["types"] = types
+            seg_tables = [m.group(1) for m in re.finditer(r'CREATE TABLE "?([\w]+)"?', seg)]
             for em in re.finditer(r"^\s{2}(\w+): (.+)$", seg, re.M):
                 vals = re.findall(r"'([^']*)'", em.group(2))
-                # attach to the block's tables (the last CREATE seen in seg)
-                for m in re.finditer(r'CREATE TABLE "?([\w]+)"?', seg):
-                    tables[m.group(1)]["examples"].setdefault(em.group(1), set()).update(vals)
+                for t in seg_tables:
+                    tables[t]["examples"].setdefault(em.group(1), set()).update(vals)
+            # sample rows carry values the top-N example lists may miss
+            for sm in re.finditer(r"sample rows: (\[.*?\])$", seg, re.M):
+                try:
+                    rows = json.loads(sm.group(1))
+                except json.JSONDecodeError:
+                    continue
+                for t in seg_tables:
+                    for row in rows:
+                        for col, v in row.items():
+                            if isinstance(v, str):
+                                tables[t]["examples"].setdefault(col, set()).add(v)
         return tables
 
     def author(self, question: str, prompt: str, banned: set[str] = frozenset()) -> str:
@@ -342,23 +358,29 @@ class ScriptedSqlAuthor:
             if bound:
                 wheres.append((bound[0], bound[1], lit))
                 continue
-            # no example values: guess by the words right before the quote
+            # no example values: guess by the words right before the quote;
+            # a quoted string can only live in a TEXT column (DDL types)
             pre = q.lower().split(f"'{lit.lower()}'")[0]
             prewords = _words(pre)[-2:]
             cands = sorted(tables, key=score, reverse=True)
+
+            def text_cols(t: str) -> list[str]:
+                cols = [c for c in tables[t]["columns"] if c not in banned]
+                typed = [c for c in cols if "TEXT" in tables[t]["types"].get(c, "")
+                         or "CHAR" in tables[t]["types"].get(c, "")]
+                return typed or cols
+
             chosen = None
             for t in cands:
-                col = _match_col(
-                    [c for c in tables[t]["columns"] if c not in banned], prewords
-                )
-                if col:
+                col, s = _match_col(text_cols(t), prewords)
+                if col and s > 0:
                     chosen = (t, col, lit)
                     break
             if chosen is None:
                 t = cands[0]
-                text_cols = [c for c in tables[t]["columns"]
-                             if "name" in c or "region" in c or "status" in c]
-                chosen = (t, (text_cols or tables[t]["columns"])[0], lit)
+                named = [c for c in text_cols(t)
+                         if "name" in c or "region" in c or "status" in c]
+                chosen = (t, (named or text_cols(t))[0], lit)
             wheres.append(chosen)
 
         ql = q.lower()
@@ -381,15 +403,16 @@ class ScriptedSqlAuthor:
         primary = wheres[0][0] if wheres else ranked[0]
 
         def fk_join(a: str, b: str) -> str | None:
-            """a.<singular(b)>_id = b.id naming-convention join."""
-            sing = b.rstrip("s")
-            fk = f"{sing}_id"
+            """a.<singular(base(b))>_id = b.id naming-convention join
+            (base() drops ingest suffixes like _Sheet1)."""
+            base = re.sub(r"_sheet\d+$", "", b, flags=re.I)
+            fk = f"{base.rstrip('s')}_id"
             if fk in tables[a]["columns"] and "id" in tables[b]["columns"]:
                 return f'FROM "{a}" JOIN "{b}" ON "{a}".{fk} = "{b}".id'
             return None
 
         if superlative:
-            mcol = _match_col(tables[primary]["columns"], _words(superlative.group(2)))
+            mcol, _ = _match_col(tables[primary]["columns"], _words(superlative.group(2)))
             if mcol:
                 key = next((c for c in tables[primary]["columns"] if "name" in c),
                            tables[primary]["columns"][0])
@@ -398,14 +421,17 @@ class ScriptedSqlAuthor:
 
         if agg in ("SUM", "AVG"):
             # the measure column may live in a different table than the
-            # bound literal → join over the id convention
-            mtab, mcol = None, None
-            for t in ranked:
-                c = _match_col([c for c in tables[t]["columns"] if c not in banned],
-                               measure_words)
-                if c:
-                    mtab, mcol = t, c
-                    break
+            # bound literal → join over the id convention. Pick the BEST
+            # (overlap, table-relevance) match across every visible table,
+            # not the first hit in rank order.
+            mtab, mcol, best = None, None, (0, -1.0)
+            for rank_i, t in enumerate(ranked):
+                c, s = _match_col(
+                    [c for c in tables[t]["columns"] if c not in banned],
+                    measure_words,
+                )
+                if c and (s, -rank_i) > best:
+                    mtab, mcol, best = t, c, (s, -rank_i)
             if mcol is None:
                 return "SELECT 1;"
             conds, join = [], None
@@ -446,8 +472,8 @@ class ScriptedSqlAuthor:
             or re.search(r"how many ([\w ]+?) were logged", ql)
         target_words = _words(m.group(1)) if m else qwords
         for t in [w[0] for w in wheres] + ranked:
-            col = _match_col([c for c in tables[t]["columns"] if c not in banned],
-                             target_words)
+            col, _s = _match_col([c for c in tables[t]["columns"] if c not in banned],
+                                 target_words)
             if col:
                 conds = [f"{wc} = '{lit}'" for (wt, wc, lit) in wheres if wt == t]
                 where = (" WHERE " + " AND ".join(conds)) if conds else ""
