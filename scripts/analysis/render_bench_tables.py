@@ -167,6 +167,25 @@ def _text2sql_table() -> str:
     return "\n".join(lines)
 
 
+def _dtr_table() -> str:
+    rep = _load("dtr_report.json")
+    if rep is None:
+        return "(report missing — run scripts/bench_dtr.py)"
+    kinds = sorted({k for s in rep["systems"] for k in s["by_kind"]})
+    lines = [
+        "| planner | accuracy | depth (reward) | LLM calls/q | " + " | ".join(kinds) + " |",
+        "|---|---|---|---|" + "---|" * len(kinds),
+    ]
+    for s in rep["systems"]:
+        cells = [f"{s['by_kind'].get(k, 0):.2f}" for k in kinds]
+        lines.append(
+            f"| {s['planner']} | **{s['accuracy'] * 100:.1f}%** "
+            f"| {s['depth_reward']:.2f} | {s['llm_calls_per_q']} | "
+            + " | ".join(cells) + " |"
+        )
+    return "\n".join(lines)
+
+
 def renderers() -> dict[str, callable]:
     return {
         "quality_niah": lambda: _quality_table("niah"),
@@ -178,6 +197,7 @@ def renderers() -> dict[str, callable]:
         "recall_adversarial": _recall_table,
         "scale_10m": _scale_table,
         "text2sql": _text2sql_table,
+        "dtr": _dtr_table,
     }
 
 
