@@ -1,3 +1,3 @@
-from .generators import SimpleAgentGenerator, ToolGenerator
+from .generators import SimpleAgentGenerator, ToolDebugger, ToolGenerator
 
-__all__ = ["SimpleAgentGenerator", "ToolGenerator"]
+__all__ = ["SimpleAgentGenerator", "ToolDebugger", "ToolGenerator"]

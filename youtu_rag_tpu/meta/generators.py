@@ -134,3 +134,139 @@ class ToolGenerator:
         p.write_text(source)
         logger.info("wrote toolkit to %s", p)
         return cls
+
+
+SAMPLE_ARGS_PROMPT = """Propose realistic sample arguments to smoke-test this tool.
+
+Tool: {name}
+Description: {description}
+Parameters (JSON schema): {schema}
+
+Reply JSON only: an object mapping every required parameter to a sample value."""
+
+TOOL_FIX_PROMPT = """Your generated toolkit imports cleanly but CRASHES when \
+its tools are called. Fix the code.
+
+Requirement: {requirement}
+
+Current source:
+{source}
+
+Runtime failures (tool name, sample arguments, traceback):
+{failures}
+
+Rules unchanged: subclass AsyncBaseToolkit, @register_tool methods with
+Args: docstrings, return strings, stdlib+httpx only.
+Reply with the FULL corrected Python source only (no fences)."""
+
+
+class ToolDebugger:
+    """Iterative generate → import → **call-with-sample-args** → feed the
+    traceback back loop (ref: ``tool_generator_mcp_debugger.py`` — the
+    reference drives a bash/file-edit agent over a workspace; here the
+    loop is explicit and hermetic: every @register_tool method is invoked
+    through ``call_tool`` with sample arguments, and runtime tracebacks —
+    not just import errors — go back to the LLM for repair)."""
+
+    def __init__(self, llm_agent, max_rounds: int = 2, generator: ToolGenerator | None = None):
+        self.llm = llm_agent
+        self.max_rounds = max_rounds
+        self.generator = generator or ToolGenerator(llm_agent)
+
+    @staticmethod
+    def _sample_from_schema(schema: dict) -> dict:
+        """Deterministic schema-derived sample args (the LLM proposal's
+        fallback): required params filled by JSON type."""
+        fill = {"string": "sample", "integer": 1, "number": 1.0,
+                "boolean": False, "array": [], "object": {}}
+        params = schema.get("parameters") or {}
+        props = params.get("properties") or {}
+        out = {}
+        for name in params.get("required") or list(props):
+            p = props.get(name) or {}
+            if "enum" in p and p["enum"]:
+                out[name] = p["enum"][0]
+            else:
+                out[name] = fill.get(p.get("type", "string"), "sample")
+        return out
+
+    async def _sample_args(self, fn_schema: dict) -> dict:
+        import json as _json
+
+        try:
+            raw = await self.llm.run(
+                SAMPLE_ARGS_PROMPT.format(
+                    name=fn_schema["name"],
+                    description=fn_schema.get("description", ""),
+                    schema=_json.dumps(fn_schema.get("parameters") or {}),
+                )
+            )
+            m = re.search(r"\{.*\}", raw, re.DOTALL)
+            args = _json.loads(m.group(0)) if m else {}
+            if isinstance(args, dict) and args:
+                return args
+        except Exception:  # noqa: BLE001 - deterministic fallback below
+            pass
+        return self._sample_from_schema(fn_schema)
+
+    async def _smoke(self, cls: type) -> list[str]:
+        """Call every tool with sample args; return traceback summaries."""
+        import traceback
+
+        inst = cls()
+        failures: list[str] = []
+        for schema in inst.get_tools_in_openai():
+            fn = schema["function"]
+            args = await self._sample_args(fn)
+            try:
+                out = await inst.call_tool(fn["name"], args)
+                if not isinstance(out, str):
+                    failures.append(
+                        f"tool {fn['name']}({args}): returned "
+                        f"{type(out).__name__}, tools must return str"
+                    )
+            except Exception:  # noqa: BLE001 - the traceback IS the signal
+                tb = traceback.format_exc(limit=4)
+                failures.append(f"tool {fn['name']}({args}):\n{tb}")
+        return failures
+
+    async def debug(self, requirement: str) -> tuple[str, type, dict]:
+        """Generate a toolkit, smoke every tool, repair on tracebacks.
+
+        Returns (source, cls, report) where report records the rounds and
+        residual failures (empty = every tool executed)."""
+        source, cls = await self.generator.generate(requirement)
+        report: dict = {"rounds": 0, "failures": []}
+        for round_no in range(self.max_rounds + 1):
+            failures = await self._smoke(cls)
+            report["rounds"] = round_no
+            report["failures"] = failures
+            if not failures:
+                return source, cls, report
+            if round_no == self.max_rounds:
+                break
+            raw = await self.llm.run(
+                TOOL_FIX_PROMPT.format(
+                    requirement=requirement,
+                    source=source,
+                    failures="\n\n".join(failures)[:4000],
+                )
+            )
+            candidate = re.sub(r"^```[a-z]*\n|\n```$", "", raw.strip())
+            try:
+                cls = ToolGenerator._validate(candidate)
+                source = candidate
+            except Exception as e:  # noqa: BLE001 - keep the old source
+                report["failures"].append(f"repair attempt invalid: {e}")
+        raise ValueError(
+            f"toolkit still failing after {self.max_rounds} repair rounds: "
+            f"{report['failures'][:2]}"
+        )
+
+    async def debug_to_file(self, requirement: str, path: str | Path) -> type:
+        source, cls, report = await self.debug(requirement)
+        p = Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(source)
+        logger.info("wrote debugged toolkit to %s (%s rounds)", p, report["rounds"])
+        return cls
