@@ -39,6 +39,10 @@ def main() -> None:
     p.add_argument("--batch-rows", type=int, default=16384)
     p.add_argument("--batches", type=int, default=12)
     p.add_argument("--k", type=int, default=10)
+    p.add_argument("--runs", type=int, default=2,
+                   help="consecutive idle→build→after cycles (target must hold on all)")
+    p.add_argument("--idle-reps", type=int, default=60,
+                   help="idle-phase query count (beats tunnel jitter in the denominator)")
     args = p.parse_args()
 
     from youtu_rag_tpu.utils.devices import FALLBACK_LABEL, resolve_backend
@@ -82,45 +86,63 @@ def main() -> None:
             lat.append((time.perf_counter() - t0) * 1e3)
         return lat
 
-    idle = measure(30)
-
-    # concurrent growth
-    stop = threading.Event()
-    added = {"rows": 0, "batches": 0, "t": 0.0}
-
-    def writer():
+    def run_once() -> dict:
+        """One idle → concurrent-build → after cycle. Consecutive cycles
+        (--runs, VERDICT r3 item 8) expose tunnel-jitter in the idle
+        denominator instead of letting one friendly run carry the claim."""
         nonlocal cid
-        t0 = time.perf_counter()
-        for _ in range(args.batches):
-            n = args.batch_rows
-            chunks = [Chunk(f"c{cid + i}", f"d{(cid + i) // 1000}", "", 0) for i in range(n)]
-            v = mkvecs(n)
-            idx.add(chunks, v)
-            added["rows"] += n
-            added["batches"] += 1
-            cid += n
-        added["t"] = time.perf_counter() - t0
-        stop.set()
+        idle = measure(args.idle_reps)
+        stop = threading.Event()
+        added = {"rows": 0, "batches": 0, "t": 0.0}
 
-    w = threading.Thread(target=writer)
-    w.start()
-    during = []
-    while not stop.is_set():
-        t0 = time.perf_counter()
-        idx.search(queries, top_k=args.k)
-        during.append((time.perf_counter() - t0) * 1e3)
-    w.join()
-    after = measure(20)
+        def writer():
+            nonlocal cid
+            t0 = time.perf_counter()
+            for _ in range(args.batches):
+                n = args.batch_rows
+                chunks = [
+                    Chunk(f"c{cid + i}", f"d{(cid + i) // 1000}", "", 0) for i in range(n)
+                ]
+                v = mkvecs(n)
+                idx.add(chunks, v)
+                added["rows"] += n
+                added["batches"] += 1
+                cid += n
+            added["t"] = time.perf_counter() - t0
+            stop.set()
 
+        w = threading.Thread(target=writer)
+        w.start()
+        during = []
+        while not stop.is_set():
+            t0 = time.perf_counter()
+            idx.search(queries, top_k=args.k)
+            during.append((time.perf_counter() - t0) * 1e3)
+        w.join()
+        after = measure(max(args.idle_reps // 2, 10))
+        idle_p95 = pct(idle, 0.95)
+        build_p95 = pct(during, 0.95)
+        return {
+            "rows_added": added["rows"],
+            "ingest_rows_per_s": round(added["rows"] / max(added["t"], 1e-9)),
+            "queries_during_build": len(during),
+            "idle_ms": {"p50": round(pct(idle, 0.5), 1), "p95": round(idle_p95, 1)},
+            "during_build_ms": {"p50": round(pct(during, 0.5), 1), "p95": round(build_p95, 1)},
+            "after_ms": {
+                "p50": round(pct(after, 0.5), 1), "p95": round(pct(after, 0.95), 1)
+            },
+            "p95_ratio": round(build_p95 / max(idle_p95, 1e-9), 2),
+        }
+
+    runs = [run_once() for _ in range(args.runs)]
     report = {
         "initial_rows": args.initial,
-        "rows_added": added["rows"],
-        "ingest_rows_per_s": round(added["rows"] / max(added["t"], 1e-9)),
-        "queries_during_build": len(during),
-        "idle_ms": {"p50": round(pct(idle, 0.5), 1), "p95": round(pct(idle, 0.95), 1)},
-        "during_build_ms": {"p50": round(pct(during, 0.5), 1), "p95": round(pct(during, 0.95), 1)},
-        "after_ms": {"p50": round(pct(after, 0.5), 1), "p95": round(pct(after, 0.95), 1)},
+        "platform": platform,
+        "runs": runs,
+        "max_p95_ratio": max(r["p95_ratio"] for r in runs),
         "final_count": idx.count(),
+        # back-compat top-level fields = the worst run (honest headline)
+        **max(runs, key=lambda r: r["p95_ratio"]),
     }
     print(json.dumps(report))
     os.makedirs("benchmarks", exist_ok=True)

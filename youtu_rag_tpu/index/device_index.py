@@ -473,15 +473,28 @@ class DeviceVectorIndex:
                 self._grow(new_cap)
 
         # -- sliced commits: transfer + dispatch one slice at a time --------
+        def _stage(off: int):
+            """Enqueue one slice's host→device transfers (device_put is
+            async — staging slice k+1 BEFORE slice k's pacing probe
+            overlaps its copy with the probe wait, VERDICT r3 item 8)."""
+            s_n = min(slice_rows, bucket - off)  # pow2 (both are pow2)
+            sl = slice(off, off + s_n)
+            return (
+                s_n,
+                self._put(jnp.asarray(host_vec[sl], self._store_dtype)),
+                self._put(jnp.asarray(cpad[sl])),
+                self._put(jnp.asarray(bpad[sl])),
+                self._put(jnp.asarray(spad[sl])) if self._quant else None,
+            )
+
         rows: list[int] = []
         offset = 0
+        staged = _stage(0)
         while offset < n:
-            s_n = min(slice_rows, bucket - offset)  # pow2 (both are pow2)
+            s_n, dev_vec, dev_cols, dev_bias, dev_scales = staged
             sl = slice(offset, offset + s_n)
-            dev_vec = self._put(jnp.asarray(host_vec[sl], self._store_dtype))
-            dev_cols = self._put(jnp.asarray(cpad[sl]))
-            dev_bias = self._put(jnp.asarray(bpad[sl]))
-            dev_scales = self._put(jnp.asarray(spad[sl])) if self._quant else None
+            if offset + s_n < n:
+                staged = _stage(offset + s_n)
             real = min(n - offset, s_n)  # live rows in this slice
             with self._lock:
                 # delete-then-reinsert atomicity per slice: ids being
