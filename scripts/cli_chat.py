@@ -25,6 +25,11 @@ def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--paths", nargs="+", required=True, help="files/dirs/globs to index")
     p.add_argument("--provider", default="hash", choices=["hash", "tpu", "openai", "service"])
+    p.add_argument(
+        "--weights-dir", default=None,
+        help="provider tpu: train_embedder output dir (e.g. the committed "
+        "benchmarks/models/yrt_tiny_lex lexical-residual encoder)",
+    )
     p.add_argument("--top-k", type=int, default=5)
     p.add_argument("--llm-model", default=None)
     p.add_argument("--llm-base-url", default=None)
@@ -55,7 +60,9 @@ async def main() -> None:
     from youtu_rag_tpu.tools.kb_search import KBSearchToolkit
 
     cfg = RAGConfig(name="cli")
-    cfg.knowledge_builder.embedding = EmbeddingConfig(provider=args.provider)
+    cfg.knowledge_builder.embedding = EmbeddingConfig(
+        provider=args.provider, weights_dir=args.weights_dir
+    )
     kb = KnowledgeBase("cli", cfg)
     GLOBAL_KB_REGISTRY.register(kb)
 

@@ -66,6 +66,10 @@ class EmbeddingConfig(ConfigBase):
     # (config.json + model.safetensors + vocab.txt — models/pretrained.py)
     # instead of the repo's own encoder weights
     pretrained_dir: str | None = None
+    # provider "tpu": serve a train_embedder output directory
+    # (encoder_params.npz + encoder_config.json [+ vocab.txt]) — e.g. the
+    # committed benchmarks/models/yrt_tiny_lex lexical-residual encoder
+    weights_dir: str | None = None
     # >0 enables request coalescing: concurrent embed calls inside the
     # window batch into one device dispatch (serving-throughput knob)
     coalesce_window_ms: float = Field(default=0.0, ge=0.0, le=100.0)

@@ -171,6 +171,28 @@ class TpuEmbedder(BaseEmbedder):
             self._long_max = long_max_len or 8 * self.cfg.max_len
 
     @classmethod
+    def from_weights_dir(cls, weights_dir, **kwargs) -> "TpuEmbedder":
+        """Serve a ``scripts/train_embedder.py`` output directory:
+        encoder_params.npz + encoder_config.json (exact architecture,
+        incl. the lexical-residual pathway) + vocab.txt when the run
+        trained a WordPiece vocabulary. The committed
+        ``benchmarks/models/yrt_tiny_lex`` loads through here."""
+        import os
+
+        from .encoder import load_encoder_config, load_params_npz
+
+        d = os.fspath(weights_dir)
+        cfg = load_encoder_config(os.path.join(d, "encoder_config.json"))
+        tokenizer = None
+        vocab = os.path.join(d, "vocab.txt")
+        if os.path.exists(vocab):
+            from .wordpiece import WordPieceTokenizer
+
+            tokenizer = WordPieceTokenizer(vocab, max_length=cfg.max_len)
+        params = load_params_npz(os.path.join(d, "encoder_params.npz"))
+        return cls(config=cfg, params=params, tokenizer=tokenizer, **kwargs)
+
+    @classmethod
     def from_pretrained(
         cls,
         model_dir,
@@ -439,6 +461,10 @@ class EmbedderFactory:
             if config.pretrained_dir:
                 return TpuEmbedder.from_pretrained(
                     config.pretrained_dir, batch_size=config.batch_size, **kwargs
+                )
+            if config.weights_dir:
+                return TpuEmbedder.from_weights_dir(
+                    config.weights_dir, batch_size=config.batch_size, **kwargs
                 )
             return TpuEmbedder(batch_size=config.batch_size, **kwargs)
         if provider in ("openai", "service"):
