@@ -31,6 +31,16 @@ async def main() -> None:
         help="merge concurrent KB searches inside this window into one "
         "fused kernel launch (serving hot path; 2-5 ms is typical)",
     )
+    p.add_argument(
+        "--embedding-provider", default=None,
+        choices=["hash", "tpu", "openai", "service"],
+        help="default embedding provider for new knowledge bases",
+    )
+    p.add_argument(
+        "--weights-dir", default=None,
+        help="provider tpu: serve a train_embedder output dir (e.g. the "
+        "committed benchmarks/models/yrt_tiny_lex lexical-residual encoder)",
+    )
     args = p.parse_args()
 
     from youtu_rag_tpu.api.app import create_app
@@ -50,11 +60,18 @@ async def main() -> None:
         print(f"serving with a {args.shards}-way sharded index mesh")
 
     rag_config = None
-    if args.search_coalesce_ms > 0:
+    if args.search_coalesce_ms > 0 or args.embedding_provider or args.weights_dir:
         from youtu_rag_tpu.core.config import RAGConfig
 
         rag_config = RAGConfig()
-        rag_config.vector_store.coalesce_window_ms = args.search_coalesce_ms
+        if args.search_coalesce_ms > 0:
+            rag_config.vector_store.coalesce_window_ms = args.search_coalesce_ms
+        if args.embedding_provider or args.weights_dir:
+            emb = rag_config.knowledge_builder.embedding
+            rag_config.knowledge_builder.embedding = emb.model_copy(update={
+                "provider": args.embedding_provider or ("tpu" if args.weights_dir else emb.provider),
+                "weights_dir": args.weights_dir,
+            })
 
     state = ApiState(
         data_dir=args.data_dir, agent_config=agent_config,

@@ -4,7 +4,7 @@
 // Counterpart of rag_webui's knowledge-base{,-detail}.js + qa-detail.js.
 
 import { api, fmtBytes, guard, h, openModal, closeModal, state, t, toast } from "../app.js";
-import { renderMarkdown } from "./utils.js";
+import { renderDiff, renderMarkdown } from "./utils.js";
 
 export async function renderKb(view, hash) {
   const qa = hash.match(/^#\/kb\/([^/]+)\/qa\/(.+)$/);
@@ -486,7 +486,11 @@ async function renderQaDetail(view, name, id) {
       for (const x of (r.execution_results || [])) {
         execOut.appendChild(h("div", {},
           h("span", { class: x.success ? "badge ok" : "badge err" }, x.agent),
-          x.success ? renderMarkdown(x.answer || "(empty)") : h("pre", {}, x.error || "failed")));
+          x.success ? renderMarkdown(x.answer || "(empty)") : h("pre", {}, x.error || "failed"),
+          x.success && (p.answer || "").trim()
+            ? h("details", {}, h("summary", { class: "dim" }, "diff vs expected"),
+                renderDiff(p.answer, x.answer))
+            : null));
       }
     } finally {
       execBtn.disabled = false; execBtn.textContent = `▶ ${t("qa.execute")}`;
@@ -504,7 +508,11 @@ async function renderQaDetail(view, name, id) {
         (p.memory_status ? ` · memory: ${p.memory_status}` : "")),
       ...parsed.map((x) => h("div", {},
         h("span", { class: x.success ? "badge ok" : "badge err" }, x.agent),
-        x.success ? renderMarkdown(x.answer || "(empty)") : h("pre", {}, x.error || "failed"))));
+        x.success ? renderMarkdown(x.answer || "(empty)") : h("pre", {}, x.error || "failed"),
+        x.success && (p.answer || "").trim()
+          ? h("details", {}, h("summary", { class: "dim" }, "diff vs expected"),
+              renderDiff(p.answer, x.answer))
+          : null)));
   }
 
   const statusCls = { completed: "ok", failed: "err" }[p.learning_status] || "";

@@ -228,3 +228,43 @@ export function lineChart(points, { width = 560, height = 120, unit = "ms" } = {
   });
   return wrap;
 }
+
+// word-level diff (LCS) — expected vs executed answer on the QA-detail
+// page (counterpart of rag_webui qa-detail's answer comparison).
+export function renderDiff(expected, actual) {
+  const a = (expected || "").split(/\s+/).filter(Boolean);
+  const b = (actual || "").split(/\s+/).filter(Boolean);
+  const n = a.length, m = b.length;
+  // LCS table (answers are short; quadratic is fine at this size)
+  const L = Array.from({ length: n + 1 }, () => new Array(m + 1).fill(0));
+  for (let i = n - 1; i >= 0; i--) {
+    for (let j = m - 1; j >= 0; j--) {
+      L[i][j] = a[i] === b[j] ? L[i + 1][j + 1] + 1 : Math.max(L[i + 1][j], L[i][j + 1]);
+    }
+  }
+  const box = document.createElement("div");
+  box.className = "diff";
+  let i = 0, j = 0;
+  const push = (cls, words) => {
+    if (!words.length) return;
+    const el = document.createElement("span");
+    el.className = cls;
+    el.textContent = words.join(" ") + " ";
+    box.appendChild(el);
+  };
+  let del = [], ins = [], same = [];
+  const flush = () => { push("diff-del", del); push("diff-ins", ins); push("diff-same", same); del = []; ins = []; same = []; };
+  while (i < n && j < m) {
+    if (a[i] === b[j]) {
+      if (del.length || ins.length) { push("diff-del", del); push("diff-ins", ins); del = []; ins = []; }
+      same.push(a[i]); i++; j++;
+    } else {
+      if (same.length) { push("diff-same", same); same = []; }
+      if (L[i + 1][j] >= L[i][j + 1]) { del.push(a[i]); i++; }
+      else { ins.push(b[j]); j++; }
+    }
+  }
+  del.push(...a.slice(i)); ins.push(...b.slice(j));
+  flush();
+  return box;
+}
