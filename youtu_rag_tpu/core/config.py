@@ -203,8 +203,8 @@ class VectorStoreConfig(ConfigBase):
     # corpus-level BM25 inverted index maintained alongside the device
     # index; gives HybridRetriever lexical recall that is independent of
     # dense-encoder quality (needle-style queries survive a weak encoder).
-    # Host-RAM cost is ~8 KB per chunk (python-dict postings; measured
-    # 50k x 120-token chunks -> 392 MB) — right for KBs up to ~1M chunks;
+    # Host-RAM cost is ~3.3 KB per chunk (array-backed postings; measured
+    # 50k x 120-token chunks -> 165 MB) — right for KBs up to ~2M chunks;
     # disable for 10M-chunk single-host deployments or shard hosts.
     lexical_index: bool = True
 
