@@ -541,9 +541,16 @@ def quantize_rows_int4(x: jax.Array):
 
 
 def unpack_int4(packed: jax.Array) -> jax.Array:
-    """[..., d//2] packed int8 → [..., d] int8 nibbles in [-7, 7]."""
-    hi = packed >> 4  # arithmetic shift sign-extends the high nibble
-    lo = (packed << 4) >> 4  # shift up then arithmetic down: sign-extend low
+    """[..., d//2] packed int8 → [..., d] int8 nibbles in [-7, 7].
+
+    The shifts run in int32: Mosaic on v5e cannot legalize `arith.shrsi`
+    on int8 vectors (kernel compile fails with "failed to legalize
+    operation 'arith.shrsi'" at vector<...xi8>), while 32-bit shifts
+    lower fine and the narrowing back to int8 keeps the MXU dot int8×int8.
+    """
+    p = packed.astype(jnp.int32)
+    hi = (p >> 4).astype(jnp.int8)  # arithmetic shift sign-extends the high nibble
+    lo = ((p << 28) >> 28).astype(jnp.int8)  # shift up then arithmetic down
     return jnp.concatenate([lo, hi], axis=-1)
 
 
