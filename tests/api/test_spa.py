@@ -99,3 +99,41 @@ class SpaServeTest(AsyncHTTPTestCase):
                    method="POST", body=json.dumps({"documents": [{"id": "d", "content": "hello spa"}]}))
         r = self.fetch("/api/knowledge-bases/spa/metadata")
         assert r.code == 200 and r.body.startswith(b"chunk_id,document_id")
+
+
+def test_chat_file_sidebar_contract():
+    """The in-chat file sidebar (ref chat.js openChatFileSidebar) is wired:
+    chat.js fetches file content by name, renders CSV via the shared
+    quote-aware table helper, and the panel's classes are styled."""
+    chat = (STATIC / "views" / "chat.js").read_text()
+    assert "openFileSidebar" in chat
+    assert "/api/files/${encodeURIComponent(name)}" in chat
+    assert "csvTable" in chat, "sidebar must reuse the shared CSV renderer"
+    # source chip pulls the filename out of the context metadata line
+    assert re.search(r"sourceFileOf", chat)
+    css = (STATIC / "style.css").read_text()
+    for cls in (".file-sidebar", ".file-sidebar-body", ".src-chip"):
+        assert cls in css, f"{cls} unstyled"
+
+
+def test_upload_tasks_persist_contract():
+    """In-flight upload cards survive a reload: files.js stores task ids in
+    localStorage and resumes polling them on render (ref file-manager.js
+    saveUploadTask/getStoredUploadTasks:18-60)."""
+    files = (STATIC / "views" / "files.js").read_text()
+    assert "localStorage" in files
+    assert "getStoredUploadTasks" in files and "removeUploadTask" in files
+    # resume loop runs at render time, not only on click
+    assert re.search(r"for \(const \{ task_id, filename \} of getStoredUploadTasks\(\)\)", files)
+
+
+def test_csv_parser_quote_grammar():
+    """parseCsv must be quote-aware (ref renderCSVInSidebar grammar):
+    assert the implementation handles escaped quotes and embedded
+    commas/newlines rather than splitting on ','. (No JS runtime — pin
+    the grammar's load-bearing branches textually.)"""
+    utils = (STATIC / "views" / "utils.js").read_text()
+    body = utils.split("export function parseCsv")[1].split("export function")[0]
+    assert "inQuotes" in body
+    assert "'\\\"'" in body or '"\\""' in body or "'\"'" in body  # quote char branch
+    assert re.search(r"text\[i \+ 1\]", body), "missing doubled-quote escape lookahead"

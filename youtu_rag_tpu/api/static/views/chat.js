@@ -2,11 +2,14 @@
 // (text_delta / reasoning_delta / tool_call / tool_output / plan / memory /
 //  report / final / error / done — ref: chat_service SSE card protocol),
 // markdown answer rendering with retrieval-context source cards, message
-// actions (copy / retry), per-tab conversation persistence, thinking timer.
+// actions (copy / retry), per-tab conversation persistence, thinking timer,
+// and an in-chat file sidebar that renders attached / cited files by type
+// (markdown, CSV-as-table, images, plain text — ref chat.js
+// openChatFileSidebar/renderCSVInSidebar/renderImageInSidebar:2138-2533).
 // Counterpart of rag_webui's components/chat.js.
 
-import { api, guard, h, state, t, toast } from "../app.js";
-import { renderMarkdown } from "./utils.js";
+import { api, fmtBytes, guard, h, state, t, toast } from "../app.js";
+import { csvTable, renderMarkdown } from "./utils.js";
 
 const HIST_KEY = "yrt-chat-history";
 
@@ -45,9 +48,7 @@ export async function renderChat(view) {
     const r = await fetch("/api/files/upload", { method: "POST", body: fd });
     if (!r.ok) { toast(`upload failed: ${r.status}`, "err"); return; }
     toast(`uploaded ${f.name}`, "ok");
-    const lbl = h("label", { class: "dim row", style: "gap:6px" },
-      h("input", { type: "checkbox", value: f.name, checked: "" }), f.name);
-    fileBox.appendChild(lbl);
+    fileBox.appendChild(fileLabel(ctx, f.name, true));
     chatUpload.value = "";
   }));
   const side = h("div", { class: "chat-side col" },
@@ -62,7 +63,11 @@ export async function renderChat(view) {
     ),
   );
 
-  const ctx = { log, kbSel, fileBox, autoToggle, hist: loadHistory(), abort: null };
+  // in-chat file sidebar (ref chat.js openChatFileSidebar): renders a
+  // clicked attachment / cited source file inline next to the conversation
+  const sidebar = h("div", { class: "file-sidebar col", style: "display:none" });
+
+  const ctx = { log, kbSel, fileBox, autoToggle, sidebar, hist: loadHistory(), abort: null };
 
   const form = h("form", { id: "composer" }, input, sendBtn, stopBtn);
   stopBtn.addEventListener("click", () => {
@@ -91,7 +96,7 @@ export async function renderChat(view) {
   });
 
   view.appendChild(h("div", { class: "chat-wrap" },
-    h("div", { class: "chat-main" }, log, form), side));
+    h("div", { class: "chat-main" }, log, form), sidebar, side));
 
   // restore the conversation (per browser tab — ref chat.js history restore)
   for (const m of ctx.hist) {
@@ -107,10 +112,7 @@ export async function renderChat(view) {
   ]);
   const attachable = files.files.filter((f) => !f.name.startsWith(".meta")).slice(0, 12);
   if (!attachable.length) fileBox.appendChild(h("span", { class: "dim" }, "(no uploads)"));
-  for (const f of attachable) {
-    fileBox.appendChild(h("label", { class: "dim row", style: "gap:6px" },
-      h("input", { type: "checkbox", value: f.name }), f.name));
-  }
+  for (const f of attachable) fileBox.appendChild(fileLabel(ctx, f.name, false));
   kbSel.innerHTML = "";
   kbSel.appendChild(h("option", { value: "" }, "(no knowledge base)"));
   for (const kb of kbs.knowledge_bases) kbSel.appendChild(h("option", {}, kb.name));
@@ -130,6 +132,77 @@ export async function renderChat(view) {
     await api("/api/memory/config", { method: "POST", body: JSON.stringify({ memoryEnabled: memToggle.checked }) });
   }));
   input.focus();
+}
+
+// ------------------------------------------------------------- file sidebar
+// Ref chat.js openChatFileSidebar/renderTextInSidebar/renderCSVInSidebar/
+// renderImageInSidebar (2138-2533): click a cited or attached file → a side
+// panel renders it by type without leaving the conversation.
+
+const IMG_EXTS = [".png", ".jpg", ".jpeg", ".gif", ".webp", ".svg", ".bmp"];
+const SIDEBAR_CLIP = 60000;
+
+function fileLabel(ctx, name, checked) {
+  const nameEl = h("span", { class: "clickable" }, name);
+  nameEl.addEventListener("click", guard((ev) => {
+    ev.preventDefault();
+    return openFileSidebar(ctx, name);
+  }));
+  const attrs = { type: "checkbox", value: name };
+  if (checked) attrs.checked = "";
+  return h("label", { class: "dim row", style: "gap:6px" }, h("input", attrs), nameEl);
+}
+
+export async function openFileSidebar(ctx, name) {
+  const sb = ctx.sidebar;
+  if (!sb) return;
+  const body = h("div", { class: "file-sidebar-body" }, h("span", { class: "dim" }, "loading…"));
+  const closeB = h("button", { class: "ghost" }, "✕");
+  closeB.addEventListener("click", () => { sb.style.display = "none"; sb.innerHTML = ""; });
+  sb.innerHTML = "";
+  sb.appendChild(h("div", { class: "row" },
+    h("h3", { style: "margin:0;overflow:hidden;text-overflow:ellipsis" }, `📄 ${name}`),
+    h("div", { class: "spacer" }), closeB));
+  sb.appendChild(body);
+  sb.style.display = "";
+  const resp = await fetch(`/api/files/${encodeURIComponent(name)}`);
+  body.innerHTML = "";
+  if (!resp.ok) {
+    body.appendChild(h("div", { class: "dim" }, `not available (HTTP ${resp.status})`));
+    return;
+  }
+  const ext = (name.match(/\.[^.]+$/) || [""])[0].toLowerCase();
+  if (IMG_EXTS.includes(ext)) {
+    const blob = await resp.blob();
+    body.appendChild(h("img", {
+      class: "layout", src: URL.createObjectURL(blob), alt: name,
+    }));
+    body.appendChild(h("div", { class: "dim" }, fmtBytes(blob.size)));
+    return;
+  }
+  const text = await resp.text();
+  const clipped = text.slice(0, SIDEBAR_CLIP);
+  if (ext === ".csv") {
+    body.appendChild(csvTable(clipped));
+  } else if (ext === ".md" || ext === ".markdown") {
+    body.appendChild(renderMarkdown(clipped));
+  } else if (ext === ".json" || ext === ".jsonl") {
+    let pretty = clipped;
+    try { pretty = JSON.stringify(JSON.parse(text), null, 2).slice(0, SIDEBAR_CLIP); } catch { /* keep raw */ }
+    body.appendChild(h("pre", {}, pretty));
+  } else {
+    body.appendChild(h("pre", {}, clipped));
+  }
+  if (text.length > clipped.length) {
+    body.appendChild(h("div", { class: "dim" }, "(truncated)"));
+  }
+}
+
+// Pull the source filename out of a retrieval context block's metadata
+// line ("**Metadata:** source=report.md, file_type=md").
+export function sourceFileOf(content) {
+  const m = /\bsource=([^\s,]+)/.exec(content || "");
+  return m ? m[1] : null;
 }
 
 // ------------------------------------------------------------- bubbles
@@ -177,8 +250,19 @@ function botBubble(ctx, text) {
   const el = h("div", { class: "msg bot" });
   el.appendChild(renderMarkdown(body || text));
   for (const s of sources) {
-    el.appendChild(h("details", { class: "src-card" },
-      h("summary", {}, `📄 ${s.title}`),
+    const summary = h("summary", {}, `📄 ${s.title}`);
+    // cited source file → sidebar (ref chat.js source-chip click-through)
+    const src = sourceFileOf(s.content);
+    if (src) {
+      const chip = h("button", { class: "ghost src-chip", type: "button" }, src);
+      chip.addEventListener("click", guard((ev) => {
+        ev.preventDefault();
+        ev.stopPropagation();
+        return openFileSidebar(ctx, src);
+      }));
+      summary.appendChild(chip);
+    }
+    el.appendChild(h("details", { class: "src-card" }, summary,
       renderMarkdown(s.content)));
   }
   el.appendChild(h("div", { class: "actions" }, copyBtn(() => text)));

@@ -5,13 +5,33 @@
 // reference's OCR screens (minio_files.py:1500-1811).
 
 import { api, fmtBytes, guard, h, openModal, closeModal, t, toast } from "../app.js";
-import { renderMarkdown } from "./utils.js";
+import { csvTable, renderMarkdown } from "./utils.js";
 
 const STAGES = ["PENDING", "UPLOADING", "OCR_PROCESSING", "METADATA_EXTRACTING",
   "UPLOADING_TO_MINIO", "CHUNK_PROCESSING", "COMPLETED"];
 
 const PREVIEW_EXTS = [".md", ".markdown", ".txt", ".csv", ".json", ".jsonl", ".py", ".html", ".log"];
 const PAGE_SIZE = 25;
+
+// ------------------------------------------------- persisted upload tasks
+// ref file-manager.js STORAGE_KEY/saveUploadTask/getStoredUploadTasks
+
+const UPLOAD_TASKS_KEY = "yrt-upload-tasks";
+
+function getStoredUploadTasks() {
+  try { return JSON.parse(localStorage.getItem(UPLOAD_TASKS_KEY)) || []; } catch { return []; }
+}
+
+function saveUploadTask(taskId, filename) {
+  const tasks = getStoredUploadTasks().filter((x) => x.task_id !== taskId);
+  tasks.push({ task_id: taskId, filename });
+  localStorage.setItem(UPLOAD_TASKS_KEY, JSON.stringify(tasks.slice(-20)));
+}
+
+function removeUploadTask(taskId) {
+  const tasks = getStoredUploadTasks().filter((x) => x.task_id !== taskId);
+  localStorage.setItem(UPLOAD_TASKS_KEY, JSON.stringify(tasks));
+}
 
 export async function renderFiles(view) {
   const fileInput = h("input", { type: "file", multiple: "" });
@@ -158,6 +178,43 @@ export async function renderFiles(view) {
     await load();
   }));
 
+  // Poll one progress task into a live card. Tasks persist in
+  // localStorage so an in-flight upload's card survives a page reload
+  // (ref file-manager.js saveUploadTask/getStoredUploadTasks:18-60).
+  function trackUpload(taskId, filename) {
+    saveUploadTask(taskId, filename);
+    const bar = h("div", {});
+    const stage = h("div", { class: "stage" }, "PENDING");
+    const prog = h("div", { class: "col" },
+      h("div", { class: "dim" }, filename),
+      h("div", { class: "progress" }, bar), stage);
+    progWrap.appendChild(prog);
+    const timer = setInterval(guard(async () => {
+      let s;
+      try {
+        s = await api(`/api/files/upload-progress/${taskId}`);
+      } catch {
+        // task evicted server-side (restart) — drop the stale card
+        clearInterval(timer);
+        removeUploadTask(taskId);
+        prog.remove();
+        return;
+      }
+      bar.style.width = `${s.progress}%`;
+      const idx = STAGES.indexOf(s.status);
+      stage.textContent = `${s.status} (${s.progress}%)` +
+        (idx >= 0 ? ` · stage ${idx + 1}/${STAGES.length}` : "");
+      if (s.status === "COMPLETED" || s.status === "FAILED") {
+        clearInterval(timer);
+        removeUploadTask(taskId);
+        stage.textContent = s.status === "FAILED" ? `FAILED: ${s.error}` : "COMPLETED";
+        if (s.status === "COMPLETED") toast(`processed ${filename}`, "ok");
+        await load();
+        setTimeout(() => prog.remove(), 4000);
+      }
+    }), 500);
+  }
+
   upProgBtn.addEventListener("click", guard(async () => {
     const f = fileInput.files[0];
     if (!f) return;
@@ -165,27 +222,13 @@ export async function renderFiles(view) {
     fd.append("file", f);
     const r = await fetch("/api/files/upload-with-progress", { method: "POST", body: fd });
     const { task_id } = await r.json();
-    const bar = h("div", {});
-    const stage = h("div", { class: "stage" }, "PENDING");
-    const prog = h("div", { class: "col" },
-      h("div", { class: "dim" }, f.name),
-      h("div", { class: "progress" }, bar), stage);
-    progWrap.appendChild(prog);
-    const timer = setInterval(guard(async () => {
-      const s = await api(`/api/files/upload-progress/${task_id}`);
-      bar.style.width = `${s.progress}%`;
-      const idx = STAGES.indexOf(s.status);
-      stage.textContent = `${s.status} (${s.progress}%)` +
-        (idx >= 0 ? ` · stage ${idx + 1}/${STAGES.length}` : "");
-      if (s.status === "COMPLETED" || s.status === "FAILED") {
-        clearInterval(timer);
-        stage.textContent = s.status === "FAILED" ? `FAILED: ${s.error}` : "COMPLETED";
-        if (s.status === "COMPLETED") toast(`processed ${f.name}`, "ok");
-        await load();
-        setTimeout(() => prog.remove(), 4000);
-      }
-    }), 500);
+    trackUpload(task_id, f.name);
   }));
+
+  // resume cards for uploads still running from a previous page view
+  for (const { task_id, filename } of getStoredUploadTasks()) {
+    trackUpload(task_id, filename);
+  }
 
   view.appendChild(h("div", { class: "col" },
     h("div", { class: "card" },
@@ -215,11 +258,7 @@ async function openPreview(f) {
   if (ext === ".md" || ext === ".markdown") {
     body = renderMarkdown(clipped);
   } else if (ext === ".csv") {
-    const lines = clipped.split("\n").filter((l) => l.trim()).slice(0, 200);
-    const cells = lines.map((l) => l.split(","));
-    body = h("table", {},
-      h("tr", {}, ...cells[0].map((c) => h("th", {}, c))),
-      ...cells.slice(1).map((r) => h("tr", {}, ...r.map((c) => h("td", {}, c)))));
+    body = csvTable(clipped);
   } else {
     body = h("pre", { style: "max-height:60vh;overflow:auto" }, clipped);
   }

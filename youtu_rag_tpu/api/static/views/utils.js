@@ -26,6 +26,44 @@ export function debounce(fn, ms = 250) {
   };
 }
 
+// ------------------------------------------------------------- csv
+//
+// Quote-aware CSV row parser ("" escapes a quote inside a quoted field;
+// commas/newlines inside quotes don't split — ref chat.js
+// renderCSVInSidebar handles the same grammar before tabling).
+
+export function parseCsv(text, maxRows = 500) {
+  const rows = [];
+  let field = "", row = [], inQuotes = false;
+  const push = () => { row.push(field); field = ""; };
+  const endRow = () => {
+    push();
+    if (row.length > 1 || row[0] !== "") rows.push(row);
+    row = [];
+  };
+  for (let i = 0; i < text.length && rows.length < maxRows; i++) {
+    const c = text[i];
+    if (inQuotes) {
+      if (c === '"') {
+        if (text[i + 1] === '"') { field += '"'; i++; } else inQuotes = false;
+      } else field += c;
+    } else if (c === '"') inQuotes = true;
+    else if (c === ",") push();
+    else if (c === "\n") endRow();
+    else if (c !== "\r") field += c;
+  }
+  if (field || row.length) endRow();
+  return rows;
+}
+
+export function csvTable(text, maxRows = 200) {
+  const rows = parseCsv(text, maxRows + 1);
+  if (!rows.length) return h("div", { class: "dim" }, "(empty)");
+  return h("table", {},
+    h("tr", {}, ...rows[0].map((c) => h("th", {}, c))),
+    ...rows.slice(1, maxRows).map((r) => h("tr", {}, ...r.map((c) => h("td", {}, c)))));
+}
+
 // ------------------------------------------------------------- markdown
 //
 // Escape-first line renderer: the input is escaped wholesale, then block
