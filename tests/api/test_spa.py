@@ -137,3 +137,17 @@ def test_csv_parser_quote_grammar():
     assert "inQuotes" in body
     assert "'\\\"'" in body or '"\\""' in body or "'\"'" in body  # quote char branch
     assert re.search(r"text\[i \+ 1\]", body), "missing doubled-quote escape lookahead"
+
+
+def test_kb_file_picker_contract():
+    """Build-tab source selection goes through the searchable, paginated
+    picker modal + selected-files summary (ref knowledge-base-detail.js
+    renderFileModalPagination/confirmFileSelection), not a flat checkbox
+    harvest of the whole tab."""
+    kb = (STATIC / "views" / "kb.js").read_text()
+    assert "openFilePicker" in kb and "selectedFiles" in kb
+    assert "PICK_PAGE" in kb, "picker must paginate"
+    assert 'root.querySelectorAll("input[type=checkbox][value]")' not in kb, \
+        "build/save must read the selection set, not scrape tab checkboxes"
+    # declared config sources pre-populate the selection
+    assert re.search(r"for \(const n of declared\) selectedFiles\.add\(n\)", kb)

@@ -32,6 +32,7 @@ const I18N = {
     "build.sources": "Source configuration", "build.saveConfig": "Save selection as config",
     "build.fromConfig": "Build from config", "build.dbTest": "Test DB connection",
     "build.qaValidate": "Validate QA file", "build.qaBuild": "Index QA pairs",
+    "build.pickFiles": "Choose files…", "build.confirmFiles": "Use selection",
     "chunks.search": "search chunks…", "qa.question": "question", "qa.answer": "answer",
     "qa.add": "Add pair", "qa.ask": "Ask", "qa.threshold": "threshold",
     "qa.execute": "Execute with agent", "qa.executed": "Execution result",
@@ -70,6 +71,7 @@ const I18N = {
     "build.sources": "数据源配置", "build.saveConfig": "保存所选为配置",
     "build.fromConfig": "按配置构建", "build.dbTest": "测试数据库连接",
     "build.qaValidate": "校验问答文件", "build.qaBuild": "导入问答对",
+    "build.pickFiles": "选择文件…", "build.confirmFiles": "使用所选",
     "chunks.search": "搜索分块…", "qa.question": "问题", "qa.answer": "答案",
     "qa.add": "添加问答对", "qa.ask": "提问", "qa.threshold": "阈值",
     "qa.execute": "执行（代理）", "qa.executed": "执行结果",

@@ -92,10 +92,96 @@ async function renderKbDetail(view, name) {
 
 async function renderBuildTab(root, name) {
   const files = await api("/api/files");
-  const fileChecks = files.files.map((f) =>
-    h("label", { class: "row", style: "gap:6px" },
-      h("input", { type: "checkbox", value: f.name }),
-      `${f.name} `, h("span", { class: "dim" }, fmtBytes(f.size))));
+  // selected source files, shown in a summary panel and picked via a
+  // searchable paginated modal (ref knowledge-base-detail.js file modal:
+  // renderFileModalPagination/confirmFileSelection/updateSelectedFilesHeader)
+  const selectedFiles = new Set();
+  const selectedBox = h("div", { class: "col" });
+  const selectedHead = h("span", { class: "dim" });
+  const pickBtn = h("button", {}, t("build.pickFiles"));
+
+  function renderSelected() {
+    selectedBox.innerHTML = "";
+    selectedHead.textContent = `${selectedFiles.size} selected`;
+    const meta = new Map(files.files.map((f) => [f.name, f]));
+    for (const n of [...selectedFiles].sort()) {
+      const rm = h("button", { class: "ghost" }, "✕");
+      rm.addEventListener("click", () => { selectedFiles.delete(n); renderSelected(); });
+      selectedBox.appendChild(h("div", { class: "row", style: "gap:6px" },
+        rm, n, h("span", { class: "dim" }, fmtBytes((meta.get(n) || {}).size || 0))));
+    }
+    if (!selectedFiles.size) {
+      selectedBox.appendChild(h("div", { class: "dim" }, "(no source files selected)"));
+    }
+  }
+
+  function openFilePicker() {
+    const PICK_PAGE = 10;
+    let page = 0;
+    const pending = new Set(selectedFiles);
+    const search = h("input", { placeholder: t("files.search"), style: "flex:1" });
+    const listBox = h("div", { class: "col" });
+    const pager = h("span", { class: "dim" });
+    const prevB = h("button", {}, "‹");
+    const nextB = h("button", {}, "›");
+    const allOnPage = h("input", { type: "checkbox", title: "select page" });
+    const count = h("span", { class: "dim" });
+    const okBtn = h("button", { class: "primary" }, t("build.confirmFiles"));
+
+    function visible() {
+      const q = search.value.trim().toLowerCase();
+      return files.files.filter((f) => !f.name.startsWith(".meta") &&
+        (!q || f.name.toLowerCase().includes(q)));
+    }
+    function renderList() {
+      const vis = visible();
+      const pages = Math.max(1, Math.ceil(vis.length / PICK_PAGE));
+      page = Math.min(page, pages - 1);
+      pager.textContent = `${page + 1}/${pages}`;
+      count.textContent = `${pending.size} selected`;
+      const shown = vis.slice(page * PICK_PAGE, (page + 1) * PICK_PAGE);
+      listBox.innerHTML = "";
+      allOnPage.checked = shown.length > 0 && shown.every((f) => pending.has(f.name));
+      for (const f of shown) {
+        const c = h("input", { type: "checkbox" });
+        c.checked = pending.has(f.name);
+        c.addEventListener("change", () => {
+          if (c.checked) pending.add(f.name); else pending.delete(f.name);
+          count.textContent = `${pending.size} selected`;
+          allOnPage.checked = shown.every((x) => pending.has(x.name));
+        });
+        listBox.appendChild(h("label", { class: "row", style: "gap:6px" },
+          c, f.name, h("span", { class: "dim" }, fmtBytes(f.size))));
+      }
+      if (!shown.length) listBox.appendChild(h("div", { class: "dim" }, "(no matches)"));
+    }
+    search.addEventListener("input", () => { page = 0; renderList(); });
+    prevB.addEventListener("click", () => { page = Math.max(0, page - 1); renderList(); });
+    nextB.addEventListener("click", () => { page += 1; renderList(); });
+    allOnPage.addEventListener("change", () => {
+      const shown = visible().slice(page * PICK_PAGE, (page + 1) * PICK_PAGE);
+      for (const f of shown) {
+        if (allOnPage.checked) pending.add(f.name); else pending.delete(f.name);
+      }
+      renderList();
+    });
+    okBtn.addEventListener("click", () => {
+      selectedFiles.clear();
+      for (const n of pending) selectedFiles.add(n);
+      renderSelected();
+      closeModal();
+    });
+    openModal(h("div", { class: "col", id: "file-picker" },
+      h("div", { class: "row" },
+        h("h2", {}, t("build.pickFiles")), h("div", { class: "spacer" }),
+        h("button", { class: "ghost", onclick: closeModal }, "✕")),
+      h("div", { class: "row" }, search, h("label", { class: "dim row" }, allOnPage, " page"), prevB, pager, nextB),
+      listBox,
+      h("div", { class: "row" }, count, h("div", { class: "spacer" }), okBtn)));
+    renderList();
+  }
+  pickBtn.addEventListener("click", openFilePicker);
+
   const inlineId = h("input", { placeholder: "doc id" });
   const inlineText = h("textarea", { placeholder: t("build.inline"), rows: "4", style: "width:100%" });
   const rebuild = h("input", { type: "checkbox" });
@@ -159,8 +245,7 @@ async function renderBuildTab(root, name) {
   }
 
   runBtn.addEventListener("click", guard(async () => {
-    const selected = [...root.querySelectorAll("input[type=checkbox][value]")]
-      .filter((c) => c.checked).map((c) => c.value);
+    const selected = [...selectedFiles];
     const docs = [];
     if (inlineText.value.trim()) {
       docs.push({ id: inlineId.value.trim() || `inline-${Date.now()}`, content: inlineText.value });
@@ -197,8 +282,7 @@ async function renderBuildTab(root, name) {
   const saveCfgBtn = h("button", {}, t("build.saveConfig"));
   const fromCfgBtn = h("button", {}, t("build.fromConfig"));
   saveCfgBtn.addEventListener("click", guard(async () => {
-    const selected = [...root.querySelectorAll("input[type=checkbox][value]")]
-      .filter((c) => c.checked).map((c) => c.value);
+    const selected = [...selectedFiles];
     const r = await api(`/api/knowledge-bases/${name}/config`, {
       method: "PUT", body: JSON.stringify({ sources: { files: selected } }),
     });
@@ -215,8 +299,11 @@ async function renderBuildTab(root, name) {
     await refreshLogs();
   }));
   api(`/api/knowledge-bases/${name}/config`).then((c) => {
-    const n = (c.sources.files || []).length;
-    if (n) cfgInfo.textContent = `config: ${n} files declared`;
+    const declared = c.sources.files || [];
+    if (declared.length) cfgInfo.textContent = `config: ${declared.length} files declared`;
+    // pre-select the declared sources so build/save start from the config
+    for (const n of declared) selectedFiles.add(n);
+    renderSelected();
   }).catch(() => {});
 
   // QA file validation + attach (ref selectedQAFiles + validate_qa_file)
@@ -273,8 +360,8 @@ async function renderBuildTab(root, name) {
 
   root.appendChild(h("div", { class: "col" },
     h("div", { class: "card" },
-      h("h3", {}, t("build.files")),
-      fileChecks.length ? h("div", { class: "col" }, fileChecks)
+      h("div", { class: "row" }, h("h3", {}, t("build.files")), pickBtn, selectedHead),
+      files.files.length ? selectedBox
         : h("div", { class: "dim" }, "(upload files in the Files tab first)"),
       h("h3", {}, t("build.inline")),
       h("div", { class: "row" }, inlineId),
