@@ -151,3 +151,18 @@ def test_kb_file_picker_contract():
         "build/save must read the selection set, not scrape tab checkboxes"
     # declared config sources pre-populate the selection
     assert re.search(r"for \(const n of declared\) selectedFiles\.add\(n\)", kb)
+
+
+def test_agent_kb_gate_contract():
+    """Agents whose catalog entry declares requires_kb gate the send button
+    until a KB is picked (ref chat.js AGENT_KB_REQUIREMENTS:11-72), and the
+    catalog route actually ships the flag."""
+    from youtu_rag_tpu.api.app import agent_catalog
+
+    cat = {a["name"]: a for a in agent_catalog()}
+    assert cat["kb_search"]["requires_kb"] is True
+    assert cat["text2sql"]["requires_kb"] is True
+    chat = (STATIC / "views" / "chat.js").read_text()
+    assert "requires_kb" in chat and "updateSendGate" in chat
+    # IME guard: Enter mid-composition must not submit
+    assert "compositionstart" in chat and "isComposing" in chat

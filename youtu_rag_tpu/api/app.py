@@ -848,6 +848,7 @@ _BUILTIN_AGENT_CATALOG = [
         "description": "Knowledge-base retrieval agent: searches the KB index, "
         "reranks, answers from retrieved context. Best for factual questions "
         "answerable from indexed documents.",
+        "requires_kb": True,
     },
     {
         "name": "orchestra",
@@ -860,6 +861,7 @@ _BUILTIN_AGENT_CATALOG = [
         "type": "orchestra_react_sql",
         "description": "SQL analysis over structured/tabular KB data (counts, "
         "aggregates, filters over imported tables).",
+        "requires_kb": True,
     },
 ]
 
@@ -891,6 +893,9 @@ def _frontend_agents_config() -> dict:
                 "type": str(a.get("type", "simple")),
                 "description": str(a.get("description", "")).strip(),
                 "icon": a.get("icon", ""),
+                # UI send-gate: this agent needs a knowledge base selected
+                # (ref chat.js AGENT_KB_REQUIREMENTS)
+                "requires_kb": bool(a.get("requires_kb", False)),
             }
             for a in doc.get("agents", [])
             if isinstance(a, dict) and a.get("name")

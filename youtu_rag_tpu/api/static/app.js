@@ -46,6 +46,7 @@ const I18N = {
     "chat.kb": "Knowledge base", "chat.agent": "Agent", "chat.memory": "Memory",
     "chat.clear": "Clear conversation", "chat.retry": "Retry",
     "chat.stop": "■ stop", "chat.stopped": "⚠ stopped by user",
+    "chat.needKb": "this agent needs a knowledge base — pick one above",
     "models.embed_title": "Embedding tester", "models.embed_btn": "Embed",
     "models.embed_ph": "one text per line…",
     "models.rerank_title": "Reranker tester", "models.rerank_btn": "Rerank",
@@ -85,6 +86,7 @@ const I18N = {
     "chat.kb": "知识库", "chat.agent": "智能体", "chat.memory": "记忆",
     "chat.clear": "清空对话", "chat.retry": "重试",
     "chat.stop": "■ 停止", "chat.stopped": "⚠ 已被用户中止",
+    "chat.needKb": "该智能体需要知识库 — 请在上方选择",
     "models.embed_title": "向量化测试", "models.embed_btn": "生成向量",
     "models.embed_ph": "每行一段文本…",
     "models.rerank_title": "重排测试", "models.rerank_btn": "重排",

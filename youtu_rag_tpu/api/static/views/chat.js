@@ -53,7 +53,7 @@ export async function renderChat(view) {
   }));
   const side = h("div", { class: "chat-side col" },
     h("div", { class: "card col" },
-      h("h3", {}, t("chat.kb")), kbSel,
+      h("h3", {}, t("chat.kb")), kbSel, kbHint,
       h("h3", {}, t("chat.agent")), agentSel,
       h("label", { class: "dim" }, autoToggle, " auto-select"),
       h("h3", {}, t("chat.memory")),
@@ -69,10 +69,29 @@ export async function renderChat(view) {
 
   const ctx = { log, kbSel, fileBox, autoToggle, sidebar, hist: loadHistory(), abort: null };
 
-  const form = h("form", { id: "composer" }, input, sendBtn, stopBtn);
+  // run elapsed-time display (ref chat.js startTotalTimeTimer)
+  const runTimer = h("span", { class: "dim run-timer" });
+  // KB send-gate hint (ref chat.js AGENT_KB_REQUIREMENTS/updateKbSelectorHint)
+  const kbHint = h("span", { class: "dim kb-hint" });
+
+  const form = h("form", { id: "composer" }, input, sendBtn, stopBtn, runTimer);
   stopBtn.addEventListener("click", () => {
     if (ctx.abort) ctx.abort.abort();
   });
+
+  // IME composition guard (ref chat.js handleCompositionStart/End +
+  // handleChatInputKeydown): Enter mid-composition commits the candidate,
+  // it must not submit the form.
+  let composing = false;
+  input.addEventListener("compositionstart", () => { composing = true; });
+  input.addEventListener("compositionend", () => { composing = false; });
+  input.addEventListener("keydown", (ev) => {
+    if (ev.key === "Enter" && (composing || ev.isComposing)) {
+      ev.preventDefault();
+      ev.stopPropagation();
+    }
+  });
+
   form.addEventListener("submit", guard(async (ev) => {
     ev.preventDefault();
     const q = input.value.trim();
@@ -80,14 +99,32 @@ export async function renderChat(view) {
     input.value = "";
     stopBtn.style.display = "";
     sendBtn.disabled = true;
+    const t0 = Date.now();
+    runTimer.textContent = "0.0s";
+    const tick = setInterval(() => {
+      runTimer.textContent = `${((Date.now() - t0) / 1000).toFixed(1)}s`;
+    }, 250);
     try {
       await send(ctx, q);
     } finally {
+      clearInterval(tick);
+      runTimer.textContent = `done in ${((Date.now() - t0) / 1000).toFixed(1)}s`;
       stopBtn.style.display = "none";
       sendBtn.disabled = false;
+      updateSendGate();
       ctx.abort = null;
     }
   }));
+
+  // agents whose catalog entry declares requires_kb can't run without a
+  // selected knowledge base — disable send + explain (ref chat.js
+  // updateSendButtonState:39-72)
+  let kbRequiredTypes = new Set();
+  function updateSendGate() {
+    const needsKb = kbRequiredTypes.has(agentSel.value) && !kbSel.value;
+    sendBtn.disabled = needsKb;
+    kbHint.textContent = needsKb ? t("chat.needKb") : "";
+  }
 
   clearBtn.addEventListener("click", () => {
     ctx.hist = [];
@@ -120,12 +157,17 @@ export async function renderChat(view) {
   kbSel.addEventListener("change", () => {
     state.kb = kbSel.value;
     localStorage.setItem("yrt-kb", state.kb);
+    updateSendGate();
   });
   for (const a of agents.available_types) agentSel.appendChild(h("option", {}, a));
   agentSel.value = agents.current.type;
+  kbRequiredTypes = new Set((agents.catalog || [])
+    .filter((a) => a.requires_kb).map((a) => a.type));
+  updateSendGate();
   agentSel.addEventListener("change", guard(async () => {
     await api("/api/agents/switch", { method: "POST", body: JSON.stringify({ type: agentSel.value }) });
     toast(`agent → ${agentSel.value}`, "ok");
+    updateSendGate();
   }));
   memToggle.checked = !!mem.memoryEnabled;
   memToggle.addEventListener("change", guard(async () => {
