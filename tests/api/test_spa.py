@@ -166,3 +166,26 @@ def test_agent_kb_gate_contract():
     assert "requires_kb" in chat and "updateSendGate" in chat
     # IME guard: Enter mid-composition must not submit
     assert "compositionstart" in chat and "isComposing" in chat
+
+
+class KbCreateOptionsTest(AsyncHTTPTestCase):
+    """The create modal's fields land in the KB: description (top-level
+    sugar) and storage tier (config override) round-trip through stats."""
+
+    def get_app(self):
+        import tempfile
+
+        rag = RAGConfig(vector_store=VectorStoreConfig(index=IndexConfig(min_capacity=256, block_rows=128)))
+        self.state = ApiState(data_dir=tempfile.mkdtemp(prefix="yrt-spa3-"), rag_config=rag)
+        return create_app(self.state)
+
+    def test_description_and_tier_roundtrip(self):
+        r = self.fetch("/api/knowledge-bases", method="POST", body=json.dumps({
+            "name": "opts", "description": "contract corpus",
+            "config": {"vector_store": {"index": {
+                "storage_dtype": "int8", "min_capacity": 256, "block_rows": 128}}},
+        }))
+        assert r.code == 201, r.body
+        out = json.loads(self.fetch("/api/knowledge-bases/opts").body)
+        assert out["description"] == "contract corpus"
+        assert out["storage_dtype"] == "int8"

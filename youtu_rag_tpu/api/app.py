@@ -366,6 +366,11 @@ class KBCollectionHandler(BaseHandler):
         if self.state.kbs.get(name) is not None:
             raise tornado.web.HTTPError(409, reason=f"knowledge base {name!r} exists")
         cfg = None
+        # top-level description is sugar for a config override (ref:
+        # create-KB modal fields in rag_webui's knowledge-base.js)
+        if body.get("description"):
+            body.setdefault("config", {})
+            body["config"].setdefault("description", str(body["description"]))
         if body.get("config"):
             # per-KB config overrides (ref analog: per-KB YAML configs,
             # kb_config_routes.py) — e.g. {"knowledge_builder": {"embedding":

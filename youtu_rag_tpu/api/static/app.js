@@ -21,6 +21,8 @@ const I18N = {
     "traj.detail": "Run detail", "traj.input": "input", "traj.output": "output",
     "traj.tools": "tool calls", "traj.refresh": "Refresh",
     "kb.create": "Create", "kb.name": "new knowledge base name",
+    "kb.desc": "description (optional)", "kb.tier": "storage tier",
+    "kb.search": "search knowledge bases…",
     "kb.none": "No knowledge bases yet — create one.",
     "kb.delete": "Delete", "kb.chunks": "chunks", "kb.backend": "backend",
     "kb.build": "Build", "kb.browse": "Chunks", "kb.qa": "QA", "kb.index": "Index",
@@ -63,6 +65,8 @@ const I18N = {
     "tab.trajectories": "运行记录", "tab.models": "模型", "traj.detail": "运行详情", "traj.input": "输入",
     "traj.output": "输出", "traj.tools": "工具调用", "traj.refresh": "刷新",
     "kb.create": "创建", "kb.name": "新知识库名称", "kb.none": "暂无知识库 — 创建一个。",
+    "kb.desc": "描述（可选）", "kb.tier": "存储精度",
+    "kb.search": "搜索知识库…",
     "kb.delete": "删除", "kb.chunks": "分块", "kb.backend": "后端",
     "kb.build": "构建", "kb.browse": "分块", "kb.qa": "问答", "kb.index": "索引",
     "kb.meta": "元数据", "kb.snapshot": "快照", "kb.query": "检索",

@@ -18,35 +18,91 @@ export async function renderKb(view, hash) {
 
 async function renderKbList(view) {
   const data = await api("/api/knowledge-bases");
-  const nameInput = h("input", { placeholder: t("kb.name") });
-  const createBtn = h("button", { class: "primary" }, t("kb.create"));
-  createBtn.addEventListener("click", guard(async () => {
-    const name = nameInput.value.trim();
-    if (!name) return;
-    await api("/api/knowledge-bases", { method: "POST", body: JSON.stringify({ name }) });
-    location.hash = `#/kb/${encodeURIComponent(name)}`;
-  }));
 
-  const cards = data.knowledge_bases.map((kb) => {
-    const del = h("button", { class: "danger ghost" }, "✕");
-    del.addEventListener("click", guard(async (ev) => {
-      ev.stopPropagation();
-      if (!confirm(`delete knowledge base ${kb.name}?`)) return;
-      await api(`/api/knowledge-bases/${kb.name}`, { method: "DELETE" });
-      renderKb(view.parentElement ? view : view, "#/kb");
-      location.reload();
+  // Create modal with the advanced knobs the API accepts as per-KB config
+  // overrides (ref knowledge-base.js create/edit modal: name, description,
+  // engine options): storage tier → vector_store.index.storage_dtype,
+  // dense/lexical fusion weight → retriever.hybrid_alpha.
+  function openCreateModal() {
+    const nameIn = h("input", { placeholder: t("kb.name") });
+    const descIn = h("textarea", { rows: "2", placeholder: t("kb.desc"), style: "width:100%" });
+    const tierSel = h("select", {},
+      h("option", { value: "" }, "bfloat16 (default)"),
+      h("option", { value: "int8" }, "int8 — 2× QPS"),
+      h("option", { value: "int4" }, "int4 — 3× QPS, two-stage re-rank"));
+    const alphaIn = h("input", { type: "number", min: "0", max: "1", step: "0.05", value: "0.5", style: "width:90px" });
+    const okBtn = h("button", { class: "primary" }, t("kb.create"));
+    const err = h("div", { class: "pwin-error" });
+    okBtn.addEventListener("click", guard(async () => {
+      const name = nameIn.value.trim();
+      if (!name) { err.textContent = "name required"; return; }
+      const body = { name };
+      if (descIn.value.trim()) body.description = descIn.value.trim();
+      const config = {};
+      if (tierSel.value) config.vector_store = { index: { storage_dtype: tierSel.value } };
+      const alpha = parseFloat(alphaIn.value);
+      if (!Number.isNaN(alpha) && alpha !== 0.5) config.retriever = { hybrid_alpha: alpha };
+      if (Object.keys(config).length) body.config = config;
+      try {
+        await api("/api/knowledge-bases", { method: "POST", body: JSON.stringify(body) });
+      } catch (e) {
+        err.textContent = String(e.message || e);
+        return;
+      }
+      closeModal();
+      location.hash = `#/kb/${encodeURIComponent(name)}`;
     }));
-    const card = h("div", { class: "card clickable" },
-      h("div", { class: "row" }, h("h2", {}, kb.name), h("div", { class: "spacer" }), del),
-      h("div", { class: "dim" }, `${kb.chunks} ${t("kb.chunks")} · ${t("kb.backend")}: ${kb.backend}`),
-      h("div", { class: "dim" }, `embedder: ${kb.embedder}`));
-    card.addEventListener("click", () => { location.hash = `#/kb/${encodeURIComponent(kb.name)}`; });
-    return card;
-  });
+    openModal(h("div", { class: "col", id: "kb-create" },
+      h("div", { class: "row" },
+        h("h2", {}, t("kb.create")), h("div", { class: "spacer" }),
+        h("button", { class: "ghost", onclick: closeModal }, "✕")),
+      nameIn, descIn,
+      h("div", { class: "row" },
+        h("label", { class: "dim" }, `${t("kb.tier")} `, tierSel),
+        h("label", { class: "dim" }, "hybrid α ", alphaIn)),
+      err,
+      h("div", { class: "row" }, h("div", { class: "spacer" }), okBtn)));
+    nameIn.focus();
+  }
+
+  const createBtn = h("button", { class: "primary" }, `+ ${t("kb.create")}`);
+  createBtn.addEventListener("click", openCreateModal);
+  const searchIn = h("input", { placeholder: t("kb.search"), style: "flex:1" });
+  const grid = h("div", { class: "grid" });
+
+  function renderCards() {
+    const q = searchIn.value.trim().toLowerCase();
+    const kbs = data.knowledge_bases.filter((kb) =>
+      !q || kb.name.toLowerCase().includes(q) ||
+      (kb.description || "").toLowerCase().includes(q));
+    grid.innerHTML = "";
+    for (const kb of kbs) {
+      const del = h("button", { class: "danger ghost" }, "✕");
+      del.addEventListener("click", guard(async (ev) => {
+        ev.stopPropagation();
+        if (!confirm(`delete knowledge base ${kb.name}?`)) return;
+        await api(`/api/knowledge-bases/${kb.name}`, { method: "DELETE" });
+        location.reload();
+      }));
+      const badges = [h("span", { class: "badge" }, kb.backend)];
+      if (kb.storage_dtype && kb.storage_dtype !== "bfloat16") {
+        badges.push(h("span", { class: "badge warn" }, kb.storage_dtype));
+      }
+      const card = h("div", { class: "card clickable" },
+        h("div", { class: "row" }, h("h2", {}, kb.name), ...badges,
+          h("div", { class: "spacer" }), del),
+        kb.description ? h("div", { class: "dim" }, kb.description) : null,
+        h("div", { class: "dim" }, `${kb.chunks} ${t("kb.chunks")} · ${kb.embedder}`));
+      card.addEventListener("click", () => { location.hash = `#/kb/${encodeURIComponent(kb.name)}`; });
+      grid.appendChild(card);
+    }
+    if (!kbs.length) grid.appendChild(h("div", { class: "dim" }, t("kb.none")));
+  }
+  searchIn.addEventListener("input", renderCards);
 
   view.appendChild(h("div", { class: "col" },
-    h("div", { class: "row" }, nameInput, createBtn),
-    cards.length ? h("div", { class: "grid" }, cards) : h("div", { class: "dim" }, t("kb.none"))));
+    h("div", { class: "row" }, searchIn, createBtn), grid));
+  renderCards();
 }
 
 // ------------------------------------------------------------------ detail

@@ -244,6 +244,8 @@ class KnowledgeBase:
             "chunks": await self.store.count(),
             "backend": self.config.vector_store.backend,
             "embedder": type(self.embedder).__name__,
+            "description": self.config.description,
+            "storage_dtype": self.config.vector_store.index.storage_dtype,
         }
         if hasattr(self.embedder, "stats"):  # CoalescingEmbedder dispatch counters
             out["embedder_stats"] = dict(self.embedder.stats)
