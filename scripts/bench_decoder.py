@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Decoder (local LLM) throughput on one chip: prefill tok/s + decode tok/s.
+
+Measures the models/decoder.py runtime at GPT-2-class size (124M: L=12
+D=768 H=12 V=50304) in bf16 with random weights — throughput depends only
+on shapes/dtypes, not weight values. Prints ONE JSON line →
+``benchmarks/decoder_report.json``.
+
+Timing: the whole generation is a single jitted while_loop, so the
+two-max_new difference method cancels prefill + fixed RPC:
+  decode_ms_per_token = (T(max_new=N) − T(max_new=N/2)) / (N/2)
+with np.asarray barriers (CLAUDE.md: axon block_until_ready unreliable).
+Prefill is timed by the two-length scan difference over the teacher-forced
+forward at T=512.
+
+Ref slot: the reference's LLM is an external HTTP service — no local
+number exists to compare; the baseline column reports the same decoder on
+host CPU (numpy-free torch-free JAX CPU path) scaled from a short run.
+"""
+
+import json
+import sys
+import time
+
+
+def main() -> None:
+    from youtu_rag_tpu.utils.devices import resolve_backend
+
+    platform = resolve_backend()
+    degraded = platform not in ("tpu", "axon")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from youtu_rag_tpu.models.decoder import (
+        DecoderConfig,
+        generate,
+        init_decoder_params,
+        left_pad_batch,
+    )
+
+    cfg = DecoderConfig(
+        vocab_size=50304,  # gpt2 vocab rounded up to a 128 multiple (MXU tiling)
+        d_model=768,
+        n_layers=12,
+        n_heads=12,
+        n_kv_heads=12,
+        d_ff=3072,
+        max_len=1024,
+        arch="gpt2",
+        dtype=jnp.bfloat16,
+        eos_token_id=50255,  # random weights never emit it: full-length runs
+    )
+    if degraded:
+        cfg = DecoderConfig(
+            vocab_size=50304, d_model=256, n_layers=4, n_heads=4, n_kv_heads=4,
+            d_ff=1024, max_len=512, arch="gpt2", dtype=jnp.bfloat16,
+            eos_token_id=50255,
+        )
+    params = jax.device_put(init_decoder_params(cfg, seed=0))
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+    def timed(fn, *args, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            _ = np.asarray(jax.tree.leaves(out)[0])[..., :1]
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    report = {"platform": "tpu" if not degraded else "cpu-fallback",
+              "params": n_params, "arch": cfg.arch, "dtype": "bf16"}
+
+    # ---- prefill: teacher-forced forward at T=512 ------------------------
+    bsz_pf, t_pf = (8, 512) if not degraded else (2, 128)
+    toks = jax.random.randint(jax.random.PRNGKey(0), (bsz_pf, t_pf), 0, 50000)
+    mask = jnp.ones((bsz_pf, t_pf), jnp.float32)
+
+    from functools import partial
+
+    from youtu_rag_tpu.models.decoder import init_cache, prefill
+
+    # params is a jit ARGUMENT (a closed-over device array would become a
+    # compile-time constant — CLAUDE.md), scan length is static per compile.
+    # The cache sum keeps the K/V writes alive against DCE.
+    @partial(jax.jit, static_argnames=("n",))
+    def pf_n(params, toks, mask, n):
+        def body(c, _):
+            cache = init_cache(cfg, toks.shape[0], toks.shape[1])
+            logits, cache = prefill(params, toks, mask, cache, cfg)
+            return c + logits[:, :1].sum() + cache["k"].astype(jnp.float32).sum(), None
+        return jax.lax.scan(body, jnp.float32(0), None, length=n)[0]
+
+    pf1 = partial(pf_n, n=1)
+    pf5 = partial(pf_n, n=5)
+    _ = np.asarray(pf1(params, toks, mask)); _ = np.asarray(pf5(params, toks, mask))
+    dt = (timed(pf5, params, toks, mask) - timed(pf1, params, toks, mask)) / 4
+    report["prefill"] = {
+        "batch": bsz_pf, "seqlen": t_pf,
+        "ms": round(dt * 1e3, 2),
+        "tokens_per_s": int(bsz_pf * t_pf / dt),
+    }
+    print(f"prefill {report['prefill']}", file=sys.stderr, flush=True)
+
+    # ---- decode: generate at two lengths, difference ---------------------
+    decode = {}
+    n_hi, n_lo = (256, 128) if not degraded else (32, 16)
+    for bsz in ((1, 8, 32) if not degraded else (1, 4)):
+        prompt, pmask = left_pad_batch([[1, 2, 3, 4]] * bsz, pad_id=0)
+        key = jax.random.PRNGKey(1)
+
+        def gen(n, prompt=prompt, pmask=pmask, key=key):
+            return generate(params, jnp.asarray(prompt), jnp.asarray(pmask),
+                            key, cfg=cfg, max_new_tokens=n)[0]
+
+        _ = np.asarray(gen(n_lo)); _ = np.asarray(gen(n_hi))  # compile both
+        dt = (timed(gen, n_hi) - timed(gen, n_lo)) / (n_hi - n_lo)
+        decode[f"batch{bsz}"] = {
+            "ms_per_step": round(dt * 1e3, 3),
+            "tokens_per_s": int(bsz / dt),
+        }
+        print(f"decode b={bsz}: {decode[f'batch{bsz}']}", file=sys.stderr, flush=True)
+    report["decode"] = decode
+
+    # HBM roofline context: each decode step reads every param byte once
+    # (bf16) — the bandwidth-bound floor for batch 1.
+    step_gb = 2 * n_params / 1e9
+    b1 = decode.get("batch1", {}).get("ms_per_step")
+    if b1:
+        report["decode_hbm_gbps_b1"] = round(step_gb / (b1 / 1e3), 1)
+
+    with open("benchmarks/decoder_report.json", "w") as f:
+        json.dump(report, f)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
