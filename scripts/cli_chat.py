@@ -34,6 +34,12 @@ def parse_args():
     p.add_argument("--llm-model", default=None)
     p.add_argument("--llm-base-url", default=None)
     p.add_argument("--llm-api-key", default=None)
+    p.add_argument(
+        "--llm-weights-dir", default=None,
+        help="serve a LOCAL causal-LM checkpoint dir (config.json + "
+        "model.safetensors + tokenizer.json; gpt2/llama/mistral/qwen2 "
+        "layouts) on the TPU instead of a remote LLM service",
+    )
     p.add_argument("--hybrid", action="store_true", help="dense+BM25 RRF fusion retrieval")
     return p.parse_args()
 
@@ -75,10 +81,14 @@ async def main() -> None:
     print(f"built: {status.total_chunks} chunks from {status.processed_documents} docs "
           f"({len(status.errors)} errors)")
 
-    model = ModelConfig(
-        model=args.llm_model, base_url=args.llm_base_url, api_key=args.llm_api_key
-    ).resolved()
-    has_llm = bool(model.model and model.base_url)
+    if args.llm_weights_dir:
+        model = ModelConfig(provider="local", weights_dir=args.llm_weights_dir)
+        has_llm = True
+    else:
+        model = ModelConfig(
+            model=args.llm_model, base_url=args.llm_base_url, api_key=args.llm_api_key
+        ).resolved()
+        has_llm = bool(model.model and model.base_url)
 
     agent = None
     if has_llm:
@@ -90,7 +100,8 @@ async def main() -> None:
         )
         agent = SimpleAgent(acfg, toolkits=[toolkit])
         await agent.build()
-        print("LLM connected — agentic mode. Ctrl-D to exit.")
+        where = "local TPU decoder" if args.llm_weights_dir else "remote LLM"
+        print(f"LLM connected ({where}) — agentic mode. Ctrl-D to exit.")
     else:
         print("no LLM configured — retrieval-only mode. Ctrl-D to exit.")
 

@@ -23,6 +23,10 @@ class ModelConfig(ConfigBase):
     """Flattened model provider+params (ref splits provider/settings/params)."""
 
     type: Literal["chat.completions", "responses"] = "chat.completions"
+    # "remote" = OpenAI-compatible HTTP (the reference's only mode);
+    # "local"  = in-process TPU decoder (agents/local_llm.py) serving the
+    #            causal-LM checkpoint at weights_dir
+    provider: Literal["remote", "local"] = "remote"
     model: str | None = None
     base_url: str | None = None
     api_key: str | None = None
@@ -30,6 +34,10 @@ class ModelConfig(ConfigBase):
     top_p: float | None = None
     max_tokens: int | None = None
     parallel_tool_calls: bool | None = None
+    # provider "local": directory with config.json + model.safetensors +
+    # tokenizer.json (HF export of a gpt2/llama/mistral/qwen2 model)
+    weights_dir: str | None = None
+    chat_template: str | None = None  # plain | chatml | llama (auto if None)
 
     def resolved(self) -> "ModelConfig":
         return self.model_copy(

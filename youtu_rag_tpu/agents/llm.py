@@ -309,6 +309,24 @@ class FakeChatClient(BaseChatClient):
         return self.text_response(f"echo: {last_user}")
 
 
+def _local_client(weights_dir, template, max_tokens, temperature):
+    """provider "local": in-process TPU decoder, auto-wrapped for tool
+    calling (local checkpoints have no native function-call API — the
+    tools-as-text adaptation is exactly the reference's ReactModel slot,
+    utu/models/react.py:34)."""
+    from .local_llm import LocalChatClient
+    from .react import ReactChatClient
+
+    return ReactChatClient(
+        LocalChatClient(
+            weights_dir=weights_dir,
+            template=template,
+            max_new_tokens=int(max_tokens or 256),
+            temperature=float(temperature or 0.0),
+        )
+    )
+
+
 def get_chat_client(config: Any | None = None) -> BaseChatClient:
     """Build a client from ModelConfig / dict / env (ref: the reference
     asserts UTU_LLM_* env at import, utu/__init__.py:8 — here env is read
@@ -318,7 +336,22 @@ def get_chat_client(config: Any | None = None) -> BaseChatClient:
     if isinstance(config, BaseChatClient):
         return config
     if isinstance(config, dict):
+        if config.get("provider") == "local" or config.get("weights_dir"):
+            return _local_client(
+                config.get("weights_dir"),
+                config.get("chat_template"),
+                config.get("max_tokens"),
+                config.get("temperature"),
+            )
+        config = {k: v for k, v in config.items() if k not in ("provider",)}
         return OpenAIChatClient(**config)
+    if getattr(config, "provider", None) == "local":
+        return _local_client(
+            getattr(config, "weights_dir", None),
+            getattr(config, "chat_template", None),
+            getattr(config, "max_tokens", None),
+            getattr(config, "temperature", None),
+        )
     return OpenAIChatClient(
         model=getattr(config, "model", None),
         base_url=getattr(config, "base_url", None),
