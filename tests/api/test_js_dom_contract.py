@@ -92,3 +92,25 @@ def test_router_targets_are_exported_render_fns():
             f"{imports[fn]} must export `{fn}(view, …)` — the router calls "
             "render(view, hash)"
         )
+
+
+def test_spa_fetch_targets_resolve_to_routes():
+    """Every fetch/api() URL in the views must match a route pattern in
+    app.py (catches typo'd endpoints — runtime 404s a JS engine would
+    surface, checked statically instead)."""
+    app_py = (Path(__file__).parents[2] / "youtu_rag_tpu" / "api" / "app.py").read_text()
+    routes = re.findall(r'\(r"(/[^"]+)"', app_py)
+    patterns = [re.compile(re.sub(r"\([^)]*\)", "[^/]+", r.rstrip("$")) + r"(\?.*)?$")
+                for r in routes]
+
+    missing = []
+    for f in JS_FILES:
+        for line_no, line in enumerate(f.read_text().splitlines(), 1):
+            for m in re.finditer(r'(?:\bapi|\bfetch)\(\s*[`"](/[^`"]*)', line):
+                url = m.group(1)
+                # template params → a literal placeholder segment
+                url = re.sub(r"\$\{[^}]*\}", "X", url)
+                url = url.split("?")[0]
+                if not any(p.fullmatch(url) or p.match(url) for p in patterns):
+                    missing.append(f"{f.name}:{line_no} {m.group(1)}")
+    assert not missing, f"SPA fetches unmatched by any app.py route: {missing}"

@@ -20,6 +20,7 @@ Route surface parity:
   POST /api/embedding/embed, POST /api/reranker/rerank
   GET  /api/monitor/health, /api/monitor/metrics
   GET/POST /api/memory/config            runtime toggle (routes/memory.py:16-58)
+  GET/POST/DELETE /api/memory/items      memory browser (list/search/add/delete)
   GET  /api/agents, POST /api/agents/switch
 """
 
@@ -1629,6 +1630,98 @@ class MemoryConfigHandler(BaseHandler):
         self.write_json({"memoryEnabled": enabled})
 
 
+def _memory_node_json(node, score: float | None = None) -> dict:
+    d = {
+        "id": node.id,
+        "user_id": node.user_id,
+        "memory_type": node.memory_type,
+        "content": node.content,
+        "importance": node.importance,
+        "created_at": node.created_at,
+        "session_id": node.session_id,
+        "use_count": node.use_count,
+        "success_rate": round(node.success_rate, 3),
+        "metadata": node.metadata,
+    }
+    if score is not None:
+        d["score"] = round(float(score), 4)
+    return d
+
+
+class MemoryItemsHandler(BaseHandler):
+    """Memory browser: list / semantic-search / delete memories.
+
+    Management surface over the memory plane — the reference only reaches
+    memories through agent retrieval and an offline export script
+    (``tests/rag/export_memory_data.py``); the SPA Memory tab needs
+    first-class routes."""
+
+    def _toolkit(self):
+        if self.state.memory_toolkit is None:
+            from ..memory.toolkit import VectorMemoryToolkit
+
+            self.state.memory_toolkit = VectorMemoryToolkit({})
+        return self.state.memory_toolkit
+
+    async def get(self):
+        tk = self._toolkit()
+        q = self.get_argument("q", "").strip()
+        types_arg = self.get_argument("types", "").strip()
+        types = [t for t in types_arg.split(",") if t] or None
+        limit = max(1, min(int(self.get_argument("limit", "50")), 500))
+        offset = max(0, int(self.get_argument("offset", "0")))
+        user_id = self.get_argument("user_id", tk.user_id)
+        if q:
+            hits = await tk.store.search_memories(
+                user_id, q, memory_types=types, top_k=limit
+            )
+            items = [_memory_node_json(n, s) for n, s in hits]
+            total = len(items)
+        else:
+            nodes, total = tk.store.list_nodes(
+                user_id=user_id, memory_types=types, limit=limit, offset=offset
+            )
+            items = [_memory_node_json(n) for n in nodes]
+        self.write_json(
+            {"items": items, "total": total,
+             "stats": tk.store.stats(user_id), "user_id": user_id}
+        )
+
+    async def post(self):
+        tk = self._toolkit()
+        body = self.json_body()
+        content = (body.get("content") or "").strip()
+        memory_type = body.get("memory_type") or "semantic"
+        if not content:
+            self.write_json({"error": "content is required"}, status=400)
+            return
+        from ..memory.store import MEMORY_TYPES
+
+        if memory_type not in MEMORY_TYPES:
+            self.write_json(
+                {"error": f"memory_type must be one of {list(MEMORY_TYPES)}"},
+                status=400,
+            )
+            return
+        msg = await tk.add_memory(
+            content,
+            memory_type=memory_type,
+            importance=float(body.get("importance", 0.5)),
+        )
+        self.write_json({"result": msg})
+
+    async def delete(self):
+        tk = self._toolkit()
+        ids = self.json_body().get("ids") or []
+        if not isinstance(ids, list) or not all(isinstance(i, str) for i in ids):
+            self.write_json({"error": "ids must be a list of strings"}, status=400)
+            return
+        n = await tk.store.delete(ids)
+        if tk.persist_path:
+            tk.store.save(tk.persist_path)
+        self.write_json({"deleted": n})
+
+
 class AgentsHandler(BaseHandler):
     async def get(self):
         self.write_json(
@@ -1816,6 +1909,7 @@ def create_app(state: ApiState | None = None) -> tornado.web.Application:
             (r"/api/monitor/health", MonitorHealthHandler),
             (r"/api/monitor/metrics", MonitorMetricsHandler),
             (r"/api/memory/config", MemoryConfigHandler),
+            (r"/api/memory/items", MemoryItemsHandler),
             (r"/api/agents", AgentsHandler),
             (r"/api/agents/switch", AgentSwitchHandler),
         ],

@@ -7,6 +7,7 @@ import { renderFiles } from "./views/files.js";
 import { renderMonitor } from "./views/monitor.js";
 import { renderTrajectories } from "./views/trajectories.js";
 import { renderModels } from "./views/models.js";
+import { renderMemory } from "./views/memory.js";
 
 export const state = {
   lang: localStorage.getItem("yrt-lang") || "en",
@@ -18,6 +19,13 @@ const I18N = {
   en: {
     "tab.chat": "Chat", "tab.kb": "Knowledge Bases", "tab.files": "Files",
     "tab.monitor": "Monitor", "tab.trajectories": "Runs", "tab.models": "Models",
+    "tab.memory": "Memory",
+    "mem.search": "semantic search across memories…",
+    "mem.batchDelete": "Delete selected", "mem.total": "total",
+    "mem.none": "No memories yet — chat with memory enabled, or add one below.",
+    "mem.content": "content", "mem.signals": "signals",
+    "mem.add": "Store memory", "mem.add.title": "Add a memory",
+    "mem.add.ph": "memory text…",
     "traj.detail": "Run detail", "traj.input": "input", "traj.output": "output",
     "traj.tools": "tool calls", "traj.refresh": "Refresh",
     "kb.create": "Create", "kb.name": "new knowledge base name",
@@ -62,7 +70,14 @@ const I18N = {
   },
   zh: {
     "tab.chat": "对话", "tab.kb": "知识库", "tab.files": "文件", "tab.monitor": "监控",
-    "tab.trajectories": "运行记录", "tab.models": "模型", "traj.detail": "运行详情", "traj.input": "输入",
+    "tab.trajectories": "运行记录", "tab.models": "模型", "tab.memory": "记忆",
+    "mem.search": "语义搜索记忆…",
+    "mem.batchDelete": "删除所选", "mem.total": "总数",
+    "mem.none": "暂无记忆 — 开启记忆后对话，或在下方手动添加。",
+    "mem.content": "内容", "mem.signals": "指标",
+    "mem.add": "保存记忆", "mem.add.title": "添加记忆",
+    "mem.add.ph": "记忆内容…",
+    "traj.detail": "运行详情", "traj.input": "输入",
     "traj.output": "输出", "traj.tools": "工具调用", "traj.refresh": "刷新",
     "kb.create": "创建", "kb.name": "新知识库名称", "kb.none": "暂无知识库 — 创建一个。",
     "kb.desc": "描述（可选）", "kb.tier": "存储精度",
@@ -184,6 +199,7 @@ const routes = [
   [/^#\/monitor/, renderMonitor, "monitor"],
   [/^#\/runs/, renderTrajectories, "trajectories"],
   [/^#\/models/, renderModels, "models"],
+  [/^#\/memory/, renderMemory, "memory"],
 ];
 
 async function route() {

@@ -212,6 +212,28 @@ class MemoryVectorStore:
         nodes.sort(key=lambda m: m.created_at)
         return nodes[-last_n:]
 
+    def list_nodes(
+        self,
+        user_id: str | None = None,
+        memory_types: list[str] | None = None,
+        limit: int = 100,
+        offset: int = 0,
+    ) -> tuple[list[MemoryNode], int]:
+        """Newest-first browse (no embedding) → (page, total_matching).
+
+        The management surface behind the API/SPA memory browser — the
+        reference only exposes memories through retrieval + an export
+        script (``tests/rag/export_memory_data.py``); a list view needs no
+        vector search."""
+        nodes = [
+            m
+            for m in self._nodes.values()
+            if (user_id is None or m.user_id == user_id)
+            and (memory_types is None or m.memory_type in memory_types)
+        ]
+        nodes.sort(key=lambda m: -m.created_at)
+        return nodes[offset : offset + limit], len(nodes)
+
     def stats(self, user_id: str | None = None) -> dict[str, int]:
         out = {t: 0 for t in MEMORY_TYPES}
         for m in self._nodes.values():
