@@ -19,6 +19,8 @@ import functools
 import json
 import os
 import sys
+import tempfile
+from pathlib import Path
 import time
 
 import numpy as np
@@ -66,26 +68,40 @@ def main() -> None:
     nb = N // BR
     rng = np.random.default_rng(0)
 
-    # clustered data generated host-side in chunks (int8 + per-row scales)
-    print(f"generating {N} clustered rows ...", file=sys.stderr, flush=True)
-    centers = rng.standard_normal((args.n_clusters, d), dtype=np.float32)
-    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    X8 = np.empty((N, d), np.int8)
-    scales = np.empty(N, np.float32)
-    chunk = 1 << 19
-    noise = args.spread / np.sqrt(d)
-    for i in range(0, N, chunk):
-        m = min(chunk, N - i)
-        cid = rng.integers(0, args.n_clusters, m)
-        # standard_normal(dtype=f32) avoids the float64 temporary that made
-        # generation kernel-bound (page zeroing dominated wall clock)
-        v = centers[cid] + noise * rng.standard_normal((m, d), dtype=np.float32)
-        v /= np.linalg.norm(v, axis=1, keepdims=True)
-        amax = np.maximum(np.abs(v).max(axis=1), 1e-12)
-        scales[i : i + m] = amax / 127.0
-        X8[i : i + m] = np.clip(np.round(v / (amax / 127.0)[:, None]), -127, 127)
-    queries = centers[:q] + 0.5 * noise * rng.standard_normal((q, d), dtype=np.float32)
-    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    # clustered data generated host-side in chunks (int8 + per-row scales);
+    # cached to disk — generation is ~30 min of single-core numpy at 10M
+    # rows, the cache makes re-runs (and the int4 lane) pay it once
+    cache = Path(tempfile.gettempdir()) / (
+        f"yrt_scale_{N}x{d}_c{args.n_clusters}_s{args.spread}.npz"
+    )
+    if cache.exists():
+        print(f"loading cached rows from {cache} ...", file=sys.stderr, flush=True)
+        z = np.load(cache)
+        X8, scales, queries = z["X8"], z["scales"], z["queries"]
+    else:
+        print(f"generating {N} clustered rows ...", file=sys.stderr, flush=True)
+        centers = rng.standard_normal((args.n_clusters, d), dtype=np.float32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        X8 = np.empty((N, d), np.int8)
+        scales = np.empty(N, np.float32)
+        chunk = 1 << 19
+        noise = args.spread / np.sqrt(d)
+        for i in range(0, N, chunk):
+            m = min(chunk, N - i)
+            cid = rng.integers(0, args.n_clusters, m)
+            # standard_normal(dtype=f32) avoids the float64 temporary that
+            # made generation kernel-bound (page zeroing dominated wall)
+            v = centers[cid] + noise * rng.standard_normal((m, d), dtype=np.float32)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            amax = np.maximum(np.abs(v).max(axis=1), 1e-12)
+            scales[i : i + m] = amax / 127.0
+            X8[i : i + m] = np.clip(np.round(v / (amax / 127.0)[:, None]), -127, 127)
+        queries = centers[:q] + 0.5 * noise * rng.standard_normal((q, d), dtype=np.float32)
+        queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+        try:
+            np.savez(cache, X8=X8, scales=scales, queries=queries)
+        except OSError as e:  # disk-full etc. — benchmark anyway
+            print(f"cache write failed: {e}", file=sys.stderr, flush=True)
 
     print("transferring to device ...", file=sys.stderr, flush=True)
     Xd = jax.device_put(jnp.asarray(X8))
