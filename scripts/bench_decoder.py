@@ -19,8 +19,11 @@ host CPU (numpy-free torch-free JAX CPU path) scaled from a short run.
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -58,7 +61,11 @@ def main() -> None:
             d_ff=1024, max_len=512, arch="gpt2", dtype=jnp.bfloat16,
             eos_token_id=50255,
         )
-    params = jax.device_put(init_decoder_params(cfg, seed=0))
+    from youtu_rag_tpu.models.decoder import cast_params_for_serving
+
+    # serving layout: bf16 matmul weights (f32 storage measured exactly 2x
+    # slower per decode step — decode reads every weight byte per token)
+    params = jax.device_put(cast_params_for_serving(init_decoder_params(cfg, seed=0)))
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
 
     def timed(fn, *args, reps=3):
@@ -66,7 +73,7 @@ def main() -> None:
         for _ in range(reps):
             t0 = time.perf_counter()
             out = fn(*args)
-            _ = np.asarray(jax.tree.leaves(out)[0])[..., :1]
+            _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -84,14 +91,18 @@ def main() -> None:
 
     # params is a jit ARGUMENT (a closed-over device array would become a
     # compile-time constant — CLAUDE.md), scan length is static per compile.
-    # The cache sum keeps the K/V writes alive against DCE.
+    # The cache sum keeps the K/V writes alive against DCE, and the tokens
+    # must depend on the scan index or XLA hoists the whole body out of the
+    # loop (measured: a loop-invariant body reports 0.03 ms for a 1-TFLOP
+    # prefill).
     @partial(jax.jit, static_argnames=("n",))
     def pf_n(params, toks, mask, n):
-        def body(c, _):
+        def body(c, i):
+            toks_i = (toks + i) % 50000
             cache = init_cache(cfg, toks.shape[0], toks.shape[1])
-            logits, cache = prefill(params, toks, mask, cache, cfg)
+            logits, cache = prefill(params, toks_i, mask, cache, cfg)
             return c + logits[:, :1].sum() + cache["k"].astype(jnp.float32).sum(), None
-        return jax.lax.scan(body, jnp.float32(0), None, length=n)[0]
+        return jax.lax.scan(body, jnp.float32(0), jnp.arange(n))[0]
 
     pf1 = partial(pf_n, n=1)
     pf5 = partial(pf_n, n=5)

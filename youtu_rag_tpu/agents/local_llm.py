@@ -94,7 +94,11 @@ class LocalChatClient(BaseChatClient):
             )
         import jax
 
-        self.params = jax.device_put(params)
+        from ..models.decoder import cast_params_for_serving
+
+        # decode reads every weight byte per token (HBM-bound): serve the
+        # matmul weights in bf16 — 2x fewer bytes, measured 2x ms/token
+        self.params = jax.device_put(cast_params_for_serving(params))
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.max_new_tokens = max_new_tokens
