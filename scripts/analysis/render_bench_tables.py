@@ -186,6 +186,53 @@ def _dtr_table() -> str:
     return "\n".join(lines)
 
 
+def _decoder_table() -> str:
+    rep = _load("decoder_report.json")
+    if not rep:
+        return "(report missing — run scripts/bench_decoder.py on TPU)"
+    pf = rep.get("prefill", {})
+    lines = [
+        f"{rep.get('params', 0) / 1e6:.0f}M-param {rep.get('arch')} "
+        f"({rep.get('dtype')}), one v5e chip:",
+        "",
+        "| phase | batch | ms | tokens/s |",
+        "|---|---|---|---|",
+        f"| prefill (T={pf.get('seqlen')}) | {pf.get('batch')} | "
+        f"{pf.get('ms')} | {pf.get('tokens_per_s'):,} |",
+    ]
+    for key, d in sorted(rep.get("decode", {}).items(),
+                         key=lambda kv: int(kv[0].removeprefix("batch"))):
+        b = key.removeprefix("batch")
+        lines.append(
+            f"| decode | {b} | {d['ms_per_step']} /step | {d['tokens_per_s']:,} |"
+        )
+    if rep.get("decode_hbm_gbps_b1"):
+        lines.append("")
+        lines.append(
+            f"Batch-1 decode streams {rep['decode_hbm_gbps_b1']} GB/s of "
+            "weights+cache — decode is HBM-bound; see the in-place-KV-cache "
+            "note in models/decoder.py."
+        )
+    return "\n".join(lines)
+
+
+def _chat_table() -> str:
+    rep = _load("chat_report.json")
+    if not rep:
+        return "(report missing — run scripts/bench_chat.py)"
+    return "\n".join([
+        f"{rep.get('episodes')} held-out episodes through the REAL agent "
+        "loop (SimpleAgent → ReAct → local decoder → TPU retrieval):",
+        "",
+        "| metric | value |",
+        "|---|---|",
+        f"| tool-call rate | {rep.get('tool_call_rate'):.2f} |",
+        f"| answer exact match | {rep.get('answer_exact'):.2f} |",
+        f"| latency p50 | {rep.get('latency_p50_s')} s |",
+        f"| latency p95 | {rep.get('latency_p95_s')} s |",
+    ])
+
+
 def renderers() -> dict[str, callable]:
     return {
         "quality_niah": lambda: _quality_table("niah"),
@@ -198,6 +245,8 @@ def renderers() -> dict[str, callable]:
         "scale_10m": _scale_table,
         "text2sql": _text2sql_table,
         "dtr": _dtr_table,
+        "decoder": _decoder_table,
+        "chat_e2e": _chat_table,
     }
 
 

@@ -92,12 +92,13 @@ async def main() -> None:
 
     agent = None
     if has_llm:
+        from youtu_rag_tpu.models.lm_synth import DEFAULT_KB_INSTRUCTIONS
+
         toolkit = KBSearchToolkit(ToolkitConfig(config={"kb": kb}))
         acfg = AgentConfig(model=model)
-        acfg.agent.instructions = (
-            "You are a helpful assistant. Use the kb_embedding_search tool to "
-            "look up facts from the knowledge base before answering."
-        )
+        # shared with scripts/train_chat_lm.py — the committed tiny chat LM
+        # is trained against exactly this system prompt
+        acfg.agent.instructions = DEFAULT_KB_INSTRUCTIONS
         agent = SimpleAgent(acfg, toolkits=[toolkit])
         await agent.build()
         where = "local TPU decoder" if args.llm_weights_dir else "remote LLM"

@@ -87,7 +87,8 @@ def test_episode_targets_parse_through_serving_parser():
         _, calls, final = parse_react(t1)
         assert final is None and len(calls) == 1
         assert calls[0].name == "kb_embedding_search"
-        assert json.loads(calls[0].arguments)["query"] == ep.question
+        assert json.loads(calls[0].arguments)["query"] == ep.query
+        assert ep.query.split()[-1] in ep.question  # attr keyword
         # turn 2: final answer extraction
         _, calls2, final2 = parse_react(t2)
         assert not calls2 and final2 == ep.answer

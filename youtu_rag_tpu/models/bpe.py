@@ -116,6 +116,83 @@ def _gpt2_word_split(text: str) -> list[str]:
     return out
 
 
+def train_bpe(
+    texts: list[str], vocab_size: int, specials: list[str] | None = None
+) -> "BPETokenizer":
+    """Learn byte-level BPE merges from a corpus (standard count-and-merge).
+
+    Fills the tokenizer-training slot the reference delegates to remote
+    model vendors: base vocab = the 256-entry byte alphabet, then
+    ``vocab_size - 256 - len(specials)`` highest-count adjacent-pair merges
+    over the GPT-2-pretokenized corpus. Returns a ready ``BPETokenizer``
+    whose ``save_json`` output round-trips through ``from_tokenizer_json``."""
+    specials = list(specials or ["<|endoftext|>"])
+    alphabet = list(bytes_to_unicode().values())
+    vocab: dict[str, int] = {ch: i for i, ch in enumerate(alphabet)}
+    n_merges = max(0, vocab_size - len(vocab) - len(specials))
+
+    # word frequency table in byte-alphabet space
+    freqs: dict[tuple[str, ...], int] = {}
+    enc = bytes_to_unicode()
+    for text in texts:
+        for w in _gpt2_word_split(text):
+            key = tuple(enc[b] for b in w.encode("utf-8"))
+            if key:
+                freqs[key] = freqs.get(key, 0) + 1
+
+    merges: list[tuple[str, str]] = []
+    words = {k: list(k) for k in freqs}
+    # pair counts maintained incrementally: recount only words that change
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set] = {}
+    for key, parts in words.items():
+        f = freqs[key]
+        for p in zip(parts, parts[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            pair_words.setdefault(p, set()).add(key)
+    for _ in range(n_merges):
+        if not pair_counts:
+            break
+        # deterministic argmax (count, then lexicographic) for stable vocabs
+        best = max(pair_counts.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        if pair_counts[best] < 2:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        vocab[merged] = len(vocab)
+        for key in list(pair_words.get(best, ())):
+            parts = words[key]
+            f = freqs[key]
+            for p in zip(parts, parts[1:]):
+                pair_counts[p] -= f
+                if pair_counts.get(p, 0) <= 0:
+                    pair_counts.pop(p, None)
+                ws = pair_words.get(p)
+                if ws is not None:
+                    ws.discard(key)
+            out = []
+            i = 0
+            while i < len(parts):
+                if i + 1 < len(parts) and (parts[i], parts[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(parts[i])
+                    i += 1
+            words[key] = out
+            for p in zip(out, out[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + f
+                pair_words.setdefault(p, set()).add(key)
+    added = {}
+    for s in specials:
+        added[s] = len(vocab)
+        vocab[s] = added[s]
+    eos = specials[0] if specials else None
+    return BPETokenizer(
+        vocab, merges, scheme="byte_level", added_tokens=added, eos_token=eos
+    )
+
+
 class BPETokenizer:
     """BPE encode/decode from an HF tokenizer.json / vocab+merges pair."""
 
@@ -201,6 +278,31 @@ class BPETokenizer:
                 break
         return cls(vocab, merges, scheme=scheme, added_tokens=added,
                    eos_token=eos, bos_token=bos)
+
+    def save_json(self, path) -> None:
+        """Write an HF-layout tokenizer.json that ``from_tokenizer_json``
+        (and the ``tokenizers`` wheel) reads back identically."""
+        base = {k: v for k, v in self.vocab.items() if k not in self.added}
+        doc = {
+            "version": "1.0",
+            "added_tokens": [
+                {"id": tid, "content": tok, "special": True}
+                for tok, tid in sorted(self.added.items(), key=lambda kv: kv[1])
+            ],
+            "pre_tokenizer": (
+                {"type": "ByteLevel", "add_prefix_space": False}
+                if self.scheme == "byte_level"
+                else {"type": "Metaspace"}
+            ),
+            "decoder": {"type": "ByteLevel"} if self.scheme == "byte_level" else None,
+            "model": {
+                "type": "BPE",
+                "vocab": base,
+                "merges": [f"{a} {b}" for a, b in self.ranks],
+            },
+        }
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(doc, f, ensure_ascii=False)
 
     # ------------------------------------------------------------------ bpe
 

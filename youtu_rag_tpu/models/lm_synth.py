@@ -1,0 +1,228 @@
+"""Synthetic ReAct-trajectory generator for training the local chat LM.
+
+The reference's chat quality rides on an external LLM service it never
+trains (env contract at ``utu/__init__.py:8``); the TPU build owns its
+decoder (models/decoder.py), so it also owns the data that teaches the
+decoder the agent loop. This module synthesizes knowledge-base QA episodes
+in the EXACT text format the serving stack produces:
+
+- tool schemas render through the real ``KBSearchToolkit`` →
+  ``ReactChatClient._convert_messages`` → ``render_chat("plain")`` path
+  (any drift between training and serving formats is a silent quality
+  cliff — reusing the serving code makes drift impossible);
+- observations use ``tools/kb_search._format_results``'s layout
+  (``[rank] (score 0.xxx, source f.md)\\ncontent``);
+- entities/values are random pseudo-words, so the model can only succeed
+  by COPYING from the prompt (question → Action Input query; observation
+  value → Final Answer) — the grounded-extraction skill RAG needs, not
+  memorization.
+
+Each episode yields two training samples (the two assistant completions of
+the agent loop):
+  turn 1: system+question                      → Thought/Action/Action Input
+  turn 2: … +assistant action +Observation     → Thought/Final Answer
+"""
+
+from __future__ import annotations
+
+import json
+import random
+from dataclasses import dataclass
+
+from ..agents.llm import ChatMessage, ToolCall
+
+# one fixed instruction string shared by training and the serving entry
+# points (scripts/cli_chat.py); divergence would shift the system prompt
+# the tiny model was trained against
+DEFAULT_KB_INSTRUCTIONS = (
+    "You are a helpful assistant. Use the kb_embedding_search tool to "
+    "look up facts from the knowledge base before answering."
+)
+
+THOUGHT_SEARCH = "I should look this up in the knowledge base."
+THOUGHT_ANSWER = "The observation contains the answer."
+
+_CONS = "bcdfgklmnprstvz"
+_VOWS = "aeiou"
+
+ATTRS = [
+    "color", "mass", "code", "owner", "status", "price", "origin",
+    "rank", "voltage", "length", "capacity", "model", "category", "weight",
+]
+
+_FACT_TEMPLATES = [
+    "The {attr} of {ent} is {val}.",
+    "{ent} has a {attr} of {val}.",
+    "For {ent}, the {attr} is {val}.",
+]
+
+_QUESTION_TEMPLATES = [
+    "What is the {attr} of {ent}?",
+    "what {attr} does {ent} have?",
+    "Tell me the {attr} of {ent}.",
+]
+
+
+def _word(rng: random.Random, syllables: int | None = None) -> str:
+    n = syllables or rng.randint(2, 3)
+    return "".join(rng.choice(_CONS) + rng.choice(_VOWS) for _ in range(n))
+
+
+def _entity(rng: random.Random) -> str:
+    ent = _word(rng).capitalize()
+    if rng.random() < 0.4:
+        ent += f"-{rng.randint(1, 99)}"
+    return ent
+
+
+def _value(rng: random.Random) -> str:
+    r = rng.random()
+    if r < 0.35:
+        return _word(rng)
+    if r < 0.6:  # identifier code
+        letters = "".join(rng.choice("ABCDEFGHJKLMNPQRSTUVWXYZ") for _ in range(2))
+        return f"{letters}-{rng.randint(100, 9999)}"
+    if r < 0.85:  # number + unit
+        unit = rng.choice(["kg", "mm", "volts", "units", "credits"])
+        return f"{rng.randint(2, 950)} {unit}"
+    return f"{_word(rng)} {_word(rng)}"
+
+
+@dataclass
+class Episode:
+    question: str
+    answer: str
+    gold_chunk: str
+    distractors: list[str]
+    observation: str
+    source: str
+    query: str = ""  # the tool-call query the model should emit
+
+
+def _chunk_text(rng: random.Random, facts: list[tuple[str, str, str]]) -> str:
+    lines = []
+    for ent, attr, val in facts:
+        t = rng.choice(_FACT_TEMPLATES)
+        lines.append(t.format(attr=attr, ent=ent, val=val))
+    return " ".join(lines)
+
+
+def synth_episode(rng: random.Random, top_k: int = 3, easy: bool | None = None) -> Episode:
+    """One KB-QA episode: gold fact among distractor facts/chunks.
+
+    ``easy`` episodes (30% by default — a curriculum slice that bootstraps
+    the copy circuit) use short entities/values and a gold-only
+    observation; hard ones mix same-entity and same-attr confusers."""
+    if easy is None:
+        easy = rng.random() < 0.3
+    ent = _word(rng, 1).capitalize() if easy else _entity(rng)
+    attr = rng.choice(ATTRS)
+    val = _word(rng, 1) if easy else _value(rng)
+
+    # the gold chunk holds the asked fact plus sibling facts — some about
+    # the SAME entity with other attrs, some about other entities with the
+    # SAME attr (the model must match on both to find the value)
+    facts = [(ent, attr, val)]
+    for _ in range(0 if easy else rng.randint(1, 3)):
+        if rng.random() < 0.5:
+            other = rng.choice([a for a in ATTRS if a != attr])
+            facts.append((ent, other, _value(rng)))
+        else:
+            facts.append((_entity(rng), attr, _value(rng)))
+    rng.shuffle(facts)
+    gold = _chunk_text(rng, facts)
+
+    distractors = []
+    for _ in range(0 if easy else top_k - 1):
+        dfacts = [
+            (_entity(rng), rng.choice(ATTRS), _value(rng))
+            for _ in range(rng.randint(1, 3))
+        ]
+        distractors.append(_chunk_text(rng, dfacts))
+    top_k = 1 + len(distractors)
+
+    question = rng.choice(_QUESTION_TEMPLATES).format(attr=attr, ent=ent)
+
+    # observation in tools/kb_search._format_results layout, gold at a
+    # random rank with plausibly descending scores
+    chunks = distractors[:]
+    gold_rank = rng.randint(1, top_k)
+    chunks.insert(gold_rank - 1, gold)
+    score = rng.uniform(0.45, 0.9)
+    blocks = []
+    source = f"facts_{rng.randint(0, 99):02d}.md"
+    for i, c in enumerate(chunks):
+        src = source if i == gold_rank - 1 else f"facts_{rng.randint(0, 99):02d}.md"
+        blocks.append(f"[{i + 1}] (score {score:.3f}, source {src})\n{c}")
+        score -= rng.uniform(0.01, 0.12)
+    return Episode(
+        question=question,
+        answer=val,
+        gold_chunk=gold,
+        distractors=distractors,
+        observation="\n\n".join(blocks),
+        source=source,
+        # keyword query, not the full question: a 2-token copy is far
+        # easier for a tiny model to learn AND retrieves better (entity +
+        # attribute are exactly the terms the lexical/hash channels match)
+        query=f"{ent} {attr}",
+    )
+
+
+def _tool_schemas() -> list[dict]:
+    from ..tools.base import ToolkitConfig
+    from ..tools.kb_search import KBSearchToolkit
+
+    # schema rendering never resolves the kb — a None placeholder is fine
+    tk = KBSearchToolkit(ToolkitConfig(config={"kb": None}))
+    return tk.get_tools_in_openai()
+
+
+def render_episode_samples(
+    ep: Episode, tools: list[dict], instructions: str = DEFAULT_KB_INSTRUCTIONS
+) -> list[tuple[str, str]]:
+    """Episode → [(prompt_text, completion_text)] through the REAL serving
+    renderers (ReactChatClient message conversion + plain chat template)."""
+    from ..agents.local_llm import render_chat
+    from ..agents.react import ReactChatClient
+
+    args = json.dumps({"query": ep.query or ep.question})
+    target1 = (
+        f"Thought: {THOUGHT_SEARCH}\n"
+        f"Action: kb_embedding_search\nAction Input: {args}"
+    )
+    target2 = f"Thought: {THOUGHT_ANSWER}\nFinal Answer: {ep.answer}"
+
+    msgs1 = [
+        ChatMessage(role="system", content=instructions),
+        ChatMessage(role="user", content=ep.question),
+    ]
+    conv1 = ReactChatClient._convert_messages(msgs1, tools)
+    prompt1 = render_chat(conv1, "plain")
+
+    msgs2 = msgs1 + [
+        ChatMessage(
+            role="assistant",
+            content=None,
+            tool_calls=[ToolCall("react_0", "kb_embedding_search", args)],
+        ),
+        ChatMessage(role="tool", content=ep.observation),
+    ]
+    conv2 = ReactChatClient._convert_messages(msgs2, tools)
+    prompt2 = render_chat(conv2, "plain")
+    return [(prompt1, target1), (prompt2, target2)]
+
+
+def synth_corpus(
+    n_episodes: int, seed: int = 0, top_k: int = 3
+) -> tuple[list[tuple[str, str]], list[Episode]]:
+    """n episodes → 2n (prompt, completion) samples + the raw episodes."""
+    rng = random.Random(seed)
+    tools = _tool_schemas()
+    samples: list[tuple[str, str]] = []
+    episodes: list[Episode] = []
+    for _ in range(n_episodes):
+        ep = synth_episode(rng, top_k=top_k)
+        episodes.append(ep)
+        samples.extend(render_episode_samples(ep, tools))
+    return samples, episodes

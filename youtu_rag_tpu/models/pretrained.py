@@ -376,6 +376,22 @@ def load_pretrained_decoder(model_dir, dtype=None, max_len: int | None = None):
     from .decoder import DecoderConfig
 
     model_dir = Path(model_dir)
+    native = model_dir / "decoder_params.npz"
+    if native.exists():
+        # in-repo-trained native checkpoint (scripts/train_chat_lm.py):
+        # decoder_params.npz + decoder_config.json, mirroring the encoder's
+        # yrt_tiny_lex format
+        from .decoder import load_decoder_config
+        from .encoder import load_params_npz
+
+        cfg = load_decoder_config(model_dir / "decoder_config.json")
+        params = load_params_npz(native)
+        logger.info(
+            "loaded native decoder %s: %s L=%d D=%d vocab=%d",
+            os.path.basename(str(model_dir)), cfg.arch, cfg.n_layers,
+            cfg.d_model, cfg.vocab_size,
+        )
+        return params, cfg
     with open(model_dir / "config.json", encoding="utf-8") as f:
         hf = json.load(f)
     model_type = hf.get("model_type", "")
