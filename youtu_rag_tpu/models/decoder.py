@@ -320,13 +320,20 @@ def position_ids_from_mask(mask: jax.Array) -> jax.Array:
 
 
 def causal_logits(
-    params: dict, tokens: jax.Array, mask: jax.Array, cfg: DecoderConfig
+    params: dict,
+    tokens: jax.Array,
+    mask: jax.Array,
+    cfg: DecoderConfig,
+    remat: bool = False,
 ) -> jax.Array:
     """Full teacher-forced forward → [B, T, vocab] f32 logits.
 
     The parity/training/prefill-reference path: one causal pass, no cache.
     ``mask`` is 1 for real tokens (left- or right-padded both work; positions
-    derive from the mask)."""
+    derive from the mask). ``remat=True`` checkpoints each layer — without
+    it the backward pass keeps every layer's [B,H,T,T] f32 attention matrix
+    live (1 GB/layer at B=32 T=1024: an 8-layer 9M-param model OOMed a
+    16 GB chip)."""
     b, t = tokens.shape
     pos_ids = position_ids_from_mask(mask)
     x = _embed(params, tokens, pos_ids, cfg)
@@ -345,7 +352,8 @@ def causal_logits(
         x = x + _mlp(_norm(x, lp, "ln2", cfg), lp, cfg)
         return x, None
 
-    x, _ = jax.lax.scan(layer, x, params["layers"])
+    body = jax.checkpoint(layer) if remat else layer
+    x, _ = jax.lax.scan(body, x, params["layers"])
     return _logits(params, x, cfg)
 
 

@@ -39,6 +39,7 @@ class LMTrainConfig:
     warmup_steps: int = 100
     total_steps: int = 3000
     label_smoothing: float = 0.0
+    remat: bool = True
 
 
 def make_lm_optimizer(tc: LMTrainConfig) -> optax.GradientTransformation:
@@ -55,7 +56,9 @@ def lm_loss(params, batch, cfg: DecoderConfig, tc: LMTrainConfig):
     """Masked next-token CE. ``batch['loss_mask']`` marks COMPLETION tokens
     (the labels we train on); positions whose *label* is a completion token
     contribute, so the prompt conditions but is not predicted."""
-    logits = causal_logits(params, batch["tokens"], batch["mask"], cfg)
+    logits = causal_logits(
+        params, batch["tokens"], batch["mask"], cfg, remat=tc.remat
+    )
     labels = batch["tokens"][:, 1:]
     lmask = batch["loss_mask"][:, 1:].astype(jnp.float32)
     lg = logits[:, :-1]
