@@ -41,6 +41,13 @@ async def main() -> None:
         help="provider tpu: serve a train_embedder output dir (e.g. the "
         "committed benchmarks/models/yrt_tiny_lex lexical-residual encoder)",
     )
+    p.add_argument(
+        "--llm-weights-dir", default=None,
+        help="serve a LOCAL causal-LM checkpoint dir through the chat "
+        "routes (e.g. the committed benchmarks/models/yrt_tiny_chat from "
+        "scripts/train_chat_lm.py) — the whole product runs in-process, "
+        "no external LLM service",
+    )
     args = p.parse_args()
 
     from youtu_rag_tpu.api.app import create_app
@@ -51,6 +58,17 @@ async def main() -> None:
         from youtu_rag_tpu.core.loader import ConfigLoader
 
         agent_config = ConfigLoader().load_agent_config(args.agent_config)
+    if args.llm_weights_dir:
+        from youtu_rag_tpu.agents.config import AgentConfig, ModelConfig
+        from youtu_rag_tpu.models.lm_synth import DEFAULT_KB_INSTRUCTIONS
+
+        agent_config = agent_config or AgentConfig()
+        agent_config.model = ModelConfig(
+            provider="local", weights_dir=args.llm_weights_dir
+        )
+        # the committed tiny chat LM is trained against exactly this
+        # system prompt (scripts/train_chat_lm.py)
+        agent_config.agent.instructions = DEFAULT_KB_INSTRUCTIONS
 
     mesh = None
     if args.shards:

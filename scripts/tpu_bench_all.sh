@@ -17,3 +17,5 @@ timeout 900 python bench.py 2>&1 | tail -1 | tee benchmarks/bench_main_last.json
 timeout 2400 python scripts/bench_scale.py 2>&1 | tail -1
 timeout 1200 python scripts/bench_streaming.py 2>&1 | tail -1
 timeout 900 python scripts/bench_embedder.py 2>&1 | tail -1
+timeout 900 python scripts/bench_decoder.py 2>&1 | tail -1
+timeout 900 python scripts/bench_chat.py 2>&1 | tail -1
