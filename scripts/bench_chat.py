@@ -106,11 +106,22 @@ async def run() -> dict:
 
 def main() -> None:
     args = parse_args()
+    if not Path(args.weights_dir).is_dir():
+        # degrade contract of scripts/tpu_bench_all.sh: parseable JSON, rc 0
+        print(json.dumps({
+            "skipped": True,
+            "reason": f"weights dir {args.weights_dir} missing "
+                      "(run scripts/train_chat_lm.py first)",
+        }))
+        return
+    from youtu_rag_tpu.utils.provenance import run_provenance
+
     report = asyncio.run(run())
+    report.update(run_provenance(seed=args.seed, episodes=args.episodes))
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
-    print(json.dumps(report))
+    print(json.dumps({k: v for k, v in report.items() if k != "failures"}))
 
 
 if __name__ == "__main__":

@@ -59,15 +59,23 @@ async def main() -> None:
 
         agent_config = ConfigLoader().load_agent_config(args.agent_config)
     if args.llm_weights_dir:
-        from youtu_rag_tpu.agents.config import AgentConfig, ModelConfig
+        from youtu_rag_tpu.agents.config import AgentConfig
         from youtu_rag_tpu.models.lm_synth import DEFAULT_KB_INSTRUCTIONS
+        from youtu_rag_tpu.tools.base import ToolkitConfig
 
         agent_config = agent_config or AgentConfig()
-        agent_config.model = ModelConfig(
-            provider="local", weights_dir=args.llm_weights_dir
+        # keep YAML-configured generation params (temperature, max_tokens,
+        # chat_template) — only the provider/weights change
+        agent_config.model = agent_config.model.model_copy(
+            update={"provider": "local", "weights_dir": args.llm_weights_dir}
         )
         # the committed tiny chat LM is trained against exactly this
-        # system prompt (scripts/train_chat_lm.py)
+        # system prompt (scripts/train_chat_lm.py) — and it WILL emit
+        # kb_embedding_search calls, so make sure the toolkit is wired
+        # (mirrors configs/agents/kb_search.yaml) even without --agent-config
+        agent_config.toolkits.setdefault(
+            "kb_search", ToolkitConfig(name="kb_search")
+        )
         agent_config.agent.instructions = DEFAULT_KB_INSTRUCTIONS
 
     mesh = None

@@ -18,4 +18,5 @@ timeout 2400 python scripts/bench_scale.py 2>&1 | tail -1
 timeout 1200 python scripts/bench_streaming.py 2>&1 | tail -1
 timeout 900 python scripts/bench_embedder.py 2>&1 | tail -1
 timeout 900 python scripts/bench_decoder.py 2>&1 | tail -1
-timeout 900 python scripts/bench_chat.py 2>&1 | tail -1
+# bench_chat needs the committed chat-LM checkpoint; skip cleanly if absent
+[ -d benchmarks/models/yrt_tiny_chat ] && timeout 900 python scripts/bench_chat.py 2>&1 | tail -1
