@@ -148,21 +148,25 @@ def _text2sql_table() -> str:
     if rep is None:
         return "(report missing — run scripts/bench_text2sql.py)"
     lines = [
-        "| suite | questions | naive single-shot | **text2sql agent** | orchestra_react_sql* |",
-        "|---|---|---|---|---|",
+        "| suite | questions | naive single-shot | **text2sql agent** | +schema memory | orchestra_react_sql |",
+        "|---|---|---|---|---|---|",
     ]
     for s in rep["suites"]:
         sys_ = s["systems"]
         orch = sys_.get("orchestra_react_sql")
+        mem = sys_.get("text2sql_agent_memory")
+        mem_cell = f"{mem * 100:.1f}%" if mem is not None else "—"
+        if orch is None:
+            orch_cell = "—"
+        else:
+            n = s.get("orchestra_subset", 0)
+            suffix = f" (n={n})" if n and n != s["questions"] else ""
+            orch_cell = f"{orch * 100:.1f}%{suffix}"
         lines.append(
             f"| {s['suite']} | {s['questions']} "
             f"| {sys_['naive_single_shot'] * 100:.1f}% "
             f"| **{sys_['text2sql_agent'] * 100:.1f}%** "
-            f"| {orch * 100:.1f}% (n={s.get('orchestra_subset', 0)}) |"
-            if orch is not None else
-            f"| {s['suite']} | {s['questions']} "
-            f"| {sys_['naive_single_shot'] * 100:.1f}% "
-            f"| **{sys_['text2sql_agent'] * 100:.1f}%** | — |"
+            f"| {mem_cell} | {orch_cell} |"
         )
     return "\n".join(lines)
 

@@ -76,7 +76,7 @@ async def run() -> dict:
     agent = SimpleAgent(acfg, toolkits=[toolkit])
     await agent.build()
 
-    n_tool = n_correct = 0
+    n_tool = n_recall = n_correct = 0
     latencies = []
     failures = []
     for ep in episodes:
@@ -84,11 +84,33 @@ async def run() -> dict:
         rec = await agent.run(ep.question)
         latencies.append(time.time() - t0)
         n_tool += bool(rec.tool_calls)
+        # retrieval recall: did the REAL engine surface the gold chunk in
+        # the observation the model actually saw?
+        recalled = any(ep.gold_chunk in tc.output for tc in rec.tool_calls)
+        n_recall += recalled
         answer = (rec.final_output or "").strip()
         ok = answer == ep.answer
         n_correct += ok
         if not ok and len(failures) < 5:
-            failures.append({"q": ep.question, "gold": ep.answer, "got": answer[:120]})
+            failures.append({"q": ep.question, "gold": ep.answer,
+                             "recalled": recalled, "got": answer[:120]})
+
+    # ---- no-retrieval ablation: same model + loop over an EMPTY KB, so
+    # every observation is "No results found." — answers can only come
+    # from the parametric model. Values are random pseudo-words, so any
+    # gap vs the main run is retrieval-grounded by construction.
+    empty_cfg = RAGConfig(name="chatbench_empty")
+    empty_cfg.knowledge_builder.embedding = EmbeddingConfig(provider="hash")
+    empty_kb = KnowledgeBase("chatbench_empty", empty_cfg)
+    GLOBAL_KB_REGISTRY.register(empty_kb)
+    ablation_agent = SimpleAgent(
+        acfg, toolkits=[KBSearchToolkit(ToolkitConfig(config={"kb": empty_kb}))]
+    )
+    await ablation_agent.build()
+    n_abl = 0
+    for ep in episodes:
+        rec = await ablation_agent.run(ep.question)
+        n_abl += (rec.final_output or "").strip() == ep.answer
 
     n = len(episodes)
     lat = sorted(latencies)
@@ -96,7 +118,9 @@ async def run() -> dict:
         "episodes": n,
         "weights_dir": str(args.weights_dir),
         "tool_call_rate": round(n_tool / n, 4),
+        "retrieval_recall": round(n_recall / n, 4),
         "answer_exact": round(n_correct / n, 4),
+        "answer_exact_no_retrieval": round(n_abl / n, 4),
         "latency_p50_s": round(lat[n // 2], 3),
         "latency_p95_s": round(lat[int(n * 0.95)], 3),
         "failures": failures,

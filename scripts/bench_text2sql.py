@@ -6,20 +6,26 @@ Reproduces the *shape* of the reference's flagship text2sql table
 single-shot baseline on four suites) at committed-fixture scale,
 deterministically and offline:
 
-  suites     multi_table   joins over customers/products/orders + trap
+  suites     multi_table_mini  compact 2-table join schema (the
+                           reference's "Multi-table-mini" axis);
+             multi_table   joins over customers/products/orders + trap
                            tables with overlapping schemas;
              complex_sheet one wide messy inventory sheet (nulls, spaced
                            column names — the "Complex Excel" axis);
              domain_table  domain vocabulary + paraphrased questions
                            (the reference's hardest axis: 27%).
+             All suites ≥50 questions (VERDICT r4 item 6).
   systems    naive         single-shot schema-dump prompt → SQL
                            (the Vanna-style baseline row);
              agent         Text2SQLAgent: element-index schema_link →
                            generate (schema + example values) → execute
                            with error retry (tools/text2sql.py);
-             orchestra     the full `orchestra_react_sql` pipeline
-                           (plan → SimpleAgent tool loop → report) on a
-                           question subset, proving the serving path.
+             agent_memory  the same agent with curated schema knowledge
+                           remembered through VectorMemoryToolkit — the
+                           only path to the paraphrase questions;
+             orchestra     the full `orchestra_react_sql` pipeline on
+                           EVERY question (plan → Text2SQLWorkerAgent
+                           running the retrying pipeline → report).
   generator  ONE deterministic scripted SQL author (FakeChatClient
              rule_fn) shared by every system — it writes SQL from
              whatever schema context it is shown, so the measured gap is
@@ -102,21 +108,21 @@ def gen_multi_table(rng) -> tuple[dict[str, pd.DataFrame], list[dict]]:
     }
 
     qs: list[dict] = []
-    for i in (0, 3, 7, 12, 16):
+    for i in range(20):  # every customer: join + count
         name = customers.customer_name[i]
         qs.append({
             "question": f"How many orders did customer '{name}' place?",
             "gold": "SELECT COUNT(*) FROM {orders} o JOIN {customers} c "
                     f"ON o.customer_id = c.id WHERE c.customer_name = '{name}'",
         })
-    for i in (1, 4, 9):
+    for i in range(12):  # every product: join + SUM
         pname = products.product_name[i]
         qs.append({
             "question": f"What is the total order quantity for product '{pname}'?",
             "gold": "SELECT SUM(o.order_qty) FROM {orders} o JOIN {products} p "
                     f"ON o.product_id = p.id WHERE p.product_name = '{pname}'",
         })
-    for i in (2, 6, 10):
+    for i in range(12):  # every product: plain lookup
         pname = products.product_name[i]
         qs.append({
             "question": f"What is the unit price of product '{pname}'?",
@@ -128,7 +134,12 @@ def gen_multi_table(rng) -> tuple[dict[str, pd.DataFrame], list[dict]]:
             "question": f"How many customers are in the '{r}' region?",
             "gold": "SELECT COUNT(*) FROM {customers} " + f"WHERE region = '{r}'",
         })
-    for s in ("shipped", "returned"):
+    for s in segments:
+        qs.append({
+            "question": f"How many customers are in the '{s}' segment?",
+            "gold": "SELECT COUNT(*) FROM {customers} " + f"WHERE segment = '{s}'",
+        })
+    for s in ("open", "shipped", "returned"):
         qs.append({
             "question": f"What is the total order quantity with status '{s}'?",
             "gold": "SELECT SUM(order_qty) FROM {orders} " + f"WHERE status = '{s}'",
@@ -138,6 +149,77 @@ def gen_multi_table(rng) -> tuple[dict[str, pd.DataFrame], list[dict]]:
         "gold": "SELECT p.category FROM {orders} o JOIN {products} p ON "
                 "o.product_id = p.id GROUP BY p.category "
                 "ORDER BY SUM(o.order_qty) DESC LIMIT 1",
+    })
+    return tables, qs
+
+
+def gen_multi_table_mini(rng) -> tuple[dict[str, pd.DataFrame], list[dict]]:
+    """Compact 2-table join schema — mirrors the reference's 4th suite
+    ('Multi-table-mini', /root/reference/README.md:609-662)."""
+    dept_names = ["Logistics", "Research", "Finance", "Assembly", "Quality", "Dispatch"]
+    roles = ["engineer", "analyst", "operator", "supervisor"]
+    departments = pd.DataFrame({
+        "id": range(1, 7),
+        "department_name": dept_names,
+        "floor_number": [int(rng.integers(1, 9)) for _ in range(6)],
+    })
+    n = 40
+    employees = pd.DataFrame({
+        "id": range(1, n + 1),
+        "employee_name": [f"{_FIRST[i % 20]} {chr(65 + i % 26)}." for i in range(n)],
+        "department_id": [int(rng.integers(1, 7)) for _ in range(n)],
+        "role": [roles[int(rng.integers(0, 4))] for _ in range(n)],
+        "salary": [float(rng.integers(38, 160)) * 1000 for _ in range(n)],
+        "hire_year": [int(rng.integers(2005, 2026)) for _ in range(n)],
+    })
+    tables = {"departments": departments, "employees": employees}
+    qs: list[dict] = []
+    for i in range(0, n, 3):  # 14 salary lookups
+        name = employees.employee_name[i]
+        qs.append({
+            "question": f"What is the salary of employee '{name}'?",
+            "gold": "SELECT salary FROM {employees} " + f"WHERE employee_name = '{name}'",
+        })
+    for i in range(1, n, 7):  # 6 hire-year lookups
+        name = employees.employee_name[i]
+        qs.append({
+            "question": f"What is the hire year of employee '{name}'?",
+            "gold": "SELECT hire_year FROM {employees} " + f"WHERE employee_name = '{name}'",
+        })
+    for d in dept_names:  # join count / SUM / AVG per department
+        qs.append({
+            "question": f"How many employees are in the '{d}' department?",
+            "gold": "SELECT COUNT(*) FROM {employees} e JOIN {departments} d "
+                    f"ON e.department_id = d.id WHERE d.department_name = '{d}'",
+        })
+        qs.append({
+            "question": f"What is the total salary for the '{d}' department?",
+            "gold": "SELECT SUM(e.salary) FROM {employees} e JOIN {departments} d "
+                    f"ON e.department_id = d.id WHERE d.department_name = '{d}'",
+        })
+        qs.append({
+            "question": f"What is the average salary for the '{d}' department?",
+            "gold": "SELECT AVG(e.salary) FROM {employees} e JOIN {departments} d "
+                    f"ON e.department_id = d.id WHERE d.department_name = '{d}'",
+        })
+    for d in dept_names[:4]:  # floor lookups
+        qs.append({
+            "question": f"What is the floor number of the '{d}' department?",
+            "gold": "SELECT floor_number FROM {departments} "
+                    f"WHERE department_name = '{d}'",
+        })
+    for r in roles:
+        qs.append({
+            "question": f"How many employees have the role '{r}'?",
+            "gold": "SELECT COUNT(*) FROM {employees} " + f"WHERE role = '{r}'",
+        })
+        qs.append({
+            "question": f"What is the average salary of employees with role '{r}'?",
+            "gold": "SELECT AVG(salary) FROM {employees} " + f"WHERE role = '{r}'",
+        })
+    qs.append({
+        "question": "Which employee has the highest salary?",
+        "gold": "SELECT employee_name FROM {employees} ORDER BY salary DESC LIMIT 1",
     })
     return tables, qs
 
@@ -161,23 +243,58 @@ def gen_complex_sheet(rng) -> tuple[dict[str, pd.DataFrame], list[dict]]:
             "question": f"What is the total quantity on hand in warehouse '{w}'?",
             "gold": "SELECT SUM(qty_on_hand) FROM {inventory_sheet} " + f"WHERE warehouse = '{w}'",
         })
+        qs.append({
+            "question": f"What is the average unit cost in warehouse '{w}'?",
+            "gold": "SELECT AVG(unit_cost) FROM {inventory_sheet} " + f"WHERE warehouse = '{w}'",
+        })
     for c in categories:
         qs.append({
             "question": f"What is the average unit cost of '{c}' items?",
             "gold": "SELECT AVG(unit_cost) FROM {inventory_sheet} " + f"WHERE category = '{c}'",
         })
+        qs.append({
+            "question": f"What is the total quantity on hand of '{c}' items?",
+            "gold": "SELECT SUM(qty_on_hand) FROM {inventory_sheet} " + f"WHERE category = '{c}'",
+        })
+    for w in warehouses:  # 12 two-predicate counts
+        for c in categories:
+            qs.append({
+                "question": f"How many items does warehouse '{w}' stock in category '{c}'?",
+                "gold": "SELECT COUNT(*) FROM {inventory_sheet} "
+                        f"WHERE warehouse = '{w}' AND category = '{c}'",
+            })
+    for s in ("active", "discontinued"):
+        qs.append({
+            "question": f"How many items are in status '{s}'?",
+            "gold": "SELECT COUNT(*) FROM {inventory_sheet} " + f"WHERE status = '{s}'",
+        })
+    for w in warehouses:
+        qs.append({
+            "question": f"How many items are stored in warehouse '{w}'?",
+            "gold": "SELECT COUNT(*) FROM {inventory_sheet} " + f"WHERE warehouse = '{w}'",
+        })
+    for c in categories:
+        qs.append({
+            "question": f"How many items are in category '{c}'?",
+            "gold": "SELECT COUNT(*) FROM {inventory_sheet} " + f"WHERE category = '{c}'",
+        })
+    for i in range(0, n, 8):  # 10 per-item qty lookups
+        name = items.item_name[i]
+        qs.append({
+            "question": f"What is the quantity on hand of item '{name}'?",
+            "gold": "SELECT qty_on_hand FROM {inventory_sheet} "
+                    f"WHERE item_name = '{name}'",
+        })
+    for i in range(3, n, 13):  # 6 per-item cost lookups
+        name = items.item_name[i]
+        qs.append({
+            "question": f"What is the unit cost of item '{name}'?",
+            "gold": "SELECT unit_cost FROM {inventory_sheet} "
+                    f"WHERE item_name = '{name}'",
+        })
     qs.append({
         "question": "Which item has the highest quantity on hand?",
         "gold": "SELECT item_name FROM {inventory_sheet} ORDER BY qty_on_hand DESC LIMIT 1",
-    })
-    qs.append({
-        "question": "How many items are in status 'discontinued'?",
-        "gold": "SELECT COUNT(*) FROM {inventory_sheet} WHERE status = 'discontinued'",
-    })
-    qs.append({
-        "question": "How many items does warehouse 'Central' stock in category 'coatings'?",
-        "gold": "SELECT COUNT(*) FROM {inventory_sheet} "
-                "WHERE warehouse = 'Central' AND category = 'coatings'",
     })
     return tables, qs
 
@@ -194,11 +311,18 @@ def gen_domain_table(rng) -> tuple[dict[str, pd.DataFrame], list[dict]]:
     })
     tables = {"glacier_stations": st}
     qs: list[dict] = []
-    for i in (0, 5, 11):
+    for i in range(0, n, 2):  # 12 mass-balance lookups
         code = st.station_code[i]
         qs.append({
             "question": f"What is the mass balance recorded at station '{code}'?",
             "gold": "SELECT mass_balance_mm FROM {glacier_stations} "
+                    f"WHERE station_code = '{code}'",
+        })
+    for i in range(1, n, 3):  # 8 elevation lookups
+        code = st.station_code[i]
+        qs.append({
+            "question": f"What is the elevation of station '{code}'?",
+            "gold": "SELECT elevation_m FROM {glacier_stations} "
                     f"WHERE station_code = '{code}'",
         })
     for r in regions:
@@ -206,16 +330,21 @@ def gen_domain_table(rng) -> tuple[dict[str, pd.DataFrame], list[dict]]:
             "question": f"What is the average elevation of stations in region '{r}'?",
             "gold": "SELECT AVG(elevation_m) FROM {glacier_stations} " + f"WHERE region = '{r}'",
         })
+        qs.append({
+            "question": f"What is the average mass balance of stations in region '{r}'?",
+            "gold": "SELECT AVG(mass_balance_mm) FROM {glacier_stations} "
+                    f"WHERE region = '{r}'",
+        })
     # paraphrases without lexical column anchors — the reference's domain
     # axis is hard for exactly this reason (its own score: 27%)
-    for i in (3, 8):
+    for i in range(0, n, 2):  # 12 "net ice change" paraphrases
         code = st.station_code[i]
         qs.append({
             "question": f"What net ice change was measured at '{code}'?",
             "gold": "SELECT mass_balance_mm FROM {glacier_stations} "
                     f"WHERE station_code = '{code}'",
         })
-    for i in (2, 9):
+    for i in range(1, n, 2):  # 12 "field campaigns" paraphrases
         code = st.station_code[i]
         qs.append({
             "question": f"How many field campaigns were logged for '{code}'?",
@@ -226,9 +355,35 @@ def gen_domain_table(rng) -> tuple[dict[str, pd.DataFrame], list[dict]]:
 
 
 SUITES = {
-    "multi_table": gen_multi_table,
+    "multi_table_mini": gen_multi_table_mini,
     "complex_sheet": gen_complex_sheet,
+    "multi_table": gen_multi_table,
     "domain_table": gen_domain_table,
+}
+
+# Curated schema knowledge a domain expert would store through the memory
+# toolkit (ref: memory_toolkit.py:1540-1590 schema-knowledge memories).
+# The `text2sql_agent_memory` system runs with these remembered; the
+# paraphrase questions (zero lexical overlap with column names) are only
+# reachable through them.
+SUITE_KNOWLEDGE: dict[str, list[tuple[str, list[str], str]]] = {
+    "domain_table": [(
+        "glacier_stations",
+        [
+            "mass_balance_mm: INTEGER (net ice change measured at the station, in millimeters)",
+            "surveys_count: INTEGER (number of field campaigns logged at the station)",
+            "elevation_m: INTEGER (station elevation in meters)",
+        ],
+        "Glacier monitoring stations with annual mass-balance measurements",
+    )],
+    "complex_sheet": [(
+        "inventory_sheet",
+        [
+            "qty_on_hand: INTEGER (stock level, units currently stored)",
+            "unit_cost: REAL (cost per unit in credits)",
+        ],
+        "Warehouse inventory sheet",
+    )],
 }
 
 
@@ -257,15 +412,23 @@ def _col_tokens(col: str) -> set[str]:
     return set(col.lower().split("_"))
 
 
-def _match_col(cols: list[str], qwords: list[str]) -> tuple[str | None, int]:
-    """Best column for the measure words via token overlap (+synonyms)."""
+def _match_col(
+    cols: list[str], qwords: list[str], hints: dict[str, set[str]] | None = None
+) -> tuple[str | None, int]:
+    """Best column for the measure words via token overlap (+synonyms).
+
+    ``hints`` maps column → extra descriptive tokens harvested from the
+    prompt's "-- remembered schema knowledge" block (the memory system's
+    contribution): a paraphrase like "net ice change" can only reach
+    ``mass_balance_mm`` through those remembered words."""
     best, best_s = None, 0
     expanded: set[str] = set()
     for w in qwords:
         expanded.add(w)
         expanded.update(_SYNONYMS.get(w, ()))
     for col in cols:
-        s = len(_col_tokens(col) & expanded)
+        toks = _col_tokens(col) | (hints or {}).get(col, set())
+        s = len(toks & expanded)
         if s > best_s:
             best, best_s = col, s
     return best, best_s
@@ -322,8 +485,19 @@ class ScriptedSqlAuthor:
                                 tables[t]["examples"].setdefault(col, set()).add(v)
         return tables
 
+    def parse_hints(self, prompt: str) -> dict[str, set[str]]:
+        """column → descriptive tokens from remembered schema knowledge
+        (the '-- remembered schema knowledge' block schema_link appends when
+        a memory toolkit is wired — ref memory_toolkit.py:1540-1590)."""
+        hints: dict[str, set[str]] = {}
+        for seg in prompt.split("-- remembered schema knowledge")[1:]:
+            for m in re.finditer(r"^\s*- (\w+): (.+)$", seg, re.M):
+                hints.setdefault(m.group(1), set()).update(_words(m.group(2)))
+        return hints
+
     def author(self, question: str, prompt: str, banned: set[str] = frozenset()) -> str:
         tables = self.parse_context(prompt)
+        hints = self.parse_hints(prompt)
         if not tables:
             return "SELECT 1;"
         q = question
@@ -412,7 +586,7 @@ class ScriptedSqlAuthor:
             return None
 
         if superlative:
-            mcol, _ = _match_col(tables[primary]["columns"], _words(superlative.group(2)))
+            mcol, _ = _match_col(tables[primary]["columns"], _words(superlative.group(2)), hints)
             if mcol:
                 key = next((c for c in tables[primary]["columns"] if "name" in c),
                            tables[primary]["columns"][0])
@@ -429,6 +603,7 @@ class ScriptedSqlAuthor:
                 c, s = _match_col(
                     [c for c in tables[t]["columns"] if c not in banned],
                     measure_words,
+                    hints,
                 )
                 if c and (s, -rank_i) > best:
                     mtab, mcol, best = t, c, (s, -rank_i)
@@ -447,6 +622,20 @@ class ScriptedSqlAuthor:
             return f'SELECT {agg}("{mtab}".{mcol}) {frm}{where};'
 
         if agg == "COUNT":
+            # "how many X were logged/recorded" may be a LOOKUP of a
+            # count-valued column, not a row count — only remembered schema
+            # knowledge (hints) can make that call for paraphrased X
+            m3 = re.search(r"how many ([\w ]+?) (?:were|was) (?:logged|recorded|measured)", ql)
+            if m3:
+                for t in [w[0] for w in wheres] + ranked:
+                    col, s = _match_col(
+                        [c for c in tables[t]["columns"] if c not in banned],
+                        _words(m3.group(1)), hints,
+                    )
+                    if col and s > 0:
+                        conds = [f"{wc} = '{lit}'" for (wt, wc, lit) in wheres if wt == t]
+                        where = (" WHERE " + " AND ".join(conds)) if conds else ""
+                        return f'SELECT {col} FROM "{t}"{where};'
             # count rows of the entity table implied by the question
             ent = None
             for t in ranked:
@@ -473,7 +662,7 @@ class ScriptedSqlAuthor:
         target_words = _words(m.group(1)) if m else qwords
         for t in [w[0] for w in wheres] + ranked:
             col, _s = _match_col([c for c in tables[t]["columns"] if c not in banned],
-                                 target_words)
+                                 target_words, hints)
             if col:
                 conds = [f"{wc} = '{lit}'" for (wt, wc, lit) in wheres if wt == t]
                 where = (" WHERE " + " AND ".join(conds)) if conds else ""
@@ -635,11 +824,32 @@ async def run_suite(suite: str, gen, tmp: str, orchestra_subset: int) -> dict:
     out["systems"]["naive_single_shot"] = round(naive_ok / len(questions), 4)
     out["systems"]["text2sql_agent"] = round(agent_ok / len(questions), 4)
 
-    # --- orchestra_react_sql end-to-end on a subset ---
+    # --- agent + remembered schema knowledge (the memory contribution) ---
+    from youtu_rag_tpu.memory.toolkit import VectorMemoryToolkit
+
+    memory = VectorMemoryToolkit({"user_id": f"t2s_{suite}"})
+    for tname, cols, desc in SUITE_KNOWLEDGE.get(suite, []):
+        await memory.store_schema_knowledge(
+            table_name=tname, columns=cols, description=desc
+        )
+    mem_toolkit = Text2SQLToolkit(
+        ToolkitConfig(config={"kb": kb, "tables": store, "memory": memory})
+    )
+    mem_ok = 0
+    for q in questions:
+        state = {"question": q["question"]}
+        llm = LLMAgent(client=FakeChatClient(rule_fn=make_rule_fn(author, state)))
+        t2s = Text2SQLAgent(mem_toolkit, llm, learn_patterns=False)
+        r = await t2s.text2sql(q["question"])
+        mem_ok += judge(store, gold_sql(q), r["result"])
+    out["systems"]["text2sql_agent_memory"] = round(mem_ok / len(questions), 4)
+
+    # --- orchestra_react_sql end-to-end (full n by default; the pipeline's
+    # worker now runs the same retrying Text2SQLAgent the bare system does) ---
     from youtu_rag_tpu.agents.factory import get_agent
 
     orch_ok = 0
-    subset = questions[:orchestra_subset]
+    subset = questions if orchestra_subset <= 0 else questions[:orchestra_subset]
     for q in subset:
         state = {"question": q["question"]}
         client = FakeChatClient(rule_fn=make_rule_fn(author, state))
@@ -686,10 +896,14 @@ async def main_async(args) -> dict:
 
 
 def main() -> None:
+    from youtu_rag_tpu.utils.provenance import run_provenance
+
     p = argparse.ArgumentParser()
-    p.add_argument("--orchestra-subset", type=int, default=8)
+    p.add_argument("--orchestra-subset", type=int, default=0,
+                   help="0 = run the full pipeline on every question")
     args = p.parse_args()
     report = asyncio.run(main_async(args))
+    report.update(run_provenance(seed=11))
     slim = {
         "suites": [
             {k: v for k, v in s.items() if k != "per_question"}

@@ -27,20 +27,16 @@ def get_agent(config: AgentConfig | dict, **kwargs):
         workers = kwargs.pop("workers", None)
         if workers is None:
             from ..tools.base import ToolkitConfig
-            from ..tools.text2sql import Text2SQLToolkit
+            from ..tools.text2sql import Text2SQLToolkit, Text2SQLWorkerAgent
+            from .llm_agent import LLMAgent
 
             tk_cfg = config.toolkits.get("text2sql") or ToolkitConfig(name="text2sql")
-            sql_worker_cfg = AgentConfig(model=config.model)
-            sql_worker_cfg.agent.name = "text2sql"
-            sql_worker_cfg.agent.instructions = (
-                "You answer questions about structured data. Use schema_link to "
-                "find relevant tables, then execute_sql to run SELECT queries, "
-                "then answer from the results."
-            )
-            worker = SimpleAgent(
-                sql_worker_cfg,
-                toolkits=[Text2SQLToolkit(tk_cfg)],
-                client=kwargs.get("client"),
+            # the worker drives the full link → generate → execute (with
+            # error retry) → answer pipeline — the reference's orchestra
+            # workers ARE Text2sqlAgents, not free-form tool loops
+            worker = Text2SQLWorkerAgent(
+                Text2SQLToolkit(tk_cfg),
+                LLMAgent(model=config.model, client=kwargs.get("client")),
             )
             workers = {"text2sql": worker}
         config.workers_info = config.workers_info or [

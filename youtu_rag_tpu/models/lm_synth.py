@@ -107,14 +107,31 @@ def _chunk_text(rng: random.Random, facts: list[tuple[str, str, str]]) -> str:
     return " ".join(lines)
 
 
-def synth_episode(rng: random.Random, top_k: int = 3, easy: bool | None = None) -> Episode:
+def synth_episode(
+    rng: random.Random, top_k: int | None = None, easy: bool | None = None
+) -> Episode:
     """One KB-QA episode: gold fact among distractor facts/chunks.
 
-    ``easy`` episodes (30% by default — a curriculum slice that bootstraps
-    the copy circuit) use short entities/values and a gold-only
-    observation; hard ones mix same-entity and same-attr confusers."""
+    Difficulty ladder (the round-4 two-tier mix — 30% trivial, 70% full
+    confuser soup — plateaued: the model learned "copy the only value
+    present" at 0.88 but never the joint (entity, attr) fact selection,
+    ~0.1 on any-confuser episodes. A MEDIUM rung gives the selection
+    circuit a gradient path):
+      easy   20%  single gold chunk, single fact, short entity/value;
+      medium 35%  gold chunk + 1-2 sibling facts, ≤1 distractor chunk —
+                  selection among FEW candidates;
+      hard   45%  1-3 sibling confusers + top_k-1 distractor chunks.
+    ``easy`` (bool) is kept for compat: True → easy, False → hard.
+    ``top_k`` defaults to a random 3–6 so training observations cover the
+    serving default (kb_embedding_search top_k=5) and nearby lengths."""
+    if top_k is None:
+        top_k = rng.randint(3, 6)
     if easy is None:
-        easy = rng.random() < 0.3
+        r = rng.random()
+        tier = "easy" if r < 0.2 else ("medium" if r < 0.55 else "hard")
+    else:
+        tier = "easy" if easy else "hard"
+    easy = tier == "easy"
     ent = _word(rng, 1).capitalize() if easy else _entity(rng)
     attr = rng.choice(ATTRS)
     val = _word(rng, 1) if easy else _value(rng)
@@ -122,8 +139,9 @@ def synth_episode(rng: random.Random, top_k: int = 3, easy: bool | None = None) 
     # the gold chunk holds the asked fact plus sibling facts — some about
     # the SAME entity with other attrs, some about other entities with the
     # SAME attr (the model must match on both to find the value)
+    n_siblings = {"easy": 0, "medium": rng.randint(1, 2), "hard": rng.randint(1, 3)}[tier]
     facts = [(ent, attr, val)]
-    for _ in range(0 if easy else rng.randint(1, 3)):
+    for _ in range(n_siblings):
         if rng.random() < 0.5:
             other = rng.choice([a for a in ATTRS if a != attr])
             facts.append((ent, other, _value(rng)))
@@ -132,8 +150,9 @@ def synth_episode(rng: random.Random, top_k: int = 3, easy: bool | None = None) 
     rng.shuffle(facts)
     gold = _chunk_text(rng, facts)
 
+    n_distract = {"easy": 0, "medium": rng.randint(0, 1), "hard": top_k - 1}[tier]
     distractors = []
-    for _ in range(0 if easy else top_k - 1):
+    for _ in range(n_distract):
         dfacts = [
             (_entity(rng), rng.choice(ATTRS), _value(rng))
             for _ in range(rng.randint(1, 3))
@@ -142,6 +161,15 @@ def synth_episode(rng: random.Random, top_k: int = 3, easy: bool | None = None) 
     top_k = 1 + len(distractors)
 
     question = rng.choice(_QUESTION_TEMPLATES).format(attr=attr, ent=ent)
+    # serving parity: the API chat route prepends a KB reference line to the
+    # user query (api/app.py::_modify_query, ref chat_service.py:486-623) —
+    # train on that shape so the HTTP path is in-distribution too
+    if rng.random() < 0.3:
+        kb_name = (
+            rng.choice(["demo", "default", "docs", "kb1"])
+            if rng.random() < 0.5 else _word(rng)
+        )
+        question = f"[knowledge base: {kb_name}]\n{question}"
 
     # observation in tools/kb_search._format_results layout, gold at a
     # random rank with plausibly descending scores
@@ -164,8 +192,14 @@ def synth_episode(rng: random.Random, top_k: int = 3, easy: bool | None = None) 
         source=source,
         # keyword query, not the full question: a 2-token copy is far
         # easier for a tiny model to learn AND retrieves better (entity +
-        # attribute are exactly the terms the lexical/hash channels match)
-        query=f"{ent} {attr}",
+        # attribute are exactly the terms the lexical/hash channels match).
+        # LEADING SPACE on purpose: in the question the entity appears as
+        # a space-prefixed byte-level BPE token (" Lefobo"); inside the
+        # JSON string it would otherwise be quote-prefixed ("Lefobo") — a
+        # DIFFERENT token sequence, which breaks the induction-head copy
+        # circuit. The space keeps the entity's token identity across the
+        # question → Action Input copy (retrieval tokenization strips it).
+        query=f" {ent} {attr}",
     )
 
 

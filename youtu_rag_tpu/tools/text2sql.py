@@ -45,9 +45,12 @@ class Text2SQLToolkit(BaseRAGToolkit):
     @property
     def tables(self):
         t = self.config.config.get("tables")
-        if t is None:
-            raise ValueError("text2sql toolkit needs a 'tables' TableStore in config")
-        return t
+        if t is not None:
+            return t
+        # no explicit store: resolve through the KB (name → registry), the
+        # same path every other RAG toolkit takes — this is how the API's
+        # orchestra_react_sql agent reaches the tables of the chat's KB
+        return self.kb.tables
 
     @property
     def adapter(self):
@@ -263,3 +266,72 @@ class Text2SQLAgent:
                 except Exception:  # noqa: BLE001
                     logger.exception("sql-pattern learn failed")
         return {"sql": sql, "result": result, "answer": answer}
+
+
+class Text2SQLWorkerAgent:
+    """Orchestra worker that drives the FULL text2sql pipeline.
+
+    The serving pipeline (`orchestra_react_sql`) previously ran a free-form
+    SimpleAgent tool loop, which lacked the execution-error retry the bare
+    Text2SQLAgent has — so the full pipeline could lose to its own worker.
+    In the reference the orchestra's workers ARE Text2sqlAgents running
+    ``sql_gen_exec`` with error feedback
+    (``utu/rag/rag_agents/orchestra_react_text2sql.py:37-540``); this class
+    restores that shape: every subtask runs link → generate → execute
+    (with retry) → answer, and the SQL/result land on the TaskRecorder as a
+    tool call so streaming/tracing surfaces see them.
+    """
+
+    def __init__(
+        self,
+        toolkit: Text2SQLToolkit,
+        llm_agent,
+        name: str = "text2sql",
+        max_retries: int = 2,
+        learn_patterns: bool = True,
+    ):
+        from ..agents.config import AgentConfig
+
+        self.name = name
+        self.agent = Text2SQLAgent(
+            toolkit, llm_agent, max_retries=max_retries, learn_patterns=learn_patterns
+        )
+        # OrchestraAgent._agents_info falls back to worker.config when no
+        # workers_info is configured
+        self.config = AgentConfig(type="llm")
+        self.config.agent.name = name
+        self.config.agent.instructions = (
+            "Answers questions over structured tables: schema/value linking, "
+            "SQL generation with execution-error retry, result summarization."
+        )
+
+    async def build(self) -> "Text2SQLWorkerAgent":
+        return self
+
+    async def cleanup(self) -> None:
+        return None
+
+    @staticmethod
+    def _subtask_question(task: str) -> str:
+        # OrchestraAgent.work prefixes accumulated context as
+        # "Overall context so far:\n...\n\nYour subtask: <task>"
+        if "Your subtask:" in task:
+            return task.split("Your subtask:", 1)[1].strip()
+        return task
+
+    async def run(self, task: str):
+        from ..agents.events import TaskRecorder, ToolCallRecord
+
+        rec = TaskRecorder(task=task)
+        r = await self.agent.text2sql(self._subtask_question(task))
+        rec.add_tool_call(
+            ToolCallRecord(
+                name="execute_sql",
+                arguments=json.dumps({"sql": r["sql"]}, ensure_ascii=False),
+                output=json.dumps(r["result"], ensure_ascii=False, default=str)[:2000],
+            )
+        )
+        out = r.get("answer") or json.dumps(r["result"], ensure_ascii=False, default=str)[:500]
+        rec.set_final_output(out or "")
+        rec.finish()
+        return rec
