@@ -270,6 +270,22 @@ def gen_factguard(rng, n_entities=70, sents_per_doc=50):
     return docs, qrels
 
 
+def gen_paraphrase(_rng):
+    """Zero-lexical-overlap fixture (models/paraphrase_synth.py): documents
+    in one pseudo-vocabulary, queries in another naming the same concepts.
+    BM25 and the hash embedder score at chance BY CONSTRUCTION; every eval
+    concept combination is held out from the canonical training pairs."""
+    from youtu_rag_tpu.models.paraphrase_synth import (
+        TRAIN_PAIRS_DEFAULT,
+        TRAIN_SEED,
+        gen_paraphrase_fixture,
+        gen_paraphrase_pairs,
+    )
+
+    _, used = gen_paraphrase_pairs(TRAIN_PAIRS_DEFAULT, seed=TRAIN_SEED)
+    return gen_paraphrase_fixture(n_docs=150, seed=7, exclude=used)
+
+
 def write_fixtures(regen: bool = False) -> dict[str, tuple[str, str]]:
     import numpy as np
 
@@ -280,6 +296,7 @@ def write_fixtures(regen: bool = False) -> dict[str, tuple[str, str]]:
         ("timeliness", gen_timeliness),
         ("popularity", gen_popularity),
         ("factguard", gen_factguard),
+        ("paraphrase", gen_paraphrase),
     ):
         docs_p = os.path.join(DATA_DIR, f"{name}_docs.jsonl")
         qrels_p = os.path.join(DATA_DIR, f"{name}_qrels.jsonl")
@@ -296,7 +313,8 @@ def write_fixtures(regen: bool = False) -> dict[str, tuple[str, str]]:
     return out
 
 
-async def build_kb(name, docs_path, provider, pretrained, reranker="none"):
+async def build_kb(name, docs_path, provider, pretrained, reranker="none",
+                   lex_gate=None):
     from youtu_rag_tpu.core.config import (
         EmbeddingConfig, KnowledgeBuilderConfig, RAGConfig, RerankerConfig,
         RetrieverConfig,
@@ -346,8 +364,20 @@ async def build_kb(name, docs_path, provider, pretrained, reranker="none"):
             from youtu_rag_tpu.models.wordpiece import WordPieceTokenizer
 
             tokenizer = WordPieceTokenizer(vocab_txt, max_length=ecfg.max_len)
+        params = load_params_npz(build_kb._npz)
+        if lex_gate is not None and "lex_mix" in params:
+            # force the contextual↔lexical blend (sigmoid logit): 0.0 →
+            # pure contextual channel, 1.0 → pure lexical channel — the
+            # ablation rows of the paraphrase dataset
+            import numpy as _np
+
+            params = dict(params)
+            params["lex_mix"] = _np.float32(
+                _np.log(lex_gate / (1 - lex_gate)) if 0 < lex_gate < 1
+                else (-20.0 if lex_gate <= 0 else 20.0)
+            )
         emb = TpuEmbedder(
-            config=ecfg, params=load_params_npz(build_kb._npz),
+            config=ecfg, params=params,
             batch_size=128, tokenizer=tokenizer,
         )
         kb.embedder = emb
@@ -494,6 +524,44 @@ async def run_all(args) -> dict:
     report["datasets"]["popularity"] = {
         "queries": n_pop, **{k: _trim(v) for k, v in pop.items()}
     }
+
+    # --- paraphrase (zero lexical overlap: the contextual-channel probe) ---
+    docs_p, qrels_p = fixtures["paraphrase"]
+    kb5 = await build_kb("paraphrase", docs_p, args.provider, args.pretrained)
+    para = {}
+    para["naive_top15"] = await RetrievalBenchmark(kb5, top_k=15).run(
+        RetrievalBenchmark.load_qrels(qrels_p)
+    )
+
+    async def bm25_para_fn(query, filters, top_k):
+        hits = await kb5.store.lexical_search(query, top_k=top_k, filters=filters)
+        return [
+            RetrievalResult(chunk=c, score=s, rank=i + 1)
+            for i, (c, s) in enumerate(hits)
+        ]
+
+    para["bm25_corpus"] = await RetrievalBenchmark(
+        kb5, top_k=15, retrieve_fn=bm25_para_fn
+    ).run(RetrievalBenchmark.load_qrels(qrels_p))
+    if args.provider == "tpu" and getattr(build_kb, "_npz", None):
+        # gate-forced ablations: contextual-only is the row that proves the
+        # transformer half (BM25/hash/lexical-only sit at chance here)
+        kb_ctx = await build_kb(
+            "paraphrase_ctx", docs_p, args.provider, args.pretrained, lex_gate=0.0
+        )
+        para["contextual_only"] = await RetrievalBenchmark(kb_ctx, top_k=15).run(
+            RetrievalBenchmark.load_qrels(qrels_p)
+        )
+        kb_lex = await build_kb(
+            "paraphrase_lex", docs_p, args.provider, args.pretrained, lex_gate=1.0
+        )
+        para["lexical_only"] = await RetrievalBenchmark(kb_lex, top_k=15).run(
+            RetrievalBenchmark.load_qrels(qrels_p)
+        )
+    report["datasets"]["paraphrase"] = {
+        "queries": len(RetrievalBenchmark.load_qrels(qrels_p)),
+        **{k: _trim(v) for k, v in para.items()},
+    }
     return report
 
 
@@ -548,6 +616,9 @@ def main() -> None:
     report = asyncio.run(run_all(args))
     if args.npz:
         report["encoder_npz"] = args.npz
+    from youtu_rag_tpu.utils.provenance import run_provenance
+
+    report.update(run_provenance(seed=7))
     print(json.dumps(report))
     suffix = "" if args.provider == "hash" else f"_{args.provider}"
     out = os.path.join(os.path.dirname(DATA_DIR), f"quality_report{suffix}.json")

@@ -205,6 +205,13 @@ def main() -> None:
     )
     p.add_argument("--siblings", type=int, default=4, help="pairs per synthetic group")
     p.add_argument(
+        "--paraphrase", type=int, default=0, metavar="PAIRS",
+        help="add PAIRS zero-lexical-overlap paraphrase pairs "
+        "(models/paraphrase_synth.py, canonical seed) — supervision for the "
+        "CONTEXTUAL channel: queries share no tokens with their positives, "
+        "so only the transformer half can align them",
+    )
+    p.add_argument(
         "--wordpiece", action="store_true",
         help="train a WordPiece/BPE vocab from the training texts and use "
         "it instead of the hashing tokenizer (identifiers decompose into "
@@ -255,6 +262,13 @@ def main() -> None:
             (d["query"], d["positive"], d["group"])
             for d in gen_identifier_pairs(args.synthetic, args.siblings, seed=args.seed)
         ]
+    if args.paraphrase:
+        from youtu_rag_tpu.models.paraphrase_synth import TRAIN_SEED, gen_paraphrase_pairs
+
+        # canonical seed, NOT args.seed: the bench fixture holds out exactly
+        # these combinations (paraphrase_synth.TRAIN_SEED contract)
+        para, _ = gen_paraphrase_pairs(args.paraphrase, seed=TRAIN_SEED)
+        pairs += group_pairs([(d["query"], d["positive"]) for d in para], start=3_000_000)
     if len(pairs) < 2:
         sys.exit("need at least 2 training pairs (--pairs/--corpus/--synthetic)")
 
@@ -410,6 +424,7 @@ def main() -> None:
             "pairs_file": str(args.pairs) if args.pairs else None,
             "synthetic_groups": args.synthetic,
             "siblings": args.siblings,
+            "paraphrase_pairs": args.paraphrase,
             "wordpiece_vocab": len(wp_vocab) if wp_vocab else None,
             "lex_pool": bool(getattr(cfg, "lex_pool", False)),
             "lex_buckets": int(getattr(cfg, "lex_buckets", 0)),
