@@ -130,9 +130,10 @@ def test_upload_tasks_persist_contract():
 def test_csv_parser_quote_grammar():
     """parseCsv must be quote-aware (ref renderCSVInSidebar grammar):
     assert the implementation handles escaped quotes and embedded
-    commas/newlines rather than splitting on ','. (No JS runtime — pin
-    the grammar's load-bearing branches textually.)"""
-    utils = (STATIC / "views" / "utils.js").read_text()
+    commas/newlines rather than splitting on ','. The executable coverage
+    lives in test_js_transforms.py (jsmini); this pins the grammar's
+    load-bearing branches textually as defense in depth."""
+    utils = (STATIC / "views" / "transforms.js").read_text()
     body = utils.split("export function parseCsv")[1].split("export function")[0]
     assert "inQuotes" in body
     assert "'\\\"'" in body or '"\\""' in body or "'\"'" in body  # quote char branch

@@ -185,11 +185,9 @@ export function h(tag, attrs = {}, ...children) {
   return el;
 }
 
-export function fmtBytes(n) {
-  if (n < 1024) return `${n} B`;
-  if (n < 1048576) return `${(n / 1024).toFixed(1)} KB`;
-  return `${(n / 1048576).toFixed(1)} MB`;
-}
+// fmtBytes lives in views/transforms.js (pure, pytest-golden-tested);
+// re-exported here because every view already imports it from app.js
+export { fmtBytes } from "./views/transforms.js";
 
 // ---------------------------------------------------------------- router
 const routes = [

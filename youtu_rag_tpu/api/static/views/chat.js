@@ -10,6 +10,12 @@
 
 import { api, fmtBytes, guard, h, state, t, toast } from "../app.js";
 import { csvTable, renderMarkdown } from "./utils.js";
+import {
+  pwinKey as pwinKeyOf, pwinStatusText, sidebarKind, sourceFileOf,
+  splitContexts, workflowNodes,
+} from "./transforms.js";
+
+export { sourceFileOf, splitContexts };
 
 const HIST_KEY = "yrt-chat-history";
 
@@ -181,7 +187,6 @@ export async function renderChat(view) {
 // renderImageInSidebar (2138-2533): click a cited or attached file → a side
 // panel renders it by type without leaving the conversation.
 
-const IMG_EXTS = [".png", ".jpg", ".jpeg", ".gif", ".webp", ".svg", ".bmp"];
 const SIDEBAR_CLIP = 60000;
 
 function fileLabel(ctx, name, checked) {
@@ -213,8 +218,8 @@ export async function openFileSidebar(ctx, name) {
     body.appendChild(h("div", { class: "dim" }, `not available (HTTP ${resp.status})`));
     return;
   }
-  const ext = (name.match(/\.[^.]+$/) || [""])[0].toLowerCase();
-  if (IMG_EXTS.includes(ext)) {
+  const kind = sidebarKind(name);
+  if (kind === "image") {
     const blob = await resp.blob();
     body.appendChild(h("img", {
       class: "layout", src: URL.createObjectURL(blob), alt: name,
@@ -224,11 +229,11 @@ export async function openFileSidebar(ctx, name) {
   }
   const text = await resp.text();
   const clipped = text.slice(0, SIDEBAR_CLIP);
-  if (ext === ".csv") {
+  if (kind === "csv") {
     body.appendChild(csvTable(clipped));
-  } else if (ext === ".md" || ext === ".markdown") {
+  } else if (kind === "markdown") {
     body.appendChild(renderMarkdown(clipped));
-  } else if (ext === ".json" || ext === ".jsonl") {
+  } else if (kind === "json") {
     let pretty = clipped;
     try { pretty = JSON.stringify(JSON.parse(text), null, 2).slice(0, SIDEBAR_CLIP); } catch { /* keep raw */ }
     body.appendChild(h("pre", {}, pretty));
@@ -238,13 +243,6 @@ export async function openFileSidebar(ctx, name) {
   if (text.length > clipped.length) {
     body.appendChild(h("div", { class: "dim" }, "(truncated)"));
   }
-}
-
-// Pull the source filename out of a retrieval context block's metadata
-// line ("**Metadata:** source=report.md, file_type=md").
-export function sourceFileOf(content) {
-  const m = /\bsource=([^\s,]+)/.exec(content || "");
-  return m ? m[1] : null;
 }
 
 // ------------------------------------------------------------- bubbles
@@ -270,21 +268,6 @@ function userBubble(ctx, text, { record = true } = {}) {
   ctx.log.appendChild(el);
   ctx.log.scrollTop = ctx.log.scrollHeight;
   return el;
-}
-
-// Split "## Context N (Relevance: x)" retrieval blocks out of an answer
-// into collapsible source cards; the preamble stays the main answer body.
-const CTX_SPLIT = /^## Context \d+[^\n]*$/m;
-
-export function splitContexts(text) {
-  if (!CTX_SPLIT.test(text)) return { body: text, sources: [] };
-  const parts = text.split(/^(## Context \d+[^\n]*)$/m);
-  const body = parts[0].trim();
-  const sources = [];
-  for (let i = 1; i + 1 < parts.length; i += 2) {
-    sources.push({ title: parts[i].replace(/^## /, ""), content: parts[i + 1].trim() });
-  }
-  return { body, sources };
 }
 
 function botBubble(ctx, text) {
@@ -399,8 +382,6 @@ async function send(ctx, q) {
 
   // ----------------------------------------------- parallel windows
 
-  function pwinKey(d) { return `${d.group ?? 0}:${d.task_idx ?? 0}`; }
-
   function makeGroup(d) {
     const grid = h("div", { class: "parallel-grid" });
     const wrap = h("div", { class: "parallel-group" },
@@ -423,7 +404,7 @@ async function send(ctx, q) {
   }
 
   function pwinRoute(ev) {
-    const w = pwins.get(pwinKey(ev.data));
+    const w = pwins.get(pwinKeyOf(ev.data));
     if (!w) return;
     switch (ev.type) {
       case "text_delta": {
@@ -464,13 +445,12 @@ async function send(ctx, q) {
 
   function pwinStatus(ev) {
     const d = ev.data || {};
-    const w = pwins.get(pwinKey(d));
+    const w = pwins.get(pwinKeyOf(d));
     if (!w) return;
+    w.status.textContent = pwinStatusText(d);
     if (d.status === "start") {
-      w.status.textContent = "⏳";
       w.el.classList.add("running");
     } else if (d.status === "done") {
-      w.status.textContent = d.duration_ms ? `✓ ${(d.duration_ms / 1000).toFixed(1)}s` : "✓";
       w.el.classList.remove("running");
       w.el.classList.add("done");
       const pre = w.body.querySelector(".pwin-stream");
@@ -478,7 +458,6 @@ async function send(ctx, q) {
       if (d.result) w.body.appendChild(h("div", { class: "pwin-result" },
         renderMarkdown(d.result)));
     } else {  // failed | timeout
-      w.status.textContent = "✗";
       w.el.classList.remove("running");
       w.el.classList.add("failed");
       if (d.error) w.body.appendChild(h("div", { class: "pwin-error" }, d.error));
@@ -529,15 +508,14 @@ async function send(ctx, q) {
         break;
       case "workflow_update": {
         // live plan tree, updated in place (ref workflow visualization)
-        const ICONS = { pending: "○", running: "◐", done: "●", failed: "✗" };
         if (!workflowEl) {
           workflowEl = h("div", { class: "card-ev workflow" });
           log.appendChild(workflowEl);
         }
         workflowEl.innerHTML = "";
-        for (const n of (ev.data?.nodes || [])) {
+        for (const n of workflowNodes(ev.data)) {
           workflowEl.appendChild(h("div", { class: `wf-node ${n.status}` },
-            h("span", { class: "wf-icon" }, ICONS[n.status] || "○"),
+            h("span", { class: "wf-icon" }, n.icon),
             h("span", { class: "wf-agent" }, n.agent),
             h("span", { class: "dim" }, ` ${n.task}`)));
         }

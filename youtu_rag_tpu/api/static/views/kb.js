@@ -5,6 +5,12 @@
 
 import { api, fmtBytes, guard, h, openModal, closeModal, state, t, toast } from "../app.js";
 import { renderDiff, renderMarkdown } from "./utils.js";
+import {
+  buildDrilldown, buildLogRows, buildReportSummary, chunkRows, chunkStatsLine,
+  filePickerPage, filterKbs, kbCardModel, kbCreateBody, qaAskResult,
+  qaDetailMetaLine, qaHistoryRows, qaStatusCls, queryRequestBody,
+  sqlResultModel, tableRows,
+} from "./transforms.js";
 
 export async function renderKb(view, hash) {
   const qa = hash.match(/^#\/kb\/([^/]+)\/qa\/(.+)$/);
@@ -36,13 +42,7 @@ async function renderKbList(view) {
     okBtn.addEventListener("click", guard(async () => {
       const name = nameIn.value.trim();
       if (!name) { err.textContent = "name required"; return; }
-      const body = { name };
-      if (descIn.value.trim()) body.description = descIn.value.trim();
-      const config = {};
-      if (tierSel.value) config.vector_store = { index: { storage_dtype: tierSel.value } };
-      const alpha = parseFloat(alphaIn.value);
-      if (!Number.isNaN(alpha) && alpha !== 0.5) config.retriever = { hybrid_alpha: alpha };
-      if (Object.keys(config).length) body.config = config;
+      const body = kbCreateBody(name, descIn.value, tierSel.value, alphaIn.value);
       try {
         await api("/api/knowledge-bases", { method: "POST", body: JSON.stringify(body) });
       } catch (e) {
@@ -71,12 +71,10 @@ async function renderKbList(view) {
   const grid = h("div", { class: "grid" });
 
   function renderCards() {
-    const q = searchIn.value.trim().toLowerCase();
-    const kbs = data.knowledge_bases.filter((kb) =>
-      !q || kb.name.toLowerCase().includes(q) ||
-      (kb.description || "").toLowerCase().includes(q));
+    const kbs = filterKbs(data.knowledge_bases, searchIn.value);
     grid.innerHTML = "";
     for (const kb of kbs) {
+      const m = kbCardModel(kb, t("kb.chunks"));
       const del = h("button", { class: "danger ghost" }, "✕");
       del.addEventListener("click", guard(async (ev) => {
         ev.stopPropagation();
@@ -84,15 +82,12 @@ async function renderKbList(view) {
         await api(`/api/knowledge-bases/${kb.name}`, { method: "DELETE" });
         location.reload();
       }));
-      const badges = [h("span", { class: "badge" }, kb.backend)];
-      if (kb.storage_dtype && kb.storage_dtype !== "bfloat16") {
-        badges.push(h("span", { class: "badge warn" }, kb.storage_dtype));
-      }
       const card = h("div", { class: "card clickable" },
-        h("div", { class: "row" }, h("h2", {}, kb.name), ...badges,
+        h("div", { class: "row" }, h("h2", {}, m.name),
+          ...m.badges.map((b) => h("span", { class: b.cls }, b.text)),
           h("div", { class: "spacer" }), del),
-        kb.description ? h("div", { class: "dim" }, kb.description) : null,
-        h("div", { class: "dim" }, `${kb.chunks} ${t("kb.chunks")} · ${kb.embedder}`));
+        m.description ? h("div", { class: "dim" }, m.description) : null,
+        h("div", { class: "dim" }, m.summary));
       card.addEventListener("click", () => { location.hash = `#/kb/${encodeURIComponent(kb.name)}`; });
       grid.appendChild(card);
     }
@@ -184,39 +179,33 @@ async function renderBuildTab(root, name) {
     const count = h("span", { class: "dim" });
     const okBtn = h("button", { class: "primary" }, t("build.confirmFiles"));
 
-    function visible() {
-      const q = search.value.trim().toLowerCase();
-      return files.files.filter((f) => !f.name.startsWith(".meta") &&
-        (!q || f.name.toLowerCase().includes(q)));
-    }
     function renderList() {
-      const vis = visible();
-      const pages = Math.max(1, Math.ceil(vis.length / PICK_PAGE));
-      page = Math.min(page, pages - 1);
-      pager.textContent = `${page + 1}/${pages}`;
+      // page/filter/selection model from transforms.filePickerPage
+      const pg = filePickerPage(files.files, search.value, page, PICK_PAGE, [...pending]);
+      page = pg.page;
+      pager.textContent = pg.pager;
       count.textContent = `${pending.size} selected`;
-      const shown = vis.slice(page * PICK_PAGE, (page + 1) * PICK_PAGE);
       listBox.innerHTML = "";
-      allOnPage.checked = shown.length > 0 && shown.every((f) => pending.has(f.name));
-      for (const f of shown) {
+      allOnPage.checked = pg.allChecked;
+      for (const f of pg.rows) {
         const c = h("input", { type: "checkbox" });
-        c.checked = pending.has(f.name);
+        c.checked = f.checked;
         c.addEventListener("change", () => {
           if (c.checked) pending.add(f.name); else pending.delete(f.name);
           count.textContent = `${pending.size} selected`;
-          allOnPage.checked = shown.every((x) => pending.has(x.name));
+          allOnPage.checked = pg.rows.every((x) => pending.has(x.name));
         });
         listBox.appendChild(h("label", { class: "row", style: "gap:6px" },
-          c, f.name, h("span", { class: "dim" }, fmtBytes(f.size))));
+          c, f.name, h("span", { class: "dim" }, f.size)));
       }
-      if (!shown.length) listBox.appendChild(h("div", { class: "dim" }, "(no matches)"));
+      if (!pg.rows.length) listBox.appendChild(h("div", { class: "dim" }, "(no matches)"));
     }
     search.addEventListener("input", () => { page = 0; renderList(); });
     prevB.addEventListener("click", () => { page = Math.max(0, page - 1); renderList(); });
     nextB.addEventListener("click", () => { page += 1; renderList(); });
     allOnPage.addEventListener("change", () => {
-      const shown = visible().slice(page * PICK_PAGE, (page + 1) * PICK_PAGE);
-      for (const f of shown) {
+      const pg = filePickerPage(files.files, search.value, page, PICK_PAGE, [...pending]);
+      for (const f of pg.rows) {
         if (allOnPage.checked) pending.add(f.name); else pending.delete(f.name);
       }
       renderList();
@@ -245,43 +234,27 @@ async function renderBuildTab(root, name) {
   const report = h("div", {});
   const logsBox = h("div", {});
 
-  function buildDrilldown(l) {
-    // per-source stage states + error drill-down (ref: rag_webui's
-    // knowledge-base build screen source rows). detail.progress is the
-    // append-only event stream [{source, status, done, total}] — reduce
-    // to the latest state per source, in first-seen order.
+  function drilldownBox(l) {
+    // per-source stage states + error drill-down; the event-stream reduce
+    // lives in transforms.buildDrilldown (pytest-golden-tested)
+    const d = buildDrilldown(l);
     const box = h("div", {});
     box.appendChild(h("h3", {}, `${t("build.logs")} — ${new Date(l.time * 1000).toLocaleString()}`));
-    const events = (l.detail && l.detail.progress) || [];
-    const order = [];
-    const last = {};
-    for (const ev of events) {
-      if (!(ev.source in last)) order.push(ev.source);
-      last[ev.source] = ev;
-    }
-    if (order.length) {
+    if (d.rows.length) {
       box.appendChild(h("table", {},
         h("tr", {}, h("th", {}, "source"), h("th", {}, "stage"), h("th", {}, "progress")),
-        order.map((src) => {
-          const ev = last[src];
-          const cls = ev.status === "completed" ? "ok" : ev.status === "failed" ? "err" : "warn";
-          return h("tr", {},
-            h("td", {}, src),
-            h("td", {}, h("span", { class: `badge ${cls}` }, ev.status)),
-            h("td", { class: "dim" }, `${ev.done}/${ev.total}`));
-        })));
+        d.rows.map((r) => h("tr", {},
+          h("td", {}, r.source),
+          h("td", {}, h("span", { class: `badge ${r.cls}` }, r.status)),
+          h("td", { class: "dim" }, r.progress)))));
     } else {
       box.appendChild(h("div", { class: "dim" }, "(no per-source events recorded)"));
     }
-    const errors = (l.detail && l.detail.errors) || [];
-    if (errors.length) {
-      box.appendChild(h("h3", {}, `errors (${errors.length})`));
-      box.appendChild(h("pre", { class: "prewrap" }, errors.join("\n")));
+    if (d.errors.length) {
+      box.appendChild(h("h3", {}, `errors (${d.errors.length})`));
+      box.appendChild(h("pre", { class: "prewrap" }, d.errors.join("\n")));
     }
-    if (l.detail) {
-      box.appendChild(h("div", { class: "dim" },
-        `${l.detail.processed_documents} docs · ${l.detail.total_chunks} chunks`));
-    }
+    if (d.summary) box.appendChild(h("div", { class: "dim" }, d.summary));
     return box;
   }
 
@@ -289,12 +262,13 @@ async function renderBuildTab(root, name) {
     const logs = await api(`/api/knowledge-bases/${name}/build-logs`);
     logsBox.innerHTML = "";
     if (!logs.logs.length) { logsBox.appendChild(h("div", { class: "dim" }, "(no builds yet)")); return; }
-    const rows = logs.logs.slice(-10).reverse().map((l) =>
-      h("tr", { class: "clickable", onclick: () => openModal(buildDrilldown(l)) },
-        h("td", {}, new Date(l.time * 1000).toLocaleTimeString()),
-        h("td", {}, h("span", { class: `badge ${l.status === "completed" ? "ok" : l.status === "running" ? "warn" : "err"}` }, l.status)),
-        h("td", {}, l.detail ? `${l.detail.processed_documents} docs · ${l.detail.total_chunks} chunks` : ""),
-        h("td", { class: "dim" }, l.detail && l.detail.errors && l.detail.errors.length ? l.detail.errors.join("; ").slice(0, 140) : "")));
+    const raw = logs.logs.slice(-10).reverse();
+    const rows = buildLogRows(logs.logs).map((r, i) =>
+      h("tr", { class: "clickable", onclick: () => openModal(drilldownBox(raw[i])) },
+        h("td", {}, new Date(r.time * 1000).toLocaleTimeString()),
+        h("td", {}, h("span", { class: `badge ${r.cls}` }, r.status)),
+        h("td", {}, r.result),
+        h("td", { class: "dim" }, r.errors)));
     logsBox.appendChild(h("table", {},
       h("tr", {}, h("th", {}, "time"), h("th", {}, "status"), h("th", {}, "result"), h("th", {}, "errors")),
       rows));
@@ -317,12 +291,9 @@ async function renderBuildTab(root, name) {
         body: JSON.stringify({ files: selected, documents: docs, rebuild: rebuild.checked }),
       });
       report.innerHTML = "";
-      const rep = r.report || {};
       report.appendChild(h("div", {},
         h("span", { class: `badge ${r.status.status === "completed" ? "ok" : "err"}` }, r.status.status),
-        ` ${r.status.processed_documents} docs → ${r.status.total_chunks} chunks`
-        + (rep.skipped ? ` · ${rep.skipped} unchanged (skipped)` : "")
-        + (rep.tables && rep.tables.length ? ` · tables: ${rep.tables.join(", ")}` : ""),
+        ` ${buildReportSummary(r)}`,
         r.status.errors.length ? h("pre", {}, r.status.errors.join("\n")) : null));
       toast(`build ${r.status.status}`, r.status.errors.length ? "err" : "ok");
     } finally {
@@ -448,13 +419,14 @@ async function renderChunksTab(root, name) {
 
   async function load() {
     const data = await api(`/api/knowledge-bases/${name}/chunks?limit=${PAGE}&offset=${offset}&q=${encodeURIComponent(q.value.trim())}`);
-    stats.textContent = `${data.matched} matched of ${data.total} · rows ${offset}–${offset + data.chunks.length}`;
+    stats.textContent = chunkStatsLine(data, offset);
     table.innerHTML = "";
-    const rows = data.chunks.map((c) => {
+    const rows = chunkRows(data.chunks).map((m, i) => {
+      const c = data.chunks[i];
       const tr = h("tr", { class: "clickable" },
-        h("td", { class: "dim" }, `${c.document_id}#${c.chunk_index}`),
-        h("td", {}, c.content.slice(0, 140)),
-        h("td", { class: "dim" }, (c.metadata && c.metadata.index_type) || ""));
+        h("td", { class: "dim" }, m.key),
+        h("td", {}, m.excerpt),
+        h("td", { class: "dim" }, m.index));
       tr.addEventListener("click", () => {
         openModal(h("div", {},
           h("h2", {}, `${c.document_id} #${c.chunk_index}`),
@@ -523,10 +495,9 @@ async function renderQaTab(root, name) {
           await load();
         }
       }));
-      const statusCls = { completed: "ok", failed: "err" }[p.learning_status] || "";
       const tr = h("tr", { class: "clickable" },
         h("td", {}, p.question), h("td", { class: "dim" }, (p.answer || "").slice(0, 100)),
-        h("td", {}, h("span", { class: `badge ${statusCls}` }, p.learning_status || "pending")),
+        h("td", {}, h("span", { class: `badge ${qaStatusCls(p.learning_status)}` }, p.learning_status || "pending")),
         h("td", { class: "dim" }, p.source_id), h("td", {}, exec, del));
       tr.addEventListener("click", (ev) => {
         if (ev.target === del || ev.target === exec) return;
@@ -557,13 +528,12 @@ async function renderQaTab(root, name) {
       body: JSON.stringify({ question: askIn.value.trim(), threshold: parseFloat(thIn.value) }),
     });
     askOut.innerHTML = "";
-    if (r.matched) {
+    const res = qaAskResult(r);
+    if (res.matched) {
       askOut.appendChild(h("div", {},
-        h("span", { class: "badge ok" }, `match ${r.matched.score.toFixed(3)}`),
-        h("pre", {}, r.matched.answer)));
+        h("span", { class: "badge ok" }, res.badge), h("pre", {}, res.answer)));
     } else {
-      const best = r.candidates && r.candidates.length ? r.candidates[0].score.toFixed(3) : "n/a";
-      askOut.appendChild(h("div", { class: "dim" }, `no QA match above threshold (best: ${best})`));
+      askOut.appendChild(h("div", { class: "dim" }, res.text));
     }
   }));
 
@@ -642,23 +612,21 @@ async function renderQaDetail(view, name, id) {
 
   let history = null;
   if (p.executed_results) {
-    let parsed = [];
-    try { parsed = JSON.parse(p.executed_results); } catch { /* legacy format */ }
     history = h("div", { class: "card col" },
       h("h3", {}, t("qa.history")),
       h("div", { class: "dim" },
         `${p.executed_agents || "?"} · ${p.learning_status || ""} · ${p.executed_at || ""}` +
         (p.memory_status ? ` · memory: ${p.memory_status}` : "")),
-      ...parsed.map((x) => h("div", {},
-        h("span", { class: x.success ? "badge ok" : "badge err" }, x.agent),
-        x.success ? renderMarkdown(x.answer || "(empty)") : h("pre", {}, x.error || "failed"),
+      ...qaHistoryRows(p).map((x) => h("div", {},
+        h("span", { class: x.cls }, x.agent),
+        x.success ? renderMarkdown(x.body) : h("pre", {}, x.body),
         x.success && (p.answer || "").trim()
           ? h("details", {}, h("summary", { class: "dim" }, "diff vs expected"),
-              renderDiff(p.answer, x.answer))
+              renderDiff(p.answer, x.body))
           : null)));
   }
 
-  const statusCls = { completed: "ok", failed: "err" }[p.learning_status] || "";
+  const statusCls = qaStatusCls(p.learning_status);
   view.appendChild(h("div", { class: "col" },
     h("div", { class: "row" }, back,
       h("h2", { style: "margin:0 0 0 8px" }, t("qa.detail")),
@@ -667,10 +635,7 @@ async function renderQaDetail(view, name, id) {
       h("h3", {}, t("qa.question")), qEdit,
       h("h3", {}, t("qa.answer")), aEdit,
       h("div", { class: "row" }, saveBtn, execBtn),
-      h("div", { class: "dim" },
-        `id: ${p.id} · source: ${p.source_id}` +
-        (p.related_file ? ` · file: ${p.related_file}` : "") +
-        (p.executed_at ? ` · ${t("qa.executed")}: ${p.executed_at}` : "")),
+      h("div", { class: "dim" }, qaDetailMetaLine(p)),
       execOut),
     history,
     h("div", { class: "card col" },
@@ -699,14 +664,8 @@ async function renderQueryTab(root, name) {
   const btn = h("button", { class: "primary" }, t("kb.query"));
   const out = h("div", {});
   btn.addEventListener("click", guard(async () => {
-    const body = {
-      query: qIn.value.trim(), top_k: parseInt(kIn.value), mode: modeSel.value,
-    };
-    if (modeSel.value === "hybrid") {
-      const a = parseFloat(alphaIn.value);
-      body.hybrid_alpha = Number.isFinite(a) ? Math.min(Math.max(a, 0), 1) : 0.5;
-      alphaIn.value = String(body.hybrid_alpha);
-    }
+    const body = queryRequestBody(qIn.value, kIn.value, modeSel.value, alphaIn.value);
+    if (body.hybrid_alpha !== undefined) alphaIn.value = String(body.hybrid_alpha);
     const r = await api(`/api/knowledge-bases/${name}/query`, {
       method: "POST", body: JSON.stringify(body),
     });
@@ -729,10 +688,11 @@ async function renderQueryTab(root, name) {
 // store (counterpart of rag_webui kb-detail's DB tables management).
 
 function resultTable(r) {
-  if (!r.columns || !r.columns.length) return h("div", { class: "dim" }, "(no rows)");
+  const m = sqlResultModel(r);
+  if (!m) return h("div", { class: "dim" }, "(no rows)");
   return h("table", {},
-    h("tr", {}, ...r.columns.map((c) => h("th", {}, String(c)))),
-    ...r.rows.map((row) => h("tr", {}, ...row.map((v) => h("td", {}, v === null ? "" : String(v))))));
+    h("tr", {}, ...m.columns.map((c) => h("th", {}, c))),
+    ...m.rows.map((row) => h("tr", {}, ...row.map((v) => h("td", {}, v)))));
 }
 
 async function renderTablesTab(root, name) {
@@ -748,7 +708,8 @@ async function renderTablesTab(root, name) {
       listBox.appendChild(h("div", { class: "dim" }, t("tables.none")));
       return;
     }
-    const rows = data.tables.map((tb) => {
+    const rows = tableRows(data.tables).map((m, i) => {
+      const tb = data.tables[i];
       const del = h("button", { class: "danger ghost" }, "✕");
       del.addEventListener("click", guard(async (ev) => {
         ev.stopPropagation();
@@ -757,10 +718,10 @@ async function renderTablesTab(root, name) {
         await load();
       }));
       const tr = h("tr", { class: "clickable" },
-        h("td", {}, tb.table_name),
-        h("td", { class: "dim" }, tb.source),
-        h("td", {}, `${tb.n_rows}×${tb.n_cols}`),
-        h("td", { class: "dim" }, (tb.columns || "").slice(0, 80)),
+        h("td", {}, m.name),
+        h("td", { class: "dim" }, m.source),
+        h("td", {}, m.size),
+        h("td", { class: "dim" }, m.columns),
         h("td", {}, del));
       tr.addEventListener("click", guard(async (ev) => {
         if (ev.target === del) return;

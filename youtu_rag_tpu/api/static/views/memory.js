@@ -7,6 +7,7 @@
 // counterpart — it fills the gap humans hit operating the memory plane.
 
 import { api, guard, h, t, toast } from "../app.js";
+import { memoryRow, memoryTiles, pagerText } from "./transforms.js";
 
 const TYPES = ["working", "episodic", "semantic", "procedural"];
 const PAGE_SIZE = 25;
@@ -55,18 +56,14 @@ export async function renderMemory(view) {
     const data = await api(`/api/memory/items?${params}`);
 
     tiles.innerHTML = "";
-    const s = data.stats || {};
-    tiles.appendChild(h("div", { class: "tile" },
-      h("div", { class: "tile-value" }, String(s.total ?? 0)),
-      h("div", { class: "tile-label" }, t("mem.total"))));
-    for (const type of TYPES) {
+    for (const tile of memoryTiles(data.stats, TYPES)) {
       tiles.appendChild(h("div", { class: "tile" },
-        h("div", { class: "tile-value" }, String(s[type] ?? 0)),
-        h("div", { class: "tile-label" }, type)));
+        h("div", { class: "tile-value" }, String(tile.value)),
+        h("div", { class: "tile-label" },
+          tile.label === "total" ? t("mem.total") : tile.label)));
     }
 
-    const pages = Math.max(1, Math.ceil((data.total || 0) / PAGE_SIZE));
-    pager.textContent = `${Math.min(page + 1, pages)}/${pages}`;
+    pager.textContent = pagerText(page, data.total, PAGE_SIZE);
     tableBox.innerHTML = "";
     if (!data.items.length) {
       tableBox.appendChild(h("div", { class: "dim" }, t("mem.none")));
@@ -86,17 +83,13 @@ export async function renderMemory(view) {
         selected.delete(m.id);
         await load();
       }));
-      const skill = m.memory_type === "procedural" && m.use_count
-        ? ` · ${m.use_count} uses, ${Math.round(m.success_rate * 100)}% ok` : "";
+      const row = memoryRow(m);
       return h("tr", {},
         h("td", {}, check),
-        h("td", {}, typeBadge(m.memory_type)),
-        h("td", { class: "mem-content", title: m.content },
-          m.content.slice(0, 180) + (m.content.length > 180 ? "…" : "")),
-        h("td", { class: "dim" },
-          (m.score !== undefined ? `score ${m.score} · ` : "") +
-          `imp ${m.importance.toFixed(2)}${skill}`),
-        h("td", { class: "dim" }, new Date(m.created_at * 1000).toLocaleString()),
+        h("td", {}, typeBadge(row.type)),
+        h("td", { class: "mem-content", title: m.content }, row.content),
+        h("td", { class: "dim" }, row.signals),
+        h("td", { class: "dim" }, new Date(row.createdAt * 1000).toLocaleString()),
         h("td", {}, delBtn));
     });
     tableBox.appendChild(h("table", {},

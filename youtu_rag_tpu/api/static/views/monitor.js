@@ -5,21 +5,22 @@
 // accent — identity carried by row labels; values direct-labeled at the
 // bar end in text ink; 2px gaps; no legend for a single series).
 
-import { api, closeModal, fmtBytes, guard, h, openModal, t } from "../app.js";
+import { api, closeModal, guard, h, openModal, t } from "../app.js";
 import { lineChart } from "./utils.js";
+import {
+  barRows, healthSummary, metricsSummary, weightedAvgLatency,
+} from "./transforms.js";
 
-// horizontal bar chart: rows = [{label, value, hint?}], one measure.
-export function barChart(rows, { unit = "", max = null } = {}) {
-  const m = max || Math.max(...rows.map((r) => r.value), 1);
+// horizontal bar chart: rows = [{label, value, hint?}], one measure;
+// widths/labels computed by transforms.barRows (pytest-golden-tested).
+export function barChart(rows, opts = {}) {
   const box = h("div", { class: "chart" });
-  for (const r of rows) {
-    const pct = Math.max((r.value / m) * 100, 0.5);
-    box.appendChild(h("div", { class: "chart-row", title: r.hint || `${r.label}: ${r.value}${unit}` },
+  for (const r of barRows(rows, opts)) {
+    box.appendChild(h("div", { class: "chart-row", title: r.hint },
       h("span", { class: "chart-label" }, r.label),
       h("div", { class: "chart-track" },
-        h("div", { class: "chart-bar", style: `width:${pct}%` })),
-      h("span", { class: "chart-value" },
-        `${typeof r.value === "number" && r.value % 1 ? r.value.toFixed(1) : r.value}${unit}`)));
+        h("div", { class: "chart-bar", style: `width:${r.pct}%` })),
+      h("span", { class: "chart-value" }, r.value)));
   }
   return box;
 }
@@ -45,11 +46,9 @@ export async function renderMonitor(view) {
     if (!document.contains(liveBox)) { clearInterval(liveTimer); return; }
     try {
       const m = await api("/api/monitor/metrics");
-      const entries = Object.values(m.metrics || {});
-      const q = entries.reduce((a, x) => a + (x.query_count || 0), 0);
-      if (!q) return;
-      const avg = entries.reduce((a, x) => a + (x.avg_latency_ms || 0) * (x.query_count || 0), 0) / q;
-      liveSeries.push({ value: Math.round(avg * 100) / 100, label: new Date().toLocaleTimeString() });
+      const avg = weightedAvgLatency(m);
+      if (avg === null) return;
+      liveSeries.push({ value: avg, label: new Date().toLocaleTimeString() });
       if (liveSeries.length > 60) liveSeries.shift();
       liveBox.innerHTML = "";
       liveBox.appendChild(lineChart(liveSeries, { unit: " ms" }));
@@ -103,15 +102,15 @@ export async function renderMonitor(view) {
   const [health, metrics] = await Promise.all([
     api("/api/monitor/health"), api("/api/monitor/metrics"),
   ]);
+  const hs = healthSummary(health);
   healthBox.appendChild(h("div", { class: "card" },
     h("div", { class: "row" }, h("strong", {}, "overall"),
-      h("span", { class: `badge ${health.overall_healthy ? "ok" : "err"}` },
-        `${health.healthy_backends}/${health.total_backends} healthy`)),
+      h("span", { class: `badge ${hs.overallCls}` }, hs.overallText)),
     h("div", { class: "dim" }, health.checked_at || "")));
-  for (const [backend, ok] of Object.entries(health.backends || {})) {
+  for (const b of hs.backends) {
     healthBox.appendChild(h("div", { class: "card" },
-      h("div", { class: "row" }, h("strong", {}, backend),
-        h("span", { class: `badge ${ok ? "ok" : "err"}` }, ok ? "healthy" : "unhealthy"))));
+      h("div", { class: "row" }, h("strong", {}, b.name),
+        h("span", { class: `badge ${b.cls}` }, b.text))));
   }
   if (!Object.keys(health.backends || {}).length) {
     healthBox.appendChild(h("div", { class: "dim" }, "(no storage backends yet)"));
@@ -119,44 +118,22 @@ export async function renderMonitor(view) {
 
   // metrics: aggregate tiles + per-KB bar charts (+ raw JSON in a modal)
   metricsBox.innerHTML = "";
-  const perKb = Object.entries(metrics.metrics || {});
-  if (!perKb.length) {
+  const ms = metricsSummary(metrics);
+  if (!ms) {
     metricsBox.appendChild(h("div", { class: "dim" }, "(no metrics yet — build a knowledge base)"));
   } else {
-    const totChunks = perKb.reduce((a, [, m]) => a + (m.total_chunks || 0), 0);
-    const totBytes = perKb.reduce((a, [, m]) => a + (m.index_size_bytes || 0), 0);
-    const totQueries = perKb.reduce((a, [, m]) => a + (m.query_count || 0), 0);
-    const totErrors = perKb.reduce((a, [, m]) => a + (m.error_count || 0), 0);
     metricsBox.appendChild(h("div", { class: "row tiles" },
-      statTile("chunks", totChunks),
-      statTile("index size", fmtBytes(totBytes)),
-      statTile("queries (24h)", totQueries),
-      statTile("errors", totErrors)));
+      ...ms.tiles.map((x) => statTile(x.label, x.value))));
     metricsBox.appendChild(h("h3", {}, "chunks per knowledge base"));
-    metricsBox.appendChild(barChart(
-      perKb.map(([name, m]) => ({ label: name, value: m.total_chunks || 0 }))));
-    const withLatency = perKb.filter(([, m]) => (m.query_count || 0) > 0);
-    if (withLatency.length) {
+    metricsBox.appendChild(barChart(ms.chunkRows));
+    if (ms.latencyRows.length) {
       metricsBox.appendChild(h("h3", {}, "query latency p95 (ms)"));
-      metricsBox.appendChild(barChart(
-        withLatency.map(([name, m]) => ({
-          label: name,
-          value: Math.round((m.p95_latency_ms || 0) * 10) / 10,
-          hint: `${name}: p50 ${Math.round(m.p50_latency_ms || 0)} ms · p95 ${Math.round(m.p95_latency_ms || 0)} ms · ${m.query_count} queries`,
-        })), { unit: " ms" }));
+      metricsBox.appendChild(barChart(ms.latencyRows, { unit: " ms" }));
     }
     // hybrid retrieval's lexical side: BM25 inverted-index size per KB
-    const withLex = perKb.filter(([, m]) => m.lexical_index);
-    if (withLex.length) {
+    if (ms.lexRows.length) {
       metricsBox.appendChild(h("h3", {}, "BM25 index terms per knowledge base"));
-      metricsBox.appendChild(barChart(
-        withLex.map(([name, m]) => ({
-          label: name,
-          value: m.lexical_index.terms || 0,
-          hint: `${name}: ${m.lexical_index.documents} docs · `
-            + `${m.lexical_index.terms} terms · `
-            + `${m.lexical_index.total_tokens} tokens`,
-        }))));
+      metricsBox.appendChild(barChart(ms.lexRows));
     }
     const rawBtn = h("button", { class: "ghost" }, "raw JSON");
     rawBtn.addEventListener("click", () => {
