@@ -554,6 +554,30 @@ def unpack_int4(packed: jax.Array) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=-1)
 
 
+def _unpack_int4_planes(packed: jax.Array):
+    """[B, d2] packed int8 → (lo [B, d2] int8, hi [B, d2] int8) signed
+    nibbles, WITHOUT per-element int32 converts or a lane-axis concat.
+
+    The packed bytes are bitcast 4-at-a-time to int32 and both nibble
+    planes are extracted with byte-parallel bit ops — 1 shift + 4 ands +
+    2 shls + 2 subs on d2/4 lanes, vs the elementwise path's 6 convert/
+    shift ops on d2 int32 lanes (~10× the VPU element-ops) plus a [B, d]
+    concat relayout. Sign extension of a 4-bit value x held in a byte must
+    be CARRY-FREE (an i32 subtraction would borrow across bytes whenever a
+    byte result goes negative): OR-in bits 4..7 when bit 3 is set —
+    (x & 8) * 30 = 0xF0, and 8·30 = 240 < 256 keeps every byte's product
+    inside its own byte."""
+    b, d2 = packed.shape
+    p32 = jax.lax.bitcast_convert_type(packed.reshape(b, d2 // 4, 4), jnp.int32)
+    lo_u = p32 & 0x0F0F0F0F
+    hi_u = (p32 >> 4) & 0x0F0F0F0F
+    lo32 = lo_u | ((lo_u & 0x08080808) * 30)
+    hi32 = hi_u | ((hi_u & 0x08080808) * 30)
+    lo = jax.lax.bitcast_convert_type(lo32, jnp.int8).reshape(b, d2)
+    hi = jax.lax.bitcast_convert_type(hi32, jnp.int8).reshape(b, d2)
+    return lo, hi
+
+
 def _topk_kernel_int4_pruned(
     q_ref, qs_ref, x_ref, xs_ref, bias_ref, out_s_ref, out_i_ref, run_s, run_i, *, k, block_rows
 ):
@@ -565,9 +589,17 @@ def _topk_kernel_int4_pruned(
         run_s[...] = jnp.full(run_s.shape, NEG_INF, jnp.float32)
         run_i[...] = jnp.zeros(run_i.shape, jnp.int32)
 
-    xv = unpack_int4(x_ref[...])  # [BLOCK, d] int8 from [BLOCK, d//2]
+    # two half-width dots over the nibble planes (byte j holds column j in
+    # its low nibble and column j + d/2 in its high nibble), so no [B, d]
+    # concat ever materializes; the MXU contraction work is identical
+    lo, hi = _unpack_int4_planes(x_ref[...])  # 2× [BLOCK, d2] int8
+    d2 = lo.shape[1]
+    q = q_ref[...]
     acc = jax.lax.dot_general(
-        q_ref[...], xv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        q[:, :d2], lo, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    acc = acc + jax.lax.dot_general(
+        q[:, d2:], hi, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
     )
     scores = acc.astype(jnp.float32) * (qs_ref[...].reshape(-1, 1) * xs_ref[...])
     scores = scores + bias_ref[...]
