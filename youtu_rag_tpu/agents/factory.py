@@ -28,7 +28,6 @@ def get_agent(config: AgentConfig | dict, **kwargs):
         if workers is None:
             from ..tools.base import ToolkitConfig
             from ..tools.text2sql import Text2SQLToolkit, Text2SQLWorkerAgent
-            from .llm_agent import LLMAgent
 
             tk_cfg = config.toolkits.get("text2sql") or ToolkitConfig(name="text2sql")
             # the worker drives the full link → generate → execute (with

@@ -556,25 +556,17 @@ def unpack_int4(packed: jax.Array) -> jax.Array:
 
 def _unpack_int4_planes(packed: jax.Array):
     """[B, d2] packed int8 → (lo [B, d2] int8, hi [B, d2] int8) signed
-    nibbles, WITHOUT per-element int32 converts or a lane-axis concat.
+    nibbles, without the [B, d] lane-axis concat of ``unpack_int4``.
 
-    The packed bytes are bitcast 4-at-a-time to int32 and both nibble
-    planes are extracted with byte-parallel bit ops — 1 shift + 4 ands +
-    2 shls + 2 subs on d2/4 lanes, vs the elementwise path's 6 convert/
-    shift ops on d2 int32 lanes (~10× the VPU element-ops) plus a [B, d]
-    concat relayout. Sign extension of a 4-bit value x held in a byte must
-    be CARRY-FREE (an i32 subtraction would borrow across bytes whenever a
-    byte result goes negative): OR-in bits 4..7 when bit 3 is set —
-    (x & 8) * 30 = 0xF0, and 8·30 = 240 < 256 keeps every byte's product
-    inside its own byte."""
-    b, d2 = packed.shape
-    p32 = jax.lax.bitcast_convert_type(packed.reshape(b, d2 // 4, 4), jnp.int32)
-    lo_u = p32 & 0x0F0F0F0F
-    hi_u = (p32 >> 4) & 0x0F0F0F0F
-    lo32 = lo_u | ((lo_u & 0x08080808) * 30)
-    hi32 = hi_u | ((hi_u & 0x08080808) * 30)
-    lo = jax.lax.bitcast_convert_type(lo32, jnp.int8).reshape(b, d2)
-    hi = jax.lax.bitcast_convert_type(hi32, jnp.int8).reshape(b, d2)
+    Same int32 shift extraction as ``unpack_int4`` (the only pattern
+    Mosaic v5e legalizes — int8 shifts fail with 'arith.shrsi', and
+    bitwidth-changing ``lax.bitcast_convert_type`` fails with 'Changing
+    bitwidths not supported'); the kernel then runs two half-d dots on the
+    planes directly so the unpacked vectors never relayout through a lane
+    concat."""
+    p = packed.astype(jnp.int32)
+    hi = (p >> 4).astype(jnp.int8)  # arithmetic shift sign-extends
+    lo = ((p << 28) >> 28).astype(jnp.int8)
     return lo, hi
 
 
