@@ -60,6 +60,8 @@ _QUALITY_LABELS = {
     "dense_time_filters": ("dense + compiled time filters (meta-retrieval path)", True),
     "dense_naive": ("naive dense top-15", False),
     "popularity_blend": ("preference-detected popularity blend (meta-retrieval path)", True),
+    "contextual_only": ("**contextual channel only** (lex gate forced 0)", True),
+    "lexical_only": ("lexical channel only (lex gate forced 1)", False),
 }
 
 
@@ -224,17 +226,45 @@ def _chat_table() -> str:
     rep = _load("chat_report.json")
     if not rep:
         return "(report missing — run scripts/bench_chat.py)"
-    return "\n".join([
+    lines = [
         f"{rep.get('episodes')} held-out episodes through the REAL agent "
         "loop (SimpleAgent → ReAct → local decoder → TPU retrieval):",
         "",
         "| metric | value |",
         "|---|---|",
         f"| tool-call rate | {rep.get('tool_call_rate'):.2f} |",
-        f"| answer exact match | {rep.get('answer_exact'):.2f} |",
+        f"| retrieval recall (gold chunk in observation) | {rep.get('retrieval_recall'):.2f} |",
+        f"| answer exact match | **{rep.get('answer_exact'):.2f}** |",
+        f"| answer exact, no-retrieval ablation (empty KB) | {rep.get('answer_exact_no_retrieval'):.2f} |",
         f"| latency p50 | {rep.get('latency_p50_s')} s |",
         f"| latency p95 | {rep.get('latency_p95_s')} s |",
-    ])
+    ]
+    return "\n".join(lines)
+
+
+def _eval_table() -> str:
+    rep = _load("eval_report.json")
+    if not rep:
+        return "(report missing — run scripts/bench_eval.py)"
+    lines = [
+        "| system | accuracy | L1 | L2 | L3 |",
+        "|---|---|---|---|---|",
+    ]
+    for name, s in rep["systems"].items():
+        lv = s.get("by_level", {})
+        bold = "**" if name == "agent_tools" else ""
+        lines.append(
+            f"| {name} | {bold}{s['accuracy'] * 100:.1f}%{bold} "
+            f"| {lv.get('1', 0):.2f} | {lv.get('2', 0):.2f} | {lv.get('3', 0):.2f} |"
+        )
+    lj = rep.get("llm_judge_lane", {})
+    lines.append("")
+    lines.append(
+        f"LLM-judge lane: accuracy {lj.get('accuracy', 0) * 100:.1f}%, "
+        f"agreement with the GAIA scorer "
+        f"{lj.get('agreement_with_gaia_scorer', 0) * 100:.1f}%."
+    )
+    return "\n".join(lines)
 
 
 def renderers() -> dict[str, callable]:
@@ -245,6 +275,8 @@ def renderers() -> dict[str, callable]:
         "quality_popularity": lambda: _quality_table("popularity"),
         "quality_niah_tpu": lambda: _quality_table("niah", "quality_report_tpu.json"),
         "quality_factguard_tpu": lambda: _quality_table("factguard", "quality_report_tpu.json"),
+        "quality_paraphrase_tpu": lambda: _quality_table("paraphrase", "quality_report_tpu.json"),
+        "eval_harness": _eval_table,
         "recall_adversarial": _recall_table,
         "scale_10m": _scale_table,
         "text2sql": _text2sql_table,

@@ -126,7 +126,11 @@ class ReactChatClient(BaseChatClient):
         out: list[ChatMessage] = []
         tool_block = REACT_SYSTEM.format(tools=render_tools(tools))
         sys_done = False
-        for m in messages:
+        question = next((m.content for m in messages if m.role == "user"), None)
+        last_tool = max(
+            (i for i, m in enumerate(messages) if m.role == "tool"), default=-1
+        )
+        for i, m in enumerate(messages):
             if m.role == "system":
                 out.append(ChatMessage("system", f"{m.content}\n\n{tool_block}"))
                 sys_done = True
@@ -138,7 +142,16 @@ class ReactChatClient(BaseChatClient):
                 body = f"{m.content}\n{acts}" if m.content else acts
                 out.append(ChatMessage("assistant", body))
             elif m.role == "tool":
-                out.append(ChatMessage("user", f"Observation: {m.content}"))
+                body = f"Observation: {m.content}"
+                if i == last_tool and question:
+                    # restate the task right before the generation point:
+                    # the binding tokens (entity, attribute) then sit a few
+                    # tokens from the answer slot, turning long-range
+                    # associative recall into a short-range induction match
+                    # — decisive for the tiny in-repo LM, and a no-op
+                    # prompt-craft for remote models
+                    body += f"\n\nThe question was: {question}"
+                out.append(ChatMessage("user", body))
             else:
                 out.append(ChatMessage(m.role, m.content))
         if not sys_done:

@@ -90,6 +90,7 @@ class EvaluationSample:
     reward: float | None = None
     correct: bool | None = None
     level: str = ""  # difficulty bucket (XBench/BrowseComp level metrics)
+    file_name: str = ""  # GAIA-style attachment path (resolved)
     confidence: int | None = None  # self-reported confidence 0-100
     stage: str = "init"  # init | rollout | judged
     exp_id: str = "default"

@@ -46,17 +46,21 @@ class BaseBenchmark:
                 if not line.strip():
                     continue
                 d = json.loads(line)
-                samples.append(
-                    EvaluationSample(
-                        dataset=self.config.data.dataset,
-                        index=i,
-                        source=src,
-                        raw_question=d.get("question") or d.get("query") or "",
-                        correct_answer=str(d.get("answer") or d.get("correct_answer") or ""),
-                        level=str(d.get("level", "")),
-                        exp_id=self.config.exp_id,
-                    )
+                s = EvaluationSample(
+                    dataset=self.config.data.dataset,
+                    index=i,
+                    source=src,
+                    raw_question=d.get("question") or d.get("query") or "",
+                    correct_answer=str(d.get("answer") or d.get("correct_answer") or ""),
+                    level=str(d.get("level", "")),
+                    exp_id=self.config.exp_id,
                 )
+                if d.get("file_name"):
+                    # GAIA-style attachment (the reference carries it in the
+                    # sample dict, utu/eval/processer). Relative paths
+                    # resolve against the dataset file's directory.
+                    s.file_name = str(Path(src).parent / d["file_name"])
+                samples.append(s)
         return samples
 
     def preprocess(self, samples: list[EvaluationSample]) -> list[EvaluationSample]:

@@ -23,7 +23,11 @@ class BaseProcessor:
     name = "base"
 
     def preprocess(self, sample: EvaluationSample) -> EvaluationSample:
-        sample.augmented_question = sample.augmented_question or sample.raw_question
+        if not sample.augmented_question:
+            q = sample.raw_question
+            if sample.file_name:
+                q = f"{q}\n\nAttached file: {sample.file_name}"
+            sample.augmented_question = q
         return sample
 
     async def judge(self, sample: EvaluationSample) -> EvaluationSample:
@@ -114,8 +118,8 @@ class GaiaProcessor(BaseProcessor):
 
     def preprocess(self, sample: EvaluationSample) -> EvaluationSample:
         q = sample.raw_question
-        file_path = None
-        if sample.source and not sample.source.endswith((".jsonl", ".json")):
+        file_path = sample.file_name or None
+        if not file_path and sample.source and not sample.source.endswith((".jsonl", ".json")):
             file_path = sample.source
         try:
             meta = json.loads(sample.augmented_question) if sample.augmented_question else {}

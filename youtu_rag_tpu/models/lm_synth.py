@@ -190,16 +190,20 @@ def synth_episode(
         distractors=distractors,
         observation="\n\n".join(blocks),
         source=source,
-        # keyword query, not the full question: a 2-token copy is far
-        # easier for a tiny model to learn AND retrieves better (entity +
-        # attribute are exactly the terms the lexical/hash channels match).
-        # LEADING SPACE on purpose: in the question the entity appears as
-        # a space-prefixed byte-level BPE token (" Lefobo"); inside the
-        # JSON string it would otherwise be quote-prefixed ("Lefobo") — a
-        # DIFFERENT token sequence, which breaks the induction-head copy
-        # circuit. The space keeps the entity's token identity across the
-        # question → Action Input copy (retrieval tokenization strips it).
-        query=f" {ent} {attr}",
+        # the query target is the FULL question body, verbatim: a whole-line
+        # copy is the easiest induction pattern a tiny model can learn
+        # (the round-4 2-token selective-extraction target never rose above
+        # ~0.06 query_exact — selecting (entity, attribute) out of the
+        # question is the same binding problem the answer turn struggles
+        # with, while verbatim line continuation is vanilla induction).
+        # Retrieval is unhurt: the template words are corpus-wide and IDF-
+        # downweighted; entity+attribute terms dominate the lexical match.
+        # LEADING SPACE on purpose: in the question every word appears as a
+        # space-prefixed byte-level BPE token (" Tell", " Lefobo"); inside
+        # the JSON string the first word would otherwise be quote-prefixed
+        # ("Tell") — a DIFFERENT token, which breaks the induction-head
+        # copy circuit at position 0.
+        query=" " + question.rsplit("\n", 1)[-1],
     )
 
 

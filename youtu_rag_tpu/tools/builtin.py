@@ -10,6 +10,7 @@ from __future__ import annotations
 import asyncio
 import os
 import tempfile
+import uuid
 from pathlib import Path
 
 from . import register_toolkit
@@ -60,7 +61,11 @@ class PythonExecutorToolkit(AsyncBaseToolkit):
             code: The Python source to execute.
         """
         os.makedirs(self.workspace, exist_ok=True)
-        script = Path(self.workspace) / "snippet.py"
+        # unique filename per call: concurrent executions share the
+        # workspace (eval rollout runs agents under a semaphore of 4), and
+        # a fixed name lets call B overwrite A's script before A's
+        # subprocess starts
+        script = Path(self.workspace) / f"snippet_{uuid.uuid4().hex[:12]}.py"
         script.write_text(code, encoding="utf-8")
         proc = await asyncio.create_subprocess_exec(
             "python",
@@ -75,6 +80,8 @@ class PythonExecutorToolkit(AsyncBaseToolkit):
             proc.kill()
             await proc.wait()  # reap: kill() alone leaves a zombie when the loop closes
             return f"Error: execution timed out after {self.timeout}s"
+        finally:
+            script.unlink(missing_ok=True)
         text = out.decode(errors="replace")
         if err:
             text += ("\n[stderr]\n" if text else "[stderr]\n") + err.decode(errors="replace")
