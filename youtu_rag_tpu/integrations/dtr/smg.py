@@ -21,7 +21,9 @@ from __future__ import annotations
 
 import asyncio
 import json
+import os
 import re
+import sys
 import tempfile
 from dataclasses import dataclass, field
 from typing import Any
@@ -54,6 +56,144 @@ for _name, _val in list(globals().items()):
                 }}
 print({_STATE_MARK!r} + _json.dumps(_state))
 """
+
+
+# --------------------------------------------------------------- forkserver
+#
+# Cold-starting `python step.py` costs ~1-2 s of interpreter + pandas import
+# PER STEP; an MCTS benchmark run is thousands of steps, which turns into
+# hours on a single core. The fork-server keeps ONE warm worker process
+# (pandas imported once) and runs each step script in a forked child — the
+# same per-step process isolation (crashes, leaked globals, os._exit, memory
+# all die with the child) at ~10 ms instead of ~1.5 s. Disable with
+# YRT_DTR_FORKSERVER=0 to fall back to the cold-subprocess path.
+
+_FORKSERVER_SRC = r"""
+import json, os, sys, tempfile, time
+import pandas  # noqa: F401  - pre-import: the expensive part of each step
+
+inp, outp = sys.stdin.buffer, sys.stdout.buffer
+
+def run(script, timeout):
+    out_path = tempfile.mktemp(suffix=".out")
+    err_path = tempfile.mktemp(suffix=".err")
+    pid = os.fork()
+    if pid == 0:  # child: fresh __main__-style namespace, stdio to files
+        try:
+            so = os.open(out_path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC)
+            se = os.open(err_path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC)
+            os.dup2(so, 1); os.dup2(se, 2)
+            exec(compile(script, "<step>", "exec"), {"__name__": "__main__"})
+            sys.stdout.flush(); sys.stderr.flush()
+            os._exit(0)
+        except SystemExit as e:
+            sys.stdout.flush(); sys.stderr.flush()
+            os._exit(int(e.code or 0) if not isinstance(e.code, str) else 1)
+        except BaseException as e:
+            import traceback
+            # skip the forkserver's own exec frame: the reported traceback
+            # starts at <step>, matching the cold-subprocess path
+            traceback.print_exception(type(e), e, e.__traceback__.tb_next)
+            sys.stdout.flush(); sys.stderr.flush()
+            os._exit(1)
+    deadline = time.time() + timeout
+    while True:
+        done, status = os.waitpid(pid, os.WNOHANG)
+        if done:
+            break
+        if time.time() > deadline:
+            os.kill(pid, 9); os.waitpid(pid, 0)
+            return {"timeout": True, "out": "", "err": "", "rc": -9}
+        time.sleep(0.003)
+    rc = os.waitstatus_to_exitcode(status)
+    def rd(p):
+        try:
+            with open(p, "rb") as f:
+                return f.read().decode(errors="replace")
+        except OSError:
+            return ""
+        finally:
+            try: os.unlink(p)
+            except OSError: pass
+    return {"timeout": False, "out": rd(out_path), "err": rd(err_path), "rc": rc}
+
+while True:
+    header = inp.readline()
+    if not header:
+        break
+    req = json.loads(header)
+    script = inp.read(req["n"]).decode()
+    res = run(script, req["timeout"])
+    blob = json.dumps(res).encode()
+    outp.write(str(len(blob)).encode() + b"\n" + blob)
+    outp.flush()
+"""
+
+
+class _ForkServer:
+    """Singleton warm worker. A plain ``subprocess.Popen`` (NOT an asyncio
+    transport) so the process survives across asyncio.run() loops without
+    leaking loop-bound transports; the blocking pipe round-trip runs in the
+    default thread-pool executor. One in-flight request at a time (the pipe
+    protocol is serial) — step execution is serial anyway."""
+
+    _proc = None
+    _io_lock = None  # created lazily (threading.Lock)
+    _atexit_registered = False
+
+    @classmethod
+    def _shutdown(cls) -> None:
+        if cls._proc is not None and cls._proc.poll() is None:
+            cls._proc.kill()
+
+    @classmethod
+    def _roundtrip(cls, script: str, timeout: float) -> dict:
+        import subprocess
+
+        with cls._io_lock:
+            if cls._proc is None or cls._proc.poll() is not None:
+                cls._proc = subprocess.Popen(
+                    [sys.executable, "-c", _FORKSERVER_SRC],
+                    stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                    stderr=subprocess.DEVNULL,
+                    env={**os.environ, "JAX_PLATFORMS": "cpu"},
+                )
+                if not cls._atexit_registered:
+                    import atexit
+
+                    atexit.register(cls._shutdown)
+                    cls._atexit_registered = True
+            p = cls._proc
+            data = script.encode()
+            p.stdin.write(
+                json.dumps({"n": len(data), "timeout": timeout}).encode()
+                + b"\n" + data
+            )
+            p.stdin.flush()
+            header = p.stdout.readline()
+            if not header:
+                raise RuntimeError("forkserver died")
+            blob = p.stdout.read(int(header))
+            return json.loads(blob)
+
+    @classmethod
+    async def execute(cls, script: str, timeout: float) -> dict:
+        if cls._io_lock is None:
+            import threading
+
+            cls._io_lock = threading.Lock()
+        loop = asyncio.get_running_loop()
+        try:
+            # worker enforces `timeout` itself (kills the forked child);
+            # the outer margin only catches a wedged worker
+            return await asyncio.wait_for(
+                loop.run_in_executor(None, cls._roundtrip, script, timeout),
+                timeout + 20,
+            )
+        except (Exception, asyncio.TimeoutError):
+            cls._shutdown()
+            cls._proc = None
+            raise
 
 
 @dataclass
@@ -195,18 +335,9 @@ class SheetStateMachine:
                 + "".join(f"    {line}\n" for line in prefix.split("\n"))
             )
         script += code + "\n" + _STATE_EPILOGUE
-        with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
-            f.write(script)
-            name = f.name
-        proc = await asyncio.create_subprocess_exec(
-            "python", name, stdout=asyncio.subprocess.PIPE, stderr=asyncio.subprocess.PIPE
-        )
-        try:
-            out, err = await asyncio.wait_for(proc.communicate(), timeout=self.exec_timeout)
-        except asyncio.TimeoutError:
-            proc.kill()
+        text, err, rc = await self._run_script(script)
+        if rc == -9:
             return "Error: execution timed out", {}
-        text = out.decode(errors="replace")
         state: dict[str, TableState] = {}
         lines = []
         for line in text.split("\n"):
@@ -221,9 +352,40 @@ class SheetStateMachine:
             else:
                 lines.append(line)
         text = "\n".join(lines).strip()
-        if proc.returncode != 0:
-            text += f"\nError: {err.decode(errors='replace').strip()[-800:]}"
+        if rc != 0:
+            text += f"\nError: {err.strip()[-800:]}"
         return text or "(no output)", state
+
+    async def _run_script(self, script: str) -> tuple[str, str, int]:
+        """(stdout, stderr, rc); rc −9 = timeout. Warm fork-server first,
+        cold subprocess as the fallback isolation path."""
+        if os.environ.get("YRT_DTR_FORKSERVER", "1") != "0":
+            try:
+                res = await _ForkServer.execute(script, self.exec_timeout)
+                if res.get("timeout"):
+                    return "", "", -9
+                return res["out"], res["err"], res["rc"]
+            except Exception as e:  # noqa: BLE001 - degrade to cold path
+                logger.warning("forkserver failed (%s); cold subprocess", e)
+        with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+            f.write(script)
+            name = f.name
+        proc = await asyncio.create_subprocess_exec(
+            "python", name,
+            stdout=asyncio.subprocess.PIPE, stderr=asyncio.subprocess.PIPE,
+        )
+        try:
+            out, err = await asyncio.wait_for(
+                proc.communicate(), timeout=self.exec_timeout
+            )
+        except asyncio.TimeoutError:
+            proc.kill()
+            return "", "", -9
+        return (
+            out.decode(errors="replace"),
+            err.decode(errors="replace"),
+            proc.returncode or 0,
+        )
 
     def record(self, node: SMGNode, state_after: dict[str, TableState]) -> None:
         node.state_before = dict(self.state)
