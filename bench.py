@@ -22,6 +22,7 @@ r1 (20-4)/16 variant — five consecutive int8 runs land within 5%
 
 import functools
 import json
+import os
 import time
 
 import numpy as np
@@ -136,23 +137,32 @@ def main() -> None:
     cpu_dt = (time.perf_counter() - t0) / reps * (N / n_sub)
     cpu_qps = q / cpu_dt
 
+    line = json.dumps(
+        {
+            "metric": "fused_topk_qps_1M_768_k10_b8",
+            "value": round(qps, 1),
+            "unit": "queries/sec/chip",
+            "vs_baseline": round(qps / cpu_qps, 2),
+            "detail": {
+                "device_ms_per_batch": round(dt * 1e3, 3),
+                "hbm_gbps": round(N * d * 2 / dt / 1e9, 1),
+                "cpu_baseline_qps": round(cpu_qps, 2),
+                "platform": platform,
+                "n_rows": N,
+                **extras,
+            },
+        }
+    )
+    try:  # refresh the committed last-run snapshot (best effort)
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "benchmarks", "bench_main_last.json"), "w"
+        ) as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
     print(
-        json.dumps(
-            {
-                "metric": "fused_topk_qps_1M_768_k10_b8",
-                "value": round(qps, 1),
-                "unit": "queries/sec/chip",
-                "vs_baseline": round(qps / cpu_qps, 2),
-                "detail": {
-                    "device_ms_per_batch": round(dt * 1e3, 3),
-                    "hbm_gbps": round(N * d * 2 / dt / 1e9, 1),
-                    "cpu_baseline_qps": round(cpu_qps, 2),
-                    "platform": platform,
-                    "n_rows": N,
-                    **extras,
-                },
-            }
-        )
+        line
     )
 
 

@@ -72,7 +72,11 @@ async def run() -> dict:
     model = ModelConfig(provider="local", weights_dir=args.weights_dir)
     acfg = AgentConfig(model=model)
     acfg.agent.instructions = DEFAULT_KB_INSTRUCTIONS
-    toolkit = KBSearchToolkit(ToolkitConfig(config={"kb": kb}))
+    # production-recommended retrieval config: hybrid fusion behind the
+    # stable kb_embedding_search tool name (the LM is trained on that name;
+    # pseudo-word entities are exactly the rare-term case hybrid's
+    # exact-identifier slots guarantee)
+    toolkit = KBSearchToolkit(ToolkitConfig(config={"kb": kb, "mode": "hybrid"}))
     agent = SimpleAgent(acfg, toolkits=[toolkit])
     await agent.build()
 
@@ -104,7 +108,10 @@ async def run() -> dict:
     empty_kb = KnowledgeBase("chatbench_empty", empty_cfg)
     GLOBAL_KB_REGISTRY.register(empty_kb)
     ablation_agent = SimpleAgent(
-        acfg, toolkits=[KBSearchToolkit(ToolkitConfig(config={"kb": empty_kb}))]
+        acfg,
+        toolkits=[KBSearchToolkit(
+            ToolkitConfig(config={"kb": empty_kb, "mode": "hybrid"})
+        )],
     )
     await ablation_agent.build()
     n_abl = 0

@@ -116,31 +116,73 @@ def main() -> None:
     print(f"prefill {report['prefill']}", file=sys.stderr, flush=True)
 
     # ---- decode: generate at two lengths, difference ---------------------
-    decode = {}
+    # Bytes model (VERDICT r4 item 8): each decode step reads every bf16
+    # weight byte once (shared across the batch) plus the FULL allocated
+    # KV cache (static shapes: attention scans all maxT slots, masked).
+    # With the two-length difference T(n_hi)−T(n_lo), cache allocation is
+    # tp+n per run, so the measured per-step time corresponds to an
+    # EFFECTIVE cache length (n_hi·(tp+n_hi) − n_lo·(tp+n_lo))/(n_hi−n_lo).
+    HBM_PEAK_GBPS = 819.0  # v5e
     n_hi, n_lo = (256, 128) if not degraded else (32, 16)
-    for bsz in ((1, 8, 32) if not degraded else (1, 4)):
-        prompt, pmask = left_pad_batch([[1, 2, 3, 4]] * bsz, pad_id=0)
-        key = jax.random.PRNGKey(1)
+    tp_len = 4  # prompt [1,2,3,4], bucketed to 4
+    t_eff = (n_hi * (tp_len + n_hi) - n_lo * (tp_len + n_lo)) / (n_hi - n_lo)
+    weights_gb = 2 * n_params / 1e9
 
-        def gen(n, prompt=prompt, pmask=pmask, key=key):
-            return generate(params, jnp.asarray(prompt), jnp.asarray(pmask),
-                            key, cfg=cfg, max_new_tokens=n)[0]
+    def cache_gb_per_step(bsz: int, kv_dtype: str) -> float:
+        elt = 1 if kv_dtype == "int8" else 2
+        per_slot = cfg.n_layers * bsz * cfg.n_kv_heads * t_eff
+        kv = 2 * per_slot * cfg.head_dim * elt  # K and V planes
+        scales = 2 * per_slot * 4 if kv_dtype == "int8" else 0
+        return (kv + scales) / 1e9
 
-        _ = np.asarray(gen(n_lo)); _ = np.asarray(gen(n_hi))  # compile both
-        dt = (timed(gen, n_hi) - timed(gen, n_lo)) / (n_hi - n_lo)
-        decode[f"batch{bsz}"] = {
-            "ms_per_step": round(dt * 1e3, 3),
-            "tokens_per_s": int(bsz / dt),
-        }
-        print(f"decode b={bsz}: {decode[f'batch{bsz}']}", file=sys.stderr, flush=True)
+    def run_decode(label: str, run_cfg) -> dict:
+        rows = {}
+        kv_dtype = getattr(run_cfg, "kv_cache_dtype", "native")
+        for bsz in ((1, 8, 32) if not degraded else (1, 4)):
+            prompt, pmask = left_pad_batch([[1, 2, 3, 4]] * bsz, pad_id=0)
+            key = jax.random.PRNGKey(1)
+
+            def gen(n, prompt=prompt, pmask=pmask, key=key):
+                return generate(params, jnp.asarray(prompt), jnp.asarray(pmask),
+                                key, cfg=run_cfg, max_new_tokens=n)[0]
+
+            _ = np.asarray(gen(n_lo)); _ = np.asarray(gen(n_hi))  # compile both
+            dt = (timed(gen, n_hi) - timed(gen, n_lo)) / (n_hi - n_lo)
+            model_gb = weights_gb + cache_gb_per_step(bsz, kv_dtype)
+            rows[f"batch{bsz}"] = {
+                "ms_per_step": round(dt * 1e3, 3),
+                "tokens_per_s": int(bsz / dt),
+                "model_bytes_gb": round(model_gb, 4),
+                "hbm_gbps": round(model_gb / dt, 1),
+                "pct_roofline": round(100 * model_gb / dt / HBM_PEAK_GBPS, 1),
+            }
+            print(f"decode[{label}] b={bsz}: {rows[f'batch{bsz}']}",
+                  file=sys.stderr, flush=True)
+        return rows
+
+    decode = run_decode("bf16-kv", cfg)
     report["decode"] = decode
+    report["bytes_model"] = {
+        "weights_gb": round(weights_gb, 4),
+        "effective_cache_len": round(t_eff, 1),
+        "hbm_peak_gbps": HBM_PEAK_GBPS,
+        "note": "model bytes/step = bf16 weights once + full allocated KV "
+                "cache (static-shape attention reads every maxT slot); "
+                "effective_cache_len reflects the two-length difference",
+    }
 
-    # HBM roofline context: each decode step reads every param byte once
-    # (bf16) — the bandwidth-bound floor for batch 1.
-    step_gb = 2 * n_params / 1e9
+    # int8 KV cache (decoder.py kv_cache_dtype='int8'): halves the cache
+    # stream; matters where the cache dominates bytes (large B, long T)
+    if not degraded:
+        import dataclasses
+
+        cfg8 = dataclasses.replace(cfg, kv_cache_dtype="int8")
+        report["decode_int8_kv"] = run_decode("int8-kv", cfg8)
+
     b1 = decode.get("batch1", {}).get("ms_per_step")
     if b1:
-        report["decode_hbm_gbps_b1"] = round(step_gb / (b1 / 1e3), 1)
+        report["decode_hbm_gbps_b1"] = round(
+            (weights_gb + cache_gb_per_step(1, "native")) / (b1 / 1e3), 1)
 
     with open("benchmarks/decoder_report.json", "w") as f:
         json.dump(report, f)

@@ -57,7 +57,7 @@ _FILLER = [
 ]
 
 
-def gen_niah(rng, n_docs=120, needles_total=60, sents_per_doc=60):
+def gen_niah(rng, n_docs=240, needles_total=164, sents_per_doc=60):
     """Documents of filler prose; `needles_total` unique facts inserted at
     varied depths. Multi-needle queries (Sequential-NIAH style) reference
     2-3 needles spread across documents."""

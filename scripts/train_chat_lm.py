@@ -109,7 +109,9 @@ def evaluate(params, cfg, tokenizer, tools, episodes, max_len):
     t1_texts, t2_texts = [], []
     for i in range(0, n, B):
         t1_texts += gen_batch(t1_prompts[i : i + B], max_new=64)
-        t2_texts += gen_batch(t2_prompts[i : i + B], max_new=64)
+        # turn 2 emits the copy-then-extract chain (quoted gold sentence
+        # + Final Answer) — needs more room than the bare answer did
+        t2_texts += gen_batch(t2_prompts[i : i + B], max_new=128)
     for ep, txt1, txt2 in zip(episodes, t1_texts, t2_texts):
         _, calls, final = parse_react(txt1)
         if calls and calls[0].name == "kb_embedding_search" and final is None:

@@ -105,6 +105,31 @@ def test_kb_hybrid_search_tool():
     assert "vault door" not in out
 
 
+def test_kb_embedding_search_hybrid_mode_config():
+    """{"mode": "hybrid"} routes kb_embedding_search through the fusion
+    retriever while keeping the tool name stable — rare-identifier queries
+    then hit the exact-id guarantee even when dense similarity misses."""
+    from youtu_rag_tpu.core.config import RAGConfig
+    from youtu_rag_tpu.core.types import Document
+    from youtu_rag_tpu.retrieval.kb import KnowledgeBase
+    from youtu_rag_tpu.tools.base import ToolkitConfig
+    from youtu_rag_tpu.tools.kb_search import KBSearchToolkit
+
+    rag = RAGConfig(
+        vector_store=VectorStoreConfig(index=IndexConfig(min_capacity=256, block_rows=128))
+    )
+    kb = KnowledgeBase("tool_kb_mode", rag)
+    docs = [Document(d["id"], d["content"], d["metadata"]) for d in DOCS]
+    asyncio.run(kb.build_documents(docs))
+    tk = KBSearchToolkit(
+        ToolkitConfig(name="kb_search", config={"kb": kb, "mode": "hybrid"})
+    )
+    out = asyncio.run(
+        tk.call_tool("kb_embedding_search", {"query": "code ZX-9981", "top_k": 1})
+    )
+    assert "vault door" in out
+
+
 class Int4KbTest(AsyncHTTPTestCase):
     """The int4 storage tier is reachable from the serving surface: a KB
     created with storage_dtype=int4 builds, searches (two-stage host

@@ -97,6 +97,9 @@ class Episode:
     observation: str
     source: str
     query: str = ""  # the tool-call query the model should emit
+    gold_sentence: str = ""  # the exact fact sentence holding the answer
+    attr: str = ""
+    ent: str = ""
 
 
 def _chunk_text(rng: random.Random, facts: list[tuple[str, str, str]]) -> str:
@@ -148,17 +151,37 @@ def synth_episode(
         else:
             facts.append((_entity(rng), attr, _value(rng)))
     rng.shuffle(facts)
-    gold = _chunk_text(rng, facts)
+    # render per-sentence so the episode records the exact gold sentence —
+    # the turn-2 target quotes it (copy-then-extract decomposition below)
+    sents, gold_sentence = [], ""
+    for f_ent, f_attr, f_val in facts:
+        s = rng.choice(_FACT_TEMPLATES).format(attr=f_attr, ent=f_ent, val=f_val)
+        if (f_ent, f_attr, f_val) == (ent, attr, val) and not gold_sentence:
+            gold_sentence = s
+        sents.append(s)
+    gold = " ".join(sents)
 
-    n_distract = {"easy": 0, "medium": rng.randint(0, 1), "hard": top_k - 1}[tier]
+    # The observation ALWAYS has top_k blocks, whatever the tier: serving
+    # returns top_k results for every query, so the tier may shape only the
+    # GOLD CHUNK's internal difficulty (sibling confusers), never the
+    # observation length — the model that trained on 1-block easy-tier
+    # observations collapsed 0.27 (in-dist) → 0.0 exact when the real loop
+    # handed it 5 blocks for every question.
     distractors = []
-    for _ in range(n_distract):
+    for _ in range(top_k - 1):
+        # SERVING-PARITY negatives: at inference the non-gold slots are the
+        # retriever's nearest neighbors of the query — chunks that mention
+        # the asked ATTRIBUTE (with other entities/values) dominate, not
+        # random facts. Random negatives here let the model get away with
+        # "find the attr word anywhere" (in-dist 0.16 vs real-loop 0.02
+        # measured); attr-matched negatives force true (entity, attr)
+        # conjunction matching.
         dfacts = [
-            (_entity(rng), rng.choice(ATTRS), _value(rng))
+            (_entity(rng), attr if rng.random() < 0.6 else rng.choice(ATTRS),
+             _value(rng))
             for _ in range(rng.randint(1, 3))
         ]
         distractors.append(_chunk_text(rng, dfacts))
-    top_k = 1 + len(distractors)
 
     question = rng.choice(_QUESTION_TEMPLATES).format(attr=attr, ent=ent)
     # serving parity: the API chat route prepends a KB reference line to the
@@ -204,6 +227,9 @@ def synth_episode(
         # ("Tell") — a DIFFERENT token, which breaks the induction-head
         # copy circuit at position 0.
         query=" " + question.rsplit("\n", 1)[-1],
+        gold_sentence=gold_sentence,
+        attr=attr,
+        ent=ent,
     )
 
 
@@ -229,7 +255,23 @@ def render_episode_samples(
         f"Thought: {THOUGHT_SEARCH}\n"
         f"Action: kb_embedding_search\nAction Input: {args}"
     )
-    target2 = f"Thought: {THOUGHT_ANSWER}\nFinal Answer: {ep.answer}"
+    # Copy-then-extract decomposition: monolithic "Final Answer: {val}"
+    # asks a ~4M-param model to solve (entity, attr) → value binding in ONE
+    # hop across the whole observation — measured ceiling ~0.11 exact.
+    # Chaining three easy copies instead: (1) re-emit attr+ent from the
+    # question (same induction skill as the turn-1 query copy, which the
+    # model learns to ~1.0); (2) quote the sentence containing BOTH
+    # just-emitted cue tokens (match-then-copy keyed on local context);
+    # (3) extract the value from the 10-20-token sentence it just wrote —
+    # a LOCAL grammar hop instead of a global binding hop.
+    if ep.attr and ep.ent and ep.gold_sentence:
+        target2 = (
+            f"Thought: The question asks for the {ep.attr} of {ep.ent}. "
+            f'The observation says: "{ep.gold_sentence}"\n'
+            f"Final Answer: {ep.answer}"
+        )
+    else:  # episodes built without sentence provenance (back-compat)
+        target2 = f"Thought: {THOUGHT_ANSWER}\nFinal Answer: {ep.answer}"
 
     msgs1 = [
         ChatMessage(role="system", content=instructions),

@@ -90,6 +90,21 @@ class KBSearchToolkit(BaseRAGToolkit):
                 parsed_filters = json.loads(filters) if isinstance(filters, str) else filters
             except json.JSONDecodeError:
                 return f"Error: filters is not valid JSON: {filters!r}"
+        # toolkit-level retrieval mode: {"mode": "hybrid"} routes this tool
+        # through the hybrid (dense+BM25 fusion) retriever while keeping
+        # the tool NAME stable — deployed agents (and the local chat LM,
+        # which is trained to call kb_embedding_search) upgrade to the
+        # production-recommended fusion path by config alone, mirroring the
+        # API query route's `mode` parameter.
+        if self.config.config.get("mode") == "hybrid":
+            results = await kb.hybrid_retriever.retrieve(
+                query,
+                top_k=top_k,
+                filters=parsed_filters,
+                enable_reranking=kb.reranker is not None,
+                similarity_threshold=0.0,
+            )
+            return _format_results(results)
         multiplier = self.config.config.get("recall_multiplier", kb.config.retriever.recall_multiplier)
         recall_k = top_k * multiplier if kb.reranker is not None else top_k
         results = await kb.retriever.retrieve(
